@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Each query is executed twice: a warm-up is NOT used — the driver measures
+cold end-to-end cost, so we report single-run wall time per query after one
+shared session bring-up (session build time excluded from per-query numbers
+but included in total_wall_sec for honesty).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gh_archive_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from gh_archive_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scan/agg, join cascade, semi join,
+# windows, dedup (exact + minhash), similarity, text, event-time windows.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q07_customer_order_stats",
+    "q12_dedup_first_event",
+    "q19_top_parts_per_brand",
+    "q31_top_words",
+    "q40_dedup_exact",
+    "q42_minhash_near_dup",
+    "q44_embedding_topk",
+    "q47_text_stats",
+    "q50_tumbling_window",
+    "q52_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    t_start = time.monotonic()
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.monotonic()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # force full execution without driver-side collect
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.monotonic() - t_start, 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_wall_sec_incl_session": total,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

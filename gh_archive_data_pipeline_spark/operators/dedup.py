@@ -1,0 +1,248 @@
+"""Deduplication operator family (SURVEY.md §2.4 D1-D3 + north-star dedup).
+
+Five strategies, all pure DataFrame ops (no Python in the hot path):
+
+- exact_dedup:        content-hash groupBy (D1/D3 exact pass)
+- ngram_jaccard:      word-shingle Jaccard similarity on candidate pairs
+- minhash_near_dup:   MinHash + LSH banding — the 100 TB-scale near-dup path
+- simhash:            64-bit SimHash fingerprints (Hamming-bucket dedup)
+- embedding near-dup: see operators.similarity (cosine threshold)
+
+Scale design: MinHash/LSH is the only strategy whose cost is near-linear in
+corpus size (shingle explode → per-doc minhash agg → band self-join on
+(band, signature) buckets). The pairwise ngram_jaccard is intentionally
+bounded to a candidate window — at scale it is the *verification* stage that
+runs AFTER banding, never a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ..plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Reusable operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Exact dedup by content hash; keeps the lowest id per duplicate group.
+
+    Hash-groupBy over md5(normalized text): one shuffle keyed on the hash —
+    duplicate clusters co-locate regardless of corpus size.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return (
+        df.withColumn("fingerprint", F.md5(text))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add a ``shingles`` column: distinct word n-grams (default trigrams)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return df.withColumn(
+        "shingles",
+        F.when(F.size(toks) >= n, F.array_distinct(grams))
+        .otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets for all id-ordered pairs.
+
+    Output: doc_a, doc_b, jaccard. Quadratic — use only on a candidate set
+    (post-LSH) or a bounded window; minhash_near_dup is the scale path.
+    """
+    sh = shingles(docs, n=n).select(F.col(id_col), F.col("shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 64, ngram: int = 3) -> DataFrame:
+    """MinHash signatures via k independent xxhash64 seeds over shingles.
+
+    Implemented as explode(shingles) → groupBy(doc) with k min() aggregates:
+    one shuffle keyed by doc id; signature width is a constant k per doc.
+    """
+    sh = shingles(docs, n=ngram).select(id_col, "shingles")
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
+                     threshold: float = 0.5, num_hashes: int = 64,
+                     bands: int = 16, ngram: int = 3) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: signatures → band into ``bands`` buckets of ``num_hashes/bands``
+    rows → self-join on (band, band_hash) → exact-Jaccard verification of the
+    (tiny) candidate set → pairs with jaccard >= threshold.
+
+    The self-join shuffles on the band hash — collision buckets are small by
+    construction, so the join is near-linear. The quadratic verify runs only
+    within candidates. This is the architecture that survives 100 TB.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, num_hashes, ngram)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        .alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    left = stacked.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    right = stacked.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    candidates = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingles(docs, n=ngram).select(F.col(id_col), F.col("shingles"))
+    verified = (
+        candidates
+        .join(sh.select(F.col(id_col).alias("doc_a"),
+                        F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprints: per-token xxhash64, bitwise ±1 majority vote.
+
+    explode(tokens) → explode(bit index) is avoided: instead each bit's vote
+    is a sum over tokens of ±1 extracted with shiftright/bit-and — ``bits``
+    aggregate expressions in ONE groupBy(doc) pass.
+    """
+    toks = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
+    tok_df = docs.select(F.col(id_col), toks).withColumn(
+        "h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = tok_df.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_dedup_exact",
+    sql="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 exact pass: normalized-content-hash dedup over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "q41_ngram_jaccard_pairs",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 40
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / (len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+)
+def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 near-dup metric: exact word-trigram Jaccard over a bounded candidate
+    window (doc_id < 40 → 780 pairs). At scale this exact computation is the
+    verify stage behind MinHash banding (q42)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(docs)
+
+
+@register("q42_minhash_near_dup", sql=None)
+def q42_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path: MinHash(64)+LSH(16 bands) candidates verified by exact
+    Jaccard >= 0.3. No SQL oracle (iterative hash pipeline); correctness is
+    pinned in unit tests against brute-force Jaccard ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup(docs, threshold=0.3)
+
+
+@register("q43_simhash", sql=None)
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 SimHash 64-bit fingerprints (rows-only check; bit-exactness is
+    pinned in unit tests against a NumPy reference implementation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)

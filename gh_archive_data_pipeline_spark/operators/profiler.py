@@ -1,0 +1,124 @@
+"""Native column profiler — re-implements the reference's PyDeequ surface
+(/root/reference/pipeline/data_profiling.py:41-54) without the JVM jar.
+
+Per column: completeness (null rate), approx distinct, min/max/mean/stddev/
+sum (numeric). Everything is computed in ONE wide aggregate pass over the
+table — a single scan + single-row exchange regardless of table size, which
+is exactly how a 100 TB profile must run (Deequ does the same internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ..plans.registry import register
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Profile ``df`` → one output row per column.
+
+    Output: column, n_rows, n_nulls, completeness, approx_distinct, and for
+    numeric columns min/max/mean/stddev/sum (null otherwise).
+    """
+    dtypes = dict(df.dtypes)
+    cols = columns or list(dtypes)
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in _NUMERIC
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__adist"),
+            (F.min(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (F.max(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__max"),
+            (F.avg(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__mean"),
+            (F.stddev(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__std"),
+            (F.sum(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__sum"),
+        ]
+    wide = df.agg(*aggs)
+    # Pivot the single wide row to one row per column via a stack expression —
+    # stays distributed (the wide row is 1 row; stack is a cheap generator).
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (column, n_rows, n_nulls, approx_distinct, "
+            "min_value, max_value, mean_value, stddev_value, sum_value)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', __n, {c}__nulls, {c}__adist, {c}__min, {c}__max, "
+                    f"{c}__mean, {c}__std, {c}__sum"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return stacked.withColumn(
+        "completeness",
+        F.round(1.0 - F.col("n_nulls") / F.col("n_rows"), 6),
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — profiler as an oracle-checked query (approx_distinct excluded from
+# the oracle — sketch algorithms differ across engines; exact stats checked).
+# --------------------------------------------------------------------------
+@register(
+    "q33_profile_lineitem",
+    sql="""
+    SELECT 'l_quantity' AS column,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           round(min(l_quantity), 4) AS min_value,
+           round(max(l_quantity), 4) AS max_value,
+           round(avg(l_quantity), 4) AS mean_value,
+           round(stddev_samp(l_quantity), 4) AS stddev_value,
+           round(sum(l_quantity), 2) AS sum_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+           round(sum(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+           round(sum(l_discount), 2)
+    FROM lineitem
+    """,
+)
+def q33_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: the native profiler over lineitem's numeric measure columns
+    (exact stats only; the approx-distinct sketch is exercised in q34)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return prof.select(
+        "column", "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("mean_value", 4).alias("mean_value"),
+        F.round("stddev_value", 4).alias("stddev_value"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — approx distinct (A2): rows-only check (HLL sketches differ by engine)
+# --------------------------------------------------------------------------
+@register("q34_approx_distinct", sql=None)
+def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 approx_count_distinct (HyperLogLog++). No SQL oracle: DuckDB's HLL
+    yields different estimates by design; exactness is pinned separately in
+    unit tests via a relative-error bound against exact countDistinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )

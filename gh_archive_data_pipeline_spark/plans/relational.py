@@ -1,0 +1,596 @@
+"""Relational query catalog: scans, filters, joins, aggregations.
+
+Covers SURVEY.md §2.3 (projections/filters), §2.5 (joins J1-J6), §2.6
+(aggregations A1-A8). The reference delegates this whole surface to
+Trino/Postgres over its gold tables (/root/reference/README.md:7,277-287);
+here it is expressed as Catalyst logical plans over the driver fixtures.
+
+Scale notes per query are inline; the common levers:
+- dimension joins broadcast explicitly (region/nation/supplier are tiny at
+  any SF; customer broadcasts until ~sf100, after which AQE's sort-merge is
+  correct anyway because the hint degrades gracefully);
+- aggregations are expressed so Catalyst plans partial (map-side) aggregation
+  before the shuffle;
+- every filter is a plain column predicate → parquet PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1 style pricing summary (flagship: scan→filter→agg→sort)
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 grouped agg + O2 sort. Partial aggregation happens map-side; only
+    |returnflag × linestatus| (=6) groups cross the shuffle — constant-size
+    exchange at any data scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — predicate surface: comparison / IN / LIKE / BETWEEN / IS NOT NULL
+# --------------------------------------------------------------------------
+@register(
+    "q02_filter_predicates",
+    sql="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('SMALL', 'LARGE', 'PROMO')
+      AND p_name LIKE '%a%'
+      AND p_retailprice > 900
+      AND p_brand IS NOT NULL
+    """,
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 row filters. All five predicate shapes are plain column predicates
+    → all of them reach the parquet scan as PushedFilters."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_type").isin("SMALL", "LARGE", "PROMO")
+            & F.col("p_name").like("%a%")
+            & (F.col("p_retailprice") > 900)
+            & F.col("p_brand").isNotNull()
+        )
+        .select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — TPC-H Q3 style: 3-way join + grouped revenue + top-k
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi joins + A3 + O3 top-k. customer is filtered before the join and
+    broadcast (dim side); orders⋈lineitem is the only shuffle pair. The final
+    orderBy+limit plans as TakeOrderedAndProject — no global sort."""
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — EXISTS via left-semi join (TPC-H Q4 style)
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-semi join expressing EXISTS. The semi join keeps only the
+    orders-side columns across the shuffle; lineitem is pre-projected to the
+    two columns the predicate needs (column pruning at the scan)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — multi-way star join through broadcast dims (TPC-H Q5 style)
+# --------------------------------------------------------------------------
+@register(
+    "q05_region_revenue",
+    sql="""
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r_name
+    ORDER BY revenue DESC, r_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J4: fact⋈fact shuffle join (lineitem⋈orders) then a cascade of
+    broadcast joins (customer→nation→region never shuffles the fact side).
+    Exactly the plan you want at 100 TB: one shuffle, then map-side joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — TPC-H Q6: tight scan-filter-agg, no group keys
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+A3 global agg. All four predicates push to the scan; the aggregate
+    is a single partial→final pair with a 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — left outer join + null handling (customers with zero orders kept)
+# --------------------------------------------------------------------------
+@register(
+    "q07_customer_order_stats",
+    sql="""
+    SELECT c_custkey,
+           count(o_orderkey)                         AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2)  AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left outer + F7 coalesce. count(col) skips nulls from the outer
+    side, so zero-order customers report 0/0.0 — the classic outer-join-agg
+    correctness trap, pinned by the oracle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+            .alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — anti join: customers that never ordered
+# --------------------------------------------------------------------------
+@register(
+    "q08_customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-anti join (NOT EXISTS). Only the orders key column is read on
+    the probe side — ReadSchema shows a single-column scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — cross join (tiny × tiny)
+# --------------------------------------------------------------------------
+@register(
+    "q09_region_nation_matrix",
+    sql="""
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q09_region_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 explicit cross join. Guarded to dimension tables — at scale a cross
+    join is only ever sane when one side broadcasts (5×25 here)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(F.broadcast(nation))
+        .select(
+            "r_name", "n_name",
+            (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — non-equi (range) join against a literal band table
+# --------------------------------------------------------------------------
+@register(
+    "q10_price_band_join",
+    sql="""
+    SELECT b.band, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 1000.0),
+                 ('mid', 1000.0, 1500.0),
+                 ('premium', 1500.0, 100000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def q10_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 theta join. The band table is a 3-row literal → Catalyst plans
+    BroadcastNestedLoopJoin, which is the *correct* physical strategy for a
+    non-equi predicate with a tiny build side at any fact-table scale."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
+         ("premium", 1500.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — distinct (D1)
+# --------------------------------------------------------------------------
+@register(
+    "q11_distinct_segments",
+    sql="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+def q11_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact distinct — HashAggregate over both columns, partial map-side
+    dedup before the shuffle (mirrors the reference's dimension builds,
+    /root/reference/pipeline/airflow/dags/load_data_task.py:177-190)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# q12 — key-based dedup keeping a deterministic representative (D2)
+# --------------------------------------------------------------------------
+@register(
+    "q12_dedup_first_event",
+    sql="""
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q12_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 keyed dedup. dropDuplicates() keeps an arbitrary row; for an
+    oracle-stable (and production-sane) result we keep the *earliest* row per
+    key via row_number over (ts, event_id) — same single shuffle cost."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — grouped counts + exact COUNT(DISTINCT) (A3/A4)
+# --------------------------------------------------------------------------
+@register(
+    "q13_event_type_stats",
+    sql="""
+    SELECT event_type,
+           count(*)                 AS n_events,
+           count(DISTINCT user_id)  AS n_users,
+           round(sum(value), 2)     AS total_value,
+           round(avg(value), 4)     AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q13_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4. Catalyst plans COUNT(DISTINCT) as a two-phase expand+agg; the
+    other aggregates ride the same shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14/q15 — rollup & cube (A5)
+# --------------------------------------------------------------------------
+@register(
+    "q14_rollup_order_status",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q14_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rollup: subtotals per status and a grand total (NULL group keys)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q15_cube_returnflag_status",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q15_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 cube: all 2^2 grouping sets in one pass (Expand operator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — exact percentiles / median (A6)
+# --------------------------------------------------------------------------
+@register(
+    "q16_acctbal_percentiles",
+    sql="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q16_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact (interpolated) percentiles — Spark `percentile` ≡ DuckDB
+    `quantile_cont`. For 100 TB use approx_percentile instead (single-pass
+    sketch); the exact form is here because the oracle needs exactness."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — collect_set → ordered string agg (A7)
+# --------------------------------------------------------------------------
+@register(
+    "q17_nation_segments",
+    sql="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q17_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 collect_set, rendered as a sorted CSV string so the value is
+    deterministic (set order isn't) and comparable across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment")))
+            .alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — histogram via width-bucketing (A8)
+# --------------------------------------------------------------------------
+@register(
+    "q18_quantity_histogram",
+    sql="""
+    SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(l_quantity), 2) AS lo,
+           round(max(l_quantity), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def q18_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 value-distribution histogram (the Deequ profile's histogram,
+    /root/reference/pipeline/data_profiling.py:46, done natively)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_quantity") / 5).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

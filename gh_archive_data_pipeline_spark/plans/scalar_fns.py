@@ -1,0 +1,246 @@
+"""Scalar-function catalog (SURVEY.md §2.10, F1-F9).
+
+All expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen. No Python UDFs anywhere in this module; the same
+expressions are written in portable SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q26 — string functions (F3)
+# --------------------------------------------------------------------------
+@register(
+    "q26_string_functions",
+    sql="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           CAST(length(c_name) AS BIGINT)                  AS name_len,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+           substr(c_name, 1, 8)                            AS name_prefix,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(lower(c_name), 'customer', 'cust')      AS name_short
+    FROM customer
+    """,
+)
+def q26_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: upper/length/regexp_extract/substring/concat/replace — all codegen'd."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("name_num"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat("c_mktsegment", F.lit(":"), F.col("c_nationkey").cast("string"))
+        .alias("seg_nation"),
+        F.replace(F.lower("c_name"), F.lit("customer"), F.lit("cust"))
+        .alias("name_short"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — JSON extraction (F4) over the events.props payload column
+# --------------------------------------------------------------------------
+@register(
+    "q27_json_extract",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+)
+def q27_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 get_json_object on a raw-JSON string column — the engine-side
+    realization of the reference's `payload` escape hatch
+    (/root/reference/pipeline/schema.py:54), which it dropped instead of
+    parsing. At scale prefer from_json with an explicit schema (single parse)
+    over repeated get_json_object calls."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — timestamp functions (F2)
+# --------------------------------------------------------------------------
+@register(
+    "q28_date_functions",
+    sql="""
+    SELECT CAST(date_part('year', o_orderdate) AS BIGINT)  AS order_year,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS order_month,
+           date_trunc('month', o_orderdate)                AS month_start,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY order_year, order_month
+    """,
+)
+def q28_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: year/month extraction + date_trunc, grouped monthly revenue —
+    realizes the reference's latent `created_at` timestamp intent
+    (/root/reference/pipeline/airflow/dags/load_data_task.py:120)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz")
+            .alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — math + conditional (F5, F7)
+# --------------------------------------------------------------------------
+@register(
+    "q29_math_conditional",
+    sql="""
+    SELECT CASE WHEN l_discount > 0.05 THEN 'HIGH'
+                WHEN l_discount > 0.02 THEN 'MID'
+                ELSE 'LOW' END AS disc_band,
+           count(*) AS n,
+           round(sum(ln(l_extendedprice)), 4)        AS sum_log_price,
+           round(avg(sqrt(l_quantity)), 6)           AS avg_sqrt_qty,
+           round(max(abs(l_extendedprice - l_tax * 1000)), 2) AS max_abs_expr,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+             AS returned_value
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY disc_band
+    """,
+)
+def q29_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 math (ln/sqrt/abs) + F7 when/otherwise, including the
+    conditional-aggregation (pivot-by-CASE) idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") > 0.05, "HIGH")
+        .when(F.col("l_discount") > 0.02, "MID")
+        .otherwise("LOW")
+    )
+    return (
+        li.groupBy(band.alias("disc_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_log_price"),
+            F.round(F.avg(F.sqrt(F.col("l_quantity"))), 6).alias("avg_sqrt_qty"),
+            F.round(F.max(F.abs(F.col("l_extendedprice") - F.col("l_tax") * 1000)), 2)
+            .alias("max_abs_expr"),
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R",
+                             F.col("l_extendedprice")).otherwise(0.0)), 2)
+            .alias("returned_value"),
+        )
+        .orderBy("disc_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — array functions over tokenized text (F6)
+# --------------------------------------------------------------------------
+@register(
+    "q30_array_functions",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           list_sort(list_distinct(string_split(text, ' ')))[1]        AS first_token,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> length(t) > 5)) AS BIGINT)        AS n_long_tokens
+    FROM documents
+    """,
+)
+def q30_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 split/size/array_distinct/sort/filter — higher-order functions on
+    arrays, all JVM-side (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias("first_token"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("bigint")
+        .alias("n_long_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — explode + top words (F6 explode, A3, O3)
+# --------------------------------------------------------------------------
+@register(
+    "q31_top_words",
+    sql="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def q31_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 explode → word frequencies → deterministic top-25. The explode
+    multiplies rows ~|tokens| but partial aggregation collapses them before
+    the shuffle — safe on a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — hashing / fingerprints (F8)
+# --------------------------------------------------------------------------
+@register(
+    "q32_hash_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_md5
+    FROM documents
+    """,
+)
+def q32_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 content hashing: raw md5 + normalized (lower, whitespace-collapsed)
+    md5 — the exact-dedup fingerprint primitive. (xxhash64 is the cheaper
+    in-engine choice; md5 is used where the oracle must reproduce it.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -1,0 +1,130 @@
+"""Window-function catalog (SURVEY.md §2.7, W1-W4).
+
+The reference has no window functions; its analytics endpoints (Trino/
+Postgres) imply them. All four families here, each with a total-order
+tie-break so results are engine-portable.
+
+Scale note: a window over PARTITION BY k shuffles once on k and sorts within
+partitions — same cost envelope as a groupBy on k. The dangerous shape is a
+window with no PARTITION BY (single-partition sort); q22 is the only one and
+is bounded to the orders table on purpose (rank over a global metric is a
+driver-choice query, not a fact-table query, at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q19 — ranking: top-3 parts per brand (W1)
+# --------------------------------------------------------------------------
+@register(
+    "q19_top_parts_per_brand",
+    sql="""
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rn
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) t
+    WHERE rn <= 3
+    """,
+)
+def q19_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row_number. Catalyst rewrites rn<=k filters over row_number into a
+    WindowGroupLimit (top-k per group without materializing full ranks)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey",
+                F.round("p_retailprice", 2).alias("p_retailprice"), "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — lag/lead: inter-event gaps per user (W2)
+# --------------------------------------------------------------------------
+@register(
+    "q20_event_gaps",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q20_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 lag/lead. Event-time arithmetic runs on the raw int64 nanos column
+    (ts_ns, see sources.readers) ÷ 1000 → exact integer micros, no interval
+    or float rounding on either engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts_ns div 1000")
+    return ev.select(
+        "user_id", "event_id",
+        (us - F.lag(us).over(w)).cast("bigint").alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — frames: running totals and moving averages (W3)
+# --------------------------------------------------------------------------
+@register(
+    "q21_running_totals",
+    sql="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg3
+    FROM events
+    """,
+)
+def q21_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 frames: cumulative sum + 3-row moving average, one sorted window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — ntile / percent_rank / cume_dist (W4)
+# --------------------------------------------------------------------------
+@register(
+    "q22_order_quartiles",
+    sql="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q22_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 distribution functions over a global order. Global window = single
+    partition; acceptable for a driver-choice ranking, never for a fact scan
+    (documented limit; use partitioned ranks at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1,0 +1,91 @@
+"""Readers over the engine's batch sources.
+
+Covers the reference's scan surface (SURVEY.md §2.1):
+- S2 JSON-with-explicit-schema (/root/reference/pipeline/airflow/dags/load_data_task.py:117-121)
+- S3/S4 parquet lake scan (data_profiling.py:41)
+- S8 JDBC scan (declared surface)
+plus the fixture loader used by every registry query.
+
+Scale notes: all readers return lazily-planned DataFrames; filters/projections
+applied by callers push down to the parquet scan through Catalyst (verified
+via .explain → PushedFilters/ReadSchema). No data touches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..session import ensure_runtime_confs
+
+# Fixture tables the driver pre-registers as DuckDB views (TESTDATA.md).
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem")
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing physical-encoding quirks.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    we read the raw int64 nanos and materialize both:
+      - ``ts``     timestamp_ntz (micros, matching DuckDB's read of the file)
+      - ``ts_ns``  the raw int64 nanos (exact event-time arithmetic without
+                   interval types; also what a 100 TB layout would sort by)
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumn("ts_ns", F.col("ts"))
+              .withColumn(
+                  "ts",
+                  F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+              )
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                *names: str) -> dict[str, DataFrame]:
+    """Load several fixture tables at once (defaults to all of them)."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or ALL_TABLES)}
+
+
+def read_json_with_schema(spark: SparkSession, path: str, schema: StructType,
+                          timestamp_ntz_format: str | None = None) -> DataFrame:
+    """JSON-lines scan with an explicit schema — no inference pass.
+
+    Parity with the reference's silver load
+    (/root/reference/pipeline/airflow/dags/load_data_task.py:117-121); Spark
+    reads ``.json.gz`` transparently so the same call serves the gz archive
+    files at scale (one task per file — pair with a repartition after read
+    since gzip is not splittable).
+    """
+    ensure_runtime_confs(spark)
+    reader = spark.read.schema(schema)
+    if timestamp_ntz_format:
+        reader = reader.option("timestampNTZFormat", timestamp_ntz_format)
+    return reader.json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: dict[str, str] | None = None,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int | None = None) -> DataFrame:
+    """JDBC scan (S8). Partitioned read options exposed because a 100 TB
+    deployment must never read a warehouse table through a single connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 32)))
+    return reader.load()

@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: every registry query with
+an oracle must match DuckDB on row count, column names, and values
+(order-insensitive, exact after the query's own rounding).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from gh_archive_data_pipeline_spark.plans.registry import all_queries
+from gh_archive_data_pipeline_spark.sources.readers import ALL_TABLES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == pytest.approx(y, rel=1e-9, abs=1e-9), (
+                    f"{name}.{col}[{i}]: {x!r} != {y!r}"
+                )
+            else:
+                xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT
+                yn = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NaT
+                if xn and yn:
+                    continue
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+_SPECS = [(n, s) for n, s in all_queries().items()]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _SPECS])
+def test_query_matches_oracle(spark, name):
+    spec = dict(_SPECS)[name]
+    result = spec.fn(spark, SF)
+    spark_pdf = result.toPandas()
+    if spec.sql is None:
+        assert len(spark_pdf) >= 0  # rows-only contract: runs, stable schema
+        return
+    duck_pdf = _duck(spec.sql)
+    _compare(spark_pdf, duck_pdf, name)
