@@ -49,18 +49,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Add a ``shingles`` column: distinct word n-grams (default trigrams)."""
-    toks = F.split(F.col(text_col), " ")
+    """Add a ``shingles`` column: distinct word n-grams (default trigrams).
+
+    Tokenization happens in its own projection so the split() runs once per
+    row, not once per reference inside the gram-builder expressions.
+    """
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
         ),
     )
-    return df.withColumn(
-        "shingles",
-        F.when(F.size(toks) >= n, F.array_distinct(grams))
-        .otherwise(F.array(F.concat_ws(" ", toks))),
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn(
+            "shingles",
+            F.when(F.size(toks) >= n, F.array_distinct(grams))
+            .otherwise(F.array(F.concat_ws(" ", toks))),
+        )
+        .drop("__toks")
     )
 
 
@@ -83,50 +91,82 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
+                    ngram: int = 3) -> DataFrame:
+    """Per-doc distinct shingle set as int64 hashes (``hs`` array column).
+
+    Each shingle string is hashed ONCE (xxhash64); every downstream minhash /
+    band / verify computation works on fixed-width longs instead of
+    re-hashing strings — the difference between O(k·|shingle bytes|) and
+    O(k·8B) per shingle across k hash functions.
+    """
+    sh = shingles(docs, n=ngram)
+    return sh.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 64, ngram: int = 3) -> DataFrame:
-    """MinHash signatures via k independent xxhash64 seeds over shingles.
+    """MinHash signatures: k independent permutations of the shingle hash.
 
-    Implemented as explode(shingles) → groupBy(doc) with k min() aggregates:
-    one shuffle keyed by doc id; signature width is a constant k per doc.
+    explode(hashed shingles) → groupBy(doc) with k min(xxhash64(i, h))
+    aggregates: one shuffle keyed by doc id; each permutation re-hashes the
+    8-byte shingle hash, not the shingle text.
     """
-    sh = shingles(docs, n=ngram).select(id_col, "shingles")
-    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    ex = (hashed_shingles(docs, id_col, ngram)
+          .select(id_col, F.explode("hs").alias("h")))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
-                     threshold: float = 0.5, num_hashes: int = 64,
-                     bands: int = 16, ngram: int = 3) -> DataFrame:
+                     threshold: float = 0.3, num_hashes: int = 64,
+                     bands: int = 32, ngram: int = 3) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
-    Pipeline: signatures → band into ``bands`` buckets of ``num_hashes/bands``
-    rows → self-join on (band, band_hash) → exact-Jaccard verification of the
-    (tiny) candidate set → pairs with jaccard >= threshold.
+    Pipeline: hashed shingle sets (persisted — three downstream branches
+    reuse them) → signatures → band into ``bands`` buckets of
+    ``num_hashes/bands`` rows → self-join on (band, signature) → exact
+    Jaccard verification of the candidate set → pairs >= threshold.
 
-    The self-join shuffles on the band hash — collision buckets are small by
-    construction, so the join is near-linear. The quadratic verify runs only
-    within candidates. This is the architecture that survives 100 TB.
+    Tuning: bands=32 × rows=2 ⇒ candidate probability 1-(1-j²)³² ≈ 95% at
+    j=0.3 and ≈ 100% at j≥0.5; false candidates are removed by the exact
+    verify, so banding only affects recall, never precision.
+
+    The self-join shuffles on the band signature — collision buckets are
+    small by construction, so the join is near-linear in corpus size. The
+    quadratic verify runs only within candidates. This is the architecture
+    that survives 100 TB (signatures would persist to a table there; here
+    localCheckpoint plays that role within the job — chosen over .persist()
+    because persist registers the giant hash-pipeline plan in the session
+    CacheManager, where every later query pays plan-matching cost against it).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, num_hashes, ngram)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-        .alias(f"band_{b}")
-        for b in range(bands)
+    sh = hashed_shingles(docs, id_col, ngram).localCheckpoint()
+    ex = sh.select(id_col, F.explode("hs").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    stacked = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+                .alias("sig"),
+            )
             for b in range(bands)
         ])).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig")
+    ).select(id_col, "bs.band", "bs.sig").localCheckpoint()
     left = stacked.select(F.col(id_col).alias("doc_a"), "band", "sig")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band", "sig")
     candidates = (
@@ -135,16 +175,15 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingles(docs, n=ngram).select(F.col(id_col), F.col("shingles"))
     verified = (
         candidates
-        .join(sh.select(F.col(id_col).alias("doc_a"),
-                        F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"),
-                        F.col("shingles").alias("sh_b")), "doc_b")
+        .join(sh.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a")),
+              "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b")),
+              "doc_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
     return (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)

@@ -23,7 +23,9 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode = single JVM: the driver heap carries all executor work;
+    # size it to the host (overridable for small containers).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 # Confs that are runtime-settable and REQUIRED for correctness against the
