@@ -1,0 +1,139 @@
+"""Multimodal column plumbing (north-star §3): opaque binary payloads with
+typed metadata, processed by Arrow-batched pandas functions.
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic fakes behind a clearly-marked seam (``_decode_stub``) — the
+Spark-side contract is real and tested: schema (binary + metadata struct),
+mapInPandas batch iteration, partition sizing, and the select/filter
+pushdown AROUND the opaque column.
+
+At 100 TB the decisive property is that binary payloads never pass through a
+shuffle: derive features first (mapInPandas, narrow), then aggregate/join on
+the small feature columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ..plans.registry import register
+
+# Output schema for extract_features — metadata stays typed, payload dropped.
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "fake_width int, fake_height int, content_sha string"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB for a real image/audio decode (no codec libs in this container).
+
+    Deterministic fake dimensions derived from the payload so tests are
+    stable. Replace with PIL/torchaudio/ffmpeg in a real deployment —
+    signature and batch shape stay identical.
+    """
+    h = hash(payload) & 0x7FFFFFFF
+    return 64 + h % 512, 64 + (h >> 9) % 512
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id",
+                     media_type_col: str = "media_type") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each pandas batch holds ~10k rows of (id, type, bytes);
+    per-batch python cost is one vectorized pass, not per-row serde.
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_stub(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media_type": pdf[media_type_col],
+                "n_bytes": [len(bytes(b)) for b in pdf[payload_col]],
+                "fake_width": [w for w, _ in dims],
+                "fake_height": [h for _, h in dims],
+                "content_sha": [hashlib.sha256(bytes(b)).hexdigest()
+                                for b in pdf[payload_col]],
+            })
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: synthesize a binary payload column from documents
+    (cast text→bytes) plus a metadata struct — the canonical multimodal
+    row shape: (id, payload binary, meta struct<media_type,n_bytes>)."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.length("text").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q57_multimodal_features",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q57_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → binary payload + metadata
+    struct → mapInPandas feature extraction. The deterministic outputs
+    (bytes, sha256) are oracle-checked; the stubbed decode dims are not."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs)
+    feats = extract_features(
+        binary.select("doc_id", "payload", F.col("meta.media_type").alias("media_type"))
+    )
+    return feats.select("doc_id", "media_type", "n_bytes", "content_sha")
+
+
+@register(
+    "q58_media_type_rollup",
+    sql="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           count(*) AS n_assets,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           round(avg(length(text)), 4) AS avg_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY media_type
+    """,
+)
+def q58_media_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset inventory over the metadata struct ONLY — demonstrates that
+    aggregations on multimodal tables touch the typed metadata and never
+    shuffle the binary payload (ReadSchema excludes it entirely)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = with_binary_payload(docs)
+    return (
+        binary.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.avg("meta.n_bytes"), 4).alias("avg_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -50,9 +50,16 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import for registration side effects; keep lazy to avoid import cycles.
-    from . import relational, scalar_fns, setops_sorts, windows  # noqa: F401
-    from ..operators import dedup, profiler, similarity, text_queries  # noqa: F401
-    from ..streaming import batch_equivalents  # noqa: F401
+    from . import relational, reshape, scalar_fns, setops_sorts, windows  # noqa: F401
+    from ..operators import (  # noqa: F401
+        asof,
+        dedup,
+        multimodal,
+        profiler,
+        similarity,
+        text_queries,
+    )
+    from ..streaming import batch_equivalents, stream_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1,0 +1,65 @@
+"""Writers — the reference's sink surface (SURVEY.md §2.2) rebuilt:
+
+- K1/K5 partitioned parquet lake writes (Delta-optional)
+- K3/K4 JDBC warehouse writes with bulk-load options
+- K2 streaming parquet sink with checkpointing (see streaming.pipeline)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  max_records_per_file: int = 5_000_000,
+                  coalesce: int | None = None) -> None:
+    """Lake write (reference Delta overwrite, load_data_task.py:140-145,
+    generalized). ``coalesce`` tames the small-file problem the reference
+    flags for streaming output (README.md:299); ``maxRecordsPerFile`` caps
+    file size so single partitions can't produce multi-GB files at scale."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite",
+                overwrite_schema: bool = False) -> None:
+    """Delta write when delta-spark jars are on the classpath (reference
+    load_data_task.py:140-145); raises a clear error otherwise — the engine
+    core deliberately depends only on parquet."""
+    writer = df.write.format("delta").mode(mode)
+    if overwrite_schema:
+        writer = writer.option("overwriteSchema", "true")
+    try:
+        writer.save(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise RuntimeError(
+            "Delta writer requires the delta-spark jars on the classpath; "
+            "use write_parquet for the jar-free path"
+        ) from exc
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               properties: dict[str, str] | None = None,
+               isolation_level: str = "NONE",
+               batchsize: int = 10_000,
+               num_partitions: int | None = None) -> None:
+    """Warehouse write (reference load_data_task.py:193-236). Keeps the
+    reference's isolationLevel=NONE bulk-load tuning; numPartitions bounds
+    concurrent connections — mandatory when 1000 executors each hold a
+    JDBC connection."""
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    writer = (df.write.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("isolationLevel", isolation_level)
+              .option("batchsize", batchsize)
+              .mode(mode))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

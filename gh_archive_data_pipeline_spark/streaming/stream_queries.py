@@ -1,0 +1,82 @@
+"""Registry queries that execute REAL Structured Streaming (file source →
+availableNow → memory sink) and return the drained result as a batch
+DataFrame — so the driver's DuckDB oracle pins streaming semantics, not just
+the batch twins in batch_equivalents.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..session import ensure_runtime_confs
+from .pipeline import read_file_stream, run_to_memory, windowed_counts
+
+_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture through the file source, applying the same
+    nanos→timestamp normalization as the batch loader.
+
+    The file stream source wants a directory; the fixture is a single file,
+    so it is symlinked into a temp dir (zero-copy)."""
+    import os
+    import tempfile
+
+    ensure_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema  # physical schema (ts as int64)
+    raw = read_file_stream(spark, stream_dir, schema)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+@register(
+    "q59_stream_tumbling_window",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q59_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T4/T5 executed for real: file-source stream → watermarked tumbling
+    window agg → availableNow drain → memory sink. Oracle-checked against
+    plain SQL — streaming and batch must agree on every window."""
+    stream = _events_stream(spark, sf_dir)
+    windowed = windowed_counts(stream, watermark="2 hours")
+    name = f"stream_tumbling_{next(_counter)}"
+    out = run_to_memory(windowed, name, spark, output_mode="complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+@register(
+    "q60_stream_dedup",
+    sql="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q60_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 executed for real: stateful dropDuplicatesWithinWatermark on the
+    event id. Fixture ids are unique, so the oracle is the identity set —
+    the planted-duplicate semantics are pinned in test_streaming.py."""
+    from .pipeline import dedup_within_watermark
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(stream, ["event_id"])
+    name = f"stream_dedup_{next(_counter)}"
+    out = run_to_memory(deduped.select("event_id", "user_id", "event_type"),
+                        name, spark, output_mode="append")
+    return out

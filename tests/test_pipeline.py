@@ -1,0 +1,125 @@
+"""GH-Archive pipeline parity tests — the representative correctness cases
+from SURVEY.md §5.3, over a synthetic fixture shaped like the reference's
+batch input (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from gh_archive_data_pipeline_spark.pipeline import stages
+from gh_archive_data_pipeline_spark.pipeline.runner import Pipeline, gh_archive_pipeline
+
+
+def _event(eid, actor_id, repo_id, org=None, created="2015-01-01T15:00:01Z",
+           typ="PushEvent"):
+    ev = {
+        "id": str(eid),
+        "created_at": created,
+        "type": typ,
+        "public": True,
+        "repo": {"id": repo_id, "name": f"owner/repo{repo_id}",
+                 "url": f"https://api.github.com/repos/owner/repo{repo_id}"},
+        "actor": {"id": actor_id, "login": f"user{actor_id}",
+                  "gravatar_id": "", "avatar_url": "https://a/u.png",
+                  "url": f"https://api.github.com/users/user{actor_id}"},
+        "payload": json.dumps({"push_id": eid, "commits": [{"sha": "x"}]}),
+    }
+    if org is not None:
+        ev["org"] = {"id": org, "login": f"org{org}", "gravatar_id": "",
+                     "avatar_url": "https://a/o.png",
+                     "url": f"https://api.github.com/orgs/org{org}"}
+    return ev
+
+
+@pytest.fixture(scope="module")
+def bronze_path(tmp_path_factory):
+    """Synthetic hour file: duplicate actors/repos, null orgs, duplicate
+    event ids, hour-crossing timestamps (FIXTURES.md §4 cases a-d)."""
+    rows = [
+        _event(1, actor_id=10, repo_id=100, org=900),
+        _event(2, actor_id=10, repo_id=100, org=900,     # dup actor+repo+org
+               created="2015-01-01T15:30:00Z"),
+        _event(3, actor_id=11, repo_id=101),             # no org
+        _event(3, actor_id=11, repo_id=101,              # dup event id, later ts
+               created="2015-01-01T16:10:00Z"),
+        _event(4, actor_id=12, repo_id=102, org=901,
+               created="2015-01-01T16:00:00Z", typ="WatchEvent"),
+    ]
+    path = tmp_path_factory.mktemp("bronze") / "2015-01-01-15.json"
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def silver(spark, bronze_path):
+    return stages.to_silver(stages.read_bronze(spark, bronze_path))
+
+
+def test_silver_drops_payload_and_parses_timestamps(silver):
+    assert "payload" not in silver.columns and "other" not in silver.columns
+    assert dict(silver.dtypes)["created_at"] == "timestamp_ntz"
+    dates = {str(r.event_date) for r in silver.select("event_date").collect()}
+    assert dates == {"2015-01-01"}
+    hours = sorted(r[0] for r in
+                   silver.selectExpr("hour(created_at)").distinct().collect())
+    assert hours == [15, 16]  # hour-crossing rows preserved
+
+
+def test_gold_users_dedup(silver):
+    users = stages.gold_users(silver).collect()
+    assert sorted(r.id for r in users) == [10, 11, 12]
+
+
+def test_gold_repos_dedup(silver):
+    repos = stages.gold_repos(silver).collect()
+    assert sorted(r.id for r in repos) == [100, 101, 102]
+
+
+def test_gold_orgs_exclude_null(silver):
+    orgs = stages.gold_organizations(silver).collect()
+    assert sorted(r.id for r in orgs) == [900, 901]  # org-less events excluded
+
+
+def test_gold_events_key_dedup_keeps_earliest(silver):
+    events = stages.gold_events(silver)
+    rows = {r.id: r for r in events.collect()}
+    assert len(rows) == 4  # 5 input rows, one duplicate id collapsed
+    # duplicate id=3: earliest (15:xx) kept, not the 16:10 re-delivery
+    assert rows["3"].created_at.hour == 15
+    assert rows["1"].actor_id == 10 and rows["1"].repo_name == "owner/repo100"
+    assert rows["3"].org_id is None
+
+
+def test_silver_write_partitioned_and_idempotent(spark, silver, tmp_path):
+    out = str(tmp_path / "silver")
+    stages.write_silver(silver, out)
+    stages.write_silver(silver, out)  # re-run: overwrite is idempotent
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert "event_date=2015-01-01" in [
+        p.name for p in (tmp_path / "silver").iterdir() if p.is_dir()
+    ]
+
+
+def test_full_pipeline_runner(spark, bronze_path, tmp_path):
+    pipe = gh_archive_pipeline(spark, bronze_path,
+                               str(tmp_path / "silver"), str(tmp_path / "gold"))
+    results = pipe.run()
+    gold = results["gold"]
+    assert set(gold) == {"users", "repos", "organizations", "events"}
+    assert gold["events"].count() == 4
+    assert gold["users"].count() == 3
+
+
+def test_runner_topology_and_context():
+    order = []
+    pipe = (Pipeline()
+            .add("a", lambda: order.append("a") or 1)
+            .add("c", lambda b: order.append("c") or b + 1, upstream=("b",))
+            .add("b", lambda a: order.append("b") or a + 1, upstream=("a",)))
+    results = pipe.run()
+    assert order == ["a", "b", "c"]
+    assert results["c"] == 3

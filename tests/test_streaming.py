@@ -1,0 +1,124 @@
+"""Structured Streaming tests: deterministic file sources + availableNow,
+checkpointed sinks with exactly-once re-runs, watermark-bounded dedup with
+planted duplicates, and the Confluent Avro framing helpers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_archive_data_pipeline_spark.streaming import pipeline as sp
+from gh_archive_data_pipeline_spark.streaming.avro_codec import (
+    confluent_schema_id,
+    encode_confluent_header,
+    strip_confluent_header,
+)
+
+SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+          "event_type string, value double")
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=minute,
+                                                            seconds=second)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet files with overlapping event ids (planted duplicates)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    batch1 = [
+        (1, _ts(0), 7, "click", 1.0),
+        (2, _ts(5), 7, "view", 2.0),
+        (3, _ts(10), 8, "click", 3.0),
+    ]
+    batch2 = [
+        (3, _ts(10), 8, "click", 3.0),   # duplicate delivery of id=3
+        (4, _ts(40), 7, "purchase", 4.0),
+        (5, _ts(62), 8, "view", 5.0),    # next hour
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(str(d / "f2"))
+    return str(d)
+
+
+def _read(spark, stream_dir):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
+    )
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    return sp.read_file_stream(spark, f"{stream_dir}/*/*.parquet", schema)
+
+
+def test_stream_dedup_drops_planted_duplicate(spark, stream_dir):
+    stream = _read(spark, stream_dir)
+    deduped = sp.dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    out = sp.run_to_memory(deduped, "t_dedup", spark, output_mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]  # id=3 delivered twice, kept once
+
+
+def test_stream_windowed_counts_match_batch(spark, stream_dir):
+    stream = _read(spark, stream_dir)
+    windowed = sp.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    out = sp.run_to_memory(windowed, "t_window", spark, output_mode="complete")
+    got = {(r.window_start, r.event_type): r.n_events for r in out.collect()}
+    # batch twin on the same files (dups NOT removed — window agg counts both)
+    batch = spark.read.parquet(f"{stream_dir}/*/*.parquet")
+    expected = {
+        (r["w"].start, r.event_type): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                               "event_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected and len(got) == 4
+
+
+def test_sessionized_stream(spark, stream_dir):
+    stream = _read(spark, stream_dir)
+    sessions = sp.sessionized(stream, gap="30 minutes", watermark="2 hours")
+    out = sp.run_to_memory(sessions, "t_sessions", spark, output_mode="complete")
+    rows = out.collect()
+    # user 7: events at 10:00,10:05 then 10:40 → two sessions (gap > 30m);
+    # user 8: 10:10 (+dup) one session, 11:02 another
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[7]) == 2 and len(per_user[8]) == 2
+
+
+def test_parquet_sink_exactly_once_rerun(spark, stream_dir, tmp_path):
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = _read(spark, stream_dir)
+    q = sp.start_parquet_sink(stream, out_dir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    # second run with the same checkpoint: nothing new → no duplicate rows
+    q2 = sp.start_parquet_sink(_read(spark, stream_dir), out_dir, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == 6 and n2 == 6
+
+
+def test_confluent_header_roundtrip(spark):
+    header = encode_confluent_header(1234)
+    assert header == b"\x00\x00\x00\x04\xd2" and len(header) == 5
+    body = b"avro-body-bytes"
+    df = spark.createDataFrame([(header + body,), (encode_confluent_header(0) + b"x",)],
+                               "value binary")
+    got = df.select(
+        confluent_schema_id(F.col("value")).alias("schema_id"),
+        strip_confluent_header(F.col("value")).alias("body"),
+    ).collect()
+    assert [r.schema_id for r in got] == [1234, 0]
+    assert bytes(got[0].body) == body and bytes(got[1].body) == b"x"
