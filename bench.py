@@ -33,9 +33,12 @@ HEADLINE = [
     "q40_dedup_exact",
     "q42_minhash_near_dup",
     "q44_embedding_topk",
+    "q45_embedding_lsh_topk",
     "q47_text_stats",
     "q50_tumbling_window",
     "q52_session_windows",
+    "q53_asof_last_purchase",
+    "q59_stream_tumbling_window",
 ]
 
 

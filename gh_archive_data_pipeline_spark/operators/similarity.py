@@ -66,44 +66,56 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    num_planes: int = 8, dim: int = 64,
-                    seed: int = 42) -> DataFrame:
-    """Approximate top-k via signed-random-projection LSH.
+                    planes_per_table: int = 4, num_tables: int = 16,
+                    dim: int = 64, seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table signed-random-projection LSH.
 
-    Hyperplanes are generated deterministically from ``seed`` driver-side
-    (num_planes × dim literals — tiny), the corpus is hashed in one linear
-    pass into 2^num_planes buckets, and each query probes only its bucket.
-    Recall < 1 by design; increase planes/tables for recall, this is the
-    shape that scales to 10^9 vectors.
+    L independent tables of ``planes_per_table`` hyperplanes each (generated
+    deterministically from ``seed``; L·k·dim literals — tiny). The corpus is
+    hashed once into (table, bucket) keys — L rows per vector — and each
+    query probes its L buckets; candidates are the union, scored exactly.
+
+    Recall for a pair with per-plane agreement p = 1−θ/π is 1−(1−p^k)^L:
+    with the defaults ≈0.87 at cosine 0.6, →1 as similarity grows. Raise
+    ``planes_per_table`` for high-similarity corpora (sparser buckets),
+    ``num_tables`` for recall. This is the shape that scales to 10^9 vectors:
+    hashing is one linear pass, and the candidate join shuffles only
+    (id, table, bucket) keys — never the vectors.
     """
     import random
 
     rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    planes = [[[rng.gauss(0, 1) for _ in range(dim)]
+               for _ in range(planes_per_table)] for _ in range(num_tables)]
 
-    def bucket_expr(vcol):
-        bits = []
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in p])
-            bit = F.when(dot(vcol, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-            bits.append(F.shiftleft(bit.cast("bigint"), i))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    def bucket_cols(vcol):
+        out = []
+        for t, table in enumerate(planes):
+            bits = None
+            for i, p in enumerate(table):
+                plane = F.array(*[F.lit(x) for x in p])
+                bit = F.when(dot(vcol, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+                term = F.shiftleft(bit.cast("bigint"), i)
+                bits = term if bits is None else bits + term
+            out.append(F.struct(F.lit(t).alias("t"), bits.alias("b")))
+        return F.array(*out)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("bucket", bucket_expr(F.col("cv")))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("bucket", bucket_expr(F.col("qv")))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+         .withColumn("tb", F.explode(bucket_cols(F.col("cv"))))
+         .select("neighbor_id", "cv", "tb.t", "tb.b"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .withColumn("tb", F.explode(bucket_cols(F.col("qv"))))
+         .select("query_id", "qv", "tb.t", "tb.b"))
+    candidates = (
+        c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

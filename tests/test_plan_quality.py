@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the scale story, asserted.
+
+Each test pins a plan property that matters at 100 TB: filters reaching the
+parquet scan, column-pruned ReadSchema, broadcast joins on dimensions,
+top-k via TakeOrderedAndProject (no global sort), rank-filter via
+WindowGroupLimit, and map-side partial aggregation. A regression here is a
+performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # column pruning: payload columns the query never touches stay unread
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q02_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q02_filter_predicates")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for token in ("GreaterThanOrEqual(p_size,10)", "LessThanOrEqual(p_size,30)",
+                  "In(p_type,", "StringContains(p_name,a)",
+                  "GreaterThan(p_retailprice,900.0)"):
+        assert token in pushed, f"missing pushdown: {token}\n{pushed}"
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q05_region_revenue")
+    # customer, nation, region all ride broadcast joins; the remaining join
+    # (lineitem⋈orders) may be broadcast at tiny SF via AQE — assert at least
+    # the three explicit dimension broadcasts.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_q08_anti_join_prunes_probe_columns(spark):
+    plan = plan_of(spark, "q08_customers_without_orders")
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    orders_schema = [l for l in read_schemas if "o_custkey" in l][0]
+    assert "o_totalprice" not in orders_schema  # single-column probe scan
+
+
+def test_q19_window_group_limit(spark):
+    plan = plan_of(spark, "q19_top_parts_per_brand")
+    assert "WindowGroupLimit" in plan  # rn<=k never materializes full ranks
+
+
+def test_q23_top_k_avoids_global_sort(spark):
+    plan = plan_of(spark, "q23_top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_band_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "q10_price_band_join")
+    assert "BroadcastNestedLoopJoin" in plan  # correct strategy for theta join
+
+
+def test_q44_corpus_never_shuffles(spark):
+    # brute-force ANN: queries broadcast; the only exchange the corpus rows
+    # cross is the final per-query top-k window shuffle of scored rows.
+    plan = plan_of(spark, "q44_embedding_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q53_asof_single_shuffle(spark):
+    plan = plan_of(spark, "q53_asof_last_purchase", mode="simple")
+    # union-sort as-of join: exchanges only for the key repartition (+AQE
+    # reuse); crucially NO nested-loop/cartesian range join.
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

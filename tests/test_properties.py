@@ -1,0 +1,88 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5.2.
+
+Cheap algebraic laws over small generated inputs: dedup idempotence, union
+cardinality arithmetic, profiler bounds, as-of join containment. Examples
+are kept small — each property round-trips through Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gh_archive_data_pipeline_spark.operators import dedup, profiler
+
+TEXTS = st.lists(
+    st.text(alphabet="abc d", min_size=1, max_size=12), min_size=1, max_size=12)
+
+PROP_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_exact_dedup_idempotent_and_complete(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = dedup.exact_dedup(df, normalize=False)
+    rows = out.collect()
+    # one group per distinct text; copies sum to input size; keeper is min id
+    assert len(rows) == len(set(texts))
+    assert sum(r.n_copies for r in rows) == len(texts)
+    for r in rows:
+        group_ids = [i for i, t in enumerate(texts)
+                     if t == texts[r.keeper_id]]
+        assert r.keeper_id == min(group_ids)
+    # idempotence: dedup of the keepers changes nothing
+    keepers = df.join(out.select(F.col("keeper_id").alias("doc_id")), "doc_id")
+    assert dedup.exact_dedup(keepers, normalize=False).count() == len(rows)
+
+
+@given(a=st.lists(st.integers(0, 20), max_size=15),
+       b=st.lists(st.integers(0, 20), max_size=15))
+@PROP_SETTINGS
+def test_set_op_cardinalities(spark, a, b):
+    df_a = spark.createDataFrame([(x,) for x in a] or [(None,)], "v int").dropna()
+    df_b = spark.createDataFrame([(x,) for x in b] or [(None,)], "v int").dropna()
+    da, db = df_a.distinct(), df_b.distinct()
+    union = da.union(db).distinct().count()
+    inter = da.intersect(db).count()
+    assert union == da.count() + db.count() - inter  # inclusion–exclusion
+    assert df_a.unionAll(df_b).count() == len(a) + len(b)
+    assert da.exceptAll(db).count() == da.count() - inter
+
+
+@given(values=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1,
+    max_size=20))
+@PROP_SETTINGS
+def test_profiler_bounds(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    row = profiler.profile(df).collect()[0]
+    assert row.n_rows == len(values) and row.n_nulls == 0
+    assert row.min_value == pytest.approx(min(values), rel=1e-9, abs=1e-9)
+    assert row.max_value == pytest.approx(max(values), rel=1e-9, abs=1e-9)
+    assert row.min_value <= row.mean_value + 1e-9
+    assert row.mean_value <= row.max_value + 1e-9
+    assert row.sum_value == pytest.approx(sum(values), rel=1e-6, abs=1e-6)
+
+
+@given(shift=st.integers(0, 3))
+@PROP_SETTINGS
+def test_minhash_signature_deterministic(spark, shift):
+    """Same text → same signature regardless of row order / partitioning."""
+    texts = ["a b c d e", "b c d e f", "c d e f g", "d e f g h"]
+    rotated = texts[shift:] + texts[:shift]
+    base = {r["doc_id"]: [r[f"mh_{i}"] for i in range(64)]
+            for r in dedup.minhash_signatures(
+                spark.createDataFrame(list(enumerate(texts)),
+                                      "doc_id long, text string")).collect()}
+    rot = {r["doc_id"]: [r[f"mh_{i}"] for i in range(64)]
+           for r in dedup.minhash_signatures(
+               spark.createDataFrame(
+                   [(texts.index(t), t) for t in rotated],
+                   "doc_id long, text string").repartition(3)).collect()}
+    assert base == rot
