@@ -1,0 +1,44 @@
+"""UDF surface (SURVEY.md §2.12) — the extension mechanisms the engine
+exposes where built-ins genuinely end. The reference defines no UDFs (Deequ's
+JVM jar was its only extension); here each flavor is demonstrated on a real
+operator, with the rule of the house stated on each: built-ins first, Arrow
+pandas_udf when Python is unavoidable, row-at-a-time udf never in hot paths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@F.pandas_udf(DoubleType())
+def gini_impurity(counts: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF: Gini impurity of a category-count column —
+    a genuine UDAF (no built-in equivalent) computed per group on Arrow
+    batches. Used over small grouped inputs (post-aggregation), never raw
+    fact rows."""
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts / total
+    return float(1.0 - (p * p).sum())
+
+
+@F.pandas_udf(DoubleType())
+def log1p_scaled(v: pd.Series) -> pd.Series:
+    """SCALAR pandas UDF: vectorized log1p — shown for API completeness; in
+    real plans prefer F.log1p (JVM, codegen). The oracle query using this
+    asserts the two agree to 1e-12."""
+    return (v.abs() + 1.0).apply(math.log)
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Expose the UDFs to the SQL surface (spark.udf.register), mirroring
+    how an analyst-facing deployment would publish them."""
+    spark.udf.register("gini_impurity", gini_impurity)
+    spark.udf.register("log1p_scaled", log1p_scaled)

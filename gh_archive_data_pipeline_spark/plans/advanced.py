@@ -1,0 +1,192 @@
+"""Advanced aggregates, SQL-API grouping sets, deterministic sampling,
+stream-static joins, and the UDF-backed queries (SURVEY.md §2.6 A10, §2.12,
+§2.11 J8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q61 — advanced aggregate functions (min_by/max_by, corr, covar, bool aggs)
+# --------------------------------------------------------------------------
+@register(
+    "q61_advanced_aggs",
+    sql="""
+    WITH extremes AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn_f = 1 THEN l_orderkey END) AS first_orderkey,
+             max(CASE WHEN rn_l = 1 THEN l_orderkey END) AS last_orderkey
+      FROM (SELECT l_returnflag, l_orderkey,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_shipdate, l_orderkey) AS rn_f,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_shipdate DESC, l_orderkey DESC) AS rn_l
+            FROM lineitem)
+      GROUP BY l_returnflag
+    ),
+    stats AS (
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6)  AS qty_price_corr,
+             round(covar_samp(l_discount, l_tax), 8)      AS disc_tax_covar,
+             CAST(bool_and(l_quantity > 0) AS BOOLEAN)    AS all_positive,
+             CAST(bool_or(l_discount > 0.09) AS BOOLEAN)  AS any_high_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, e.first_orderkey, e.last_orderkey,
+           s.qty_price_corr, s.disc_tax_covar, s.all_positive, s.any_high_disc
+    FROM stats s JOIN extremes e USING (l_returnflag)
+    ORDER BY s.l_returnflag
+    """,
+)
+def q61_advanced_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extensions: argmin/argmax, correlation, covariance, boolean
+    aggregates — all single-pass partial-aggregatable.
+
+    Determinism: bare arg_min/min_by break timestamp ties arbitrarily, so
+    the argmin/argmax rides a lexicographic (l_shipdate, l_orderkey) struct
+    min/max — deterministic on both engines (the oracle uses the equivalent
+    tie-broken row_number)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min(F.struct("l_shipdate", "l_orderkey"))
+            .getField("l_orderkey").alias("first_orderkey"),
+            F.max(F.struct("l_shipdate", "l_orderkey"))
+            .getField("l_orderkey").alias("last_orderkey"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8)
+            .alias("disc_tax_covar"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — GROUPING SETS through the SQL API surface
+# --------------------------------------------------------------------------
+@register(
+    "q62_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(grouping(o_orderstatus) AS BIGINT) +
+           2 * CAST(grouping(o_orderpriority) AS BIGINT) AS grouping_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 via spark.sql — the engine's SQL plane (what the reference pushed
+    to Trino) with explicit GROUPING SETS and grouping() disambiguation of
+    the NULL group keys."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT) +
+               2 * CAST(grouping(o_orderpriority) AS BIGINT) AS grouping_id
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# --------------------------------------------------------------------------
+# q63 — deterministic hash sampling (engine-portable TABLESAMPLE)
+# --------------------------------------------------------------------------
+@register(
+    "q63_hash_sample",
+    sql="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q63_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample by content hash — unlike TABLESAMPLE,
+    reproducible across engines, runs, and partitionings, and it composes
+    with joins (sample both sides by the same key hash and the join is a
+    sample of the joined relation). The predicate pushes to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return (
+        orders.filter(bucket.isin("0", "1"))
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 — stream-static join (J8): streaming events enriched with a dim table
+# --------------------------------------------------------------------------
+@register(
+    "q64_stream_static_join",
+    sql="""
+    SELECT e.event_type, c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def q64_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 executed for real: file-source event stream joined to the static
+    customer dim (broadcast — each micro-batch joins map-side), then a
+    windowless grouped agg drained with availableNow. Stream-static is the
+    standard enrichment topology: the dim is re-read per micro-batch, so dim
+    updates are picked up without restarting the stream."""
+    from ..streaming.pipeline import run_to_memory
+    from ..streaming.stream_queries import _events_stream, _counter
+
+    stream = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(cust),
+                         stream.user_id == cust.c_custkey)
+    agg = (joined.groupBy("event_type", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    name = f"stream_static_{next(_counter)}"
+    return run_to_memory(agg, name, spark, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# q65 — UDAF via pandas (GROUPED_AGG) + scalar pandas UDF parity
+# --------------------------------------------------------------------------
+@register(
+    "q65_gini_by_segment",
+    sql="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, count(*)::DOUBLE AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment,
+           round(1.0 - sum((n / tot) * (n / tot)), 6) AS nation_gini
+    FROM (SELECT c_mktsegment, n, sum(n) OVER (PARTITION BY c_mktsegment) AS tot
+          FROM counts)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q65_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 UDAF: Gini impurity of the nation distribution within each market
+    segment, as an Arrow GROUPED_AGG pandas UDF over pre-aggregated counts
+    (the UDF sees |segments|×|nations| rows, never raw customers)."""
+    from ..functions.udfs import gini_impurity
+
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (cust.groupBy("c_mktsegment", "c_nationkey")
+              .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return (
+        counts.groupBy("c_mktsegment")
+        .agg(F.round(gini_impurity(F.col("n")), 6).alias("nation_gini"))
+        .orderBy("c_mktsegment")
+    )

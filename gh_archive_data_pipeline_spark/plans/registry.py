@@ -50,7 +50,7 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import for registration side effects; keep lazy to avoid import cycles.
-    from . import relational, reshape, scalar_fns, setops_sorts, windows  # noqa: F401
+    from . import advanced, relational, reshape, scalar_fns, setops_sorts, windows  # noqa: F401
     from ..operators import (  # noqa: F401
         asof,
         dedup,

@@ -122,3 +122,23 @@ def test_confluent_header_roundtrip(spark):
     ).collect()
     assert [r.schema_id for r in got] == [1234, 0]
     assert bytes(got[0].body) == body and bytes(got[1].body) == b"x"
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):
+    from gh_archive_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    stream = _read(spark, stream_dir)
+    stats = running_user_stats(stream)
+    out = sp.run_to_memory(stats, "t_stateful", spark, output_mode="append")
+    rows = [r for r in out.collect() if not r.finalized]
+    by_user = {r.user_id: r for r in rows}
+    # per-batch emissions: take the final (max n_events) emission per user
+    batch = spark.read.parquet(f"{stream_dir}/*/*.parquet")
+    expected = {r.user_id: (r.n, r.total, r.mx) for r in batch.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"),
+                     F.max("value").alias("mx")).collect()}
+    assert set(by_user) == set(expected)
+    for uid, r in by_user.items():
+        n, total, mx = expected[uid]
+        assert r.n_events == n and r.total_value == pytest.approx(total)
+        assert r.max_value == pytest.approx(mx)
