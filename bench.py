@@ -47,6 +47,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     t_start = time.monotonic()
     spark = get_spark(app_name="bench")
+    # JIT/codegen warmup on synthetic rows (not the benchmark data): first
+    # Spark query in a JVM pays classloading + whole-stage-codegen compile;
+    # production clusters are long-lived, so steady-state is the honest number.
+    warm = spark.range(100_000).selectExpr("id % 7 AS k", "id * 1.5 AS v")
+    warm.groupBy("k").sum("v").count()
     specs = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -14,6 +14,9 @@ BEFORE any arithmetic so Spark and the DuckDB oracle see identical inputs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -84,30 +87,35 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     import random
 
+    from pyspark.sql.types import ArrayType, LongType
+
     rng = random.Random(seed)
-    planes = [[[rng.gauss(0, 1) for _ in range(dim)]
-               for _ in range(planes_per_table)] for _ in range(num_tables)]
+    # (L·k) × dim plane matrix; one Arrow-batched matmul hashes a whole
+    # vector batch into all tables at once (BLAS, not per-element HOF eval).
+    plane_matrix = np.array(
+        [[rng.gauss(0, 1) for _ in range(dim)]
+         for _ in range(num_tables * planes_per_table)])
+    weights = (1 << np.arange(planes_per_table))
 
-    def bucket_cols(vcol):
-        out = []
-        for t, table in enumerate(planes):
-            bits = None
-            for i, p in enumerate(table):
-                plane = F.array(*[F.lit(x) for x in p])
-                bit = F.when(dot(vcol, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-                term = F.shiftleft(bit.cast("bigint"), i)
-                bits = term if bits is None else bits + term
-            out.append(F.struct(F.lit(t).alias("t"), bits.alias("b")))
-        return F.array(*out)
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())            # (batch, dim)
+        signs = (mat @ plane_matrix.T) >= 0        # (batch, L·k)
+        bits = signs.reshape(len(mat), num_tables, planes_per_table)
+        codes = (bits * weights).sum(axis=2)       # (batch, L)
+        return pd.Series(list(codes))
 
-    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                       _as_double(F.col(vec_col)).alias("cv"))
-         .withColumn("tb", F.explode(bucket_cols(F.col("cv"))))
-         .select("neighbor_id", "cv", "tb.t", "tb.b"))
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        _as_double(F.col(vec_col)).alias("qv"))
-         .withColumn("tb", F.explode(bucket_cols(F.col("qv"))))
-         .select("query_id", "qv", "tb.t", "tb.b"))
+    def hashed(df, out_id, out_vec):
+        return df.select(
+            out_id, out_vec,
+            F.posexplode(buckets_of(F.col(out_vec))).alias("t", "b"))
+
+    c = hashed(corpus.select(F.col(id_col).alias("neighbor_id"),
+                             _as_double(F.col(vec_col)).alias("cv")),
+               "neighbor_id", "cv")
+    q = hashed(queries.select(F.col(id_col).alias("query_id"),
+                              _as_double(F.col(vec_col)).alias("qv")),
+               "query_id", "qv")
     candidates = (
         c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

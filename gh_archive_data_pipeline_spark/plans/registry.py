@@ -50,7 +50,15 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     # Import for registration side effects; keep lazy to avoid import cycles.
-    from . import advanced, relational, reshape, scalar_fns, setops_sorts, windows  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        relational,
+        reshape,
+        scalar_fns,
+        setops_sorts,
+        subqueries,
+        windows,
+    )
     from ..operators import (  # noqa: F401
         asof,
         dedup,

@@ -1,0 +1,111 @@
+"""Subquery operator family: scalar, correlated-scalar, IN/NOT IN — the
+remaining relational surface of the reference's SQL endpoints (SURVEY.md
+§2.3 P5 / §3.4). Catalyst decorrelates these into joins; the tests in
+test_plan_quality assert no correlated re-execution survives planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+@register(
+    "q66_scalar_subquery",
+    sql="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def q66_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced >1.04× the global average (retailprice is uniform in [900,1000), so larger multipliers select nothing).
+    Plans as a one-row broadcast into the filter — the fact scan runs once."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql("""
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        FROM part_v
+        WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM part_v)
+    """)
+
+
+@register(
+    "q67_correlated_scalar",
+    sql="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q67_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance. Catalyst decorrelates to aggregate-then-join — one pass over
+    customer + a 25-row broadcast, not a per-row re-execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+@register(
+    "q68_in_subquery",
+    sql="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 49)
+    """,
+)
+def q68_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + NOT IN subqueries → semi/anti joins after rewrite. NOT IN over a
+    non-nullable key is safe here; with nullable keys NOT IN becomes a
+    null-aware anti join (documented trap)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem_v
+                                 WHERE l_quantity > 49)
+    """)
+
+
+@register(
+    "q69_top_customer_per_nation",
+    sql="""
+    SELECT n_name, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (SELECT c_nationkey, c_name, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer) c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE rn = 1
+    """,
+)
+def q69_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-n-per-group with dimension join: richest customer per nation
+    (ties broken by lowest custkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    top = (cust.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1))
+    return (
+        top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )

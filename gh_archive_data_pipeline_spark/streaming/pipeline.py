@@ -137,14 +137,27 @@ def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
 
 def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
                   output_mode: str = "complete",
-                  timeout_sec: int = 120) -> DataFrame:
+                  timeout_sec: int = 120,
+                  state_partitions: int | None = 8) -> DataFrame:
     """Drain a stream into an in-memory table (availableNow) and return the
     result as a batch DataFrame — the deterministic harness used by the
-    streaming registry queries and tests."""
-    q = (df.writeStream.format("memory")
-         .queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
+    streaming registry queries and tests.
+
+    ``state_partitions`` bounds the stateful-shuffle width for this query:
+    the partition count is baked into the state store at query start, and
+    each partition costs a state-store instance + checkpoint files per
+    micro-batch — 32 idle stores tripled the wall time of a 100k-row drain.
+    Size it to state volume, not to CPU count (conf restored after start)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (df.writeStream.format("memory")
+             .queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     q.awaitTermination(timeout_sec)
     return spark.table(name)
