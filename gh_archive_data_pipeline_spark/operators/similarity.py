@@ -220,3 +220,126 @@ def q46_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(cosine(F.col("v"), F.col("centroid")), 6)
                 .alias("centroid_sim"))
     )
+
+
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       lsh_prefilter: bool = False, **lsh_kwargs) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Exact path (default): unit-normalize each vector ONCE in a projection,
+    then score id-ordered pairs with a plain dot product — half the HOF work
+    of computing full cosine per pair, and the broadcast self-join never
+    shuffles the corpus.  O(n²) pair scoring is the *oracle-checkable
+    baseline*; at 100 TB set ``lsh_prefilter=True`` to score only LSH
+    candidate pairs (same hashing as lsh_bucket_topk — one linear bucketing
+    pass, near-linear candidate join; recall <1 is the documented tradeoff,
+    precision stays 1 because every candidate is exactly verified).
+    """
+    vecs = (corpus.select(F.col(id_col).alias("id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+            .withColumn("n", norm(F.col("v")))
+            .select("id", F.transform("v", lambda x: x / F.col("n")).alias("uv")))
+    if lsh_prefilter:
+        cand = lsh_bucket_topk(corpus, corpus, k=1_000_000, id_col=id_col,
+                               vec_col=vec_col, **lsh_kwargs)
+        pairs = (cand.filter(F.col("query_id") < F.col("neighbor_id"))
+                 .select(F.col("query_id").alias("id_a"),
+                         F.col("neighbor_id").alias("id_b"),
+                         F.col("cosine_sim")))
+        return pairs.filter(F.col("cosine_sim") >= threshold)
+    a = vecs.select(F.col("id").alias("id_a"), F.col("uv").alias("ua"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("uv").alias("ub"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             num_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``num_cells`` Voronoi cells, probe only the ``nprobe`` nearest cells per
+    query, score exactly within probed cells.
+
+    Seeds are the first ``num_cells`` corpus vectors by id — deterministic,
+    no iterative training (at 100 TB you'd k-means a sample offline and
+    broadcast the codebook; the search-side plan is identical). Cell
+    assignment is one Arrow-batched matmul per vector batch; the candidate
+    join shuffles only (cell, id) keys, and each query touches ~nprobe/num_cells
+    of the corpus — that fraction, not the corpus size, is the scan cost.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    seeds = (corpus.orderBy(id_col).limit(num_cells)
+             .select(_as_double(F.col(vec_col)).alias("v")).collect())
+    cb = np.array([r.v for r in seeds])                 # (C, dim) codebook
+    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+    def nearest_cells(n: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def cells_of(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy())             # (batch, dim)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cb_unit.T                      # (batch, C)
+            top = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+            return pd.Series(list(top))
+        return cells_of
+
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+         .withColumn("cell", nearest_cells(1)(F.col("cv"))[0]))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+         .select("query_id", "qv",
+                 F.explode(nearest_cells(nprobe)(F.col("qv"))).alias("cell")))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+@register(
+    "q70_embedding_near_dup",
+    sql="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS uv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.uv, b.uv), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.4
+    """,
+)
+def q70_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star embedding-cosine near-dup: all pairs with cosine >= 0.4
+    (fixture max pairwise cosine is ~0.51, so the threshold selects the true
+    near-dup tail). Exact scoring here; the LSH-prefilter scale path shares
+    the same verify stage (tests pin candidate⊆exact + recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+@register("q71_embedding_ivf_topk", sql=None)
+def q71_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 (IVF): coarse-quantize + nprobe cell search. Rows-only
+    driver check; recall vs brute force is pinned in unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5)

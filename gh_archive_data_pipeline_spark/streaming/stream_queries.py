@@ -80,3 +80,51 @@ def q60_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(deduped.select("event_id", "user_id", "event_type"),
                         name, spark, output_mode="append")
     return out
+
+
+@register(
+    "q72_stream_stream_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q72_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 stream-stream join executed for real: click→purchase attribution
+    within a 1-hour window. Both sides are watermarked and the join carries a
+    time-range condition, so state for rows older than watermark+range is
+    evicted — the shape that runs unbounded. availableNow drain makes the
+    result deterministic and oracle-checkable against the batch join."""
+    # Watermarks require TIMESTAMP (not NTZ); the cast is safe here because
+    # the join predicate only compares ts *differences* and no timestamp
+    # column reaches the output.
+    clicks = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id"),
+                      F.col("ts").cast("timestamp").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (_events_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("value"),
+                         F.col("ts").cast("timestamp").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"stream_stream_join_{next(_counter)}"
+    out = run_to_memory(
+        joined.select("click_id", "purchase_id", "user_id",
+                      F.round("value", 2).alias("purchase_value")),
+        name, spark, output_mode="append")
+    return out

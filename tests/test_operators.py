@@ -132,3 +132,35 @@ def test_profiler_invariants(spark, docs):
     stats = prof["n_chars"]
     assert stats.min_value <= stats.mean_value <= stats.max_value
     assert stats.sum_value == pytest.approx(stats.mean_value * n, rel=1e-9)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.ivf_topk(emb, queries, k=5).collect()}
+    # nprobe=4 of 16 cells scans ~25% of the corpus; near neighbors
+    # concentrate in the probed cells, so recall is far above that fraction.
+    assert len(exact & approx) / len(exact) >= 0.5
+    # every query must still produce a full top-k
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_embedding_near_dup_lsh_prefilter_subset(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine_sim
+             for r in similarity.embedding_near_dup(emb, threshold=0.35).collect()}
+    approx = {(r.id_a, r.id_b): r.cosine_sim
+              for r in similarity.embedding_near_dup(
+                  emb, threshold=0.35, lsh_prefilter=True).collect()}
+    # precision 1: every LSH-path pair is a true pair with the same score
+    for pair, sim in approx.items():
+        assert pair in exact
+        assert abs(sim - exact[pair]) < 1e-9
+    if exact:
+        assert len(approx) / len(exact) >= 0.5  # recall floor
