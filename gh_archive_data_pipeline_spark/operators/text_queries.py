@@ -121,3 +121,69 @@ def q49_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 16,
+                        keep: int = 3, base: int = 31,
+                        mod: int = 1_000_000_007) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial (Rabin-Karp) hash of
+    every k-char gram, keep the ``keep`` smallest as the doc's fingerprint.
+
+    Pure integer arithmetic (base-31 mod 1e9+7) so any engine reproduces the
+    bits exactly — unlike md5/xxhash this fingerprint is portable across the
+    Spark/DuckDB boundary and any future backend. All work is built-in
+    higher-order functions inside codegen; min-k selection keeps output
+    constant-size per doc regardless of doc length, which is what makes the
+    downstream fingerprint self-join (dedup at 100 TB) a bounded shuffle.
+    """
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.aggregate(
+            F.slice(chars, i + 1, k), F.lit(0).cast("long"),
+            lambda acc, c: (acc * base + F.ascii(c)) % mod))
+    return docs.select(
+        F.col(id_col),
+        F.slice(F.array_sort(grams), 1, keep).alias("fingerprint"),
+        F.size(grams).alias("n_grams"))
+
+
+@register(
+    "q73_rolling_fingerprint",
+    sql="""
+    WITH c AS (
+      SELECT doc_id, string_split(text, '') AS ch, length(text) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(n - 16, 0) + 1),
+               i -> list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(list_slice(ch, i + 1, i + 16),
+                                       x -> unicode(x)::BIGINT)),
+                      (acc, x) -> (acc * 31 + x) % 1000000007)) AS gh
+      FROM c
+    )
+    SELECT doc_id,
+           list_sort(gh)[1] AS fp1, list_sort(gh)[2] AS fp2,
+           list_sort(gh)[3] AS fp3,
+           CAST(len(gh) AS INTEGER) AS n_grams
+    FROM g
+    """,
+)
+def q73_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting: rolling-hash winnowing (3 smallest
+    16-gram Rabin-Karp hashes per doc), bit-identical to the DuckDB oracle.
+    Scalar fp columns (not an array) so order-insensitive value hashing works
+    in any comparison harness."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint(docs)
+    return fp.select(
+        "doc_id",
+        F.col("fingerprint")[0].alias("fp1"),
+        F.col("fingerprint")[1].alias("fp2"),
+        F.col("fingerprint")[2].alias("fp3"),
+        "n_grams")

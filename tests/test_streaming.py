@@ -142,3 +142,36 @@ def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):
         n, total, mx = expected[uid]
         assert r.n_events == n and r.total_value == pytest.approx(total)
         assert r.max_value == pytest.approx(mx)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T4/T7 late-data semantics: a row arriving behind the committed
+    watermark must not resurrect its (already finalized) window. Two
+    checkpointed availableNow runs = two micro-batches; the watermark commits
+    between them, exactly how an unbounded deployment experiences lateness."""
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run1 = [
+        (1, _ts(0), 7, "click", 1.0),
+        (2, _ts(5), 7, "click", 1.0),
+        (3, _ts(180), 7, "click", 1.0),   # 13:00 → watermark commits at 12:50
+    ]
+    spark.createDataFrame(run1, SCHEMA).coalesce(1).write.parquet(str(src / "f1"))
+
+    def drain():
+        counts = sp.windowed_counts(_read(spark, str(src)),
+                                    watermark="10 minutes")
+        q = sp.start_parquet_sink(counts, out, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    run2 = [
+        (4, _ts(20), 7, "click", 100.0),  # LATE: 10:20 < watermark 12:50
+        (5, _ts(300), 7, "click", 1.0),   # fresh row keeps the stream moving
+    ]
+    spark.createDataFrame(run2, SCHEMA).coalesce(1).write.parquet(str(src / "f2"))
+    drain()
+    got = spark.read.parquet(out).collect()
+    first_window = [r.n_events for r in got
+                    if r.window_start == dt.datetime(2024, 1, 1, 10, 0)]
+    # emitted exactly once, and without the late row (2 on-time clicks, not 3)
+    assert first_window == [2]
