@@ -65,6 +65,7 @@ def _load_all() -> None:
         multimodal,
         profiler,
         similarity,
+        skew,
         text_queries,
     )
     from ..streaming import batch_equivalents, stream_queries  # noqa: F401

@@ -63,3 +63,22 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """Bucketed managed table: pre-shuffles data into ``num_buckets`` hash
+    buckets on ``bucket_cols`` at WRITE time, so every later join or
+    aggregation on those columns is exchange-free — pay the shuffle once,
+    reuse it for every downstream query. ``sort_cols`` additionally sorts
+    within buckets, upgrading joins to zero-sort sort-merge.
+
+    This is the co-located-join lever for 100 TB fact⋈fact joins where
+    neither side broadcasts (bucket both on the join key with equal bucket
+    counts). Requires saveAsTable (bucket metadata lives in the catalog)."""
+    writer = (df.write.format(fmt).mode(mode)
+              .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -88,3 +88,50 @@ def test_q53_asof_single_shuffle(spark):
     # union-sort as-of join: exchanges only for the key repartition (+AQE
     # reuse); crucially NO nested-loop/cartesian range join.
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q67_correlated_subquery_decorrelates(spark):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate+join — a per-row re-execution would be O(n²) at scale.
+    plan = plan_of(spark, "q67_correlated_scalar", mode="simple")
+    assert "Join" in plan
+    assert "Subquery" not in plan  # no scalar-subquery node survives planning
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # Pay the shuffle at write time, reuse it forever: two tables bucketed
+    # on the join key must sort-merge-join with NO Exchange on either side.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+    from gh_archive_data_pipeline_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey",
+                                                    "o_totalprice")
+    lineitem = load_table(spark, SF, "lineitem").select("l_orderkey",
+                                                        "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], num_buckets=8,
+                   sort_cols=["l_orderkey"])
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the join actually returns the full fact-side row count
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
