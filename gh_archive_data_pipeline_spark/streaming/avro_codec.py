@@ -23,7 +23,7 @@ def confluent_schema_id(value: Column) -> Column:
     message (bytes 2-5): hex-encode those bytes and parse base-16 — pure
     built-ins, no UDF."""
     return (
-        F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10)
+        F.conv(F.hex(F.substring(value, 2, 4)), 16, 10)
         .cast("bigint")
         .alias("schema_id")
     )
@@ -31,10 +31,9 @@ def confluent_schema_id(value: Column) -> Column:
 
 def strip_confluent_header(value: Column) -> Column:
     """Drop the 5-byte header, leaving the raw Avro body."""
-    return F.expr(
-        f"substring(value, {CONFLUENT_HEADER_BYTES + 1}, "
-        f"length(value) - {CONFLUENT_HEADER_BYTES})"
-    )
+    # substring clamps to the input length, so "rest of the bytes" is just a
+    # max-int length — works on the passed column, whatever its name.
+    return F.substring(value, CONFLUENT_HEADER_BYTES + 1, (1 << 31) - 1)
 
 
 def decode_confluent_avro(value: Column, avro_schema_json: str) -> Column:

@@ -128,3 +128,30 @@ def q72_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("value", 2).alias("purchase_value")),
         name, spark, output_mode="append")
     return out
+
+
+@register(
+    "q76_stream_stateful_stats",
+    sql="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q76_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 executed for real: applyInPandasWithState running per-user stats.
+    The fixture is one file → one micro-batch → exactly one (non-finalized)
+    emission per user, which the batch GROUP BY oracle pins exactly — the
+    multi-batch accumulate/evict lifecycle is pinned in test_streaming.py."""
+    from .stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir)
+    stats = running_user_stats(stream)
+    name = f"stream_stateful_{next(_counter)}"
+    out = run_to_memory(stats, name, spark, output_mode="append")
+    return (out.filter(~F.col("finalized"))
+            .select("user_id", "n_events",
+                    F.round("total_value", 2).alias("total_value"),
+                    F.round("max_value", 2).alias("max_value")))
