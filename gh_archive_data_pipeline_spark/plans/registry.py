@@ -64,6 +64,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         profiler,
+        quality,
         similarity,
         skew,
         text_queries,
