@@ -109,3 +109,38 @@ def q69_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
         .select("n_name", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
     )
+
+
+@register(
+    "q79_sales_opportunity",
+    sql="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5)
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_nationkey
+    """,
+)
+def q79_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the fixture schema: scalar subquery (avg positive
+    balance, broadcast as a 1-row join) + NOT EXISTS (left-anti join against
+    high-value orders — the filter is pushed below the anti join so only the
+    qualifying order keys shuffle) + grouped agg.
+    All three subquery styles composed in one declarative plan."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 400000).select("o_custkey"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg"))
+    rich = (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg")))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                          "left_anti")
+    return (no_orders.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

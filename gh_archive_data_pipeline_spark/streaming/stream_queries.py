@@ -155,3 +155,37 @@ def q76_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n_events",
                     F.round("total_value", 2).alias("total_value"),
                     F.round("max_value", 2).alias("max_value")))
+
+
+@register(
+    "q78_stream_sliding_window",
+    sql="""
+    WITH starts AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '30 minutes', ts) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    expanded AS (
+      SELECT CASE WHEN i = 0 THEN b ELSE b - INTERVAL 30 MINUTE END AS window_start,
+             value
+      FROM starts CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    )
+    SELECT window_start, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM expanded GROUP BY window_start
+    """,
+)
+def q78_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 sliding windows executed for real: 1-hour windows sliding every 30
+    minutes over the purchase stream. Each event lands in exactly 2 windows;
+    the oracle expands event→2 window starts and aggregates — streaming and
+    batch must agree on every overlapping window."""
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    windowed = windowed_counts(stream, window="1 hour", slide="30 minutes",
+                               watermark="2 hours", key_col="event_type")
+    name = f"stream_sliding_{next(_counter)}"
+    out = run_to_memory(windowed, name, spark, output_mode="complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n_events", "total_value")
