@@ -6,6 +6,7 @@ an oracle must match DuckDB on row count, column names, and values
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -14,7 +15,8 @@ import pytest
 from gh_archive_data_pipeline_spark.plans.registry import all_queries
 from gh_archive_data_pipeline_spark.sources.readers import ALL_TABLES
 
-SF = "/root/testdata/sf0.001"
+# Default sf0.001 for fast CI; override to sf0.01 to mimic the driver's gate.
+SF = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 
 def _duck(sql: str) -> pd.DataFrame:
