@@ -20,6 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gh_archive_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from gh_archive_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# Clean-run per-query baseline seconds at sf0.1 (BASELINE.md "First-light
+# bench" clean column). bench.py reports each query's ratio vs this so a real
+# regression is distinguishable from ambient CPU contention.
+BASELINE_SEC = {
+    "q01_pricing_summary": 1.938,
+    "q03_shipping_priority": 1.433,
+    "q05_region_revenue": 1.056,
+    "q07_customer_order_stats": 0.291,
+    "q12_dedup_first_event": 0.594,
+    "q19_top_parts_per_brand": 0.286,
+    "q31_top_words": 0.331,
+    "q40_dedup_exact": 1.654,
+    "q42_minhash_near_dup": 2.407,
+    "q44_embedding_topk": 0.732,
+    "q45_embedding_lsh_topk": 2.156,
+    "q47_text_stats": 0.176,
+    "q50_tumbling_window": 0.291,
+    "q52_session_windows": 0.546,
+    "q53_asof_last_purchase": 0.228,
+    "q59_stream_tumbling_window": 1.887,
+}
+
 # Headline set: one per operator family — scan/agg, join cascade, semi join,
 # windows, dedup (exact + minhash), similarity, text, event-time windows.
 HEADLINE = [
@@ -60,16 +82,27 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         n = df.count()  # force full execution without driver-side collect
         timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        base = BASELINE_SEC.get(name)
+        ratio = f" [{timings[name] / base:.2f}x base]" if base and sf == 0.1 else ""
+        print(f"# {name}: {timings[name]}s ({n} rows){ratio}", file=sys.stderr)
     total = round(time.monotonic() - t_start, 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "total_wall_sec_incl_session": total,
-    }))
+    }
+    if sf == 0.1:
+        out["vs_baseline"] = {
+            n: round(t / BASELINE_SEC[n], 2)
+            for n, t in timings.items() if n in BASELINE_SEC
+        }
+        base_total = sum(BASELINE_SEC[n] for n in timings if n in BASELINE_SEC)
+        if base_total:
+            out["vs_baseline_total"] = round(out["value"] / base_total, 2)
+    print(json.dumps(out))
     spark.stop()
 
 

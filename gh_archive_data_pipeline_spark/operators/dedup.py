@@ -27,6 +27,21 @@ from ..plans.registry import register
 # Reusable operators
 # ---------------------------------------------------------------------------
 
+# Widest hash fan-out we allow in a single aggregate pass. Each hash is one
+# aggregate expression; past a few hundred, generated code blows the JVM's
+# 64KB-per-method limit / spark.sql.codegen.maxFields and Spark silently falls
+# back to interpreted mode (slow) or fails to compile. 128 is comfortably
+# inside the codegen envelope while being more permutations than MinHash
+# accuracy ever needs (error ~ 1/sqrt(k) ⇒ k=128 → ±9%).
+_MAX_HASH_FAN = 128
+
+
+def _check_hash_fan(k: int, what: str) -> None:
+    if not 0 < k <= _MAX_HASH_FAN:
+        raise ValueError(
+            f"{what}={k} exceeds the codegen-safe cap {_MAX_HASH_FAN}; "
+            f"see _MAX_HASH_FAN in operators/dedup.py")
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
@@ -117,6 +132,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     aggregates: one shuffle keyed by doc id; each permutation re-hashes the
     8-byte shingle hash, not the shingle text.
     """
+    _check_hash_fan(num_hashes, "num_hashes")
     ex = (hashed_shingles(docs, id_col, ngram)
           .select(id_col, F.explode("hs").alias("h")))
     aggs = [
@@ -148,6 +164,9 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     because persist registers the giant hash-pipeline plan in the session
     CacheManager, where every later query pays plan-matching cost against it).
     """
+    _check_hash_fan(num_hashes, "num_hashes")
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
     sh = hashed_shingles(docs, id_col, ngram).localCheckpoint()
     ex = sh.select(id_col, F.explode("hs").alias("h"))
@@ -199,6 +218,8 @@ def simhash(docs: DataFrame, text_col: str = "text",
     is a sum over tokens of ±1 extracted with shiftright/bit-and — ``bits``
     aggregate expressions in ONE groupBy(doc) pass.
     """
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits={bits}: signature packs into one bigint (≤64)")
     toks = F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
     tok_df = docs.select(F.col(id_col), toks).withColumn(
         "h", F.xxhash64("token"))

@@ -37,8 +37,14 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     Deterministic fake dimensions derived from the payload so tests are
     stable. Replace with PIL/torchaudio/ffmpeg in a real deployment —
     signature and batch shape stay identical.
+
+    Uses a stable digest, NOT Python's builtin hash(): that one is salted
+    per-process (PYTHONHASHSEED), and task output that differs across
+    workers/retries is a correctness hazard under Spark's task retry.
     """
-    h = hash(payload) & 0x7FFFFFFF
+    import hashlib
+
+    h = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big") & 0x7FFFFFFF
     return 64 + h % 512, 64 + (h >> 9) % 512
 
 

@@ -45,8 +45,12 @@ class Check:
         return self._add(f"complete({col})", m, m == 1.0)
 
     def is_unique(self, *cols: str) -> "Check":
-        m = (F.count_distinct(*[F.col(c) for c in cols]).cast("double")
-             / F.count(F.lit(1)))
+        # Distinct over a STRUCT of the keys, not count_distinct(cols...):
+        # the latter skips rows where any key is NULL, whereas DuckDB's
+        # count(DISTINCT (a,b)) counts NULL-bearing tuples. The struct is
+        # never NULL, so both engines count every row's key tuple.
+        m = (F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+             .cast("double") / F.count(F.lit(1)))
         return self._add(f"unique({','.join(cols)})", m, m == 1.0)
 
     def satisfies(self, predicate: str, name: str,

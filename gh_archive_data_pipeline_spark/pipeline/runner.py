@@ -38,6 +38,14 @@ class Pipeline:
         graph = {n: set(t.upstream) for n, t in self.tasks.items()}
         results: dict[str, Any] = dict(context or {})
         for name in TopologicalSorter(graph).static_order():
+            if name not in self.tasks:
+                # Upstream satisfied by the caller-supplied context (the XCom
+                # analog); anything else is a wiring error — fail loudly.
+                if name in results:
+                    continue
+                raise KeyError(
+                    f"upstream {name!r} is neither a registered task nor a "
+                    f"context key")
             task = self.tasks[name]
             results[name] = task.fn(**{u: results[u] for u in task.upstream
                                        if u in results})

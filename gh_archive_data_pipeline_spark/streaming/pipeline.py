@@ -159,5 +159,10 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
              .start())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # A silent partial drain would surface as a WRONG result downstream;
+        # a loud timeout is strictly better.
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {name!r} did not finish in {timeout_sec}s")
     return spark.table(name)

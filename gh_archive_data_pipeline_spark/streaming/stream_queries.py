@@ -17,21 +17,28 @@ from .pipeline import read_file_stream, run_to_memory, windowed_counts
 
 _counter = itertools.count()
 
+# One symlink dir + inferred schema per fixture dir — repeated registry/bench
+# invocations must not grow /tmp or re-list the parquet footer every call.
+_stream_dir_cache: dict[str, tuple[str, "object"]] = {}
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events fixture through the file source, applying the same
     nanos→timestamp normalization as the batch loader.
 
     The file stream source wants a directory; the fixture is a single file,
-    so it is symlinked into a temp dir (zero-copy)."""
+    so it is symlinked into a temp dir (zero-copy), cached per sf_dir."""
     import os
     import tempfile
 
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema  # physical schema (ts as int64)
+    if sf_dir not in _stream_dir_cache:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+        schema = spark.read.parquet(path).schema  # physical schema (ts int64)
+        _stream_dir_cache[sf_dir] = (stream_dir, schema)
+    stream_dir, schema = _stream_dir_cache[sf_dir]
     raw = read_file_stream(spark, stream_dir, schema)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))

@@ -164,3 +164,42 @@ def test_embedding_near_dup_lsh_prefilter_subset(spark):
         assert abs(sim - exact[pair]) < 1e-9
     if exact:
         assert len(approx) / len(exact) >= 0.5  # recall floor
+
+
+# ---------------------------------------------------------------------------
+# Guards & quality checks
+# ---------------------------------------------------------------------------
+
+
+def test_hash_fan_guards(docs):
+    with pytest.raises(ValueError, match="codegen-safe cap"):
+        dedup.minhash_signatures(docs, num_hashes=512)
+    with pytest.raises(ValueError, match="codegen-safe cap"):
+        dedup.minhash_near_dup(docs, num_hashes=1024, bands=64)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_near_dup(docs, num_hashes=64, bands=48)
+    with pytest.raises(ValueError, match="bigint"):
+        dedup.simhash(docs, bits=128)
+
+
+def test_is_unique_counts_null_keys(spark):
+    """NULL-bearing key tuples must count toward distinctness (DuckDB
+    count(DISTINCT (a,b)) semantics), not be skipped like count_distinct."""
+    from gh_archive_data_pipeline_spark.operators.quality import Check
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, None), (3, "y")], "a int, b string")
+    out = {r["constraint"]: r for r in Check(df).is_unique("a", "b").run().collect()}
+    row = out["unique(a,b)"]
+    # 3 distinct tuples of 4 rows — (2,NULL) duplicated — so 0.75, not 2/4.
+    assert row["metric"] == 0.75
+    assert not row["passed"]
+
+
+def test_runner_context_upstream():
+    from gh_archive_data_pipeline_spark.pipeline.runner import Pipeline
+
+    pipe = Pipeline().add("b", lambda a: a + 1, upstream=("a",))
+    assert pipe.run(context={"a": 41})["b"] == 42
+    with pytest.raises(KeyError, match="neither a registered task"):
+        Pipeline().add("b", lambda a: a + 1, upstream=("a",)).run()
