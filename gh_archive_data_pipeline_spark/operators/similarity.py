@@ -343,3 +343,13 @@ def q71_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5)
+
+
+@register("q82_embedding_near_dup_lsh", sql=None)
+def q82_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of q70 executed every round: LSH-bucketed candidate
+    generation + exact cosine verify (lsh_prefilter=True). Rows-only driver
+    check (LSH recall <1 precludes a SQL oracle); candidate ⊆ exact and
+    recall are pinned in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4, lsh_prefilter=True)

@@ -594,3 +594,73 @@ def q18_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — right outer join (J2)
+# --------------------------------------------------------------------------
+@register(
+    "q80_right_outer_orders",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q80_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 right outer join: every customer row survives; zero-order customers
+    carry NULL order columns. Catalyst canonicalizes right⟷left by swapping
+    sides, so the physical plan is the same broadcast/SMJ machinery — the
+    query pins the NULL-extension semantics either way."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .select("c_custkey", "c_mktsegment", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — full outer join (J2)
+# --------------------------------------------------------------------------
+@register(
+    "q81_full_outer_join",
+    sql="""
+    WITH big_orders AS (
+      SELECT o_custkey, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000
+      GROUP BY o_custkey
+    ),
+    building AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT coalesce(o_custkey, c_custkey) AS custkey,
+           n_big, acctbal,
+           (o_custkey IS NULL) AS no_big_orders,
+           (c_custkey IS NULL) AS not_building
+    FROM big_orders FULL OUTER JOIN building ON o_custkey = c_custkey
+    """,
+)
+def q81_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full outer join between two partially-overlapping keyed sets
+    (customers with >400k orders vs BUILDING-segment customers) — both
+    NULL-extension directions are exercised and pinned. Full outer cannot
+    broadcast (both sides must see unmatched rows), so Catalyst plans a
+    shuffle on the key — the correct, only-scalable strategy."""
+    orders = _t(spark, sf_dir, "orders")
+    big = (orders.filter(F.col("o_totalprice") > 400000)
+           .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_big")))
+    building = (_t(spark, sf_dir, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal")))
+    j = big.join(building, big.o_custkey == building.c_custkey, "full")
+    return j.select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "n_big", "acctbal",
+        F.col("o_custkey").isNull().alias("no_big_orders"),
+        F.col("c_custkey").isNull().alias("not_building"),
+    )
