@@ -196,3 +196,33 @@ def q78_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "n_events", "total_value")
+
+
+@register("q83_stream_metrics", sql=None)
+def q83_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability plane (reference's Prometheus scrape, done natively):
+    drain a real windowed-agg stream with a StreamingQueryListener attached
+    and return the per-micro-batch metrics rows (input rows, rows/sec, batch
+    duration, state size) as a DataFrame. Rows-only driver check — wall-clock
+    rates aren't oracle-reproducible; row/batch/state-count invariants are
+    pinned in tests/test_streaming.py."""
+    import time
+
+    from .metrics import collect_streaming_metrics
+
+    stream = _events_stream(spark, sf_dir)
+    windowed = windowed_counts(stream, watermark="2 hours")
+    name = f"stream_metrics_{next(_counter)}"
+    with collect_streaming_metrics(spark) as m:
+        run_to_memory(windowed, name, spark, output_mode="complete")
+        # listener events are delivered async on the listener bus; wait for
+        # the drain's progress rows to land (bounded)
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if any(r[0] == name for r in m._rows):
+                break
+            time.sleep(0.2)
+    return (m.to_df(spark)
+            .filter(F.col("query_name") == name)
+            .select("query_name", "batch_id", "input_rows",
+                    "batch_duration_ms", "state_rows"))

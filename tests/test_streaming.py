@@ -175,3 +175,29 @@ def test_watermark_drops_late_rows(spark, tmp_path):
                     if r.window_start == dt.datetime(2024, 1, 1, 10, 0)]
     # emitted exactly once, and without the late row (2 on-time clicks, not 3)
     assert first_window == [2]
+
+
+def test_streaming_metrics_listener(spark, stream_dir):
+    """Observability plane: per-batch progress rows land in the metrics
+    DataFrame with consistent input-row and state counts."""
+    import time
+
+    from gh_archive_data_pipeline_spark.streaming.metrics import (
+        collect_streaming_metrics,
+    )
+
+    stream = _read(spark, stream_dir)
+    windowed = sp.windowed_counts(stream, watermark="2 hours")
+    with collect_streaming_metrics(spark) as m:
+        out = sp.run_to_memory(windowed, "t_metrics", spark,
+                               output_mode="complete")
+        deadline = time.time() + 15
+        while time.time() < deadline and not any(
+                r[0] == "t_metrics" for r in m._rows):
+            time.sleep(0.2)
+    rows = m.to_df(spark).filter(F.col("query_name") == "t_metrics").collect()
+    assert rows, "no progress events captured"
+    assert sum(r.input_rows for r in rows) == 6  # both fixture files drained
+    assert all(r.batch_duration_ms >= 0 for r in rows)
+    # the windowed agg keeps state: the last data batch reports state rows
+    assert max(r.state_rows for r in rows) >= out.count()
