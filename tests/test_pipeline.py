@@ -123,3 +123,13 @@ def test_runner_topology_and_context():
     results = pipe.run()
     assert order == ["a", "b", "c"]
     assert results["c"] == 3
+
+
+def test_write_delta_raises_clear_error_without_jars(spark, tmp_path):
+    """The sandbox has no delta-spark jars (verified: no module, no jar,
+    installs forbidden) — the Delta gate must fail loudly, not corrupt."""
+    from gh_archive_data_pipeline_spark.sources.writers import write_delta
+
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="delta-spark jars"):
+        write_delta(df, str(tmp_path / "d"))
