@@ -1,0 +1,88 @@
+"""Table reconciliation — keyed diff of two datasets.
+
+The migration/backfill primitive: after rewriting a pipeline (exactly this
+project), prove the new output matches the old. ``reconcile`` classifies
+every key as match / mismatch / left_only / right_only in ONE full outer
+join; value comparison is an md5 over the normalized compare columns, so
+arbitrarily wide rows compare as one fixed-width string and the shuffle
+carries (key, 32-byte digest) — never the full payload. At 100 TB both
+sides shuffle once on the key; with pre-bucketed tables even that shuffle
+disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+
+def reconcile(left: DataFrame, right: DataFrame, keys: list[str],
+              compare_cols: list[str]) -> DataFrame:
+    """Keyed diff: (keys..., status) with status in
+    match | mismatch | left_only | right_only.
+
+    Assumes ``keys`` are unique per side (pre-aggregate otherwise). NULLs in
+    compare columns are digested as a sentinel so NULL == NULL counts as a
+    match (reconciliation semantics, not SQL equality).
+    """
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols]
+        return df.select(*keys, F.md5(F.concat_ws("\x1f", *cols)).alias(name))
+
+    l = digest(left, "__hl")
+    r = digest(right, "__hr")
+    j = l.join(r, keys, "full")
+    status = (
+        F.when(F.col("__hr").isNull(), "left_only")
+        .when(F.col("__hl").isNull(), "right_only")
+        .when(F.col("__hl") == F.col("__hr"), "match")
+        .otherwise("mismatch")
+    )
+    return j.select(*keys, status.alias("status"))
+
+
+@register(
+    "q87_reconcile_tables",
+    sql="""
+    WITH l AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    d AS (
+      SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
+                  WHEN l.o_orderkey IS NULL THEN 'right_only'
+                  WHEN l.o_totalprice = r.o_totalprice
+                       AND l.o_orderstatus = r.o_orderstatus THEN 'match'
+                  ELSE 'mismatch' END AS status
+      FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    )
+    SELECT status, count(*) AS n FROM d GROUP BY status
+    """,
+)
+def q87_reconcile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation drill: orders vs a deterministically-perturbed copy
+    (every 100th key's price bumped → mismatch; every 97th key dropped →
+    left_only). The status distribution is pinned by a plain-SQL diff oracle
+    — independent of the md5-digest mechanism the operator uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    right = (orders.filter(F.col("o_orderkey") % 97 != 0)
+             .select("o_orderkey",
+                     F.when(F.col("o_orderkey") % 100 == 0,
+                            F.col("o_totalprice") + 1)
+                     .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                     "o_orderstatus"))
+    diff = reconcile(left, right, keys=["o_orderkey"],
+                     compare_cols=["o_totalprice", "o_orderstatus"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

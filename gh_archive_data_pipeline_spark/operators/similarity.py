@@ -353,3 +353,47 @@ def q82_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall are pinned in tests/test_operators.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.4, lsh_prefilter=True)
+
+
+@register(
+    "q90_embedding_quantize",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, e -> abs(e))) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_reduce(list_prepend(0.0, list_transform(x,
+                 e -> abs(e - round(e * 127 / scale) * scale / 127))),
+                 (acc, e) -> acc + e)
+                 / len(x), 6) AS mean_abs_err
+    FROM q
+    """,
+)
+def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit: per-vector scale (max |x|) and the
+    mean absolute reconstruction error of round(x*127/scale) — the storage
+    decision every embedding lake faces (int8 is 4× smaller than float32).
+    All JVM-side higher-order functions; at scale this runs in the scan
+    projection with zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(raw, lambda e: F.abs(e)))
+    x = F.col("x")
+    # NB: the raw scale column is named __scale, NOT scale — aliasing the
+    # rounded output as "scale" in the same select would otherwise capture
+    # err's references via lateral-column-alias resolution (Spark 3.4+) and
+    # quantize against the ROUNDED scale.
+    err = F.aggregate(
+        F.transform(x, lambda e: F.abs(
+            e - F.round(e * 127 / F.col("__scale")) * F.col("__scale") / 127)),
+        F.lit(0.0), lambda acc, e: acc + e,
+    ) / F.size(x)
+    return (emb.select("vec_id", raw.alias("x"), scale.alias("__scale"))
+            .select("vec_id", F.round("__scale", 6).alias("scale"),
+                    F.round(err, 6).alias("mean_abs_err")))

@@ -187,3 +187,96 @@ def q73_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint")[1].alias("fp2"),
         F.col("fingerprint")[2].alias("fp3"),
         "n_grams")
+
+
+@register(
+    "q88_deterministic_split",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n,
+             strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket <= 11 THEN 'train'
+                WHEN bucket <= 14 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n), 4) AS avg_chars
+    FROM s GROUP BY 1
+    """,
+)
+def q88_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~69/19/12%): the
+    split of a document depends only on its text, so re-runs, engine swaps,
+    and incremental appends all assign identically — the property random
+    splits lack. Assignment is the first md5 hex nibble; both engines hash
+    the same UTF-8 bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5("text"), 1, 1))
+    return (
+        docs.select(F.length("text").alias("n"), bucket.alias("bucket"))
+        .select(F.when(F.col("bucket") <= 11, "train")
+                .when(F.col("bucket") <= 14, "val")
+                .otherwise("test").alias("split"), "n")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n"), 4).alias("avg_chars"))
+    )
+
+
+@register(
+    "q89_tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((1 + n.n)::DOUBLE / (1 + df.df)) + 1), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q89_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf (ln((1+N)/(1+df))+1, sklearn-style): top-3
+    terms per document over a 50-doc window. Plan shape at scale: tokenize →
+    two hash aggregations (tf, df) → broadcast the small df side back →
+    per-doc top-k via WindowGroupLimit — no shuffle carries raw text."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (tok.filter(F.col("term") != "")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = tf.localCheckpoint()  # tf feeds df, n, and the final join
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))  # 1-row corpus count
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term",
+                F.round(F.col("tf") * (F.log((1 + F.col("n"))
+                                             / (1 + F.col("df"))) + 1), 6)
+                .alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tfidf"))

@@ -1,0 +1,167 @@
+"""Time-series operators over event streams: SCD2 interval derivation,
+sequence-gap detection, and spine resampling with gap-fill.
+
+These are the batch-side primitives of a "hypertable"-style workload: turn
+an append-only event log into (a) validity intervals (point-in-time joinable
+state history), (b) data-quality signals about the event sequence itself,
+and (c) a dense, regularly-sampled series for downstream models.
+
+Scale shape: everything here is one window function or one groupBy over the
+event key — a single shuffle on the entity id, the same envelope as the
+as-of join (operators/asof.py). The spine in ``resample`` is generated with
+``sequence()`` per entity (no driver-side loop, no cross join against a
+global calendar table), so spine size is O(entity activity span), produced
+distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+
+def scd2_intervals(events: DataFrame, key: str, ts: str,
+                   attr_cols: list[str],
+                   tiebreak: str | None = None) -> DataFrame:
+    """Derive SCD-type-2 validity intervals from an event log: each event
+    opens an interval [valid_from, valid_to) closed by the key's next event;
+    the latest interval per key is open (valid_to NULL, is_current)."""
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(ts).over(w)
+    return events.select(
+        key, *attr_cols,
+        F.col(ts).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def sequence_gaps(events: DataFrame, key: str, ts: str,
+                  gap_seconds: int = 3600,
+                  tiebreak: str | None = None) -> DataFrame:
+    """Per-key sequence quality: count of inter-event gaps exceeding
+    ``gap_seconds`` and the maximum gap in seconds — the monitoring signal
+    for silent pipeline stalls (a statsd counter in the reference's plane; a
+    query here)."""
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_sec = (F.col(ts).cast("timestamp").cast("long")
+               - F.lag(F.col(ts).cast("timestamp").cast("long")).over(w))
+    return (
+        events.select(key, gap_sec.alias("gap_sec"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("gap_sec") > gap_seconds, 1).otherwise(0))
+            .cast("bigint").alias("n_gaps_over"),
+            F.max("gap_sec").alias("max_gap_sec"),
+        )
+    )
+
+
+def resample(events: DataFrame, key: str, ts: str, value: str,
+             step: str = "1 hour") -> DataFrame:
+    """Dense per-key resampling: bucket events to ``step``, build each key's
+    full bucket spine min..max with ``sequence()``, left-join the aggregates,
+    zero-fill empty buckets."""
+    bucketed = (
+        events.select(key, F.date_trunc("hour", F.col(ts)).alias("h"),
+                      F.col(value).alias("v"))
+        .groupBy(key, "h")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("v"), 2).alias("total_value"))
+    )
+    spine = (
+        bucketed.groupBy(key)
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(key, F.explode(F.sequence(
+            "lo", "hi", F.expr(f"INTERVAL {step}"))).alias("h"))
+    )
+    return (
+        spine.join(bucketed, [key, "h"], "left")
+        .select(key, F.col("h").alias("hour"),
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.round(F.coalesce("total_value", F.lit(0.0)), 2)
+                .alias("total_value"))
+    )
+
+
+@register(
+    "q85_scd2_intervals",
+    sql="""
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q85_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation: each user event opens a validity interval
+    closed by the next event (event_id tiebreak makes the order total)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev.select("user_id", "event_type", "ts", "event_id"),
+                          key="user_id", ts="ts",
+                          attr_cols=["event_type"],
+                          tiebreak="event_id").drop("event_id")
+
+
+@register(
+    "q86_sequence_gaps",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_sec
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN gap_sec > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps_over,
+           max(gap_sec) AS max_gap_sec
+    FROM g GROUP BY user_id
+    """,
+)
+def q86_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-quality rollup: per-user count of >1h inter-event gaps and
+    the max gap — the silent-stall detector for event pipelines."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_gaps(ev.select("user_id", "ts", "event_id"),
+                         key="user_id", ts="ts", tiebreak="event_id")
+
+
+@register(
+    "q91_resample_gapfill",
+    sql="""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS n, round(sum(value), 2) AS tv
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT s.user_id, s.h AS hour,
+           coalesce(b.n, 0) AS n_events,
+           round(coalesce(b.tv, 0), 2) AS total_value
+    FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h
+    """,
+)
+def q91_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with zero-fill for a user cohort: the spine is
+    generated per key with sequence() — distributed, never a driver loop."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return resample(ev, key="user_id", ts="ts", value="value")

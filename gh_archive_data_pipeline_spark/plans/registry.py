@@ -62,12 +62,15 @@ def _load_all() -> None:
     from ..operators import (  # noqa: F401
         asof,
         dedup,
+        graph,
         multimodal,
         profiler,
         quality,
+        reconcile,
         similarity,
         skew,
         text_queries,
+        timeseries,
     )
     from ..streaming import batch_equivalents, stream_queries  # noqa: F401
 

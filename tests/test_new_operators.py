@@ -1,0 +1,96 @@
+"""Unit tests for round-2 operators: connected components, reconciliation,
+SCD2/gap/resample time-series primitives — semantics pinned on small crafted
+inputs independent of the oracle fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_archive_data_pipeline_spark.operators.graph import connected_components
+from gh_archive_data_pipeline_spark.operators.reconcile import reconcile
+from gh_archive_data_pipeline_spark.operators.timeseries import (
+    resample,
+    scd2_intervals,
+    sequence_gaps,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_connected_components_chain_and_isolate(spark):
+    # chain 1-2-3-4 (diameter 3), pair 10-11, isolated 99
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  "node long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (3, 4), (11, 10)],
+                                  "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(nodes, edges).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_reconcile_classifications(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k int, s string, v double")
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, None, 30.0), (5, "e", 50.0)],
+        "k int, s string, v double")
+    got = {r.k: r.status
+           for r in reconcile(left, right, ["k"], ["s", "v"]).collect()}
+    # NULL == NULL counts as a match (reconciliation semantics)
+    assert got == {1: "match", 2: "mismatch", 3: "match",
+                   4: "left_only", 5: "right_only"}
+
+
+def test_scd2_intervals_open_tail(spark):
+    ev = spark.createDataFrame(
+        [(7, "a", _ts(0), 1), (7, "b", _ts(10), 2), (8, "x", _ts(5), 3)],
+        "user_id long, event_type string, ts timestamp_ntz, event_id long")
+    rows = {(r.user_id, r.valid_from): r for r in scd2_intervals(
+        ev, key="user_id", ts="ts", attr_cols=["event_type"],
+        tiebreak="event_id").collect()}
+    assert rows[(7, _ts(0))].valid_to == _ts(10)
+    assert not rows[(7, _ts(0))].is_current
+    assert rows[(7, _ts(10))].valid_to is None
+    assert rows[(7, _ts(10))].is_current
+    assert rows[(8, _ts(5))].is_current
+
+
+def test_sequence_gaps_thresholds(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1), (1, _ts(30), 2), (1, _ts(200), 3),  # 170min gap
+         (2, _ts(0), 4)],
+        "user_id long, ts timestamp_ntz, event_id long")
+    got = {r.user_id: r for r in sequence_gaps(
+        ev, key="user_id", ts="ts", tiebreak="event_id").collect()}
+    assert got[1].n_gaps_over == 1          # only the 170-minute gap > 1h
+    assert got[1].max_gap_sec == 170 * 60
+    assert got[2].n_gaps_over == 0 and got[2].max_gap_sec is None
+
+
+def test_resample_fills_empty_buckets(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(150), 2.0)],   # 10:00 and 12:30
+        "user_id long, ts timestamp_ntz, value double")
+    rows = {r.hour: r for r in resample(
+        ev, key="user_id", ts="ts", value="value").collect()}
+    assert len(rows) == 3                          # 10:00, 11:00, 12:00
+    assert rows[dt.datetime(2024, 1, 1, 11, 0)].n_events == 0
+    assert rows[dt.datetime(2024, 1, 1, 11, 0)].total_value == 0.0
+    assert rows[dt.datetime(2024, 1, 1, 12, 0)].n_events == 1
