@@ -61,6 +61,10 @@ HEADLINE = [
     "q52_session_windows",
     "q53_asof_last_purchase",
     "q59_stream_tumbling_window",
+    # added in round 2 (no r01 baseline entry; tracked from r02 on)
+    "q84_dedup_clusters",
+    "q87_reconcile_tables",
+    "q89_tfidf_top_terms",
 ]
 
 
@@ -95,13 +99,15 @@ def main() -> None:
         "total_wall_sec_incl_session": total,
     }
     if sf == 0.1:
-        out["vs_baseline"] = {
-            n: round(t / BASELINE_SEC[n], 2)
-            for n, t in timings.items() if n in BASELINE_SEC
-        }
-        base_total = sum(BASELINE_SEC[n] for n in timings if n in BASELINE_SEC)
+        inter = [n for n in timings if n in BASELINE_SEC]
+        out["vs_baseline"] = {n: round(timings[n] / BASELINE_SEC[n], 2)
+                              for n in inter}
+        base_total = sum(BASELINE_SEC[n] for n in inter)
         if base_total:
-            out["vs_baseline_total"] = round(out["value"] / base_total, 2)
+            # ratio over the intersection only — queries added after the
+            # baseline snapshot don't skew the comparison
+            out["vs_baseline_total"] = round(
+                sum(timings[n] for n in inter) / base_total, 2)
     print(json.dumps(out))
     spark.stop()
 
