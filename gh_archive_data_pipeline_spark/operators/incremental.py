@@ -1,0 +1,87 @@
+"""Incremental aggregation maintenance — merge a base rollup with a delta
+batch instead of recomputing from raw data.
+
+The hourly-batch pattern of the reference's DAG (one GH Archive hour per
+run) at warehouse scale: the gold rollup over N days must not be rebuilt to
+absorb hour N+1. Mergeable aggregate state (count, sum, min, max — the
+commutative monoids) makes the update cost O(|delta| + |affected keys|):
+aggregate the delta alone, then combine per key. Derived metrics (avg) are
+recomputed from the merged sums, never averaged-of-averages.
+
+This is exactly Spark's own partial-aggregation contract (map-side partial
+→ final merge) lifted to the job level, so the result is provably equal to
+a full re-aggregation — which is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+# Mergeable state columns produced by summarize() / consumed by merge().
+_STATE = ("n", "total", "lo", "hi")
+
+
+def summarize(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Aggregate raw rows into mergeable per-key state."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value).alias("total"),
+        F.min(value).alias("lo"),
+        F.max(value).alias("hi"),
+    )
+
+
+def merge_rollup(base: DataFrame, delta: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Combine two mergeable-state rollups key-by-key.
+
+    Shape: union + one groupBy on the keys — the delta side is tiny in the
+    incremental case, so the shuffle moves O(|delta keys|) state rows plus
+    the base (or nothing at all if the base is bucketed by key)."""
+    return (
+        base.select(*keys, *_STATE)
+        .unionByName(delta.select(*keys, *_STATE))
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n"),
+             F.sum("total").alias("total"),
+             F.min("lo").alias("lo"),
+             F.max("hi").alias("hi"))
+    )
+
+
+@register(
+    "q92_incremental_rollup",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice) / count(*), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q92_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance proof: split orders into a 'historical' base
+    (pre-2001) and a 'new batch' delta (2001+), summarize each independently,
+    merge the mergeable state, derive avg from merged sums — and the oracle
+    checks the result equals one full aggregation over everything."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
+    base = summarize(orders.filter(F.col("o_orderdate") < cutoff),
+                     ["o_orderpriority"], "o_totalprice")
+    delta = summarize(orders.filter(F.col("o_orderdate") >= cutoff),
+                      ["o_orderpriority"], "o_totalprice")
+    merged = merge_rollup(base, delta, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority", "n",
+        F.round("total", 2).alias("total"),
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+        F.round(F.col("total") / F.col("n"), 4).alias("avg_price"),
+    )

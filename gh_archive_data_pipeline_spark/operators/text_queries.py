@@ -280,3 +280,54 @@ def q89_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select("doc_id", "term", "tfidf"))
+
+
+@register(
+    "q94_vocab_encode",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 30
+    ),
+    freq AS (
+      SELECT term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY term
+    ),
+    vocab AS (
+      SELECT term,
+             row_number() OVER (ORDER BY tf DESC, term) AS token_id
+      FROM freq
+    ),
+    pos AS (
+      SELECT doc_id, t.term, t.i
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 30) d,
+           LATERAL (SELECT unnest(w) AS term,
+                           generate_subscripts(w, 1) AS i) t
+      WHERE t.term <> ''
+    )
+    SELECT p.doc_id, CAST(p.i AS BIGINT) AS pos, v.token_id
+    FROM pos p JOIN vocab v USING (term)
+    """,
+)
+def q94_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + document encoding (the tokenizer-to-ids step of a
+    training pipeline): rank terms by corpus frequency into token ids, then
+    encode each document as (pos, token_id). The vocab is a broadcast-joined
+    dimension — documents shuffle nothing; the global vocab ranking runs on
+    the distinct-term aggregate, not the token stream."""
+    from pyspark.sql import Window
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 30))
+    pos = (docs.select("doc_id",
+                       F.posexplode(F.split("text", " ")).alias("p", "term"))
+           .filter(F.col("term") != "")
+           .select("doc_id", (F.col("p") + 1).cast("bigint").alias("pos"),
+                   "term"))
+    freq = pos.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = freq.select(
+        "term",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "term"))
+        .alias("token_id"))
+    return (pos.join(F.broadcast(vocab), "term")
+            .select("doc_id", "pos", "token_id"))

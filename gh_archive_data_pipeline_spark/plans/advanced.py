@@ -5,7 +5,7 @@ stream-static joins, and the UDF-backed queries (SURVEY.md §2.6 A10, §2.12,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -190,3 +190,35 @@ def q65_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(gini_impurity(F.col("n")), 6).alias("nation_gini"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q93_stratified_sample",
+    sql="""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(event_id::VARCHAR), event_id)
+               AS rk
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS sample_value
+    FROM ranked WHERE rk <= 50
+    GROUP BY event_type
+    """,
+)
+def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 50 rows per event_type,
+    chosen by md5-of-key order — reproducible across engines and runs, the
+    property sampleBy()'s RNG lacks. Plan: one window per stratum with a
+    WindowGroupLimit pushdown, so each partition retains only its top-50
+    before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id")
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sample_value")))

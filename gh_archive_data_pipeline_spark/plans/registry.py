@@ -63,6 +63,7 @@ def _load_all() -> None:
         asof,
         dedup,
         graph,
+        incremental,
         multimodal,
         profiler,
         quality,

@@ -664,3 +664,72 @@ def q81_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").isNull().alias("no_big_orders"),
         F.col("c_custkey").isNull().alias("not_building"),
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@register(
+    "q95_null_safe_join",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, nullif(lang, 'de') AS lang_n FROM documents
+    ),
+    stats AS (
+      SELECT nullif(lang, 'de') AS lang_n, count(*) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang_n, s.n_docs
+    FROM d JOIN stats s ON d.lang_n IS NOT DISTINCT FROM s.lang_n
+    """,
+)
+def q95_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (eqNullSafe, SQL <=>): NULL keys match NULL keys
+    instead of dropping out — the semantics dimension tables with 'unknown'
+    members need. NULLs are planted deterministically (lang 'de' → NULL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    F.nullif(F.col("lang"), F.lit("de")).alias("lang_n"))
+    stats = (d.groupBy("lang_n").agg(F.count(F.lit(1)).alias("n_docs"))
+             .withColumnRenamed("lang_n", "s_lang_n"))
+    return (d.join(F.broadcast(stats),
+                   d.lang_n.eqNullSafe(stats.s_lang_n))
+            .select("doc_id", "lang_n", "n_docs"))
+
+
+# --------------------------------------------------------------------------
+# q96 — schema-evolution union (unionByName with missing columns)
+# --------------------------------------------------------------------------
+@register(
+    "q96_schema_evolution_union",
+    sql="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(o_orderpriority, '<missing>') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM u GROUP BY 1
+    """,
+)
+def q96_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge: an old extract (no priority column) unions
+    with the current schema via unionByName(allowMissingColumns=True); the
+    missing column null-fills and downstream code handles it explicitly —
+    the lakehouse pattern for reading across schema versions."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (orders.filter(F.col("o_orderkey") % 2 == 0)
+          .select("o_orderkey", "o_totalprice"))          # old schema
+    v2 = (orders.filter(F.col("o_orderkey") % 2 == 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (u.groupBy(F.coalesce("o_orderpriority", F.lit("<missing>"))
+                      .alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))

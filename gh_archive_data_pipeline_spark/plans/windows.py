@@ -128,3 +128,92 @@ def q22_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — gaps-and-islands (activity streaks)
+# --------------------------------------------------------------------------
+@register(
+    "q97_activity_streaks",
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS h
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, h,
+             h - row_number() OVER (PARTITION BY user_id ORDER BY h)
+                 * INTERVAL 1 HOUR AS grp
+      FROM d
+    )
+    SELECT user_id,
+           min(h) AS streak_start,
+           count(*) AS streak_hours
+    FROM g GROUP BY user_id, grp
+    HAVING count(*) >= 3
+    """,
+)
+def q97_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active hours per user
+    (the row_number-difference trick — a constant per island), keeping
+    streaks >= 3h. One distinct + one window + one groupBy, all partitioned
+    by user — three stages of the same key, zero extra shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
+         .distinct())
+    w = Window.partitionBy("user_id").orderBy("h")
+    g = d.withColumn(
+        "grp",
+        F.col("h") - F.make_interval(hours=F.row_number().over(w)))
+    return (g.groupBy("user_id", "grp")
+            .agg(F.min("h").alias("streak_start"),
+                 F.count(F.lit(1)).alias("streak_hours"))
+            .filter(F.col("streak_hours") >= 3)
+            .drop("grp"))
+
+
+# --------------------------------------------------------------------------
+# q98 — ratio-to-report (share-of-total windows)
+# --------------------------------------------------------------------------
+@register(
+    "q98_revenue_share",
+    sql="""
+    WITH rev AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             sum(o.o_totalprice) AS nation_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT n_regionkey, c_nationkey,
+           round(nation_rev, 2) AS nation_rev,
+           round(nation_rev / sum(nation_rev) OVER (), 6) AS global_share,
+           round(nation_rev / sum(nation_rev)
+                 OVER (PARTITION BY n_regionkey), 6) AS region_share
+    FROM rev
+    """,
+)
+def q98_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region and
+    of the world. The empty-frame global window runs on the 25-row aggregate,
+    not the fact table — aggregate first, window the tiny result."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w_all = Window.partitionBy()
+    w_region = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_regionkey", "c_nationkey",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w_all), 6)
+        .alias("global_share"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w_region), 6)
+        .alias("region_share"),
+    )
