@@ -82,3 +82,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              compression: str = "zstd") -> None:
+    """ORC lake write — the columnar alternative where the surrounding stack
+    (Hive/Trino ACID tables) prefers ORC over parquet; same pushdown and
+    pruning properties under Spark's vectorized ORC reader."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

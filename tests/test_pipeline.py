@@ -133,3 +133,17 @@ def test_write_delta_raises_clear_error_without_jars(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(RuntimeError, match="delta-spark jars"):
         write_delta(df, str(tmp_path / "d"))
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write/read round trip with partition pruning intact."""
+    from gh_archive_data_pipeline_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double")
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["grp"])
+    back = spark.read.orc(out)
+    assert back.count() == 3
+    assert {r.id for r in back.filter("grp = 'a'").collect()} == {1, 3}

@@ -135,3 +135,43 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q89_tfidf_broadcasts_and_group_limits(spark):
+    plan = plan_of(spark, "q89_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan          # df/idf dimension broadcast
+    assert "WindowGroupLimit" in plan           # per-doc top-3 pre-filter
+
+
+def test_q93_stratified_sample_group_limit(spark):
+    plan = plan_of(spark, "q93_stratified_sample")
+    assert "WindowGroupLimit" in plan           # top-50 kept before shuffle
+
+
+def test_q98_windows_run_on_aggregate_not_fact(spark):
+    """The ratio-to-report windows must consume the 25-row nation aggregate,
+    not the orders fact table: the aggregate happens BELOW both windows."""
+    plan = plan_of(spark, "q98_revenue_share")
+    first_window = plan.find("Window")
+    last_agg = plan.rfind("HashAggregate")
+    assert first_window != -1 and last_agg != -1
+    # formatted-plan tree prints downstream (window) operators above the
+    # upstream aggregate; window must appear before (above) the final agg
+    assert first_window < last_agg
+
+
+def test_q84_components_plan_shape(spark):
+    plan = plan_of(spark, "q84_dedup_clusters")
+    # after convergence the surviving plan reads checkpointed labels — no
+    # re-derivation of the whole iteration chain per action
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_q87_reconcile_shuffles_digests_not_payloads(spark):
+    plan = plan_of(spark, "q87_reconcile_tables", mode="simple")
+    # the full-outer join's exchanges carry (key, md5) — the md5 projection
+    # happens below the exchange, so no payload column crosses the shuffle
+    exchanges = [l for l in plan.splitlines()
+                 if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    assert "o_totalprice" not in " ".join(exchanges)

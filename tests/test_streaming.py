@@ -201,3 +201,31 @@ def test_streaming_metrics_listener(spark, stream_dir):
     assert all(r.batch_duration_ms >= 0 for r in rows)
     # the windowed agg keeps state: the last data batch reports state rows
     assert max(r.state_rows for r in rows) >= out.count()
+
+
+def test_upsert_sink_replaces_keys(spark, tmp_path):
+    """foreachBatch upsert: re-delivered keys replace, new keys append, and
+    a second drain over extended input converges (idempotent merge)."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    gold = str(tmp_path / "gold")
+    ck = str(tmp_path / "ck")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    stream = sp.read_file_stream(spark, f"{src}/*/*.parquet",
+                                 spark.createDataFrame([], schema).schema)
+    q = sp.start_upsert_sink(stream, gold, ck, keys=["k"], spark=spark)
+    q.awaitTermination(60)
+    got = {r.k: r.v for r in spark.read.parquet(gold).collect()}
+    assert got == {1: "a", 2: "b"}
+    # second file: key 2 updated, key 3 new
+    spark.createDataFrame([(2, "B"), (3, "c")], schema).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    stream = sp.read_file_stream(spark, f"{src}/*/*.parquet",
+                                 spark.createDataFrame([], schema).schema)
+    q = sp.start_upsert_sink(stream, gold, ck, keys=["k"], spark=spark)
+    q.awaitTermination(60)
+    got = {r.k: r.v for r in spark.read.parquet(gold).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
