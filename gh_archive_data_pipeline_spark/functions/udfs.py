@@ -42,3 +42,23 @@ def register_sql_udfs(spark: SparkSession) -> None:
     how an analyst-facing deployment would publish them."""
     spark.udf.register("gini_impurity", gini_impurity)
     spark.udf.register("log1p_scaled", log1p_scaled)
+
+
+@F.udtf(returnType="pos int, ngram string")
+class WordNGrams:
+    """Python UDTF (table function): explode a text column into positioned
+    word n-grams. A UDTF earns its Python cost only when one input row maps
+    to a VARIABLE number of typed output rows with per-row logic built-ins
+    can't express; for plain n-grams the built-in HOF pipeline (see
+    operators/dedup.shingles) is the production path — this class is the
+    U5 surface demonstration, oracle-checked against that same semantics."""
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        toks = [t for t in (text or "").split(" ") if t]
+        for i in range(len(toks) - n + 1):
+            yield i, " ".join(toks[i:i + n])
+
+
+def register_sql_udtfs(spark: SparkSession) -> None:
+    """Expose table functions to SQL (LATERAL word_ngrams(text, 2))."""
+    spark.udtf.register("word_ngrams", WordNGrams)

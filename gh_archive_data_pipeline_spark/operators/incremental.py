@@ -85,3 +85,28 @@ def q92_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 2).alias("hi"),
         F.round(F.col("total") / F.col("n"), 4).alias("avg_price"),
     )
+
+
+@register("q100_hll_incremental_distinct", sql=None)
+def q100_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DISTINCT state (Datasketches HLL): per-priority customer
+    sketches built independently on the pre/post-2001 splits, merged with
+    hll_union_agg, estimated — incremental distinct-count maintenance, the
+    piece plain COUNT(DISTINCT) can't do without re-scanning history.
+    Rows-only driver check (HLL is approximate); the error bound vs exact is
+    pinned in tests/test_new_operators.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey", 14).alias("sk"))
+
+    base = sketch(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = sketch(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (base.unionByName(delta)
+              .groupBy("o_orderpriority")
+              .agg(F.hll_union_agg("sk").alias("sk")))
+    return merged.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_distinct_customers"))

@@ -222,3 +222,61 @@ def q93_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sample_value")))
+
+
+@register(
+    "q99_heavy_hitters",
+    sql="""
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    total AS (SELECT count(*) AS t FROM orders)
+    SELECT o_custkey, n,
+           round(n::DOUBLE / t, 6) AS share
+    FROM counts CROSS JOIN total
+    WHERE n::DOUBLE / t >= 0.001
+    """,
+)
+def q99_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: keys holding >= 0.1% of all orders — the exact
+    (two-aggregate) formulation; at extreme cardinality the same contract is
+    served by a count-min/SpaceSaving sketch, with this as its oracle. Also
+    the skew-detection probe: its output keys are the salting candidates for
+    operators/skew.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    total = orders.agg(F.count(F.lit(1)).alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("n").cast("double") / F.col("t") >= 0.001)
+            .select("o_custkey", "n",
+                    F.round(F.col("n").cast("double") / F.col("t"), 6)
+                    .alias("share")))
+
+
+@register(
+    "q101_udtf_ngrams",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           w[i] || ' ' || w[i + 1] AS ngram
+    FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+    """,
+)
+def q101_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 Python UDTF via SQL LATERAL: positioned word bigrams per document.
+    The UDTF runs Arrow-batched; the oracle reproduces the semantics with
+    pure SQL — pinning that the table function's row expansion is exact."""
+    from ..functions.udfs import register_sql_udtfs
+
+    register_sql_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("q101_docs")
+    return spark.sql("""
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM q101_docs d, LATERAL word_ngrams(d.text, 2) g
+    """)

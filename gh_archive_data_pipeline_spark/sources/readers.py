@@ -89,3 +89,22 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
                   .option("upperBound", str(upper_bound))
                   .option("numPartitions", str(num_partitions or 32)))
     return reader.load()
+
+
+def read_csv_with_schema(spark: SparkSession, path: str, schema: str,
+                         header: bool = False,
+                         mode: str = "PERMISSIVE") -> DataFrame:
+    """CSV ingest with an explicit schema and corrupt-row capture: malformed
+    rows null-fill and land their raw text in ``_corrupt_record`` instead of
+    failing the job (or silently dropping, DROPMALFORMED). Explicit schema —
+    inference is a full extra pass over 100 TB and nondeterministic under
+    sampling."""
+    from pyspark.sql.types import StringType
+    from pyspark.sql.types import StructType as _St
+
+    st = _St.fromDDL(schema).add("_corrupt_record", StringType())
+    return (spark.read.schema(st)
+            .option("header", str(header).lower())
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path))

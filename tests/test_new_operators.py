@@ -94,3 +94,37 @@ def test_resample_fills_empty_buckets(spark):
     assert rows[dt.datetime(2024, 1, 1, 11, 0)].n_events == 0
     assert rows[dt.datetime(2024, 1, 1, 11, 0)].total_value == 0.0
     assert rows[dt.datetime(2024, 1, 1, 12, 0)].n_events == 1
+
+
+def test_hll_incremental_distinct_error_bound(spark):
+    """Merged HLL estimates must sit within ~2% of exact distincts (lgk=14
+    gives ~0.8% standard error; 2% is a comfortable pytest bound)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.o_orderpriority: r.approx_distinct_customers
+           for r in all_queries()["q100_hll_incremental_distinct"]
+           .fn(spark, sf).collect()}
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    exact = {r.o_orderpriority: r.n for r in orders.groupBy("o_orderpriority")
+             .agg(F.count_distinct("o_custkey").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
+
+
+def test_csv_permissive_corrupt_capture(spark, tmp_path):
+    """S-coverage: malformed CSV rows land in the corrupt-record column
+    instead of killing the job (PERMISSIVE mode) — the ingest contract for
+    dirty landing zones."""
+    from gh_archive_data_pipeline_spark.sources.readers import read_csv_with_schema
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha,2.5\n2,beta,oops\n3,gamma,7.25\n")
+    df = read_csv_with_schema(
+        spark, str(p), "id long, name string, v double")
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v == 2.5 and rows[1]._corrupt_record is None
+    assert rows[3].v == 7.25
+    bad = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(bad) == 1 and "oops" in bad[0]._corrupt_record

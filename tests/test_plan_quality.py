@@ -175,3 +175,28 @@ def test_q87_reconcile_shuffles_digests_not_payloads(spark):
                  if "Exchange hashpartitioning" in l]
     assert exchanges, plan
     assert "o_totalprice" not in " ".join(exchanges)
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """Partitioned lake layout must turn partition-key filters into
+    PartitionFilters (directory pruning) — zero data files read from
+    excluded partitions, the first-order scan reducer at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.sources.writers import write_parquet
+
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("bucket"), F.rand(42).alias("v"))
+    out = str(tmp_path / "part")
+    write_parquet(df, out, partition_by=["bucket"])
+    back = spark.read.parquet(out).filter("bucket = 3").select("id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0], plan
+    assert back.count() == len([i for i in range(1000) if i % 7 == 3])
