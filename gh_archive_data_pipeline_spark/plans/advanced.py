@@ -280,3 +280,19 @@ def q101_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, g.pos, g.ngram
         FROM q101_docs d, LATERAL word_ngrams(d.text, 2) g
     """)
+
+
+@register("q105_freq_items_sketch", sql=None)
+def q105_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass frequent-items sketch (df.stat.freqItems, Karp-style):
+    candidate heavy hitters above 5% support over event_type and a bucketed
+    value column — the streaming-friendly complement to q99's exact
+    two-pass heavy hitters. Sketch guarantee is superset-of-truth (false
+    positives possible, false negatives not), so the driver check is
+    rows-only; the superset property vs exact counts is pinned in
+    tests/test_new_operators.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.floor(F.col("value") / 100)).alias("value_bucket"))
+    fi = ev.stat.freqItems(["event_type", "value_bucket"], support=0.05)
+    return (fi.select(F.explode("event_type_freqItems").alias("event_type"))
+            .orderBy("event_type"))

@@ -86,3 +86,28 @@ def q56_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(2, 'acctbal', c_acctbal, "
                "'nationkey', cast(c_nationkey as double)) as (metric, val)"),
     ).select("c_custkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "q103_variant_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.device') AS VARCHAR) AS device,
+           CAST(json_extract(props, '$.retries') AS INTEGER) AS retries,
+           CAST(json_extract_string(props, '$.ab_test') AS VARCHAR) AS ab_test
+    FROM events
+    """,
+)
+def q103_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the props JSON once
+    into a Variant value, then typed-path extraction with variant_get —
+    the open-schema alternative to from_json's fixed struct (q27/q55): new
+    JSON keys appear without a schema migration, extraction stays typed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.device", "string").alias("device"),
+        F.variant_get(v, "$.retries", "int").alias("retries"),
+        F.variant_get(v, "$.ab_test", "string").alias("ab_test"),
+    )

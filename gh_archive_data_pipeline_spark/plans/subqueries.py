@@ -144,3 +144,48 @@ def q79_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (no_orders.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@register(
+    "q104_recursive_month_spine",
+    sql="""
+    WITH RECURSIVE months(m) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    )
+    SELECT m AS month,
+           coalesce(n, 0) AS n_orders,
+           round(coalesce(total, 0), 2) AS total
+    FROM months LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate) AS m2,
+             count(*) AS n, sum(o_totalprice) AS total
+      FROM orders GROUP BY 1
+    ) agg ON months.m = agg.m2
+    """,
+)
+def q104_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE, run through spark.sql): build
+    the complete month spine from min to max order date by recursion, then
+    left-join monthly aggregates — identical SQL runs on both engines, so
+    the recursion semantics themselves are what's oracle-checked."""
+    from ..sources.readers import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+      )
+      SELECT m AS month,
+             coalesce(n, 0) AS n_orders,
+             round(coalesce(total, 0), 2) AS total
+      FROM months LEFT JOIN (
+        SELECT date_trunc('month', o_orderdate) AS m2,
+               count(*) AS n, sum(o_totalprice) AS total
+        FROM orders GROUP BY 1
+      ) agg ON months.m = agg.m2
+    """)

@@ -217,3 +217,38 @@ def q98_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nation_rev") / F.sum("nation_rev").over(w_region), 6)
         .alias("region_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — first/last/nth value window functions
+# --------------------------------------------------------------------------
+@register(
+    "q102_first_last_nth",
+    sql="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q102_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: first_value / last_value / nth_value with
+    explicit full frames — last_value over the default frame is the classic
+    silent-wrong-answer (it returns the CURRENT row); the full-frame spec
+    here is the correct form and the oracle pins it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 3).over(w_full).alias("third_v"),
+    )

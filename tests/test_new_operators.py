@@ -128,3 +128,19 @@ def test_csv_permissive_corrupt_capture(spark, tmp_path):
     assert rows[3].v == 7.25
     bad = [r for r in rows.values() if r._corrupt_record is not None]
     assert len(bad) == 1 and "oops" in bad[0]._corrupt_record
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark):
+    """freqItems may return false positives but never misses a true heavy
+    hitter above the support threshold."""
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n = ev.count()
+    true_hh = {r.event_type for r in
+               ev.groupBy("event_type").count()
+               .filter(F.col("count") > 0.05 * n).collect()}
+    got = {r.event_type for r in
+           ev.stat.freqItems(["event_type"], support=0.05)
+           .select(F.explode("event_type_freqItems").alias("event_type"))
+           .collect()}
+    assert true_hh <= got
