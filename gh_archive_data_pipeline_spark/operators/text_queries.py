@@ -331,3 +331,145 @@ def q94_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("token_id"))
     return (pos.join(F.broadcast(vocab), "term")
             .select("doc_id", "pos", "token_id"))
+
+
+@register(
+    "q106_pii_redaction",
+    sql=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 3 = 1 THEN ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' on file'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '\d{4}-\d{4}-\d{4}-\d{4}', '<CARD>', 'g') AS clean_text,
+           CAST(length(text) - length(regexp_replace(text,
+             '[a-z0-9._]+@[a-z0-9.-]+', '', 'g')) > 0 AS BOOLEAN) AS had_email,
+           CAST(length(text) - length(regexp_replace(text,
+             '\d{4}-\d{4}-\d{4}-\d{4}', '', 'g')) > 0 AS BOOLEAN) AS had_card
+    FROM synth
+    """,
+)
+def q106_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data hygiene): mask emails and
+    card-shaped numbers with typed placeholders and flag which docs carried
+    them. PII is planted deterministically (the fixture corpus has none) so
+    both engines see identical inputs; the regexes run JVM-side in one
+    projection — at 100 TB this is a scan-speed map with zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit(" card 4111-1111-1111-"),
+                           F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                  4, "0"),
+                           F.lit(" on file")))
+            .otherwise(F.lit(""))).alias("text"))
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+"
+    card_re = r"\d{4}-\d{4}-\d{4}-\d{4}"
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            card_re, "<CARD>").alias("clean_text"),
+        (F.length("text") >
+         F.length(F.regexp_replace("text", email_re, ""))).alias("had_email"),
+        (F.length("text") >
+         F.length(F.regexp_replace("text", card_re, ""))).alias("had_card"),
+    )
+
+
+@register(
+    "q107_boilerplate_score",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS c FROM tok WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    agg AS (
+      SELECT doc_id, max(c) AS top_count, sum(c) AS n_tokens
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, top_count, n_tokens,
+           round(top_count::DOUBLE / n_tokens, 6) AS top_token_share,
+           (top_count::DOUBLE / n_tokens > 0.15) AS is_repetitive
+    FROM agg
+    """,
+)
+def q107_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signal: the share of a document held
+    by its single most frequent token — a cheap compressibility proxy that
+    catches templated/spammy text. One explode + two aggregations keyed by
+    doc_id; the token stream never leaves its doc partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
+    agg = tf.groupBy("doc_id").agg(F.max("c").alias("top_count"),
+                                   F.sum("c").alias("n_tokens"))
+    share = F.col("top_count").cast("double") / F.col("n_tokens")
+    return agg.select("doc_id", "top_count", "n_tokens",
+                      F.round(share, 6).alias("top_token_share"),
+                      (share > 0.15).alias("is_repetitive"))
+
+
+# Benchmark-contamination probe set: word trigrams that would identify an
+# eval set. Literal here; at scale this is a broadcast-joined table of
+# millions of eval n-grams (same plan: shingle → semi join).
+CONTAMINATION_TRIGRAMS = (
+    "batch batch batch",
+    "slow join sort",
+    "window window dup",
+)
+_CONTAM_SQL = "(" + ", ".join(f"'{g}'" for g in CONTAMINATION_TRIGRAMS) + ")"
+
+
+@register(
+    "q108_decontamination",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           (len(list_filter(s, x -> x IN {_CONTAM_SQL})) > 0)
+             AS is_contaminated
+    FROM sh
+    """,
+)
+def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word trigram
+    with the eval-set probe list. The probe set rides as a literal array
+    (broadcast-join a real eval table at scale — same shape as the LSH
+    candidate join); overlap is arrays_overlap inside codegen, zero
+    shuffles, zero Python."""
+    from .dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.array(*[F.lit(g) for g in CONTAMINATION_TRIGRAMS])
+    return (shingles(docs)
+            .select("doc_id",
+                    F.arrays_overlap("shingles", probe)
+                    .alias("is_contaminated")))
