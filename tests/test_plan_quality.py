@@ -200,3 +200,35 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "bucket" in pf[0], plan
     assert back.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a 90%-hot key must be split into multiple
+    sub-partitions at runtime (SortMergeJoin(skew=true)) instead of one
+    straggler task — the no-code-change answer to key skew that complements
+    the explicit salting in operators/skew.py."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id").cast("string")).alias("pad"))
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k").select(F.length("pad").alias("l"))
+        assert len(j.collect()) == 180_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
