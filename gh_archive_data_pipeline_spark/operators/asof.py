@@ -89,3 +89,75 @@ def q53_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_p").alias("purchase_ts_asof"),
         F.col("value_p").alias("purchase_value_asof"),
     )
+
+
+def asof_join_cogroup(left: DataFrame, right: DataFrame,
+                      left_on: str, right_on: str,
+                      left_ts: str, right_ts: str,
+                      value_col: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas (U4's cogroup surface): both
+    sides shuffle once on the key, each key's two groups meet in one Python
+    function, and pandas merge_asof does the per-key point-in-time match.
+
+    Independent implementation of the same semantics as :func:`asof_join`
+    (union-sort) — the registry checks BOTH against DuckDB's native ASOF
+    JOIN, so the two algorithms cross-validate. Prefer the union-sort form
+    in hot paths (no Python); cogroup is the template for per-key logic
+    pandas has but Spark lacks (interpolation, curve fitting, ffill with
+    limits)."""
+    import pandas as pd
+
+    lcols = left.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + f", {right_ts}_asof timestamp_ntz, {value_col}_asof double"
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts)
+        r = (r[[right_ts, value_col]].sort_values(right_ts)
+             .rename(columns={right_ts: f"{right_ts}_asof",
+                              value_col: f"{value_col}_asof"}))
+        if r.empty:
+            l[f"{right_ts}_asof"] = pd.NaT
+            l[f"{value_col}_asof"] = float("nan")
+            return l[lcols + [f"{right_ts}_asof", f"{value_col}_asof"]]
+        m = pd.merge_asof(l, r, left_on=left_ts, right_on=f"{right_ts}_asof",
+                          direction="backward", allow_exact_matches=True)
+        return m[lcols + [f"{right_ts}_asof", f"{value_col}_asof"]]
+
+    return (left.groupBy(left_on).cogroup(right.groupBy(right_on))
+            .applyInPandas(merge, schema=out_schema))
+
+
+@register(
+    "q110_cogroup_asof",
+    sql="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.ts    AS ts_asof,
+           p.value AS value_asof
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q110_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 cogroup surface: the q53 as-of semantics re-implemented with
+    cogrouped applyInPandas + pandas merge_asof, checked against DuckDB's
+    native ASOF JOIN — two independent algorithms, one oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    # NB: rename the right side's columns — cogrouping a DataFrame with a
+    # projection of ITSELF hits self-join attribute dedup, which can prune
+    # the right child down to the conflicting names' first occurrence.
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value")))
+    left = ev.select("event_id", "user_id", "event_type", "ts")
+    joined = asof_join_cogroup(left, purchases,
+                               left_on="user_id", right_on="p_user_id",
+                               left_ts="ts", right_ts="p_ts",
+                               value_col="p_value")
+    return joined.select("event_id", "user_id", "event_type",
+                         F.col("p_ts_asof").alias("ts_asof"),
+                         F.col("p_value_asof").alias("value_asof"))

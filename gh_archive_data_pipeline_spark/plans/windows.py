@@ -252,3 +252,38 @@ def q102_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w_full).alias("last_v"),
         F.nth_value("value", 3).over(w_full).alias("third_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# q109 — RANGE frame over event time (interval window without self-join)
+# --------------------------------------------------------------------------
+@register(
+    "q109_range_frame_rolling_sum",
+    sql="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_1h_value,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_1h_events
+    FROM events
+    """,
+)
+def q109_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RANGE frame on event time: per-user trailing-1-hour rolling sum
+    and count — the value-based frame (all rows within the interval,
+    regardless of row count), expressed with rangeBetween over epoch
+    seconds. This replaces the quadratic self-join formulation of trailing
+    windows with one sort per user partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("timestamp").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
