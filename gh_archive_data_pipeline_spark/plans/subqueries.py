@@ -149,11 +149,11 @@ def q79_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q104_recursive_month_spine",
     sql="""
-    WITH RECURSIVE months(m) AS (
-      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+    WITH RECURSIVE months(m, stop) AS (
+      SELECT date_trunc('month', min(o_orderdate)),
+             date_trunc('month', max(o_orderdate)) FROM orders
       UNION ALL
-      SELECT m + INTERVAL 1 MONTH FROM months
-      WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+      SELECT m + INTERVAL 1 MONTH, stop FROM months WHERE m < stop
     )
     SELECT m AS month,
            coalesce(n, 0) AS n_orders,
@@ -169,16 +169,19 @@ def q104_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE, run through spark.sql): build
     the complete month spine from min to max order date by recursion, then
     left-join monthly aggregates — identical SQL runs on both engines, so
-    the recursion semantics themselves are what's oracle-checked."""
+    the recursion semantics themselves are what's oracle-checked. The stop
+    bound rides along as a recursion column: a scalar subquery in the
+    recursive step re-scans orders once per iteration (measured 12 s over
+    80 iterations; this form is one scan)."""
     from ..sources.readers import load_table as _lt
 
     _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
-      WITH RECURSIVE months(m) AS (
-        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      WITH RECURSIVE months(m, stop) AS (
+        SELECT date_trunc('month', min(o_orderdate)),
+               date_trunc('month', max(o_orderdate)) FROM orders
         UNION ALL
-        SELECT m + INTERVAL 1 MONTH FROM months
-        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        SELECT m + INTERVAL 1 MONTH, stop FROM months WHERE m < stop
       )
       SELECT m AS month,
              coalesce(n, 0) AS n_orders,
