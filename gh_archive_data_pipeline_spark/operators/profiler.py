@@ -122,3 +122,18 @@ def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
+
+
+@register("q111_approx_percentiles", sql=None)
+def q111_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna percentile_approx with
+    relative-error 1/accuracy): the single-pass mergeable alternative to
+    q16's exact percentiles — at 100 TB exact percentile needs a full sort
+    or two passes, the sketch needs one partial-aggregable pass. Rows-only
+    driver check (approximation); the error bound vs exact percentile is
+    pinned in tests/test_new_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(*[F.percentile_approx("l_extendedprice", p, 10_000)
+                   .alias(f"p{int(p * 100):02d}")
+                   for p in (0.25, 0.5, 0.75, 0.99)]))

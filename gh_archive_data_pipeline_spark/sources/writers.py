@@ -94,3 +94,16 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: list[str],
+                    num_files: int = 8, mode: str = "overwrite") -> None:
+    """Clustered lake layout: range-repartition on the cluster keys, sort
+    within each partition, write one file per partition. Files then hold
+    disjoint key ranges with tight parquet min/max stats, so point and
+    range predicates on the cluster keys skip whole files/row-groups at
+    scan time — the sorted-layout complement to directory partitioning
+    (low-cardinality keys partition; high-cardinality keys cluster)."""
+    (df.repartitionByRange(num_files, *cluster_by)
+     .sortWithinPartitions(*cluster_by)
+     .write.mode(mode).parquet(path))

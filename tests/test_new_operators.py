@@ -144,3 +144,23 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
            .select(F.explode("event_type_freqItems").alias("event_type"))
            .collect()}
     assert true_hh <= got
+
+
+def test_approx_percentiles_within_bound(spark):
+    """percentile_approx(accuracy=10000) must land within 0.5% (relative)
+    of the exact percentile for each group."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r.l_returnflag: r for r in
+              all_queries()["q111_approx_percentiles"].fn(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {r.l_returnflag: r for r in
+             li.groupBy("l_returnflag")
+             .agg(*[F.expr(f"percentile(l_extendedprice, {p})")
+                    .alias(f"p{int(p*100):02d}")
+                    for p in (0.25, 0.5, 0.75, 0.99)]).collect()}
+    for k, a in approx.items():
+        for col in ("p25", "p50", "p75", "p99"):
+            e = exact[k][col]
+            assert abs(a[col] - e) / e < 0.005, (k, col, a[col], e)

@@ -147,3 +147,28 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(out)
     assert back.count() == 3
     assert {r.id for r in back.filter("grp = 'a'").collect()} == {1, 3}
+
+
+def test_clustered_write_disjoint_sorted_files(spark, tmp_path):
+    """write_clustered must produce files with disjoint key ranges (the
+    min/max-pruning precondition) and sorted content within each file."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.sources.writers import write_clustered
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v"))
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, cluster_by=["k"], num_files=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks), "file content not sorted"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
