@@ -306,3 +306,66 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in unit tests against a NumPy reference implementation)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs)
+
+
+def survivorship_dedup(df: DataFrame, key, score_cols: list[str],
+                       tiebreak: str) -> DataFrame:
+    """Entity-resolution survivorship: one row per key, keeping the RICHEST
+    record — ranked by completeness (count of non-null score_cols), broken
+    deterministically by ``tiebreak``. The master-data complement of
+    exact_dedup (which keys on content): here records disagree and one must
+    win. One window per key partition — same shuffle envelope as groupBy."""
+    keys = [key] if isinstance(key, str) else list(key)
+    completeness = sum(
+        (F.col(c).isNotNull().cast("int") for c in score_cols), F.lit(0))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__score").desc(), F.col(tiebreak).asc())
+    return (df.withColumn("__score", completeness)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__score", "__rn"))
+
+
+@register(
+    "q113_survivorship_dedup",
+    sql="""
+    WITH recs AS (
+      SELECT event_id, user_id,
+             nullif(event_type, 'view') AS event_type,
+             CASE WHEN value > 100 THEN value END AS value,
+             props
+      FROM events
+    ),
+    scored AS (
+      SELECT *,
+             (CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS s,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END
+                         + CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+                         + CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)
+                        DESC, event_id ASC) AS rn
+      FROM recs
+    )
+    SELECT event_id, user_id, event_type,
+           round(value, 2) AS value
+    FROM scored WHERE rn = 1
+    """,
+)
+def q113_survivorship_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship dedup: collapse each user's event records to the richest
+    one (nulls planted deterministically so completeness varies), keeping
+    the lowest event_id among ties — master-data golden-record selection."""
+    ev = load_table(spark, sf_dir, "events")
+    recs = ev.select(
+        "event_id", "user_id",
+        F.nullif("event_type", F.lit("view")).alias("event_type"),
+        F.when(F.col("value") > 100, F.col("value")).alias("value"),
+        "props")
+    out = survivorship_dedup(recs, key="user_id",
+                             score_cols=["event_type", "value", "props"],
+                             tiebreak="event_id")
+    return out.select("event_id", "user_id", "event_type",
+                      F.round("value", 2).alias("value"))

@@ -110,3 +110,86 @@ def q100_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     return merged.select(
         "o_orderpriority",
         F.hll_sketch_estimate("sk").alias("approx_distinct_customers"))
+
+
+def apply_cdc(snapshot: DataFrame, changes: DataFrame, key: str,
+              op_col: str = "op", seq_col: str = "seq") -> DataFrame:
+    """Apply a CDC batch (op ∈ I/U/D with a monotonic sequence) to a
+    snapshot — batch MERGE semantics without a transactional table format:
+
+    1. keep only each key's LATEST change (max seq — late/duplicate
+       deliveries collapse here, which is what makes re-applying a batch
+       idempotent);
+    2. anti-join the snapshot against all changed keys (dropping updated
+       and deleted rows);
+    3. union back the latest I/U images (deletes contribute nothing).
+
+    One shuffle on the key for the window + one for the anti join; the
+    changes side is the small one in steady state. This is exactly what a
+    Delta/Iceberg MERGE compiles to — spelled out because the sandbox has
+    no transactional format, and the semantics are engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (changes.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    untouched = snapshot.join(latest.select(key), key, "left_anti")
+    upserts = (latest.filter(F.col(op_col) != "D")
+               .select(*snapshot.columns))
+    return untouched.unionByName(upserts)
+
+
+@register(
+    "q112_cdc_merge",
+    sql="""
+    WITH changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+                  WHEN o_orderkey % 5 = 1 THEN 'U'
+                  ELSE 'I' END AS op,
+             o_orderkey % 3 AS seq
+      FROM orders WHERE o_orderkey % 100 < 10
+    ),
+    latest AS (
+      SELECT o_orderkey, op FROM (
+        SELECT o_orderkey, op,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC) AS rn
+        FROM changes) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT s.o_orderkey, s.o_totalprice
+      FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.o_orderkey
+      WHERE c.o_orderkey IS NULL
+      UNION ALL
+      SELECT c.o_orderkey, 0.0 AS o_totalprice
+      FROM latest c WHERE c.op <> 'D'
+    )
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(sum(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_upserted
+    FROM merged
+    """,
+)
+def q112_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics pinned end-to-end: a synthetic change batch
+    (10% of keys; deletes, updates-to-zero, inserts-of-zero, with
+    duplicate seq collapse) applied to the orders snapshot; the oracle
+    recomputes the merge with plain SQL and checks the row count, total,
+    and upsert count all agree."""
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = orders.select("o_orderkey", "o_totalprice")
+    changes = (orders.filter(F.col("o_orderkey") % 100 < 10)
+               .select("o_orderkey",
+                       F.when(F.col("o_orderkey") % 5 == 0, "D")
+                       .when(F.col("o_orderkey") % 5 == 1, "U")
+                       .otherwise("I").alias("op"),
+                       (F.col("o_orderkey") % 3).alias("seq"),
+                       F.lit(0.0).alias("o_totalprice")))
+    merged = apply_cdc(snapshot, changes, key="o_orderkey")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.when(F.col("o_totalprice") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_upserted"))
