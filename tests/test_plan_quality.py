@@ -232,3 +232,24 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark):
+    """Join strategy hints are the manual override when statistics mislead
+    the planner — each must actually change the physical join."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(50_000).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    small = spark.range(500).select(F.col("id").alias("k"), F.lit(2).alias("y"))
+
+    def strat(df):
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in strat(big.join(small.hint("broadcast"), "k"))
+    assert "ShuffledHashJoin" in strat(big.join(small.hint("shuffle_hash"), "k"))
+    assert "SortMergeJoin" in strat(big.join(small.hint("merge"), "k"))
