@@ -244,3 +244,35 @@ def q32_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — safe casts / arithmetic (ANSI mode without the blast radius)
+# --------------------------------------------------------------------------
+@register(
+    "q114_try_functions",
+    sql="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.retries') AS INTEGER)
+             AS retries,
+           TRY_CAST(event_type AS DOUBLE) AS bogus_num,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.retries')
+                              AS INTEGER) = 0 THEN NULL
+                ELSE round(value / TRY_CAST(json_extract_string(props,
+                           '$.retries') AS INTEGER), 4) END AS value_per_retry
+    FROM events
+    """,
+)
+def q114_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casts and division under ANSI mode: try_cast/try_divide return
+    NULL on bad input instead of failing the 1000-executor job at hour 9 —
+    the per-cell error policy for dirty data (the job-level policy is the
+    PERMISSIVE CSV reader's corrupt-record column)."""
+    ev = load_table(spark, sf_dir, "events")
+    retries = F.get_json_object("props", "$.retries").try_cast("int")
+    return ev.select(
+        "event_id",
+        retries.alias("retries"),
+        F.col("event_type").try_cast("double").alias("bogus_num"),
+        F.round(F.try_divide("value", retries), 4).alias("value_per_retry"),
+    )

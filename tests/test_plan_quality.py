@@ -253,3 +253,34 @@ def test_join_strategy_hints_respected(spark):
     assert "BroadcastHashJoin" in strat(big.join(small.hint("broadcast"), "k"))
     assert "ShuffledHashJoin" in strat(big.join(small.hint("shuffle_hash"), "k"))
     assert "SortMergeJoin" in strat(big.join(small.hint("merge"), "k"))
+
+
+def test_plan_metrics_report_rows_read(spark):
+    """EXPLAIN-ANALYZE surface: executed-plan metrics land as queryable
+    rows, and the scan's output-rows metric equals the table row count."""
+    from gh_archive_data_pipeline_spark.plans.metrics import (
+        plan_metrics,
+        scan_output_rows,
+    )
+
+    df = spark.read.parquet(f"{SF}/nation.parquet")
+    m = plan_metrics(df, spark)
+    assert m.count() > 0
+    assert scan_output_rows(m) == 25
+
+
+def test_cached_table_reads_from_memory(spark):
+    """cache() must turn the second read into InMemoryTableScan — the
+    materialized-view primitive for reused intermediates."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet(f"{SF}/region.parquet").cache()
+    try:
+        df.count()  # materialize
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        assert "InMemoryTableScan" in buf.getvalue()
+    finally:
+        df.unpersist()
