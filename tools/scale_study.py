@@ -1,0 +1,106 @@
+"""Scaling study: replicate the sf0.1 fixtures N× (key-shifted so joins and
+dedup behave like genuinely bigger data, not N copies of the same keys) and
+measure headline-query wall time at 1× vs N×.
+
+The point is the RATIO: a query whose cost grows ~linearly with input
+(ratio ≈ N on a fixed-core machine) has no hidden quadratic term and no
+driver-side bottleneck — the property that survives a 100 TB cluster.
+Run: python tools/scale_study.py [N] (default 10; writes /tmp/spark_scale_N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gh_archive_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from gh_archive_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# key columns to shift per replica so cardinalities scale with N
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],   # dims stay fixed (broadcast side shouldn't grow)
+    "region": [],
+}
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q40_dedup_exact",
+    "q42_minhash_near_dup",
+    "q44_embedding_topk",
+    "q52_session_windows",
+    "q53_asof_last_purchase",
+    "q85_scd2_intervals",
+    "q89_tfidf_top_terms",
+]
+
+
+def build_scaled(spark, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in KEY_SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        if not keys or n == 1:
+            reps = [src] * (1 if not keys else n)
+        else:
+            shift = {k: int(src.agg(F.max(k)).collect()[0][0]) + 1
+                     for k in keys}
+            reps = []
+            for i in range(n):
+                r = src
+                for k in keys:
+                    r = r.withColumn(k, F.col(k) + F.lit(i * shift[k]))
+                reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = all_queries()
+    out = {}
+    for name in QUERIES:
+        t = time.monotonic()
+        n = qs[name].fn(spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t, 3)
+        print(f"#   {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-study")
+    spark.range(100_000).selectExpr("id % 7 k").groupBy("k").count().count()
+    base_dir = f"/tmp/spark_scale_1"
+    big_dir = f"/tmp/spark_scale_{n}"
+    print(f"# building 1x and {n}x fixtures...", file=sys.stderr)
+    build_scaled(spark, 1, base_dir)
+    build_scaled(spark, n, big_dir)
+    print("# timing 1x", file=sys.stderr)
+    t1 = time_queries(spark, base_dir)
+    print(f"# timing {n}x", file=sys.stderr)
+    tn = time_queries(spark, big_dir)
+    ratios = {q: round(tn[q] / t1[q], 2) if t1[q] > 0 else None
+              for q in QUERIES}
+    print(json.dumps({"n": n, "t1": t1, "tn": tn, "ratio": ratios}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
