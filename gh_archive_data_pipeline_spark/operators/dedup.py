@@ -9,10 +9,11 @@ Five strategies, all pure DataFrame ops (no Python in the hot path):
 - embedding near-dup: see operators.similarity (cosine threshold)
 
 Scale design: MinHash/LSH is the only strategy whose cost is near-linear in
-corpus size (shingle explode → per-doc minhash agg → band self-join on
-(band, signature) buckets). The pairwise ngram_jaccard is intentionally
-bounded to a candidate window — at scale it is the *verification* stage that
-runs AFTER banding, never a full cross join.
+corpus size (per-row shuffle-free signature computation → band self-join on
+(band, signature) buckets; the only shuffles in the whole pipeline are the
+band join and candidate distinct). The pairwise ngram_jaccard is
+intentionally bounded to a candidate window — at scale it is the
+*verification* stage that runs AFTER banding, never a full cross join.
 """
 
 from __future__ import annotations
@@ -124,22 +125,34 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _minhash_array(num_hashes: int):
+    """array<bigint> column of ``num_hashes`` MinHash values over ``hs``."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform(hs, h -> xxhash64(i, h))))")
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 64, ngram: int = 3) -> DataFrame:
     """MinHash signatures: k independent permutations of the shingle hash.
 
-    explode(hashed shingles) → groupBy(doc) with k min(xxhash64(i, h))
-    aggregates: one shuffle keyed by doc id; each permutation re-hashes the
-    8-byte shingle hash, not the shingle text.
+    Computed per-row with ONE nested higher-order expression —
+    transform(sequence(0,k-1), i -> array_min(transform(hs, h ->
+    xxhash64(i, h)))) — because the shingle set is ALREADY a per-doc array:
+    no explode, no groupBy, ZERO shuffles (the explode→groupBy form paid a
+    full shuffle of k×|shingles| rows), and one expression to codegen (k
+    separate array_min columns compiled 64 lambdas and tripled cold wall
+    time; k python-built F.transform columns silently COLLAPSE into one
+    shared lambda — measured, every mh_i identical — so the expression is
+    SQL text, not python lambdas).
     """
     _check_hash_fan(num_hashes, "num_hashes")
-    ex = (hashed_shingles(docs, id_col, ngram)
-          .select(id_col, F.explode("hs").alias("h")))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    sh = hashed_shingles(docs, id_col, ngram)
+    mh = _minhash_array(num_hashes)
+    return sh.select(
+        id_col,
+        *[mh.getItem(i).alias(f"mh_{i}") for i in range(num_hashes)],
+    )
 
 
 def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
@@ -169,19 +182,15 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
     sh = hashed_shingles(docs, id_col, ngram).localCheckpoint()
-    ex = sh.select(id_col, F.explode("hs").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = ex.groupBy(id_col).agg(*aggs)
+    # signatures shuffle-free in one nested-HOF pass (see minhash_signatures)
+    sigs = sh.select(id_col, _minhash_array(num_hashes).alias("mh"))
     stacked = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-                .alias("sig"),
+                F.xxhash64(*[F.col("mh").getItem(b * rows + r)
+                             for r in range(rows)]).alias("sig"),
             )
             for b in range(bands)
         ])).alias("bs"),
