@@ -473,3 +473,92 @@ def q108_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.arrays_overlap("shingles", probe)
                     .alias("is_contaminated")))
+
+
+@register(
+    "q115_doc_chunking",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+             CAST(least(len(w) - i * 24, 32) AS BIGINT) AS n_tokens
+      FROM toks,
+           LATERAL (SELECT unnest(range(0,
+             greatest((len(w) - 32 + 23) // 24, 0) + 1)) AS i) g
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+    """,
+)
+def q115_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: split each document into 32-token windows with
+    8-token overlap (stride 24). Chunk boundaries are pure array slices of
+    the token array — one projection, no shuffle, no Python; every chunk
+    carries (doc_id, chunk_id) for provenance. The chunk count per doc is
+    ceil((n-32)/24)+1 — the last chunk is allowed to be short."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("w"))
+    window, stride = 32, 24
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - window) / stride), F.lit(0)) + 1
+    return (toks
+            .select("doc_id", "w",
+                    F.explode(F.sequence(F.lit(0),
+                                         (n_chunks - 1).cast("int")))
+                    .alias("i"))
+            .select("doc_id",
+                    F.col("i").cast("bigint").alias("chunk_id"),
+                    F.concat_ws(" ", F.slice(
+                        "w", F.col("i") * stride + 1, window))
+                    .alias("chunk_text"),
+                    F.least(F.size("w") - F.col("i") * stride,
+                            F.lit(window)).cast("bigint").alias("n_tokens")))
+
+
+@register(
+    "q116_sequence_packing",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT CAST((cum - 1) // 512 AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign docs (in deterministic doc_id order)
+    to 512-token training sequences by running token count — the
+    cumulative-sum formulation of greedy packing (a doc may straddle two
+    packs; exact bin packing is NP-hard and never used at corpus scale).
+    One global-order window: at 100 TB you'd run it per shard/partition key,
+    which is also what training shards want."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (c.groupBy(F.floor((F.col("cum") - 1) / 512).cast("bigint")
+                      .alias("pack_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("pack_tokens")))
