@@ -137,3 +137,82 @@ def q111_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(*[F.percentile_approx("l_extendedprice", p, 10_000)
                    .alias(f"p{int(p * 100):02d}")
                    for p in (0.25, 0.5, 0.75, 0.99)]))
+
+
+@register(
+    "q117_mad_outliers",
+    sql="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, l_extendedprice AS med_price
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT l.l_returnflag,
+             abs(l.l_extendedprice - m.med_price) AS adev,
+             l.l_extendedprice, m.med_price
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    dev_ranked AS (
+      SELECT l_returnflag, adev,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY adev)
+               AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT l_returnflag, adev AS mad_price
+      FROM dev_ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.l_returnflag,
+           round(any_value(d.med_price), 2) AS med_price,
+           round(any_value(m.mad_price), 2) AS mad_price,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad_price THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per group, rows
+    beyond 3×MAD counted — the quality gate that survives the skewed
+    distributions where mean±3σ fails. Exact lower-medians via per-group
+    rank (a real data value — engine-portable, unlike interpolated
+    medians); the fact table scans twice — unavoidable for exact medians,
+    and why q111's mergeable percentile sketch is the single-pass
+    alternative."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        # exact LOWER median: a real data value at rank (n+1)//2 — no
+        # interpolation, so Spark and the oracle agree bit-for-bit (the
+        # interpolated median differs in the last ULP between engines)
+        w = Window.partitionBy("l_returnflag").orderBy(col)
+        wc = Window.partitionBy("l_returnflag")
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .withColumn("__n", F.count(F.lit(1)).over(wc))
+                .filter(F.col("__rn") == ((F.col("__n") + 1) / 2)
+                        .cast("bigint"))
+                .select("l_returnflag", F.col(col).alias(out)))
+
+    med = lower_median(li, "l_extendedprice", "med_price")
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+           .withColumn("adev", F.abs(F.col("l_extendedprice")
+                                     - F.col("med_price"))))
+    mad = lower_median(dev.select("l_returnflag", "adev"), "adev",
+                       "mad_price")
+    return (dev.join(F.broadcast(mad), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.any_value("med_price"), 2).alias("med_price"),
+                 F.round(F.any_value("mad_price"), 2).alias("mad_price"),
+                 F.sum(F.when(F.col("adev") > 3 * F.col("mad_price"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers")))

@@ -209,3 +209,18 @@ def test_gharchive_python_datasource(spark, tmp_path):
     hours = (df.select(F.substring("created_at", 12, 2).alias("h"))
              .groupBy("h").count().collect())
     assert {r.h: r["count"] for r in hours} == {"15": 3, "16": 2}
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 50 tiny files → 1, content identical."""
+    from gh_archive_data_pipeline_spark.sources.writers import compact
+
+    out = str(tmp_path / "many")
+    spark.range(5000).repartition(50).write.parquet(out)
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) == 50
+    n = compact(spark, out, target_file_bytes=1 << 30)
+    assert n == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 5000 * 4999 // 2
