@@ -143,3 +143,81 @@ def q58_media_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# Output schema for sample_frames — one row per sampled frame.
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, frame_ts_sec double, "
+                "frame_sha string")
+
+
+def sample_frames(assets: DataFrame, every_sec: float = 2.0,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  duration_col: str = "duration_sec") -> DataFrame:
+    """Frame sampling over video assets: one output row per sampled frame
+    (every ``every_sec`` seconds of asset duration) — the 1-to-N mapInPandas
+    expansion shape every video pipeline needs.
+
+    The decode kernel is a deterministic stub (no codecs in this container):
+    frame bytes are derived as sha256(payload || frame_idx). Everything
+    Spark-side is real — Arrow batch iteration, per-row expansion, typed
+    output schema — and a real ffmpeg/PyAV kernel drops into the same seam
+    with the identical signature. Binary payloads never cross a shuffle:
+    sampling happens in the scan projection; only (id, idx, ts, sha) rows
+    flow on."""
+    import hashlib
+    import math
+
+    def op(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_sec": [],
+                   "frame_sha": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                n_frames = max(1, int(math.ceil(row[duration_col]
+                                                / every_sec)))
+                for i in range(n_frames):
+                    out["doc_id"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["frame_ts_sec"].append(round(i * every_sec, 3))
+                    out["frame_sha"].append(hashlib.sha256(
+                        payload + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+@register(
+    "q118_video_frame_sampling",
+    sql="""
+    WITH v AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             round(length(text) / 100.0, 2) AS duration_sec
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, duration_sec,
+             unnest(range(0, greatest(CAST(ceil(duration_sec / 2.0) AS BIGINT),
+                                      1))) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           round(frame_idx * 2.0, 3) AS frame_ts_sec
+    FROM frames
+    """,
+)
+def q118_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star frame sampling end-to-end: the 'video' subset of the
+    multimodal fixture (duration derived deterministically from size, as a
+    container-less stand-in for demuxed metadata) expands to one row per
+    2-second sample via mapInPandas. The deterministic outputs (doc, idx,
+    timestamp) are oracle-checked; the stubbed frame hash is exercised but
+    not oracle-compared (no sha256(blob||int) in the oracle engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    videos = (with_binary_payload(docs)
+              .filter(F.col("meta.media_type") == "video")
+              .select("doc_id", "payload",
+                      F.round(F.col("meta.n_bytes") / 100.0, 2)
+                      .alias("duration_sec")))
+    frames = sample_frames(videos)
+    return frames.select("doc_id", "frame_idx", "frame_ts_sec")
