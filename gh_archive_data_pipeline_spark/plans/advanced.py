@@ -296,3 +296,147 @@ def q105_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     fi = ev.stat.freqItems(["event_type", "value_bucket"], support=0.05)
     return (fi.select(F.explode("event_type_freqItems").alias("event_type"))
             .orderBy("event_type"))
+
+
+@register(
+    "q119_correlation_matrix",
+    sql="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6)      AS qty_disc,
+           round(corr(l_quantity, l_tax), 6)           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
+           round(corr(l_discount, l_tax), 6)           AS disc_tax
+    FROM lineitem
+    """,
+)
+def q119_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature correlation matrix: all numeric-column pairs in ONE
+    aggregation pass (each corr is a mergeable moment aggregate) — the
+    feature-selection probe before training, at one-table-scan cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [("l_quantity", "l_extendedprice", "qty_price"),
+             ("l_quantity", "l_discount", "qty_disc"),
+             ("l_quantity", "l_tax", "qty_tax"),
+             ("l_extendedprice", "l_discount", "price_disc"),
+             ("l_extendedprice", "l_tax", "price_tax"),
+             ("l_discount", "l_tax", "disc_tax")]
+    return li.agg(*[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs])
+
+
+@register(
+    "q120_rolling_zscore",
+    sql="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           round((value - mu) / sigma, 4) AS zscore,
+           (abs((value - mu) / sigma) > 3) AS is_anomaly
+    FROM w WHERE sigma IS NOT NULL AND sigma > 0
+    """,
+)
+def q120_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each event's value against the mean/stddev of
+    the user's previous 20 events (frame excludes the current row — scoring
+    a point against a window containing it suppresses the very anomalies
+    you're hunting). One sort per user partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(-20, -1))
+    w = ev.select(
+        "event_id", "user_id", "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (w.filter(F.col("sigma").isNotNull() & (F.col("sigma") > 0))
+            .select("event_id", "user_id",
+                    F.round(z, 4).alias("zscore"),
+                    (F.abs(z) > 3).alias("is_anomaly")))
+
+
+@register(
+    "q121_funnel_analysis",
+    sql="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM stage
+    """,
+)
+def q121_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase with strict event-time
+    ordering per user. One groupBy computes every stage's first-touch time
+    (conditional min), then the ordering predicates are row-local — no
+    self-joins, no window; the classic O(n·stages) funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("viewed"),
+        F.sum(F.when(F.col("t_view").isNotNull()
+                     & (F.col("t_click") > F.col("t_view")), 1).otherwise(0))
+        .cast("bigint").alias("clicked_after_view"),
+        F.sum(F.when(F.col("t_view").isNotNull()
+                     & (F.col("t_click") > F.col("t_view"))
+                     & (F.col("t_purchase") > F.col("t_click")), 1)
+              .otherwise(0)).cast("bigint").alias("purchased_after_click"))
+
+
+@register(
+    "q122_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, min(time_bucket(INTERVAL '1 day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day,
+                       time_bucket(INTERVAL '1 day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def q122_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, activity counted
+    per (cohort, day-offset) cell — the table under every retention curve.
+    The firsts aggregate is tiny (one row per user) and broadcast back;
+    the distinct collapses repeat activity within a day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (ev.join(F.broadcast(firsts), "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff("day", "cohort_day").alias("day_offset"))
+                .distinct())
+    return (activity.groupBy("cohort_day",
+                             F.col("day_offset").cast("bigint")
+                             .alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active_users")))
