@@ -562,3 +562,43 @@ def q116_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("pack_id"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("pack_tokens")))
+
+
+@register(
+    "q123_token_cooccurrence",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t <> '')) AS w
+      FROM documents WHERE doc_id < 60
+    ),
+    pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b
+      FROM toks,
+           LATERAL (SELECT unnest(w) AS t) a,
+           LATERAL (SELECT unnest(w) AS t) b
+      WHERE a.t < b.t
+    )
+    SELECT tok_a, tok_b, count(*) AS n_docs
+    FROM pairs GROUP BY tok_a, tok_b
+    HAVING count(*) >= 20
+    """,
+)
+def q123_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence (the PMI/market-basket numerator): ordered token
+    pairs appearing in the same document, kept when support >= 20 docs.
+    Pairs explode WITHIN a row (distinct tokens first — quadratic in doc
+    vocabulary, linear in corpus), then one count aggregation; the HAVING
+    prunes the long tail before any further join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
+        .alias("w"))
+    pairs = (toks.select("doc_id", F.explode("w").alias("tok_a"), "w")
+             .select("doc_id", "tok_a", F.explode("w").alias("tok_b"))
+             .filter(F.col("tok_a") < F.col("tok_b")))
+    return (pairs.groupBy("tok_a", "tok_b")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 20))

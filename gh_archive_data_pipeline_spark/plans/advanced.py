@@ -440,3 +440,36 @@ def q122_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("day_offset").cast("bigint")
                              .alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+@register(
+    "q124_equidepth_histogram",
+    sql="""
+    WITH b AS (
+      SELECT l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q124_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count, the optimizer's
+    statistics shape) complementing q18's equi-width buckets; the ntile
+    order carries key tiebreaks so bucket boundaries are total-order
+    deterministic. Global sort — at 100 TB you'd sample instead, which is
+    exactly what q111's sketch does."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi")))
