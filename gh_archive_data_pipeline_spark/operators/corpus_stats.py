@@ -1,0 +1,169 @@
+"""Corpus-statistics operators over the documents table — the repetition /
+diversity / indexing signals a training-data curation pipeline computes
+before filtering (reference analytics surface: /root/reference/README.md:7;
+quality plane analog of data_profiling.py).
+
+All three queries are built-in-function plans (explode + groupBy): the
+per-document fan-out shuffles (doc_id, token)-sized rows only, never full
+texts, and the aggregations are partial-agg friendly — at 100 TB each is one
+map-side-combined shuffle keyed on doc_id (or token for the index), no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+
+@register(
+    "q125_repetition_ngrams",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))
+                   AS bigram
+        FROM toks
+    ),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                                   AS total_bigrams,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)   AS dup_bigrams,
+           CAST(max(c) AS BIGINT)                                   AS top_bigram_count,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+                                                                    AS dup_bigram_frac,
+           round(max(c)::DOUBLE / sum(c), 6)                        AS top_bigram_share
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q125_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per document, the fraction of word
+    bigrams that occur more than once (occurrence-weighted) and the share of
+    the single most repeated bigram. High values flag boilerplate/spam docs
+    for removal before training.
+
+    Plan: one explode (bigrams materialize as short strings, not texts) and
+    two partial-aggregated shuffles both keyed on doc_id — AQE coalesces the
+    second since per-doc cardinality collapses to one row.
+    """
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    )
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_bigrams"),
+            dup.cast("bigint").alias("dup_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+            F.round(dup.cast("double") / F.sum("c"), 6).alias("dup_bigram_frac"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_share"),
+        )
+    )
+
+
+@register(
+    "q126_lexical_diversity",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)          AS n_tokens,
+           CAST(count(*) AS BIGINT)        AS distinct_tokens,
+           round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q126_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity scoring: type/token ratio and Shannon token entropy
+    per document (low entropy = repetitive/templated text). Entropy uses the
+    single-pass identity H = ln(T) - Σ c·ln(c) / T so one aggregation over
+    (doc, token) counts suffices — no per-row p=c/T pre-join.
+    """
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            total.cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("distinct_tokens"),
+            F.round(F.count("*").cast("double") / total, 6).alias("type_token_ratio"),
+            F.round(
+                F.log(total) - F.sum(F.col("c") * F.log("c")) / total, 6
+            ).alias("token_entropy"),
+        )
+    )
+
+
+@register(
+    "q127_inverted_index",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS total_tf FROM tok GROUP BY tok),
+    post AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS df,
+               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS posting_hash
+        FROM (SELECT DISTINCT tok, doc_id FROM tok) GROUP BY tok
+    )
+    SELECT p.tok, p.df, CAST(t.total_tf AS BIGINT) AS total_tf, p.posting_hash
+    FROM post p JOIN tf t USING (tok)
+    WHERE p.df >= 10
+    """,
+)
+def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (token → posting list): document frequency, total
+    term frequency, and an md5 digest of the sorted posting list per token
+    (digest instead of the raw array so the result stays hash-comparable).
+
+    Plan: one explode, then two aggregations over the token key — the
+    posting list is collected per token only (bounded by corpus doc count per
+    token, the same bound a real sharded index build has), and the final join
+    of the two token-keyed aggregates broadcasts the smaller side.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    tf = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("total_tf"))
+    post = (
+        tok.dropDuplicates(["tok", "doc_id"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.md5(
+                F.expr(
+                    "concat_ws(',', transform(sort_array(collect_list(doc_id)),"
+                    " x -> cast(x as string)))"
+                )
+            ).alias("posting_hash"),
+        )
+        .where(F.col("df") >= 10)
+    )
+    return post.join(tf, "tok").select("tok", "df", "total_tf", "posting_hash")

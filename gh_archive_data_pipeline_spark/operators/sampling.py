@@ -1,0 +1,176 @@
+"""Sampling and frequency-sketch operators for training-data curation:
+deterministic weighted sampling (Efraimidis–Spirakis A-ES), temperature-scaled
+mixture weights, and a mergeable count-min sketch.
+
+Determinism matters more than randomness here: a 100 TB curation run must be
+replayable (task retries, incremental re-runs), so "random" draws derive from
+md5 of stable keys — the same engine-portable trick the deterministic split
+(q88) uses, which also lets DuckDB compute the identical sample as an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+_HEX = "0123456789abcdef"
+
+
+def _uniform_sql(key_sql: str) -> str:
+    """SQL text (valid in both Spark SQL and DuckDB) for a deterministic
+    uniform draw in (0,1): first 7 hex digits of md5(key), decoded by digit
+    arithmetic (neither engine can cast hex→int with shared syntax)."""
+    digit = "(instr('{hex}', substr(md5({k}), {i}, 1)) - 1)"
+    terms = " + ".join(
+        digit.format(hex=_HEX, k=key_sql, i=i) + f" * {16 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    return f"((({terms}) + 0.5) / {16 ** 7})"
+
+
+# Weight-proportional sample WITHOUT replacement: key_i = -ln(u_i)/w_i, keep
+# the k smallest (exponential-clocks form of Efraimidis–Spirakis A-ES).
+_AES_KEY = f"(-ln({_uniform_sql('cast(doc_id as string)')}) / n_chars)"
+
+
+@register(
+    "q129_weighted_sample",
+    sql=f"""
+    SELECT doc_id, n_chars, lang
+    FROM (
+        SELECT doc_id, n_chars, lang,
+               {_AES_KEY} AS aes_key
+        FROM documents
+    )
+    ORDER BY aes_key, doc_id
+    LIMIT 50
+    """,
+)
+def q129_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis A-ES): draw 50 docs
+    with probability proportional to length, without replacement, from a
+    replayable md5-derived uniform. At 100 TB this is a TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on the driver) — no global sort,
+    no shuffle of the corpus, and re-runs select the identical sample.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang", F.expr(_AES_KEY).alias("aes_key"))
+        .orderBy("aes_key", "doc_id")
+        .limit(50)
+        .drop("aes_key")
+    )
+
+
+@register(
+    "q130_mixture_weights",
+    sql="""
+    WITH grp AS (
+        SELECT lang, source,
+               count(*) AS docs,
+               sum(len(string_split(text, ' '))) AS tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(docs AS BIGINT)    AS docs,
+           CAST(tokens AS BIGINT)  AS tokens,
+           round(pow(tokens, 0.3) / sum(pow(tokens, 0.3)) OVER (), 6)
+               AS mix_weight
+    FROM grp
+    """,
+)
+def q130_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (the multilingual-corpus balancing
+    rule p_i ∝ tokens_i^alpha, alpha=0.3): per (lang, source) shard, token
+    counts and the normalized sampling weight a data loader would draw with.
+    The global window runs on the post-aggregation rows (one per shard —
+    dozens, not billions), so the single-partition stage is trivially small.
+    """
+    grp = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    allw = Window.partitionBy()
+    return grp.select(
+        "lang", "source", "docs", "tokens",
+        F.round(
+            F.pow("tokens", F.lit(0.3)) / F.sum(F.pow("tokens", F.lit(0.3))).over(allw), 6
+        ).alias("mix_weight"),
+    )
+
+
+# Count-min sketch geometry: depth 4 × width 1024. Width is deliberately
+# small enough that collisions occur at fixture scale, so the overestimate
+# bound test is exercising something real.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_build(df: DataFrame, key: str) -> DataFrame:
+    """Build a count-min sketch as a (depth, bucket, c) DataFrame — the
+    sketch IS a tiny table (depth×width rows), so it merges across shards,
+    days, or streams by unioning and re-summing: the mergeability that makes
+    CMS the right frequency sketch for incremental 100 TB pipelines.
+
+    Each depth uses xxhash64 with a distinct seed column — independent-enough
+    hash rows without leaving the JVM.
+    """
+    rows = F.array(*[
+        F.struct(
+            F.lit(d).alias("depth"),
+            F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+        )
+        for d in range(CMS_DEPTH)
+    ])
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .groupBy("r.depth", "r.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Point-estimate probe-key frequencies from a sketch: min over the
+    depth rows. Joins probes (small) to the sketch (depth×width rows, always
+    broadcastable) — the corpus itself is never touched again."""
+    hashed = probes.select(
+        key,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("depth"),
+                F.pmod(F.xxhash64(F.col(key), F.lit(d)), F.lit(CMS_WIDTH)).alias("bucket"),
+            )
+            for d in range(CMS_DEPTH)
+        ])).alias("r"),
+    ).select(key, "r.depth", "r.bucket")
+    return (
+        hashed.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy(key)
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+
+
+@register("q132_count_min_sketch", sql=None)
+def q132_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every distinct event user:
+    build the 4×1024 sketch in one pass, then probe it. Rows-only by design
+    (CMS overestimates under collision — no SQL oracle); the unit test pins
+    est ≥ exact and the ε·N expected-overestimate bound against exact counts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id")
+    probes = events.select("user_id").distinct()
+    return (
+        cms_estimate(sketch, probes, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(100)
+    )

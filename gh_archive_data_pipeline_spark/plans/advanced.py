@@ -473,3 +473,84 @@ def q124_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("l_extendedprice"), 2).alias("lo"),
                  F.round(F.max("l_extendedprice"), 2).alias("hi")))
+
+
+@register(
+    "q128_pareto_frontier",
+    sql="""
+    WITH d AS (
+      SELECT o_orderdate, round(max(o_totalprice), 2) AS best_price
+      FROM orders GROUP BY o_orderdate
+    ),
+    r AS (
+      SELECT o_orderdate, best_price,
+             max(best_price) OVER (ORDER BY o_orderdate
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_best
+      FROM d
+    )
+    SELECT o_orderdate, best_price
+    FROM r WHERE prev_best IS NULL OR best_price > prev_best
+    """,
+)
+def q128_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) on (earlier date, higher price): dates whose
+    best order price beats every earlier date's best. Two-phase plan: the
+    distributed per-date max collapses ~1.5M orders to ~2.4k rows, and only
+    that tiny aggregate crosses the single-partition cumulative-max window —
+    the standard skyline-at-scale shape (aggregate first, window the
+    residue)."""
+    from pyspark.sql import Window
+
+    d = (load_table(spark, sf_dir, "orders")
+         .groupBy("o_orderdate")
+         .agg(F.round(F.max("o_totalprice"), 2).alias("best_price")))
+    w = (Window.orderBy("o_orderdate")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.withColumn("prev_best", F.max("best_price").over(w))
+            .where(F.col("prev_best").isNull()
+                   | (F.col("best_price") > F.col("prev_best")))
+            .select("o_orderdate", "best_price"))
+
+
+@register(
+    "q134_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def q134_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    count and conditional probability of each event_type -> event_type step.
+    The lag window shuffles once on user_id (the natural key); the
+    normalizing window runs on the 25-row transition matrix, not the events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"))
+    t = (seq.where(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    return t.select(
+        "from_type", "to_type", F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("from_type")), 6)
+        .alias("p"))

@@ -61,13 +61,16 @@ def _load_all() -> None:
     )
     from ..operators import (  # noqa: F401
         asof,
+        corpus_stats,
         dedup,
         graph,
         incremental,
+        layout,
         multimodal,
         profiler,
         quality,
         reconcile,
+        sampling,
         similarity,
         skew,
         text_queries,

@@ -164,3 +164,84 @@ def test_approx_percentiles_within_bound(spark):
         for col in ("p25", "p50", "p75", "p99"):
             e = exact[k][col]
             assert abs(a[col] - e) / e < 0.005, (k, col, a[col], e)
+
+
+def test_cms_overestimates_within_bound(spark):
+    """Count-min sketch contract: est >= exact for every key, and the mean
+    overestimate stays within the CMS expected bound e*N/width."""
+    import math
+
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        CMS_WIDTH, cms_build, cms_estimate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    n_total = events.count()
+    sketch = cms_build(events, "user_id")
+    probes = events.select("user_id").distinct()
+    est = {r.user_id: r.est_count
+           for r in cms_estimate(sketch, probes, "user_id").collect()}
+    exact = {r.user_id: r.c
+             for r in events.groupBy("user_id")
+             .agg(F.count("*").alias("c")).collect()}
+    assert set(est) == set(exact)
+    overs = []
+    for k, e in exact.items():
+        assert est[k] >= e, (k, est[k], e)
+        overs.append(est[k] - e)
+    assert sum(overs) / len(overs) <= math.e * n_total / CMS_WIDTH
+
+
+def test_cms_merges_across_shards(spark):
+    """Sketches built on disjoint shards, unioned and re-summed, must equal
+    the sketch built on the full table — the mergeability contract."""
+    from gh_archive_data_pipeline_spark.operators.sampling import cms_build
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    full = cms_build(events, "user_id")
+    a = cms_build(events.where("event_id % 2 = 0"), "user_id")
+    b = cms_build(events.where("event_id % 2 = 1"), "user_id")
+    merged = (a.unionByName(b).groupBy("depth", "bucket")
+              .agg(F.sum("c").alias("c")))
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Sorting by the Morton code must bound BOTH dimensions per chunk far
+    better than a linear sort bounds its non-sorted dimension: with 16x16
+    buckets split into 16 z-ordered chunks, each chunk spans at most half
+    of each axis (a linear x-sort leaves y spanning the full axis)."""
+    from gh_archive_data_pipeline_spark.operators.layout import zvalue
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x int, y int").withColumn(
+        "z", zvalue("x", "y"))
+    ordered = [ (r.x, r.y) for r in df.orderBy("z").collect() ]
+    chunk = len(ordered) // 16
+    for i in range(16):
+        part = ordered[i * chunk:(i + 1) * chunk]
+        xs = [p[0] for p in part]
+        ys = [p[1] for p in part]
+        assert max(xs) - min(xs) <= 8, (i, min(xs), max(xs))
+        assert max(ys) - min(ys) <= 8, (i, min(ys), max(ys))
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """A-ES sampling contract: the 50 sampled docs' mean length must exceed
+    the corpus mean (weights are n_chars), and the sample must be replayable
+    (identical doc_ids across two runs)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    fn = all_queries()["q129_weighted_sample"].fn
+    s1 = [r.doc_id for r in fn(spark, sf).collect()]
+    s2 = [r.doc_id for r in fn(spark, sf).collect()]
+    assert s1 == s2
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = (docs.where(F.col("doc_id").isin(s1))
+                   .agg(F.avg("n_chars")).first()[0])
+    assert sample_mean > corpus_mean
