@@ -63,9 +63,11 @@ def _load_all() -> None:
         asof,
         corpus_stats,
         dedup,
+        features,
         graph,
         incremental,
         layout,
+        prefilter,
         multimodal,
         profiler,
         quality,

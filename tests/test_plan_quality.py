@@ -284,3 +284,28 @@ def test_cached_table_reads_from_memory(spark):
         assert "InMemoryTableScan" in buf.getvalue()
     finally:
         df.unpersist()
+
+
+def test_q140_bloom_prefilter_never_shuffles_fact(spark):
+    """The bloom path must be pure broadcast reduction: four successive
+    BroadcastHashJoin left-semis (3 signature probes + exact verify) and no
+    SortMergeJoin; the only Exchange is the final group-by's."""
+    plan = plan_of(spark, "q140_bloom_prefilter_join")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q137_fuzzy_join_is_blocked_not_cross(spark):
+    """The levenshtein join must key on the block columns (an equi join with
+    the distance as residual filter), never a cartesian product."""
+    plan = plan_of(spark, "q137_fuzzy_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q129_weighted_sample_is_topk_not_global_sort(spark):
+    """A-ES sampling must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge of 50 rows), not a full Sort+Exchange of the
+    corpus."""
+    plan = plan_of(spark, "q129_weighted_sample")
+    assert "TakeOrderedAndProject" in plan

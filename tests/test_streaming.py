@@ -264,3 +264,72 @@ def test_replay_streaming_source(spark, tmp_path):
     assert got[7].event_type == "click" and got[7].value == 7.0
     # 10-row batches: at least 3 micro-batches committed
     assert q.lastProgress is None or q.lastProgress["batchId"] >= 2
+
+
+def test_rate_source_processing_time_lifecycle(spark):
+    """T9 processingTime trigger + the rate source: start a continuous
+    micro-batch query, wait for at least one non-empty batch, stop it
+    cleanly, and check rows landed with the (timestamp, value) schema."""
+    import time
+
+    q = (spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+         .writeStream.format("memory").queryName("rate_smoke")
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table("rate_smoke").count() == 0:
+            time.sleep(0.25)
+        n = spark.table("rate_smoke").count()
+        assert n > 0, "rate source produced no rows within 30s"
+        assert set(spark.table("rate_smoke").columns) == {"timestamp", "value"}
+        assert q.isActive
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    assert not q.isActive
+
+
+def test_stream_stream_left_outer_null_extension(spark, tmp_path):
+    """J8 left-outer stream-stream join: matched rows emit immediately;
+    an unmatched left row is held in state and emitted NULL-extended only
+    once the watermark passes its eviction bound."""
+    import pyspark.sql.functions as F
+
+    left_rows = [
+        (1, _ts(0), 7),              # no matching right row -> null-extended
+        (2, _ts(5), 8),              # matches right id=102
+        (3, _ts(120), 9),            # watermark advancer
+    ]
+    right_rows = [
+        (102, _ts(5), 8, 42.0),
+        (103, _ts(120), 9, 1.0),
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        left_rows, "click_id long, click_ts timestamp, user_id long"
+    ).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(
+        right_rows,
+        "purchase_id long, purchase_ts timestamp, p_user long, value double",
+    ).coalesce(1).write.parquet(rdir)
+
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+    left = (spark.readStream.schema(lschema).parquet(ldir)
+            .withWatermark("click_ts", "10 minutes"))
+    right = (spark.readStream.schema(rschema).parquet(rdir)
+             .withWatermark("purchase_ts", "10 minutes"))
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "value")
+    out = sp.run_to_memory(joined, "ss_left_outer", spark,
+                           output_mode="append")
+    rows = {r.click_id: r for r in out.collect()}
+    assert rows[2].purchase_id == 102 and rows[2].value == 42.0
+    assert rows[1].purchase_id is None and rows[1].value is None
