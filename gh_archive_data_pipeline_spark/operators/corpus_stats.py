@@ -167,3 +167,117 @@ def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 10)
     )
     return post.join(tf, "tok").select("tok", "df", "total_tf", "posting_hash")
+
+
+@register(
+    "q144_ngram_novelty",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
+                           || ' ' || list_extract(t, i + 2))) AS gram
+        FROM toks
+    ),
+    owner AS (SELECT gram, min(doc_id) AS first_owner FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN o.first_owner = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           round(sum(CASE WHEN o.first_owner = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM grams g JOIN owner o USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q144_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-redundancy curve: per document (in doc_id ingest order), the
+    fraction of its distinct word 3-grams appearing in no earlier document.
+    Falling novelty across a crawl = diminishing new content — the signal
+    dataset builders use to decide when another dump stops paying for
+    itself. Plan: explode → per-doc distinct → min(doc_id) per gram (one
+    token-keyed shuffle, partial-agg) → join back on gram → per-doc rollup.
+    Texts never shuffle, only (gram, doc_id) pairs."""
+    trigrams = F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+        " ' ', element_at(toks, i + 2)))"
+    )
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(trigrams).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_owner"))
+    novel = F.sum((F.col("first_owner") == F.col("doc_id")).cast("int"))
+    return (
+        grams.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("novel_grams"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "q147_vocab_oov",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (SELECT tok, count(*) AS c FROM tok GROUP BY tok)
+        ORDER BY c DESC, tok LIMIT 100
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS oov_rate,
+           round(sum(CASE WHEN v.tok IS NULL THEN length(t.tok)
+                          ELSE 1 END)::DOUBLE / count(*), 6) AS fertility
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q147_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per document, the out-of-vocabulary
+    rate against a top-100 frequency vocab and the resulting fertility
+    (pieces per word when OOV words fall back to characters) — the metric
+    that decides whether a tokenizer fits a corpus before training. The
+    vocab is a 100-row aggregate (deterministic count-then-token ordering)
+    broadcast into the token stream; one doc-keyed shuffle for the rollup.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok").limit(100)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    pieces = F.sum(
+        F.when(F.col("in_vocab").isNull(), F.length("tok")).otherwise(F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            oov.cast("bigint").alias("oov_tokens"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+            F.round(pieces.cast("double") / F.count("*"), 6).alias("fertility"),
+        )
+    )

@@ -193,3 +193,45 @@ def q112_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.sum(F.when(F.col("o_totalprice") == 0, 1).otherwise(0))
         .cast("bigint").alias("n_upserted"))
+
+
+@register(
+    "q141_incremental_join",
+    sql="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q141_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (the delta-join algebra
+    (A∪dA)⋈(B∪dB) = A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB): the fixture is split into
+    a 'materialized' base and synthetic deltas on both sides, the maintained
+    result is assembled from the three delta terms plus the precomputed base
+    join, and the oracle is the full recompute — they must agree exactly.
+    At 100 TB this is the nightly-load shape: the base⋈base term is already
+    on disk, only delta-sized joins run, and each delta term broadcasts its
+    delta side.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    base_o = orders.where(F.col("o_orderkey") % 10 < 8)
+    delta_o = orders.where(F.col("o_orderkey") % 10 >= 8)
+    base_c = cust.where(F.col("c_custkey") % 7 != 0)
+    delta_c = cust.where(F.col("c_custkey") % 7 == 0)
+
+    on = F.col("o_custkey") == F.col("c_custkey")
+    maintained = (
+        base_o.join(base_c, on)                       # the stored base join
+        .unionByName(delta_o.join(F.broadcast(base_c), on))
+        .unionByName(base_o.join(F.broadcast(delta_c), on))
+        .unionByName(delta_o.join(F.broadcast(delta_c), on))
+    )
+    return maintained.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

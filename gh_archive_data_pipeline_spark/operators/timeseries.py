@@ -165,3 +165,36 @@ def q91_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated per key with sequence() — distributed, never a driver loop."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     return resample(ev, key="user_id", ts="ts", value="value")
+
+
+@register(
+    "q145_mom_growth",
+    sql="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM m
+    """,
+)
+def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly revenue with its relative change —
+    the standard KPI time series. Distributed agg first (orders collapse to
+    ~80 month rows), lag window on the residue only; growth is computed from
+    the already-rounded revenue so both engines difference identical values.
+    """
+    from pyspark.sql.window import Window
+
+    m = (load_table(spark, sf_dir, "orders")
+         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                              "yyyy-MM").alias("month"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"))

@@ -554,3 +554,88 @@ def q134_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double")
                 / F.sum("n").over(Window.partitionBy("from_type")), 6)
         .alias("p"))
+
+
+@register(
+    "q142_quantile_binning",
+    sql="""
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS bounds
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(b.bounds, v -> l.l_extendedprice > v))
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l.l_extendedprice), 2) AS lo,
+           round(max(l.l_extendedprice), 2) AS hi,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l, b
+    GROUP BY bin
+    """,
+)
+def q142_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning the scalable way: compute the 9 decile boundaries
+    once (exact percentile, one aggregation), broadcast the single-row
+    boundary array over the fact, and bin each row by counting boundaries it
+    exceeds (one JVM HOF, no per-row join). This is the 100 TB twin of
+    q124's ntile equi-depth histogram, which needs a global sort; here the
+    fact is never sorted and shuffles only for the final 10-group agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.expr(
+        "percentile(l_extendedprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+    ).alias("bounds"))
+    return (
+        li.join(F.broadcast(bounds))
+        .select(
+            "l_extendedprice",
+            F.expr("size(filter(bounds, v -> l_extendedprice > v))")
+            .cast("bigint").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q148_weighted_median",
+    sql="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice, l_orderkey,
+                                              l_linenumber) AS cum_w,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cum_w * 2 >= tot_w THEN l_extendedprice END), 2)
+               AS weighted_median
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q148_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price): the first value whose
+    cumulative weight crosses half the group total. One shuffle on the group
+    key, partition-local sort for the cumulative window, tie-broken to a
+    total order; the plain median (q16) is the weight=1 special case this
+    generalizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cum_w"),
+        F.sum("l_quantity").over(wt).alias("tot_w"))
+    return (c.groupBy("l_returnflag")
+            .agg(F.round(
+                F.min(F.when(F.col("cum_w") * 2 >= F.col("tot_w"),
+                             F.col("l_extendedprice"))), 2)
+                .alias("weighted_median")))

@@ -67,6 +67,7 @@ def _load_all() -> None:
         graph,
         incremental,
         layout,
+        linalg,
         prefilter,
         multimodal,
         profiler,

@@ -111,3 +111,39 @@ def q103_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.retries", "int").alias("retries"),
         F.variant_get(v, "$.ab_test", "string").alias("ab_test"),
     )
+
+
+@register(
+    "q143_unpivot_metrics",
+    sql="""
+    WITH w AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price', avg_price FROM w
+    """,
+)
+def q143_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide metrics → long (metric, value) rows), the inverse of
+    q54's pivot — the export shape metric stores and plotting layers want.
+    The unpivot runs on the 5-row aggregate, so the melt is free; Spark's
+    native `unpivot` avoids the N-way self-union the SQL oracle spells out.
+    """
+    wide = (load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("double").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_price")))
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

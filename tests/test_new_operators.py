@@ -245,3 +245,55 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
     sample_mean = (docs.where(F.col("doc_id").isin(s1))
                    .agg(F.avg("n_chars")).first()[0])
     assert sample_mean > corpus_mean
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """On data with a planted dominant direction (clear λ1/λ2 gap), the
+    power-iteration component must align with NumPy's exact eigenvector
+    (|cos| > 0.999) and the eigenvalue must match within 0.5%."""
+    import numpy as np
+
+    from gh_archive_data_pipeline_spark.operators.linalg import (
+        DIM, pca_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(DIM)
+    direction /= np.linalg.norm(direction)
+    X = rng.randn(400, DIM) * 0.1 + np.outer(rng.randn(400), direction)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    v, eigenvalue, share = pca_top_component(emb)
+
+    C = np.cov((X - X.mean(axis=0)).T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    cos = abs(float(np.dot(evecs[:, -1], np.array(v))))
+    assert cos > 0.999, cos
+    assert abs(eigenvalue - evals[-1]) / evals[-1] < 5e-3
+    assert share > 0.5  # planted direction dominates total variance
+
+
+def test_pca_rayleigh_bound_on_isotropic_fixture(spark):
+    """The fixture embeddings are near-isotropic (λ1/λ2 ≈ 1.01), where NO
+    fixed-iteration method can pin the exact eigenvector — but the returned
+    direction's Rayleigh quotient must still sit at the very top of the
+    spectrum (≥ 97% of λ1)."""
+    import numpy as np
+
+    from gh_archive_data_pipeline_spark.operators.linalg import (
+        pca_top_component,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    v, eigenvalue, share = pca_top_component(emb)
+
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    C = np.cov((X - X.mean(axis=0)).T, bias=True)
+    lam1 = np.linalg.eigvalsh(C)[-1]
+    vv = np.array(v)
+    rq = float(vv @ C @ vv)
+    assert rq >= 0.97 * lam1, (rq, lam1)
+    assert abs(eigenvalue - rq) / rq < 0.02
