@@ -65,6 +65,10 @@ HEADLINE = [
     "q84_dedup_clusters",
     "q87_reconcile_tables",
     "q89_tfidf_top_terms",
+    # added in round 2 continuation (corpus-stats + sampling plane)
+    "q125_repetition_ngrams",
+    "q144_ngram_novelty",
+    "q129_weighted_sample",
 ]
 
 

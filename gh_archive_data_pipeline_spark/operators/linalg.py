@@ -90,3 +90,67 @@ def q146_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim_idx int, loading double, eigenvalue double, var_share double"
     )
+
+
+def _argmin_cluster(centroids: list[list[float]]):
+    """JVM argmin over k centroids: array_min over (distance², j) structs —
+    the struct comparison is lexicographic, so the index rides along free.
+    The k distance HOFs are built as SQL text, not Python lambdas: multiple
+    pyspark-lambda HOFs in one projection collapse into one shared expression
+    (all k distances would silently become centroid 0's)."""
+    cells = []
+    for j, c in enumerate(centroids):
+        carr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        d2 = (f"aggregate(zip_with(cast(embedding as array<double>), {carr},"
+              f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+        cells.append(f"struct({d2} AS d2, {j} AS j)")
+    best = f"array_min(array({', '.join(cells)}))"
+    return (F.expr(best).getField("j").alias("cluster"),
+            F.expr(best).getField("d2").alias("d2"))
+
+
+def kmeans(emb: DataFrame, k: int = 8, iterations: int = 5) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over the embedding column. Same scale contract as
+    pca_top_component: per-iteration driver state is the k×dim codebook
+    (collected — bounded and small, like the IVF codebook in
+    operators/similarity.py), and each iteration is ONE partial-aggregated
+    shuffle on the k-valued cluster key. Seeds are the first k vectors by
+    vec_id (deterministic, replayable)."""
+    seed_rows = (emb.orderBy("vec_id").limit(k)
+                 .select(_as_double(F.col("embedding")).alias("e")).collect())
+    centroids = [list(r.e) for r in seed_rows]
+    for _ in range(iterations):
+        cluster, _d2 = _argmin_cluster(centroids)
+        sums = (
+            emb.select(cluster, _as_double(F.col("embedding")).alias("e"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"),
+                 *[F.sum(F.col("e").getItem(d)).alias(f"s{d}")
+                   for d in range(DIM)])
+            .collect()
+        )
+        by_j = {r.cluster: r for r in sums}
+        centroids = [
+            [float(by_j[j][f"s{d}"]) / by_j[j].n for d in range(DIM)]
+            if j in by_j else centroids[j]          # empty cluster: keep seed
+            for j in range(len(centroids))
+        ]
+    cluster, d2 = _argmin_cluster(centroids)
+    assigned = emb.select("vec_id", cluster, d2)
+    return centroids, assigned
+
+
+@register("q149_kmeans_clusters", sql=None)
+def q149_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 5 Lloyd iterations) over the embedding corpus —
+    rows-only (iterative; the unit test pins assignments and inertia against
+    a NumPy reference running the identical algorithm). Output: per-cluster
+    size and mean squared distance (inertia contribution)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _centroids, assigned = kmeans(emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.round(F.avg("d2"), 6).alias("mean_sq_dist"))
+        .orderBy("cluster")
+    )

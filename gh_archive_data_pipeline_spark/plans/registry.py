@@ -66,6 +66,7 @@ def _load_all() -> None:
         features,
         graph,
         incremental,
+        intervals,
         layout,
         linalg,
         prefilter,

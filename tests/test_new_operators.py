@@ -297,3 +297,35 @@ def test_pca_rayleigh_bound_on_isotropic_fixture(spark):
     rq = float(vv @ C @ vv)
     assert rq >= 0.97 * lam1, (rq, lam1)
     assert abs(eigenvalue - rq) / rq < 0.02
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The distributed Lloyd iterations must track a NumPy reference running
+    the identical algorithm (same seeds, same iteration count): ≥98%
+    assignment agreement and inertia within 1%."""
+    import numpy as np
+
+    from gh_archive_data_pipeline_spark.operators.linalg import kmeans
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    centroids, assigned = kmeans(emb, k=8, iterations=5)
+    got = {r.vec_id: (r.cluster, r.d2) for r in assigned.collect()}
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    C = X[:8].copy()
+    for _ in range(5):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(8):
+            if (a == j).any():
+                C[j] = X[a == j].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    agree = sum(got[i][0] == int(a[n]) for n, i in enumerate(ids)) / len(ids)
+    assert agree >= 0.98, agree
+    inertia_spark = sum(v[1] for v in got.values())
+    inertia_np = float(d.min(axis=1).sum())
+    assert abs(inertia_spark - inertia_np) / inertia_np < 0.01

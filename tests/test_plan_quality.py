@@ -309,3 +309,11 @@ def test_q129_weighted_sample_is_topk_not_global_sort(spark):
     corpus."""
     plan = plan_of(spark, "q129_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q150_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketized interval join must plan as a hash join on the bucket
+    key with containment as residual — never a nested-loop range join."""
+    plan = plan_of(spark, "q150_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

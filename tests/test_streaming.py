@@ -333,3 +333,34 @@ def test_stream_stream_left_outer_null_extension(spark, tmp_path):
     rows = {r.click_id: r for r in out.collect()}
     assert rows[2].purchase_id == 102 and rows[2].value == 42.0
     assert rows[1].purchase_id is None and rows[1].value is None
+
+
+def test_drop_duplicates_within_watermark(spark, stream_dir):
+    """T7 via the dedicated API: dropDuplicatesWithinWatermark keeps one row
+    per key and — unlike plain dropDuplicates — EVICTS key state once the
+    watermark passes, so the state store is bounded on unbounded streams."""
+    stream = (_read(spark, stream_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "30 minutes")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    out = sp.run_to_memory(stream.select("event_id", "value"),
+                           "ddww_out", spark, output_mode="append")
+    ids = [r.event_id for r in out.collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5]      # planted dup of id=3 dropped
+    assert len(ids) == len(set(ids))
+
+
+def test_observe_metrics_on_batch(spark):
+    """The df.observe() API: accumulator-style metrics piggyback on a real
+    action with no extra pass — the lightweight data-quality hook the
+    streaming metrics listener complements."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = (spark.range(1000)
+          .withColumn("v", F.col("id") % 10)
+          .observe(obs, F.count(F.lit(1)).alias("rows"),
+                   F.sum(F.col("v")).alias("v_sum")))
+    assert df.count() == 1000
+    assert obs.get["rows"] == 1000
+    assert obs.get["v_sum"] == 4500

@@ -48,6 +48,8 @@ QUERIES = [
     "q53_asof_last_purchase",
     "q85_scd2_intervals",
     "q89_tfidf_top_terms",
+    "q125_repetition_ngrams",
+    "q144_ngram_novelty",
 ]
 
 
