@@ -281,3 +281,69 @@ def q147_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pieces.cast("double") / F.count("*"), 6).alias("fertility"),
         )
     )
+
+
+@register(
+    "q153_lm_crossentropy",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))
+                   AS bigram
+        FROM toks
+    ),
+    bgc AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+    ugc AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+        FROM bgc GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(b.c12::DOUBLE / u.c1)), 6) AS cross_entropy
+    FROM bg g
+    JOIN bgc b USING (bigram)
+    JOIN ugc u ON split_part(g.bigram, ' ', 1) = u.w1
+    GROUP BY g.doc_id
+    """,
+)
+def q153_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per document, the average negative
+    log-probability of its word bigrams under the corpus's own MLE bigram
+    model (p(w2|w1) = c(w1 w2) / c(w1·), with c(w1·) summed over observed
+    bigram starts so every in-corpus bigram has p > 0). Low cross-entropy =
+    predictable/templated text; high = unusual content — the cheap stand-in
+    for model-based perplexity filters in data curation.
+
+    Plan: one explode, two count aggregations (bigram- and prefix-keyed),
+    then the doc's bigram stream joins the two count tables on their keys —
+    all shuffles carry short strings and counts, never documents."""
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    bg = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    ugc = (bgc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+                       .alias("w1"))
+           .agg(F.sum("c12").alias("c1")))
+    return (
+        bg.join(bgc, "bigram")
+        .join(ugc, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c12").cast("double") / F.col("c1"))), 6)
+            .alias("cross_entropy"),
+        )
+    )

@@ -378,3 +378,71 @@ def q113_survivorship_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              tiebreak="event_id")
     return out.select("event_id", "user_id", "event_type",
                       F.round("value", 2).alias("value"))
+
+
+@register(
+    "q151_prefix_filter_jaccard",
+    sql="""
+    WITH s AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) >= 0.95
+    """,
+)
+def q151_prefix_filter_jaccard(spark: SparkSession, sf_dir: str,
+                               threshold: float = 0.95) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the PPJoin family):
+    token-set Jaccard >= t without the all-pairs product the oracle runs.
+    Order each doc's tokens by global rarity; two sets with Jaccard >= t
+    MUST share a token within their first |s| - ceil(t*|s|) + 1 rarest
+    tokens, so candidates come from an equi self-join on prefix tokens only
+    and exact Jaccard verifies each candidate. Rare prefixes have small
+    document frequency, so candidate count stays near-linear — the exact
+    complement to MinHash/LSH (q42), which is approximate.
+
+    Plan: tokens shuffle once for the rarity dictionary, once for the
+    prefix self-join; verification joins the candidate pairs (not the
+    corpus) to per-doc sorted token arrays."""
+    import math  # noqa: F401  (ceil inline via SQL to keep both engines identical)
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+           .dropDuplicates(["doc_id", "tok"]))
+    # Global rarity rank (the prefix dictionary). The vocab-sized window is
+    # single-partition by design — at 100 TB this dictionary is still tiny
+    # relative to the corpus and is the standard PPJoin preprocessing step.
+    rank = (tok.groupBy("tok").agg(F.count("*").alias("df"))
+            .withColumn("rk", F.row_number().over(
+                Window.orderBy("df", "tok"))))
+    ranked = (tok.join(F.broadcast(rank.select("tok", "rk")), "tok")
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("doc_id")))
+              .withColumn("pos", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("rk"))))
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    cand = (prefix.alias("a").join(
+                prefix.alias("b"),
+                (F.col("a.tok") == F.col("b.tok"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sets = (tok.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("tok")).alias("toks"),
+                 F.count("*").alias("n")))
+    inter = F.size(F.array_intersect(F.col("sa.toks"), F.col("sb.toks")))
+    jac = inter.cast("double") / (F.col("sa.n") + F.col("sb.n") - inter)
+    return (cand
+            .join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .where(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))

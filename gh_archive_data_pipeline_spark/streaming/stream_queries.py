@@ -226,3 +226,46 @@ def q83_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("query_name") == name)
             .select("query_name", "batch_id", "input_rows",
                     "batch_duration_ms", "state_rows"))
+
+
+@register(
+    "q152_stream_chained_windows",
+    sql="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    w5 AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w5_epoch,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(floor(w5_epoch / 3600) * 3600 AS BIGINT) AS hour_epoch,
+           CAST(max(c) AS BIGINT) AS max_5min_count
+    FROM w5, mx
+    GROUP BY 1, 2, mx.m
+    HAVING hour_epoch + 3600 <= floor(epoch(mx.m))
+    """,
+)
+def q152_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (Spark 4 multiple-stateful-operator
+    support): 5-minute tumbling counts feed a second windowed aggregation
+    (hourly max of the 5-minute counts) inside ONE streaming query, linked
+    by window_time() as the downstream event-time column. Append mode +
+    0-second watermark: every window whose end precedes the final watermark
+    (= max event time) is emitted; the oracle applies the same cutoff, so
+    the trailing partial hour is excluded on both sides."""
+    ev = (_events_stream(spark, sf_dir)
+          .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+          .withWatermark("ts", "0 seconds"))
+    w5 = (ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .select("event_type", F.window_time("window").alias("ts5"), "c"))
+    hourly = (w5.groupBy(F.window("ts5", "1 hour"), "event_type")
+              .agg(F.max("c").cast("bigint").alias("max_5min_count"))
+              .select(
+                  "event_type",
+                  F.unix_timestamp(F.col("window.start")).cast("bigint")
+                  .alias("hour_epoch"),
+                  "max_5min_count"))
+    name = f"chained_windows_{next(_counter)}"
+    return run_to_memory(hourly, name, spark, output_mode="append")
