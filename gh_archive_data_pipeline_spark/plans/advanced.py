@@ -639,3 +639,40 @@ def q148_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(F.when(F.col("cum_w") * 2 >= F.col("tot_w"),
                              F.col("l_extendedprice"))), 2)
                 .alias("weighted_median")))
+
+
+@register(
+    "q154_sql_udf",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2)
+               AS discounted_revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def q154_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family extension: a declarative SQL UDF (CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>, Spark 4) applied through a parameterized query
+    (spark.sql named args). SQL UDFs inline into the plan at analysis time —
+    unlike Python UDFs they cost nothing at run time and stay inside
+    whole-stage codegen; the oracle simply inlines the same expression."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted(price DOUBLE, disc DOUBLE)
+        RETURNS DOUBLE RETURN round(price * (1 - disc), 2)
+    """)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(discounted(l_extendedprice, l_discount)), 2)
+                   AS discounted_revenue
+        FROM lineitem_udf_v
+        WHERE l_quantity >= :min_qty
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30},
+    )

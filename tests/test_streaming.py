@@ -364,3 +364,121 @@ def test_observe_metrics_on_batch(spark):
     assert df.count() == 1000
     assert obs.get["rows"] == 1000
     assert obs.get["v_sum"] == 4500
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas needs the python protobuf package for its "
+    "state-server protocol; not installed in this container and installs are "
+    "forbidden (verified: driver worker crashes with ImportError from "
+    "google.protobuf). applyInPandasWithState covers T8 arbitrary state."))
+def test_transform_with_state_in_pandas(spark, stream_dir):
+    """T8 via the Spark 4 transformWithStateInPandas API (successor to
+    applyInPandasWithState): ValueState-backed running per-user totals on
+    the RocksDB state store, drained with availableNow and checked against
+    the batch aggregate of the same files."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._state.get() if self._state.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    before = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                            None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        stream = _read(spark, stream_dir).select("user_id", "value")
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningStats(),
+            outputStructType="user_id long, n bigint, total double",
+            outputMode="Append",
+            timeMode="None",
+        )
+        got = sp.run_to_memory(out, "tws_out", spark, output_mode="append")
+        # availableNow over the fixture = one batch -> one emission per user
+        # carrying the final running totals (duplicate id=3 is NOT deduped
+        # here; TWS is raw arbitrary state).
+        rows = {r.user_id: r for r in got.collect()}
+        batch = {r.user_id: r for r in
+                 spark.read.parquet(f"{stream_dir}/*/*.parquet")
+                 .groupBy("user_id")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+                 .collect()}
+        assert set(rows) == set(batch)
+        for uid, b in batch.items():
+            assert rows[uid].n == b.n and rows[uid].total == b.total
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", before)
+
+
+def test_write_json_round_trip(spark, tmp_path):
+    """K-family JSON-lines export: partitioned gzip write, schema-stable
+    read-back."""
+    from gh_archive_data_pipeline_spark.sources.writers import write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id long, grp string, v double")
+    out = str(tmp_path / "json_out")
+    write_json(df, out, partition_by=["grp"])
+    back = spark.read.schema("id long, v double, grp string").json(out)
+    assert sorted((r.id, r.grp, r.v) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+
+
+def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
+    """Custom Python DataSource WRITER: per-task part files + an atomic
+    driver-side manifest commit; the manifest row count must equal the
+    DataFrame's and every listed file must exist."""
+    import json as _json
+
+    from gh_archive_data_pipeline_spark.sources.jsonl_sink import (
+        JsonlAuditDataSource, read_manifest,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = str(tmp_path / "audit")
+    df = (spark.range(100)
+          .withColumn("label", F.concat(F.lit("row-"), F.col("id")))
+          .repartition(4))
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    manifest = read_manifest(out)
+    assert manifest["rows"] == 100
+    assert len(manifest["files"]) == 4
+    seen = []
+    for fname in manifest["files"]:
+        with open(f"{out}/{fname}") as fh:
+            seen += [_json.loads(line) for line in fh]
+    assert len(seen) == 100
+    assert {r["id"] for r in seen} == set(range(100))
+    assert all(r["label"] == f"row-{r['id']}" for r in seen)
