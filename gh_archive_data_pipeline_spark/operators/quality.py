@@ -135,3 +135,107 @@ def q77_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .is_contained_in("l_returnflag", ["A", "N", "R"])
         .run()
     )
+
+
+@register(
+    "q155_referential_integrity",
+    sql="""
+    SELECT 'orders.custkey->customer' AS fk,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS total
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+)
+def q155_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the FK checks a lakehouse can't enforce
+    declaratively): orphan counts for three fact→dim edges via left-anti
+    joins. Each edge is one anti join — dims broadcast, the fact never
+    shuffles — so the full audit costs three broadcast passes regardless of
+    fact size; the Deequ-style Check suite (q77) covers in-table constraints
+    and this covers cross-table ones."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def edge(fk: str, fact: DataFrame, fact_key: str,
+             dim: DataFrame, dim_key: str) -> DataFrame:
+        orphans = fact.join(
+            F.broadcast(dim.select(dim_key)),
+            fact[fact_key] == dim[dim_key], "left_anti")
+        return spark.createDataFrame([(fk,)], "fk string").crossJoin(
+            orphans.agg(F.count("*").cast("bigint").alias("orphans"))
+        ).crossJoin(
+            fact.agg(F.count("*").cast("bigint").alias("total"))
+        )
+
+    return (
+        edge("orders.custkey->customer", orders, "o_custkey",
+             customer, "c_custkey")
+        .unionByName(edge("lineitem.orderkey->orders", lineitem, "l_orderkey",
+                          orders, "o_orderkey"))
+        .unionByName(edge("lineitem.suppkey->supplier", lineitem, "l_suppkey",
+                          supplier, "s_suppkey"))
+    )
+
+
+@register(
+    "q156_key_skew_report",
+    sql="""
+    WITH freq AS (
+        SELECT l_suppkey AS key, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               round(avg(c), 4) AS avg_rows,
+               round(quantile_cont(c, 0.5), 1) AS p50,
+               round(quantile_cont(c, 0.99), 1) AS p99,
+               round(max(c) / avg(c), 4) AS skew_factor
+        FROM freq
+    ),
+    top AS (
+        SELECT key, CAST(c AS BIGINT) AS c
+        FROM freq ORDER BY c DESC, key LIMIT 3
+    )
+    SELECT s.*, t.key AS top_key, t.c AS top_rows
+    FROM stats s, top t
+    """,
+)
+def q156_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report that decides between plain
+    shuffle, AQE skew split, and explicit salting (operators/skew.py): key
+    cardinality, per-key row percentiles, max/avg skew factor, and the top
+    hot keys. One fact-side count aggregation; everything downstream runs
+    on the key-frequency residue."""
+    freq = (load_table(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_suppkey").alias("key"))
+            .agg(F.count("*").alias("c")))
+    stats = freq.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.round(F.avg("c"), 4).alias("avg_rows"),
+        F.round(F.expr("percentile(c, 0.5)"), 1).alias("p50"),
+        F.round(F.expr("percentile(c, 0.99)"), 1).alias("p99"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_factor"),
+    )
+    top = (freq.orderBy(F.desc("c"), "key").limit(3)
+           .select(F.col("key").alias("top_key"),
+                   F.col("c").cast("bigint").alias("top_rows")))
+    return stats.crossJoin(top)
