@@ -676,3 +676,110 @@ def q154_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30},
     )
+
+
+@register(
+    "q162_decile_lift",
+    sql="""
+    WITH scored AS (
+        SELECT user_id,
+               sum(value) AS score,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchases
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT score, purchases,
+               ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM scored
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(purchases) AS BIGINT) AS purchases
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_users, purchases,
+           round(sum(purchases) OVER (ORDER BY decile)::DOUBLE
+                 / sum(purchases) OVER (), 6) AS cum_purchase_share,
+           round((purchases::DOUBLE / n_users)
+                 / (sum(purchases) OVER ()::DOUBLE / sum(n_users) OVER ()), 6)
+               AS lift
+    FROM agg
+    """,
+)
+def q162_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation analytics shape: rank
+    users by a score (here: total event value), split into deciles, report
+    per-decile purchase lift and the cumulative-gains curve. The user-level
+    aggregation distributes; the ntile and share windows run on the
+    user-residue and 10-row aggregate respectively."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.groupBy("user_id").agg(
+        F.sum("value").alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("purchases"))
+    ranked = scored.select(
+        "score", "purchases",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), "user_id"))
+        .alias("decile"))
+    agg = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("purchases").cast("bigint").alias("purchases"))
+    w_cum = Window.orderBy("decile")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "decile", "n_users", "purchases",
+        F.round(F.sum("purchases").over(w_cum).cast("double")
+                / F.sum("purchases").over(w_all), 6)
+        .alias("cum_purchase_share"),
+        F.round((F.col("purchases").cast("double") / F.col("n_users"))
+                / (F.sum("purchases").over(w_all).cast("double")
+                   / F.sum("n_users").over(w_all)), 6)
+        .alias("lift"))
+
+
+# A/B z-test from exact decimal moments (same determinism rationale as
+# q136: float sums are order-sensitive; decimal sums are exact, and the
+# z-statistic arithmetic then runs identically on both engines).
+_AB_BODY = """
+    WITH m AS (
+        SELECT event_type,
+               user_id % 2 AS arm,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(12,4))) AS s1,
+               sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)))
+                   AS s2
+        FROM {table}
+        GROUP BY event_type, user_id % 2
+    ),
+    w AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s1 AS DOUBLE) / a.n AS mean_a,
+               CAST(b.s1 AS DOUBLE) / b.n AS mean_b,
+               (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n)
+                   / (a.n - 1) AS var_a,
+               (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+                   / (b.n - 1) AS var_b
+        FROM m a JOIN m b ON a.event_type = b.event_type
+        WHERE a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+           round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+               AS z_score
+    FROM w
+"""
+
+
+@register("q163_ab_test_zscore", sql=_AB_BODY.format(table="events"))
+def q163_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-statistic per event type, arms assigned by
+    user-id parity (the deterministic stand-in for an experiment flag).
+    Moments (n, Σx, Σx²) are summed as exact decimals so the statistic is
+    bit-identical across partitionings and engines; the z arithmetic runs
+    on the 5-row moment table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_ab_v")
+    return spark.sql(_AB_BODY.format(table="events_ab_v"))

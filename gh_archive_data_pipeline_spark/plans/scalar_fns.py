@@ -276,3 +276,56 @@ def q114_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").try_cast("double").alias("bogus_num"),
         F.round(F.try_divide("value", retries), 4).alias("value_per_retry"),
     )
+
+
+@register(
+    "q160_regex_extract_all",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\b[a-z]{6,}\\b'))
+                AS BIGINT) AS n_long_words,
+           coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(text, '\\b[a-z]{6,}\\b'))), ','), '')
+               AS long_words
+    FROM documents
+    """,
+)
+def q160_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 depth: regexp_extract_all — pull every ≥6-letter word per document
+    and emit the count plus a deterministic (sorted, distinct, joined)
+    rendering; the flattened string keeps the result hash-comparable (array
+    columns break the driver's sort-based compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # idx 0 = whole match (Spark defaults to capture group 1; DuckDB to 0)
+    words = F.expr(r"regexp_extract_all(text, '\\b[a-z]{6,}\\b', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_long_words"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",")
+        .alias("long_words"),
+    )
+
+
+@register(
+    "q161_json_keys",
+    sql="""
+    SELECT k AS prop_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def q161_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 depth: schema DISCOVERY over a raw JSON column — explode each
+    payload's key set (json_object_keys) and profile key frequency. This is
+    the first step a pipeline runs on an unknown payload column before
+    committing to a from_json schema; one explode + one grouped count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type",
+                  F.explode(F.json_object_keys("props")).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.countDistinct("event_type").cast("bigint").alias("n_types"))
+    )

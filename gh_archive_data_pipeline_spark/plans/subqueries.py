@@ -192,3 +192,60 @@ def q104_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
       ) agg ON months.m = agg.m2
     """)
+
+
+@register(
+    "q157_multi_supplier_orders",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(s.n_suppliers), 4) AS avg_suppliers
+    FROM orders o JOIN (
+        SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) >= 3
+    ) s ON o.o_orderkey = s.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q157_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored shape: per-order distinct-supplier counts with a
+    HAVING cutoff, joined back to the order header. The distinct count
+    expands to a two-phase aggregate (dedup shuffle then count) keyed on
+    orderkey — the same key the join uses, so AQE can plan the join without
+    a second fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    s = (li.groupBy("l_orderkey")
+         .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+         .where(F.col("n_suppliers") >= 3))
+    return (orders.join(s, orders.o_orderkey == s.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.avg("n_suppliers"), 4).alias("avg_suppliers")))
+
+
+@register(
+    "q158_exists_projection",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 400000) AS has_big_order
+    FROM customer c
+    """,
+)
+def q158_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS in the projection (not the WHERE): a boolean flag column per
+    customer. Catalyst rewrites the correlated EXISTS to an existence join
+    (a left outer with an exists marker) — one pass over each table, no
+    per-row subquery execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex_v")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders_ex_v o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000) AS has_big_order
+        FROM customer_ex_v c
+    """)

@@ -317,3 +317,26 @@ def test_q150_interval_join_is_equi_not_nested_loop(spark):
     plan = plan_of(spark, "q150_interval_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q155_integrity_audit_is_broadcast_anti(spark):
+    """Each FK edge must check via a broadcast anti join — the fact tables
+    never shuffle for the audit."""
+    plan = plan_of(spark, "q155_referential_integrity")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti" in plan
+
+
+def test_q141_incremental_join_broadcasts_deltas(spark):
+    """The three delta terms must broadcast their delta side; only the
+    base x base term may shuffle both inputs."""
+    plan = plan_of(spark, "q141_incremental_join")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q142_binning_has_no_global_sort(spark):
+    """Quantile binning must not sort the fact: one aggregation for the
+    bounds, a broadcast, and a 10-group agg."""
+    plan = plan_of(spark, "q142_quantile_binning")
+    assert "Sort [" not in plan.split("AdaptiveSparkPlan")[0]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
