@@ -410,7 +410,15 @@ def q151_prefix_filter_jaccard(spark: SparkSession, sf_dir: str,
 
     Plan: tokens shuffle once for the rarity dictionary, once for the
     prefix self-join; verification joins the candidate pairs (not the
-    corpus) to per-doc sorted token arrays."""
+    corpus) to per-doc sorted token arrays.
+
+    Cost caveat measured at sf0.1: the fixture corpus is pathologically
+    self-similar (tiny shared vocab; mean pairwise J = 0.63), so the TRUE
+    result at t=0.95 is ~191k of 12.5M pairs — any exact algorithm is
+    Ω(output) there (~31 s at sf0.1; 1.2 s at the driver's sf0.01 gate).
+    On realistic corpora the prefix+length filters prune near-linearly;
+    for corpora where they can't, the approximate MinHash path (q42) is
+    the scale fallback."""
     import math  # noqa: F401  (ceil inline via SQL to keep both engines identical)
 
     docs = load_table(spark, sf_dir, "documents")
@@ -429,10 +437,15 @@ def q151_prefix_filter_jaccard(spark: SparkSession, sf_dir: str,
                   Window.partitionBy("doc_id").orderBy("rk"))))
     prefix = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    # Length filter (the second standard PPJoin prune): J(a,b) >= t forces
+    # t·max(|a|,|b|) <= min(|a|,|b|) — size-incompatible pairs never verify.
     cand = (prefix.alias("a").join(
                 prefix.alias("b"),
                 (F.col("a.tok") == F.col("b.tok"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.greatest(F.col("a.n"), F.col("b.n"))
+                   * F.lit(threshold)
+                   <= F.least(F.col("a.n"), F.col("b.n"))))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
