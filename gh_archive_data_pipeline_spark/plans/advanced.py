@@ -783,3 +783,79 @@ def q163_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 5-row moment table."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_ab_v")
     return spark.sql(_AB_BODY.format(table="events_ab_v"))
+
+
+@register(
+    "q164_revenue_gini",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS rk,
+               count(*) OVER () AS n,
+               sum(revenue) OVER () AS total
+        FROM per_cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(any_value(total), 2) AS total_revenue,
+           round(2.0 * sum(rk * revenue) / (any_value(n) * any_value(total))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q164_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers (the numeric
+    inequality twin of q65's categorical Gini impurity), via the sorted
+    cumulative-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Orders collapse
+    to one row per customer first; only that residue (1/400th of the fact)
+    crosses the rank window. Revenue is rounded BEFORE ranking so both
+    engines rank identical values with the same key tiebreak."""
+    per_cust = (load_table(spark, sf_dir, "orders")
+                .groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    ranked = per_cust.select(
+        "revenue",
+        F.row_number().over(Window.orderBy("revenue", "o_custkey")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"))
+    return ranked.agg(
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.round(F.any_value("total"), 2).alias("total_revenue"),
+        F.round(2.0 * F.sum(F.col("rk") * F.col("revenue"))
+                / (F.any_value("n") * F.any_value("total"))
+                - (F.any_value("n") + 1.0) / F.any_value("n"), 6)
+        .alias("gini"))
+
+
+@register(
+    "q165_yoy_growth",
+    sql="""
+    WITH m AS (
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY yr, mo))
+                 / lag(revenue, 12) OVER (ORDER BY yr, mo), 6) AS yoy_growth
+    FROM m
+    """,
+)
+def q165_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: lag(12) on the monthly revenue series —
+    the seasonal complement to q145's month-over-month. Fact collapses to
+    ~80 month rows before the single-partition lag window; growth is
+    differenced on already-rounded revenue so both engines agree exactly."""
+    m = (load_table(spark, sf_dir, "orders")
+         .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                  F.month("o_orderdate").cast("bigint").alias("mo"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select("yr", "mo", "revenue",
+                    F.round((F.col("revenue") - prev) / prev, 6)
+                    .alias("yoy_growth"))
