@@ -221,3 +221,54 @@ def q118_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("duration_sec")))
     frames = sample_frames(videos)
     return frames.select("doc_id", "frame_idx", "frame_ts_sec")
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, fake_width int, fake_height int, "
+    "target_width int, target_height int, scale_num bigint, scale_den bigint"
+)
+
+
+def resize_plan(assets: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize AUDIT for image payloads: compute source dims (stubbed decode)
+    and the aspect-preserving target dims that fit in max_side×max_side —
+    the planning half of a real resize kernel. The actual pixel resample is
+    the stubbed seam (no codec libs here); everything Spark-side is real:
+    Arrow batch shape, integer-exact scale ratio (numerator/denominator, no
+    float drift across engines), payloads never shuffle (the plan derives
+    from dims only).
+    """
+    import hashlib  # noqa: F401  (mirrors _decode_stub's deterministic digest)
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            dims = [_decode_stub(p) for p in pdf["payload"]]
+            w = pd.Series([d[0] for d in dims], index=pdf.index)
+            h = pd.Series([d[1] for d in dims], index=pdf.index)
+            long_side = w.combine(h, max)
+            tw = (w * max_side // long_side).astype("int32")
+            th = (h * max_side // long_side).astype("int32")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "fake_width": w.astype("int32"),
+                "fake_height": h.astype("int32"),
+                "target_width": tw,
+                "target_height": th,
+                "scale_num": pd.Series([max_side] * len(pdf), index=pdf.index,
+                                       dtype="int64"),
+                "scale_den": long_side.astype("int64"),
+            })
+
+    return assets.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
+
+
+@register("q166_multimodal_resize", sql=None)
+def q166_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize planning over binary payloads — rows-only (the fake
+    decode has no SQL oracle; the unit test pins aspect-ratio preservation
+    and the fit-in-bounds contract). Demonstrates the 1-to-1 mapInPandas
+    multimodal shape alongside q57's feature extraction and q118's 1-to-N
+    frame sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_plan(with_binary_payload(docs)).orderBy("doc_id")

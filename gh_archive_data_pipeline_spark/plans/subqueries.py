@@ -249,3 +249,35 @@ def q158_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AND o.o_totalprice > 400000) AS has_big_order
         FROM customer_ex_v c
     """)
+
+
+@register(
+    "q159_lateral_topn",
+    sql="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def q159_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) — the SQL
+    plane's per-row-subquery surface. Catalyst plans the lateral as a join,
+    not 25 re-executions; the equivalent DataFrame shape is q19/q69's
+    rank-filter, which WindowGroupLimit optimizes the same way."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS c_acctbal
+        FROM nation_lat_v n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer_lat_v c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """)

@@ -329,3 +329,25 @@ def test_kmeans_matches_numpy_lloyd(spark):
     inertia_spark = sum(v[1] for v in got.values())
     inertia_np = float(d.min(axis=1).sum())
     assert abs(inertia_spark - inertia_np) / inertia_np < 0.01
+
+
+def test_resize_plan_preserves_aspect_and_bounds(spark):
+    """Resize audit contract: target dims fit in 224x224, the long side is
+    exactly 224, and aspect ratio error is bounded by integer flooring."""
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        resize_plan, with_binary_payload,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = resize_plan(with_binary_payload(docs)).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert max(r.target_width, r.target_height) == 224
+        assert r.target_width <= 224 and r.target_height <= 224
+        assert r.scale_den == max(r.fake_width, r.fake_height)
+        # integer flooring distorts the ratio by at most ~1/short_side;
+        # the short target side is >= 224/9 here, so 5% relative bounds it
+        got = r.target_width / r.target_height
+        want = r.fake_width / r.fake_height
+        assert abs(got - want) / want <= 0.05
