@@ -459,3 +459,46 @@ def q151_prefix_filter_jaccard(spark: SparkSession, sf_dir: str,
             .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
             .where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+def dedup_pipeline(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """END-TO-END near-dup dedup: MinHash/LSH candidate pairs (exact-Jaccard
+    verified) → connected components (transitive closure of "is a near-dup
+    of") → one surviving representative per cluster (longest text, doc_id
+    tiebreak). Returns (doc_id, cluster, is_representative, cluster_size) —
+    the keep/drop decision a curation run materializes.
+
+    Composition of q42 + q84 + q113's techniques in one lineage; every
+    stage is the documented-scalable variant (banded join, O(diameter)
+    label propagation, rank-based survivorship)."""
+    from pyspark.sql.window import Window
+
+    from .graph import connected_components
+
+    pairs = minhash_near_dup(docs, threshold=threshold)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("doc_a").alias("src"),
+                            F.col("doc_b").alias("dst")))
+    labeled = docs.select("doc_id", F.length("text").alias("n_chars")).join(
+        comp, docs.doc_id == comp.node).drop("node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), "doc_id")
+    return (labeled
+            .withColumn("is_representative", F.row_number().over(w) == 1)
+            .withColumn("cluster_size",
+                        F.count("*").over(Window.partitionBy("component")))
+            .select(F.col("doc_id"),
+                    F.col("component").alias("cluster"),
+                    "is_representative",
+                    F.col("cluster_size").cast("bigint").alias("cluster_size")))
+
+
+@register("q168_dedup_pipeline", sql=None)
+def q168_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline over documents — rows-only (LSH has no SQL
+    oracle); the unit test pins internal consistency: clusters partition the
+    corpus, exactly one representative per cluster, every q42 pair lands in
+    one cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_pipeline(docs).orderBy("doc_id")

@@ -859,3 +859,73 @@ def q165_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("yr", "mo", "revenue",
                     F.round((F.col("revenue") - prev) / prev, 6)
                     .alias("yoy_growth"))
+
+
+@register(
+    "q167_market_basket",
+    sql="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+    brand_freq AS (
+        SELECT p_brand, count(*) AS c FROM baskets GROUP BY p_brand
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING count(*) >= 50
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           round(p.c_ab::DOUBLE / n.n, 6) AS support,
+           round(p.c_ab::DOUBLE / fa.c, 6) AS confidence_a_to_b,
+           round(p.c_ab::DOUBLE * n.n / (fa.c::DOUBLE * fb.c), 6) AS lift
+    FROM pairs p
+    JOIN brand_freq fa ON p.brand_a = fa.p_brand
+    JOIN brand_freq fb ON p.brand_b = fb.p_brand
+    CROSS JOIN n_orders n
+    """,
+)
+def q167_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (frequent brand pairs with support /
+    confidence / lift) — the co-purchase analytics family. The quadratic
+    step is bounded per basket (pairs within one order's distinct brands,
+    ≤ 7 lines per order), support pruning happens in the pair aggregation's
+    HAVING before any stats join, and the brand-frequency and order-count
+    sides broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+               .select("l_orderkey", "p_brand").distinct())
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n"))
+    brand_freq = baskets.groupBy("p_brand").agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.p_brand") < F.col("b.p_brand")))
+             .groupBy(F.col("a.p_brand").alias("brand_a"),
+                      F.col("b.p_brand").alias("brand_b"))
+             .agg(F.count("*").alias("c_ab"))
+             .where(F.col("c_ab") >= 50))
+    fa = brand_freq.select(F.col("p_brand").alias("brand_a"),
+                           F.col("c").alias("c_a"))
+    fb = brand_freq.select(F.col("p_brand").alias("brand_b"),
+                           F.col("c").alias("c_b"))
+    return (pairs.join(F.broadcast(fa), "brand_a")
+            .join(F.broadcast(fb), "brand_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                "brand_a", "brand_b",
+                F.col("c_ab").cast("bigint").alias("n_both"),
+                F.round(F.col("c_ab").cast("double") / F.col("n"), 6)
+                .alias("support"),
+                F.round(F.col("c_ab").cast("double") / F.col("c_a"), 6)
+                .alias("confidence_a_to_b"),
+                F.round(F.col("c_ab").cast("double") * F.col("n")
+                        / (F.col("c_a").cast("double") * F.col("c_b")), 6)
+                .alias("lift")))

@@ -351,3 +351,29 @@ def test_resize_plan_preserves_aspect_and_bounds(spark):
         got = r.target_width / r.target_height
         want = r.fake_width / r.fake_height
         assert abs(got - want) / want <= 0.05
+
+
+def test_dedup_pipeline_consistency(spark):
+    """dedup_pipeline contract: every doc appears exactly once, each
+    cluster has exactly one representative, cluster sizes agree, and every
+    near-dup pair from the pairwise stage shares a cluster."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        dedup_pipeline, minhash_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = dedup_pipeline(docs).collect()
+    assert len(out) == docs.count()
+    by_cluster = {}
+    cluster_of = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+        cluster_of[r.doc_id] = r.cluster
+    for cid, members in by_cluster.items():
+        assert sum(m.is_representative for m in members) == 1, cid
+        assert all(m.cluster_size == len(members) for m in members)
+    pairs = minhash_near_dup(docs, threshold=0.3).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
