@@ -62,3 +62,14 @@ class WordNGrams:
 def register_sql_udtfs(spark: SparkSession) -> None:
     """Expose table functions to SQL (LATERAL word_ngrams(text, 2))."""
     spark.udtf.register("word_ngrams", WordNGrams)
+
+
+def zscore_normalize_group(pdf):
+    """applyInPandas kernel: per-group z-score normalization (sample std).
+    Vectorized over the whole group's pandas frame — one Arrow exchange per
+    group, no per-row Python."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=1)
+    out = pdf[["event_id", "event_type"]].copy()
+    out["z"] = ((pdf["value"] - mean) / std).round(4)
+    return out

@@ -239,3 +239,38 @@ def q156_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("key").alias("top_key"),
                    F.col("c").cast("bigint").alias("top_rows")))
     return stats.crossJoin(top)
+
+
+@register(
+    "q172_dlq_routing",
+    sql="""
+    SELECT CASE
+             WHEN props IS NULL OR NOT json_valid(props) THEN 'invalid_json'
+             WHEN json_extract_string(props, '$.k') IS NULL THEN 'missing_key'
+             ELSE 'valid'
+           END AS route,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q172_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (the transform-stage twin of the permissive CSV
+    ingest): classify each event's JSON payload as valid / missing required
+    key / unparseable, the split a foreachBatch writer would fan to main
+    and DLQ sinks. Pure expression classification — one pass, no UDF;
+    try-parse via get_json_object returning NULL on bad JSON mirrors
+    DuckDB's json_valid."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.get_json_object("props", "$.k")
+    # get_json_object is NULL for both invalid JSON and a missing key;
+    # distinguish via a whole-document extraction that only fails on
+    # invalid JSON.
+    whole = F.get_json_object("props", "$")
+    route = (F.when(F.col("props").isNull() | whole.isNull(), "invalid_json")
+             .when(parsed.isNull(), "missing_key")
+             .otherwise("valid"))
+    return (ev.groupBy(route.alias("route"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("event_type").cast("bigint").alias("n_types")))

@@ -198,3 +198,52 @@ def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "month", "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"))
+
+
+@register(
+    "q171_time_weighted_avg",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, value,
+               CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT)
+                   AS hold_sec
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(hold_sec) AS BIGINT) AS total_sec,
+           round(sum(value * hold_sec) / sum(hold_sec), 4) AS twap
+    FROM w
+    WHERE hold_sec > 0
+    GROUP BY user_id
+    """,
+)
+def q171_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how long
+    it was the user's latest value (lead-difference holding time). One
+    shuffle on user_id for the lead window; the weighted aggregation is
+    partial-agg friendly. Holding times are integer seconds on both engines
+    (floored epochs) so the weights are exact."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", "ts",
+        F.lead("ts").over(w).alias("next_ts"))
+    held = (seq.where(F.col("next_ts").isNotNull())
+            .select("user_id", "value",
+                    (F.unix_timestamp("next_ts") - F.unix_timestamp("ts"))
+                    .cast("bigint").alias("hold_sec"))
+            .where(F.col("hold_sec") > 0))
+    return (held.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_intervals"),
+                 F.sum("hold_sec").cast("bigint").alias("total_sec"),
+                 F.round(F.sum(F.col("value") * F.col("hold_sec"))
+                         / F.sum("hold_sec"), 4).alias("twap")))

@@ -929,3 +929,63 @@ def q167_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("c_ab").cast("double") * F.col("n")
                         / (F.col("c_a").cast("double") * F.col("c_b")), 6)
                 .alias("lift")))
+
+
+@register(
+    "q169_group_apply_normalize",
+    sql="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def q169_group_apply_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 in its plain form: groupBy().applyInPandas z-score normalization —
+    each event_type group crosses to Python ONCE as an Arrow batch and the
+    kernel is fully vectorized. The oracle is the equivalent window SQL;
+    the declarative twin would beat this in-engine (no Python exchange),
+    which is exactly the trade the docstring of functions/udfs.py teaches —
+    applyInPandas is for logic SQL can't express, shown here on logic it
+    can, so both paths are cross-checked."""
+    from ..functions.udfs import zscore_normalize_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("event_id", "event_type", "value")
+            .groupBy("event_type")
+            .applyInPandas(zscore_normalize_group,
+                           "event_id long, event_type string, z double"))
+
+
+@register(
+    "q170_arrow_python_udf",
+    sql="""
+    SELECT doc_id,
+           CAST(length(trim(text)) - length(replace(trim(text), ' ', ''))
+                + 1 AS BIGINT) AS n_words_py,
+           upper(substr(trim(text), 1, 12)) AS head_norm
+    FROM documents
+    """,
+)
+def q170_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 modern form: Arrow-optimized Python UDFs (useArrow=True) — row
+    logic in Python with columnar Arrow transfer instead of pickled rows
+    (~an order of magnitude less serde than classic Python UDFs, still
+    slower than built-ins; the registry keeps them OUT of hot paths). The
+    oracle reproduces the same logic in SQL."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="bigint", useArrow=True)
+    def n_words(text: str) -> int:
+        return len(text.strip().split(" "))
+
+    @udf(returnType="string", useArrow=True)
+    def head_norm(text: str) -> str:
+        return text.strip()[:12].upper()
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_words(F.col("text")).alias("n_words_py"),
+        head_norm(F.col("text")).alias("head_norm"),
+    )
