@@ -7,6 +7,8 @@ UDFs, so the whole hot path stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -602,3 +604,31 @@ def q123_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("tok_a", "tok_b")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") >= 20))
+
+
+@register("q175_compression_ratio", sql=None)
+def q175_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the CCNet/Gopher-style heuristic:
+    highly compressible text = repetitive boilerplate; incompressible =
+    noise/binary junk; the useful middle band survives). zlib level 6 over
+    each document via an Arrow-batched pandas UDF — rows-only (no SQL
+    oracle can run zlib; the unit test pins the UDF against direct zlib
+    calls and the monotonicity contract on crafted inputs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def compression_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(ratio)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+                        compression_ratio("text").alias("zlib_ratio"))
+            .orderBy("doc_id"))

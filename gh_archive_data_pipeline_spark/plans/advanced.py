@@ -989,3 +989,95 @@ def q170_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words(F.col("text")).alias("n_words_py"),
         head_norm(F.col("text")).alias("head_norm"),
     )
+
+
+@register(
+    "q173_chi_square",
+    sql="""
+    WITH obs AS (
+        SELECT event_type, user_id % 2 AS arm, count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT o.event_type, o.arm, o.o,
+               sum(o.o) OVER (PARTITION BY o.event_type) AS row_t,
+               sum(o.o) OVER (PARTITION BY o.arm) AS col_t,
+               sum(o.o) OVER () AS n
+        FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((o - row_t * col_t / CAST(n AS DOUBLE))
+                     * (o - row_t * col_t / CAST(n AS DOUBLE))
+                     / (row_t * col_t / CAST(n AS DOUBLE))), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT arm) - 1) AS BIGINT) AS dof
+    FROM tot
+    """,
+)
+def q173_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the event_type × arm
+    contingency table (the categorical sibling of q163's z-test). Observed
+    and marginal counts are exact integers, so the statistic arithmetic is
+    deterministic across engines; the 10-cell table means every window runs
+    on a residue."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm"))
+           .agg(F.count("*").alias("o")))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("arm")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "event_type", "arm", "o",
+        F.sum("o").over(w_row).alias("row_t"),
+        F.sum("o").over(w_col).alias("col_t"),
+        F.sum("o").over(w_all).alias("n"))
+    e = F.col("row_t") * F.col("col_t") / F.col("n").cast("double")
+    return tot.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6)
+        .alias("chi2"),
+        ((F.count_distinct("event_type") - 1)
+         * (F.count_distinct("arm") - 1)).cast("bigint").alias("dof"))
+
+
+@register(
+    "q174_mutual_information",
+    sql="""
+    WITH joint AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT lang, source, c,
+               sum(c) OVER (PARTITION BY lang) AS c_lang,
+               sum(c) OVER (PARTITION BY source) AS c_src,
+               sum(c) OVER () AS n
+        FROM joint
+    )
+    SELECT round(sum((c / CAST(n AS DOUBLE))
+                     * ln(c * CAST(n AS DOUBLE)
+                          / (CAST(c_lang AS DOUBLE) * c_src))), 6) AS mi_nats,
+           CAST(any_value(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM m
+    """,
+)
+def q174_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) from exact contingency counts —
+    the feature-dependence screen (near zero = independent metadata, high =
+    redundant features). Same residue-window shape as q173: the corpus
+    collapses to cells first, every probability derives from exact integer
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    m = joint.select(
+        "lang", "source", "c",
+        F.sum("c").over(Window.partitionBy("lang")).alias("c_lang"),
+        F.sum("c").over(Window.partitionBy("source")).alias("c_src"),
+        F.sum("c").over(Window.partitionBy()).alias("n"))
+    term = (F.col("c") / F.col("n").cast("double")) * F.log(
+        F.col("c") * F.col("n").cast("double")
+        / (F.col("c_lang").cast("double") * F.col("c_src")))
+    return m.agg(
+        F.round(F.sum(term), 6).alias("mi_nats"),
+        F.any_value("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_cells"))

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -377,3 +378,34 @@ def test_dedup_pipeline_consistency(spark):
     assert pairs, "fixture should contain near-dup pairs"
     for p in pairs:
         assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+
+
+def test_compression_ratio_matches_zlib_and_orders_repetition(spark):
+    """The UDF must equal direct zlib on fixture rows, and repetitive text
+    must compress strictly better than high-entropy text."""
+    import zlib
+
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q175_compression_ratio"].fn(spark, sf).collect()
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        raw = docs[r.doc_id].encode()
+        assert r.zlib_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    crafted = spark.createDataFrame(
+        [(1, "spam " * 200, 1000), (2, "".join(chr(33 + (i * 7919) % 90)
+                                               for i in range(1000)), 1000)],
+        "doc_id long, text string, n_chars long")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(zlib.compress(t.encode(), 6)) / len(t.encode()))
+
+    got = {r.doc_id: r.r for r in
+           crafted.select("doc_id", ratio("text").alias("r")).collect()}
+    assert got[1] < 0.1 < got[2]
