@@ -174,3 +174,33 @@ def q132_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "user_id")
         .limit(100)
     )
+
+
+@register(
+    "q177_grouped_weighted_sample",
+    sql=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_AES_KEY}, doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def q177_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP weighted sampling: 5 length-weighted docs per language —
+    q129's A-ES keys ranked within each stratum instead of globally (the
+    per-language curation draw). One shuffle on lang, WindowGroupLimit
+    prunes each partition to its top 5 before anything else moves."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.expr(_AES_KEY), "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars",
+                F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .drop("rk")
+    )

@@ -247,3 +247,90 @@ def q171_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("hold_sec").cast("bigint").alias("total_sec"),
                  F.round(F.sum(F.col("value") * F.col("hold_sec"))
                          / F.sum("hold_sec"), 4).alias("twap")))
+
+
+@register(
+    "q176_conversion_latency",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT CAST(floor(epoch(first_purchase)) - floor(epoch(first_click))
+                    AS BIGINT) AS delta_sec
+        FROM firsts
+        WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_click
+    )
+    SELECT CAST(least(floor(delta_sec / 3600.0), 48) AS BIGINT) AS hours_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM lat GROUP BY 1
+    """,
+)
+def q176_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: first click → first purchase delta
+    per user, bucketed by hour (capped at 48h). Conditional-min first-touch
+    (one grouped pass, the q121 funnel idiom) then a 49-bucket histogram —
+    no joins at all; durations are integer seconds so bucketing is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"))
+    lat = (firsts
+           .where(F.col("first_click").isNotNull()
+                  & F.col("first_purchase").isNotNull()
+                  & (F.col("first_purchase") >= F.col("first_click")))
+           .select((F.unix_timestamp("first_purchase")
+                    - F.unix_timestamp("first_click")).alias("delta_sec")))
+    bucket = F.least(F.floor(F.col("delta_sec") / 3600.0), F.lit(48))
+    return (lat.groupBy(bucket.cast("bigint").alias("hours_bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_users")))
+
+
+@register(
+    "q178_rolling_distinct_users",
+    sql="""
+    WITH da AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    bounds AS (SELECT max(day) AS max_day FROM da),
+    covered AS (
+        SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS report_day,
+               user_id
+        FROM da
+    )
+    SELECT strftime(c.report_day, '%Y-%m-%d') AS report_day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM covered c, bounds b
+    WHERE c.report_day <= b.max_day
+    GROUP BY 1
+    """,
+)
+def q178_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per day — the metric windows can't
+    express (COUNT(DISTINCT) isn't a window function). Rewrite: collapse to
+    distinct (day, user), explode each into the ≤7 report days it covers,
+    and count distinct per report day — bounded 7× fan-out of the tiny
+    user-day residue and one equi-keyed distinct-count, no range join
+    against the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    da = (ev.select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                    "user_id").distinct())
+    max_day = da.agg(F.max("day").alias("max_day"))
+    covered = da.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+        .alias("report_day"),
+        "user_id")
+    return (covered.crossJoin(F.broadcast(max_day))
+            .where(F.col("report_day") <= F.col("max_day"))
+            .groupBy(F.date_format("report_day", "yyyy-MM-dd")
+                     .alias("report_day"))
+            .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))
