@@ -1081,3 +1081,48 @@ def q174_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("mi_nats"),
         F.any_value("n").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_cells"))
+
+
+@register(
+    "q179_multi_touch_attribution",
+    sql="""
+    WITH touches AS (
+        SELECT p.event_id AS purchase_id, p.value,
+               count(*) OVER (PARTITION BY p.event_id) AS n_touches
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    )
+    SELECT CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           round(sum(value / n_touches), 2) AS attributed_revenue
+    FROM touches GROUP BY n_touches
+    """,
+)
+def q179_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value split equally
+    across its preceding-hour clicks (the batch twin of q72's stream-stream
+    attribution, extended from last-touch to fractional credit). The
+    time-range join shuffles once on user_id; the per-purchase touch count
+    is a window on the joined residue. Revenue conserves by construction:
+    sum over buckets = sum of attributed purchase values."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                 "value"))
+    c = (ev.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    touches = p.join(
+        c, (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")))
+    counted = touches.withColumn(
+        "n_touches", F.count("*").over(Window.partitionBy("purchase_id")))
+    return (counted.groupBy(F.col("n_touches").cast("bigint").alias("n_touches"))
+            .agg(F.count_distinct("purchase_id").cast("bigint")
+                 .alias("n_purchases"),
+                 F.round(F.sum(F.col("value") / F.col("n_touches")), 2)
+                 .alias("attributed_revenue")))

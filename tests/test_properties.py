@@ -86,3 +86,56 @@ def test_minhash_signature_deterministic(spark, shift):
                    [(texts.index(t), t) for t in rotated],
                    "doc_id long, text string").repartition(3)).collect()}
     assert base == rot
+
+
+@given(points=st.lists(st.integers(0, 500_000), min_size=1, max_size=30),
+       intervals=st.lists(st.tuples(st.integers(0, 500_000),
+                                    st.integers(0, 200_000)),
+                          min_size=1, max_size=10))
+@PROP_SETTINGS
+def test_bucketed_interval_join_equals_naive(spark, points, intervals):
+    """The bucket-grid interval join must produce exactly the naive
+    range-join result for arbitrary points and interval layouts (including
+    intervals much longer than the bucket, zero-length, and overlapping)."""
+    import datetime as dt
+
+    from gh_archive_data_pipeline_spark.operators.intervals import (
+        bucketed_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=s),
+          base + dt.timedelta(seconds=s + length))
+         for j, (s, length) in enumerate(intervals)],
+        "iid long, start timestamp, end timestamp")
+    got = sorted((r.pid, r.iid) for r in
+                 bucketed_interval_join(pts, "ts", ivs, "start", "end",
+                                        bucket_sec=3600).collect())
+    naive = sorted((r.pid, r.iid) for r in
+                   pts.join(ivs, (F.col("ts") >= F.col("start"))
+                            & (F.col("ts") <= F.col("end"))).collect())
+    assert got == naive
+
+
+@given(keys=st.lists(st.integers(-50, 50), min_size=1, max_size=200))
+@PROP_SETTINGS
+def test_cms_never_underestimates(spark, keys):
+    """Count-min sketch property: for ANY key multiset, every estimate is
+    >= the exact count (one-sided error is the structural guarantee)."""
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        cms_build, cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    est = {r.k: r.est_count
+           for r in cms_estimate(cms_build(df, "k"),
+                                 df.distinct(), "k").collect()}
+    from collections import Counter
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert est[k] >= e
