@@ -1126,3 +1126,64 @@ def q179_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_purchases"),
                  F.round(F.sum(F.col("value") / F.col("n_touches")), 2)
                  .alias("attributed_revenue")))
+
+
+@register(
+    "q180_pipe_syntax",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q180_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's |> operator chaining — the linear query
+    form): same plan as the nested ANSI equivalent the oracle runs; pipes
+    are pure surface syntax, so filters still push down and aggregates
+    still split partial/final."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql("""
+        FROM orders_pipe_v
+        |> WHERE o_orderdate >= DATE '1995-01-01'
+        |> AGGREGATE count(*) AS n,
+                     round(avg(o_totalprice), 2) AS avg_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n, avg_price
+    """)
+
+
+@register(
+    "q181_sql_unpivot",
+    sql="""
+    SELECT l_returnflag, metric, round(val, 2) AS val
+    FROM (
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS gross,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS discounted,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS charged
+        FROM lineitem GROUP BY l_returnflag
+    )
+    UNPIVOT (val FOR metric IN (gross, discounted, charged))
+    """,
+)
+def q181_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (q143 covers the DataFrame API twin) over the
+    TPC-H revenue cascade — both engines support the identical clause, so
+    the oracle text matches the Spark text modulo the view name."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_up_v")
+    return spark.sql("""
+        SELECT l_returnflag, metric, round(val, 2) AS val
+        FROM (
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice), 2) AS gross,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS discounted,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS charged
+            FROM lineitem_up_v GROUP BY l_returnflag
+        )
+        UNPIVOT (val FOR metric IN (gross, discounted, charged))
+    """)
