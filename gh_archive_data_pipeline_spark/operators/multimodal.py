@@ -272,3 +272,64 @@ def q166_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame sampling."""
     docs = load_table(spark, sf_dir, "documents")
     return resize_plan(with_binary_payload(docs)).orderBy("doc_id")
+
+
+ENERGY_SCHEMA = (
+    "doc_id bigint, frame_idx int, start_ms bigint, rms bigint, peak bigint"
+)
+
+
+def audio_energy_frames(assets: DataFrame, frame_ms: int = 250,
+                        n_frames: int = 8) -> DataFrame:
+    """Audio-modality plumbing: windowed RMS/peak energy per fixed-length
+    frame — the silence-trim / voice-activity precursor. The PCM decode is
+    the stubbed seam (deterministic fake samples derived from the payload
+    digest, marked like _decode_stub); the Spark side is the real shape: a
+    1-to-N mapInPandas expansion where payload bytes never outlive their
+    input batch and only (doc_id, frame stats) rows shuffle onward.
+    Integer RMS/peak keep the output engine-exact for tests."""
+    import hashlib
+
+    import pandas as pd
+
+    def fake_pcm(payload: bytes, n: int) -> list[int]:
+        # STUB decode: n deterministic pseudo-samples in [-32768, 32767]
+        # from the payload digest (replace with soundfile/ffmpeg in a real
+        # deployment; batch shape and schema stay identical).
+        h = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(h[:8], "big")
+        out = []
+        x = seed
+        for _ in range(n):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            out.append((x >> 16) % 65536 - 32768)
+        return out
+
+    samples_per_frame = 64
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = fake_pcm(payload, samples_per_frame * n_frames)
+                for i in range(n_frames):
+                    fr = pcm[i * samples_per_frame:(i + 1) * samples_per_frame]
+                    rms = int((sum(s * s for s in fr) // len(fr)) ** 0.5)
+                    rows.append((int(doc_id), i, i * frame_ms, rms,
+                                 max(abs(s) for s in fr)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "start_ms", "rms", "peak"])
+
+    return assets.select("doc_id", "payload").mapInPandas(op, ENERGY_SCHEMA)
+
+
+@register("q182_audio_energy", sql=None)
+def q182_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy extraction over binary payloads — rows-only
+    (stubbed PCM decode has no SQL oracle; the unit test pins frame count,
+    determinism across runs, and the RMS<=peak invariant). Completes the
+    multimodal set: q57 image features, q118 video frames, q166 resize
+    planning, and this audio path, all on the same mapInPandas spine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (audio_energy_frames(with_binary_payload(docs))
+            .orderBy("doc_id", "frame_idx"))

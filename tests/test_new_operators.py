@@ -409,3 +409,20 @@ def test_compression_ratio_matches_zlib_and_orders_repetition(spark):
     got = {r.doc_id: r.r for r in
            crafted.select("doc_id", ratio("text").alias("r")).collect()}
     assert got[1] < 0.1 < got[2]
+
+
+def test_audio_energy_frames_deterministic_and_bounded(spark):
+    """Audio stub contract: 8 frames per asset, identical across runs
+    (digest-derived, not hash()-salted), rms <= peak <= 32768."""
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        audio_energy_frames, with_binary_payload,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    a = audio_energy_frames(with_binary_payload(docs)).collect()
+    b = audio_energy_frames(with_binary_payload(docs)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count() * 8
+    for r in a:
+        assert 0 <= r.rms <= r.peak <= 32768
