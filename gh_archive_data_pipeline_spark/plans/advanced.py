@@ -1187,3 +1187,48 @@ def q181_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         UNPIVOT (val FOR metric IN (gross, discounted, charged))
     """)
+
+
+@register(
+    "q183_listagg",
+    sql="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+               AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q183_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG ... WITHIN GROUP (Spark 4) — ordered distinct
+    string aggregation per nation. DuckDB spells the identical semantics
+    string_agg(DISTINCT ... ORDER BY); the deterministic WITHIN GROUP
+    ordering is what keeps the hash compare meaningful (q17's sorted
+    collect_list is the DataFrame twin)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_la_v")
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(DISTINCT c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        FROM customer_la_v GROUP BY c_nationkey
+    """)
+
+
+@register(
+    "q184_approx_top_k",
+    sql="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q184_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4's heavy-hitter sketch function, the built-in
+    sibling of the hand-rolled CMS q132 / freqItems q105). With the tracked-
+    item budget >= domain cardinality (5 event types vs 10k default) the
+    sketch is EXACT, so the plain GROUP BY is a true oracle — the query
+    pins that contract while exercising the sketch code path."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_atk_v")
+    return spark.sql("""
+        SELECT t.item, CAST(t.count AS BIGINT) AS est_count
+        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
+              FROM events_atk_v)
+    """)
