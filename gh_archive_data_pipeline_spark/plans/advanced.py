@@ -1232,3 +1232,34 @@ def q184_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT explode(approx_top_k(event_type, 5)) AS t
               FROM events_atk_v)
     """)
+
+
+@register(
+    "q185_modern_sql_conveniences",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM (SELECT * EXCLUDE (o_comment) FROM
+          (SELECT o_orderstatus, o_orderpriority, o_totalprice,
+                  'x' AS o_comment FROM orders))
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q185_modern_sql_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL conveniences, cross-engine: SELECT * EXCEPT (Spark) /
+    EXCLUDE (DuckDB), GROUP BY ALL, ORDER BY ALL — syntax sugar that
+    resolves to the identical plan as the explicit column lists (verified
+    by the oracle hashing equal)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_mod_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM (SELECT * EXCEPT (o_comment) FROM
+              (SELECT o_orderstatus, o_orderpriority, o_totalprice,
+                      'x' AS o_comment FROM orders_mod_v))
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
