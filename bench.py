@@ -69,6 +69,8 @@ HEADLINE = [
     "q125_repetition_ngrams",
     "q144_ngram_novelty",
     "q129_weighted_sample",
+    "q167_market_basket",
+    "q178_rolling_distinct_users",
 ]
 
 
