@@ -340,3 +340,29 @@ def test_q142_binning_has_no_global_sort(spark):
     plan = plan_of(spark, "q142_quantile_binning")
     assert "Sort [" not in plan.split("AdaptiveSparkPlan")[0]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q167_basket_stats_sides_broadcast(spark):
+    """Market basket: the brand-frequency and order-count joins must
+    broadcast; only the within-order pair aggregation shuffles."""
+    plan = plan_of(spark, "q167_market_basket")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 3
+
+
+def test_q178_wau_has_no_range_join(spark):
+    """Rolling WAU must use the explode-to-covered-days rewrite: an explode
+    (Generate) feeding an equi-keyed aggregate. The only join allowed is
+    the 1-row max-day broadcast; a SortMergeJoin or a range join of the
+    user-day residue against a day spine would be the wrong shape."""
+    plan = plan_of(spark, "q178_rolling_distinct_users", mode="simple")
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the max-day scalar
+
+
+def test_q142_and_q135_share_two_phase_shape(spark):
+    """Winsorize: exact percentile bounds aggregate then broadcast —
+    no sort of the fact."""
+    plan = plan_of(spark, "q135_winsorized_scaling")
+    assert "BroadcastExchange" in plan
