@@ -334,3 +334,67 @@ def q178_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("report_day", "yyyy-MM-dd")
                      .alias("report_day"))
             .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))
+
+
+@register(
+    "q186_bounce_rate",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)))
+                         > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS bounce_rate,
+           round(avg(n_events), 4) AS avg_events_per_session
+    FROM per_session
+    """,
+)
+def q186_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in plain SQL (the lag→flag→cumsum islands
+    idiom, 30-min timeout) rolled up to the bounce rate — cross-validates
+    q52's session_window on the same semantics from first principles.
+    One shuffle on user_id; both windows share that partitioning, so the
+    second window adds no exchange."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(prev.isNull()
+               | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+               1).otherwise(0).alias("new_session"))
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = marked.select(
+        "user_id", F.sum("new_session").over(wc).alias("session_id"))
+    per_session = (sessions.groupBy("user_id", "session_id")
+                   .agg(F.count("*").alias("n_events")))
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("bounces"),
+        F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"))

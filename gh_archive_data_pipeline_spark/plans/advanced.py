@@ -1263,3 +1263,46 @@ def q185_modern_sql_conveniences(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@register(
+    "q187_pareto_8020",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n_events,
+               row_number() OVER (ORDER BY n_events DESC, user_id) AS rk,
+               count(*) OVER () AS n_users,
+               sum(n_events) OVER () AS total
+        FROM per_user
+    )
+    SELECT CAST(any_value(n_users) AS BIGINT) AS n_users,
+           CAST(any_value(total) AS BIGINT) AS total_events,
+           round(sum(CASE WHEN rk * 5 <= n_users THEN n_events
+                          ELSE 0 END)::DOUBLE / any_value(total), 6)
+               AS top20pct_share
+    FROM ranked
+    """,
+)
+def q187_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (does the 80/20 rule hold?): the share of all
+    events produced by the most-active 20% of users — the scalar companion
+    to q164's Gini and q162's gains curve. Per-user aggregation first; the
+    rank window runs on the user residue with deterministic tiebreaks."""
+    per_user = (load_table(spark, sf_dir, "events")
+                .groupBy("user_id").agg(F.count("*").alias("n_events")))
+    ranked = per_user.select(
+        "n_events",
+        F.row_number().over(Window.orderBy(F.desc("n_events"), "user_id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_users"),
+        F.sum("n_events").over(Window.partitionBy()).alias("total"))
+    top = F.sum(F.when(F.col("rk") * 5 <= F.col("n_users"),
+                       F.col("n_events")).otherwise(0))
+    return ranked.agg(
+        F.any_value("n_users").cast("bigint").alias("n_users"),
+        F.any_value("total").cast("bigint").alias("total_events"),
+        F.round(top.cast("double") / F.any_value("total"), 6)
+        .alias("top20pct_share"))
