@@ -347,3 +347,116 @@ def q153_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "q188_bpe_pair_counts",
+    sql="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, count(*) AS freq FROM tok GROUP BY token
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(token)),
+                                     i -> substr(token, i, 2))) AS pair,
+               freq
+        FROM vocab WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+    """,
+)
+def q188_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training primitive: the first merge-candidate scoring
+    pass — count adjacent symbol pairs across the corpus, weighted by token
+    frequency. The scale trick is the standard BPE one: aggregate the corpus
+    to (distinct token, freq) FIRST (one shuffle over word-sized keys), then
+    expand character pairs only over the vocabulary — pair fan-out is
+    O(|vocab| * word_len), independent of corpus size. An actual BPE trainer
+    iterates this with a merge step; each round is this same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = (vocab.filter(F.length("token") >= 2)
+             .select(
+                 F.explode(
+                     F.transform(F.sequence(F.lit(1), F.length("token") - 1),
+                                 lambda i: F.col("token").substr(i, F.lit(2)))
+                 ).alias("pair"),
+                 "freq"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(30))
+
+
+@register(
+    "q194_bm25_scores",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf
+        FROM tok WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 25
+    """,
+)
+def q194_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, the Lucene-style
+    ln(1 + (N-df+0.5)/(df+0.5)) idf) for a fixed query against the corpus —
+    the ranking half of a quality / decontamination retrieval pass.
+
+    Plan: one explode → two small aggregates (per-doc length, per-term df)
+    plus a two-row corpus-stats aggregate that broadcast-joins back onto the
+    (doc, term) tf table — the only full-size shuffle is the tf groupBy,
+    keyed (doc_id, token). At 100 TB the df/stats sides stay tiny (vocab- and
+    1-row-sized) so every join the optimizer sees is broadcastable."""
+    terms = ("spark", "join", "window")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dlen").alias("avgdl"))
+    tf = (tok.filter(F.col("token").isin(*terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dlen") / F.col("avgdl")))
+    return (tf.join(F.broadcast(df), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(score), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(25))

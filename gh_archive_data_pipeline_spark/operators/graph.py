@@ -124,3 +124,101 @@ def q84_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("component").alias("cluster_id"))
             .withColumn("cluster_size", F.count(F.lit(1)).over(w))
             .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id")))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 3,
+             src: str = "src", dst: str = "dst",
+             weight: str = "weight") -> DataFrame:
+    """Weighted PageRank, fixed iteration count, as pure DataFrame rounds.
+
+    Each round is one join (ranks ⋈ edges on src) + one groupBy (dst) — the
+    same two-shuffle envelope as connected_components above, and both
+    shuffles key on the node id so AQE co-partitions consecutive rounds.
+    Dangling nodes (no out-edges) follow the standard simplification of
+    dropping their mass rather than redistributing it; the oracle mirrors
+    that exactly. The single driver-side scalar is the node COUNT (needed in
+    the teleport term) — O(1) bytes regardless of graph size.
+    """
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct()
+             .localCheckpoint())
+    n = nodes.count()
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("out_w"))
+    norm = (edges.join(out_w, src)
+            .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                    (F.col(weight) / F.col("out_w")).alias("p"))
+            .localCheckpoint())
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (norm.join(ranks.withColumnRenamed("node", "e_src"), "e_src")
+                    .groupBy(F.col("e_dst").alias("node"))
+                    .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)))
+                         .alias("rank")))
+    return ranks
+
+
+@register(
+    "q189_pagerank_event_graph",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    edges AS (
+        SELECT event_type AS src, next_type AS dst, count(*)::DOUBLE AS w
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    e AS (
+        SELECT edges.src, edges.dst, w / out_w AS p
+        FROM edges JOIN outw USING (src)
+    ),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN params),
+    c1 AS (SELECT dst, sum(p * rank) AS c FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+    r1 AS (SELECT node, 0.15 / n + 0.85 * coalesce(c, 0) AS rank
+           FROM nodes CROSS JOIN params LEFT JOIN c1 ON node = c1.dst),
+    c2 AS (SELECT dst, sum(p * rank) AS c FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+    r2 AS (SELECT node, 0.15 / n + 0.85 * coalesce(c, 0) AS rank
+           FROM nodes CROSS JOIN params LEFT JOIN c2 ON node = c2.dst),
+    c3 AS (SELECT dst, sum(p * rank) AS c FROM e JOIN r2 ON e.src = r2.node GROUP BY dst),
+    r3 AS (SELECT node, 0.15 / n + 0.85 * coalesce(c, 0) AS rank
+           FROM nodes CROSS JOIN params LEFT JOIN c3 ON node = c3.dst)
+    SELECT node AS event_type, round(rank, 6) AS pagerank
+    FROM r3 ORDER BY pagerank DESC, event_type
+    """,
+)
+def q189_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the event-type transition graph:
+    nodes are event types, edge weights are per-user consecutive-event
+    transition counts (the q134 Markov graph). The oracle unrolls the same
+    three iterations as SQL CTEs — an independent derivation pinning every
+    rank. The graph here is small; the operator's plan (join + groupBy per
+    round, node-count as the only driver scalar) is the one that runs on a
+    billion-node web/citation graph unchanged."""
+    from ..sources.readers import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("src"),
+                      F.col("next_type").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("weight")))
+    ranks = pagerank(edges, damping=0.85, iterations=3)
+    return (ranks.select(F.col("node").alias("event_type"),
+                         F.round("rank", 6).alias("pagerank"))
+            .orderBy(F.desc("pagerank"), "event_type"))

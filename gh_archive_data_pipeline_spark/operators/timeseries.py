@@ -398,3 +398,132 @@ def q186_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.cast("bigint").alias("bounces"),
         F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"))
+
+
+@register(
+    "q190_capped_sessions",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    gs AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS gsid
+        FROM marked
+    ),
+    sliced AS (
+        SELECT user_id, ts, gsid,
+               CAST(floor((row_number() OVER (PARTITION BY user_id, gsid
+                                              ORDER BY ts, event_id) - 1)
+                          / 100) AS BIGINT) AS cap_slice
+        FROM gs
+    )
+    SELECT user_id,
+           CAST(gsid AS BIGINT)              AS gap_session,
+           cap_slice,
+           CAST(count(*) AS BIGINT)          AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+    FROM sliced
+    GROUP BY user_id, gsid, cap_slice
+    """,
+)
+def q190_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH a 30-minute inactivity gap and a 100-event
+    session cap (the rule real analytics pipelines use so a bot's unbroken
+    click-stream can't produce an unbounded session). Gap sessions come from
+    the lag→flag→cumsum islands idiom; the cap then slices each island by
+    floor((row_number-1)/100). All three windows and the final groupBy share
+    the user_id partitioning — one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    marked = ev.select(
+        "user_id", "ts", "event_id", us.alias("us"),
+        F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1)
+        .otherwise(0).alias("new_session"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gs = marked.select(
+        "user_id", "ts", "event_id", "us",
+        F.sum("new_session").over(wc).alias("gsid"))
+    wr = Window.partitionBy("user_id", "gsid").orderBy("ts", "event_id")
+    sliced = gs.select(
+        "user_id", "us", "gsid",
+        F.floor((F.row_number().over(wr) - 1) / 100).cast("bigint")
+        .alias("cap_slice"))
+    return (sliced.groupBy("user_id",
+                           F.col("gsid").cast("bigint").alias("gap_session"),
+                           "cap_slice")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.min("us").cast("bigint").alias("start_us"),
+                 F.max("us").cast("bigint").alias("end_us")))
+
+
+@register(
+    "q192_seasonal_anomaly",
+    sql="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+                   AS hour_epoch,
+               count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    keyed AS (
+        SELECT hour_epoch, c,
+               CAST((floor(hour_epoch / 86400) + 4) % 7 AS BIGINT) AS dow,
+               CAST(floor((hour_epoch % 86400) / 3600) AS BIGINT)  AS hod
+        FROM hourly
+    ),
+    base AS (
+        SELECT dow, hod, avg(c) AS mu, stddev_samp(c) AS sigma
+        FROM keyed GROUP BY dow, hod
+    )
+    SELECT hour_epoch,
+           CAST(c AS BIGINT)                                  AS n_events,
+           dow, hod,
+           round(mu, 4)                                       AS baseline_mean,
+           round((c - mu) / nullif(sigma, 0), 4)              AS zscore
+    FROM keyed JOIN base USING (dow, hod)
+    WHERE abs(round((c - mu) / nullif(sigma, 0), 4)) > 1.25
+    """,
+)
+def q192_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: hourly event counts compared to
+    the (day-of-week, hour-of-day) baseline across the month; hours beyond
+    |z| > 1.25 are flagged (with ~4 weekly samples per cell, |z| is
+    bounded near (n-1)/sqrt(n) ~ 1.8, so a 2.0 threshold could never fire). Day-of-week is derived arithmetically from the
+    epoch (1970-01-01 was a Thursday → +4 mod 7) so both engines use the
+    identical convention. The baseline table is (7×24) rows → broadcast back
+    onto the hourly series; the only data-sized shuffle is the first
+    hour-bucket aggregation, which is map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_epoch = (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                          / 3_600_000_000) * 3600).cast("bigint")
+    hourly = (ev.groupBy(hour_epoch.alias("hour_epoch"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    keyed = hourly.select(
+        "hour_epoch", "c",
+        ((F.floor(F.col("hour_epoch") / 86400) + 4) % 7).cast("bigint")
+        .alias("dow"),
+        F.floor((F.col("hour_epoch") % 86400) / 3600).cast("bigint")
+        .alias("hod"))
+    base = (keyed.groupBy("dow", "hod")
+            .agg(F.avg("c").alias("mu"), F.stddev_samp("c").alias("sigma")))
+    z = F.round((F.col("c") - F.col("mu"))
+                / F.nullif(F.col("sigma"), F.lit(0.0)), 4)
+    return (keyed.join(F.broadcast(base), ["dow", "hod"])
+            .filter(F.abs(z) > 1.25)
+            .select("hour_epoch",
+                    F.col("c").cast("bigint").alias("n_events"),
+                    "dow", "hod",
+                    F.round("mu", 4).alias("baseline_mean"),
+                    z.alias("zscore")))

@@ -30,23 +30,34 @@ ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-encoding quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    we read the raw int64 nanos and materialize both:
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (read as raw int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS)
+    (read natively as timestamp_ntz). Either way callers get both:
       - ``ts``     timestamp_ntz (micros, matching DuckDB's read of the file)
-      - ``ts_ns``  the raw int64 nanos (exact event-time arithmetic without
+      - ``ts_ns``  int64 nanos (exact event-time arithmetic without
                    interval types; also what a 100 TB layout would sort by)
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumn("ts_ns", F.col("ts"))
-              .withColumn(
-                  "ts",
-                  F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-              )
-        )
+    if name == "events":
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = (
+                df.withColumn("ts_ns", F.col("ts"))
+                  .withColumn(
+                      "ts",
+                      F.timestamp_micros(F.expr("ts div 1000"))
+                      .cast("timestamp_ntz"),
+                  )
+            )
+        else:
+            # Session tz is UTC (RUNTIME_CONFS), so ntz→timestamp keeps the
+            # underlying micros unchanged.
+            df = df.withColumn(
+                "ts_ns",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+                .cast("bigint"),
+            )
     return df
 
 

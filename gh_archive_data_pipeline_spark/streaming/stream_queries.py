@@ -40,8 +40,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_dir_cache[sf_dir] = (stream_dir, schema)
     stream_dir, schema = _stream_dir_cache[sf_dir]
     raw = read_file_stream(spark, stream_dir, schema)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # nanos-int64 fixture generation: convert like the batch loader
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return raw
 
 
 @register(

@@ -426,3 +426,54 @@ def test_audio_energy_frames_deterministic_and_bounded(spark):
     assert len(a) == docs.count() * 8
     for r in a:
         assert 0 <= r.rms <= r.peak <= 32768
+
+
+def test_pagerank_symmetric_cycle(spark):
+    # a<->b with equal weights: ranks stay equal and sum to 1 (no dangling)
+    from gh_archive_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, weight double")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert ranks["a"] == pytest.approx(0.5)
+    assert ranks["b"] == pytest.approx(0.5)
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star a->c, b->c plus c->a, c->b: c gets more than a or b
+    from gh_archive_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("c", "b", 1.0)],
+        "src string, dst string, weight double")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert ranks["c"] > ranks["a"]
+    assert ranks["a"] == pytest.approx(ranks["b"])
+    assert sum(ranks.values()) == pytest.approx(1.0)  # no dangling nodes
+
+
+def test_capped_sessions_slices_long_burst(spark, sf_dir):
+    # 250 events 1s apart = one gap-session -> 3 cap slices (100/100/50)
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q190_capped_sessions,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=i), 7)
+            for i in range(250)]
+    burst = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: burst
+        # the query module binds load_table at module import; patch there too
+        import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+        tsmod.load_table = lambda sp, d, n: burst
+        out = q190_capped_sessions(spark, sf_dir).orderBy("cap_slice").collect()
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert [r["n_events"] for r in out] == [100, 100, 50]
+    assert [r["cap_slice"] for r in out] == [0, 1, 2]
+    # slices tile the burst contiguously
+    assert out[0]["end_us"] < out[1]["start_us"] < out[1]["end_us"] < out[2]["start_us"]
