@@ -632,3 +632,63 @@ def q175_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
                         compression_ratio("text").alias("zlib_ratio"))
             .orderBy("doc_id"))
+
+
+@register(
+    "q196_distinctive_terms",
+    sql="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    lt AS (SELECT lang, token, count(*)::DOUBLE AS c_lt
+           FROM tok GROUP BY lang, token),
+    lsum AS (SELECT lang, sum(c_lt) AS n_l FROM lt GROUP BY lang),
+    tsum AS (SELECT token, sum(c_lt) AS c_t FROM lt GROUP BY token),
+    tot AS (SELECT sum(c_lt) AS n FROM lt),
+    scored AS (
+        SELECT lt.lang, lt.token,
+               CAST(c_lt AS BIGINT) AS in_lang_count,
+               ln((c_lt + 0.5) / (n_l - c_lt + 0.5))
+               - ln((c_t - c_lt + 0.5) / (n - n_l - c_t + c_lt + 0.5))
+                   AS log_odds
+        FROM lt JOIN lsum USING (lang) JOIN tsum USING (token) CROSS JOIN tot
+    )
+    SELECT lang, token, in_lang_count, round(log_odds, 6) AS log_odds
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY log_odds DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q196_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per language: smoothed log-odds of each token
+    in-language vs rest-of-corpus (the Monroe et al. "fightin' words"
+    statistic with ±0.5 smoothing), top 3 per language. The corpus-level
+    token totals and language totals are tiny aggregates broadcast back onto
+    the (lang, token) counts — the one data-sized shuffle is the initial
+    token count, map-side combined. A curation pipeline uses exactly this to
+    audit what a language/source split actually contains."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = (docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+          .groupBy("lang", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("c_lt")))
+    lsum = lt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))
+    tsum = lt.groupBy("token").agg(F.sum("c_lt").alias("c_t"))
+    tot = lt.agg(F.sum("c_lt").alias("n"))
+    log_odds = (
+        F.log((F.col("c_lt") + 0.5) / (F.col("n_l") - F.col("c_lt") + 0.5))
+        - F.log((F.col("c_t") - F.col("c_lt") + 0.5)
+                / (F.col("n") - F.col("n_l") - F.col("c_t") + F.col("c_lt") + 0.5)))
+    scored = (lt.join(F.broadcast(lsum), "lang")
+              .join(tsum, "token")
+              .crossJoin(F.broadcast(tot))
+              .select("lang", "token",
+                      F.col("c_lt").cast("bigint").alias("in_lang_count"),
+                      log_odds.alias("log_odds")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.desc("log_odds"), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("lang", "token", "in_lang_count",
+                    F.round("log_odds", 6).alias("log_odds")))

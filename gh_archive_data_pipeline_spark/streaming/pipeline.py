@@ -170,7 +170,8 @@ def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
 
 def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
                       keys: list[str],
-                      spark: SparkSession) -> StreamingQuery:
+                      spark: SparkSession,
+                      order_by: list[str] | None = None) -> StreamingQuery:
     """Streaming upsert into a parquet gold table via foreachBatch — the
     MERGE/upsert pattern (reference writes Delta appends; Delta MERGE is the
     managed version of exactly this loop).
@@ -194,8 +195,11 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
     from pyspark.sql import Window
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        w = (Window.partitionBy(*keys)
-             .orderBy(F.monotonically_increasing_id().desc()))
+        # "last write wins": by the caller's event-time columns when given
+        # (deterministic across re-reads), else by arrival order.
+        order_cols = ([F.col(c).desc() for c in order_by] if order_by
+                      else [F.monotonically_increasing_id().desc()])
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
         latest = (batch.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))
         out = latest
