@@ -460,3 +460,62 @@ def q194_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(score), 6).alias("bm25"))
             .orderBy(F.desc("bm25"), "doc_id")
             .limit(25))
+
+
+@register(
+    "q198_npmi_collocations",
+    sql="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> [list_extract(t, i), list_extract(t, i + 1)])) AS p
+        FROM toks
+    ),
+    bgc AS (
+        SELECT p[1] AS w1, p[2] AS w2, count(*)::DOUBLE AS c12
+        FROM bg GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c12) AS n FROM bgc),
+    u1 AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY w1),
+    u2 AS (SELECT w2, sum(c12) AS c2 FROM bgc GROUP BY w2)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+           round(ln(c12 * n / (c1 * c2)) / (-ln(c12 / n)), 6) AS npmi
+    FROM bgc JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN tot
+    WHERE c12 >= 25
+    ORDER BY npmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q198_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by normalized PMI: for each adjacent token pair,
+    npmi = pmi / -ln p(a,b) where pmi = ln(p(a,b) / p(a)p(b)), counts taken
+    over bigram positions. This is the phrase-detection statistic a
+    tokenizer / phrase-mining pass runs over a corpus (word2vec's phrase
+    step uses the un-normalized variant). Left/right unigram marginals are
+    derived FROM the bigram table (sum over the other slot), so the corpus
+    is read and exploded exactly once; marginal tables are vocab-sized and
+    broadcast back. Minimum pair count 25 guards the estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    bgc = (toks.select(F.explode(bigrams).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12")))
+    tot = bgc.agg(F.sum("c12").alias("n"))
+    u1 = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    u2 = bgc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    pmi = F.log(F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2")))
+    npmi = pmi / -F.log(F.col("c12") / F.col("n"))
+    return (bgc.filter(F.col("c12") >= 25)
+            .join(F.broadcast(u1), "w1")
+            .join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", F.col("c12").cast("bigint").alias("pair_count"),
+                    F.round(npmi, 6).alias("npmi"))
+            .orderBy(F.desc("npmi"), "w1", "w2")
+            .limit(20))

@@ -502,3 +502,64 @@ def q168_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cluster."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_pipeline(docs).orderBy("doc_id")
+
+
+@register(
+    "q199_split_leakage",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS bucket
+        FROM documents WHERE doc_id < 60
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s,
+               CASE WHEN bucket <= 11 THEN 'train'
+                    WHEN bucket <= 14 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / (len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+               AS jaccard,
+           a.split AS split_a, b.split AS split_b
+    FROM sp a JOIN sp b ON a.doc_id < b.doc_id
+    WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                / (len(a.s) + len(b.s)
+                   - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+          >= 0.25
+      AND a.split <> b.split
+    """,
+)
+def q199_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit — the pipeline-composition check every
+    training-data build needs: near-duplicate pairs (trigram Jaccard >=
+    0.25, q41's bounded audit window) whose members land in DIFFERENT
+    content-hash splits (q88's md5-nibble assignment). Any row returned is
+    an eval document that a near-copy of leaked into train. At scale the
+    pair source is the MinHash-LSH candidate set instead of the bounded
+    window — identical downstream plan."""
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    bucket = F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5("text"), 1, 1))
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket <= 11, "train").when(bucket <= 14, "val")
+        .otherwise("test").alias("split"))
+    pairs = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.25)
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "jaccard", "split_a", "split_b"))

@@ -428,3 +428,51 @@ def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (emb.select("vec_id", raw.alias("x"), scale.alias("__scale"))
             .select("vec_id", F.round("__scale", 6).alias("scale"),
                     F.round(err, 6).alias("mean_abs_err")))
+
+
+@register(
+    "q200_embedding_truncation",
+    sql="""
+    WITH p AS (
+        SELECT a.vec_id,
+               a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT vec_id,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va))
+                    * sqrt(list_dot_product(vb, vb))), 6) AS cos_full,
+           round(list_dot_product(va[1:16], vb[1:16])
+                 / (sqrt(list_dot_product(va[1:16], va[1:16]))
+                    * sqrt(list_dot_product(vb[1:16], vb[1:16]))), 6) AS cos_16,
+           round(abs(list_dot_product(va, vb)
+                     / (sqrt(list_dot_product(va, va))
+                        * sqrt(list_dot_product(vb, vb)))
+                   - list_dot_product(va[1:16], vb[1:16])
+                     / (sqrt(list_dot_product(va[1:16], va[1:16]))
+                        * sqrt(list_dot_product(vb[1:16], vb[1:16])))), 6)
+               AS abs_drift
+    FROM p
+    """,
+)
+def q200_embedding_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity: for chained vector pairs
+    (vec_id, vec_id+1), compare full-64-dim cosine against first-16-dim
+    cosine — the eval a pipeline runs before storing truncated embeddings to
+    cut ANN index cost 4×. All vector math is JVM higher-order functions on
+    doubles; the pair join is a self equi-join on the id, so at scale it
+    shuffles ids+vectors once with no quadratic blowup."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", _as_double("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   _as_double("embedding").alias("vb"))
+    p = a.join(b, "vec_id")
+    cos_full = cosine(F.col("va"), F.col("vb"))
+    cos_16 = cosine(F.slice("va", 1, 16), F.slice("vb", 1, 16))
+    return p.select(
+        "vec_id",
+        F.round(cos_full, 6).alias("cos_full"),
+        F.round(cos_16, 6).alias("cos_16"),
+        F.round(F.abs(cos_full - cos_16), 6).alias("abs_drift"))

@@ -287,3 +287,36 @@ def q109_range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
     )
+
+
+@register(
+    "q197_rolling_median",
+    sql="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 4) AS rolling_median5
+    FROM events
+    """,
+)
+def q197_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over the trailing 5 events per user — a window
+    aggregate Spark has no built-in for (percentiles aren't supported over
+    row frames). Composition: collect_list over the frame → array_sort →
+    middle element (mean of the two middles for even prefixes), all JVM-side
+    higher-order functions, so the cost is O(k log k) per row for frame
+    width k with zero Python. The DuckDB oracle uses its native windowed
+    median — an independent implementation pinning the interpolation
+    convention."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    median = F.when(n % 2 == 1, mid_odd).otherwise((mid_lo + mid_hi) / 2.0)
+    return ev.select("user_id", "event_id",
+                     F.round(median, 4).alias("rolling_median5"))

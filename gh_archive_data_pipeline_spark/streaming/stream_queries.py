@@ -323,3 +323,56 @@ def q195_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").alias("last_event_id"),
                     F.col("event_type").alias("last_event_type"),
                     F.round("value", 2).alias("last_value")))
+
+
+@register(
+    "q201_stream_sessions",
+    sql="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions CROSS JOIN mx
+    GROUP BY user_id, session_id, mx.m
+    HAVING max(ts) + INTERVAL '30 minutes' < mx.m
+    """,
+)
+def q201_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 session windows executed as a REAL stream (q52 is the batch twin):
+    session_window(30 min) per user with a 0-second watermark, append-mode
+    drain — only sessions whose window end (last event + gap) precedes the
+    final watermark (= max event time) are emitted as finalized. The
+    gaps-and-islands oracle applies the same cutoff, so streaming session
+    merging must agree with first-principles sessionization exactly."""
+    ev = (_events_stream(spark, sf_dir)
+          .select(F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id", "value")
+          .withWatermark("ts", "0 seconds"))
+    sessions = (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                           "user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                     F.round(F.sum("value"), 4).alias("session_value")))
+    name = f"stream_sessions_{next(_counter)}"
+    out = run_to_memory(
+        sessions.select("user_id",
+                        F.col("w.start").cast("timestamp_ntz")
+                        .alias("session_start"),
+                        "n_events", "session_value"),
+        name, spark, output_mode="append")
+    return out
