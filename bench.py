@@ -71,6 +71,11 @@ HEADLINE = [
     "q129_weighted_sample",
     "q167_market_basket",
     "q178_rolling_distinct_users",
+    # added late round 2: tokenizer/graph/streaming-upsert planes
+    "q188_bpe_pair_counts",
+    "q189_pagerank_event_graph",
+    "q195_stream_upsert",
+    "q201_stream_sessions",
 ]
 
 
