@@ -204,3 +204,91 @@ def q177_grouped_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .drop("rk")
     )
+
+
+@register(
+    "q202_negative_sampling",
+    sql="""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label
+        FROM embeddings WHERE vec_id < 50
+    ),
+    ranked AS (
+        SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+               row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY md5(anchor_id || ':' || e.vec_id), e.vec_id
+               ) AS rank
+        FROM anchors JOIN embeddings e ON e.label <> anchor_label
+    )
+    SELECT anchor_id, neg_id, neg_label, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q202_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor vector, pick 3 candidates with a DIFFERENT label, ranked by
+    md5(anchor:candidate) — a content-addressed draw that re-runs, engine
+    swaps, and incremental corpus growth reproduce exactly (same property as
+    q88's hash split). The anchor set broadcasts; ranking is per-anchor
+    WindowGroupLimit, so nothing global sorts. At full scale the candidate
+    side is prefiltered to a hash bucket per anchor (sample-before-rank)
+    instead of ranking all negatives — same plan with one extra filter."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (emb.filter(F.col("vec_id") < 50)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label")))
+    cand = emb.select(F.col("vec_id").alias("neg_id"),
+                      F.col("label").alias("neg_label"))
+    from pyspark.sql import Window
+    key = F.md5(F.concat_ws(":", "anchor_id", "neg_id"))
+    w = Window.partitionBy("anchor_id").orderBy(key.asc(), F.col("neg_id"))
+    return (F.broadcast(anchors)
+            .join(cand, F.col("neg_label") != F.col("anchor_label"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("anchor_id", "neg_id", "neg_label",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@register(
+    "q203_interleave_sources",
+    sql="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) AS BIGINT) AS rn
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, source, rn
+        FROM ranked ORDER BY rn, source, doc_id LIMIT 60
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+               AS position,
+           doc_id, source, rn
+    FROM ordered
+    """,
+)
+def q203_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved curriculum order: round-robin across
+    sources (rank within source, then order by (rank, source)) — the
+    data-mixing order that keeps any training window balanced across
+    sources, first 60 positions shown. The per-source rank is a
+    WindowGroupLimit-friendly partitioned window; only the LIMIT-ed head is
+    globally enumerated (60 rows). At scale the global position comes from
+    range-partitioned zipWithIndex over the same sort key rather than a
+    single-partition window."""
+    from ..sources.readers import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("bigint")
+    head = (docs.select("doc_id", "source", rn.alias("rn"))
+            .orderBy("rn", "source", "doc_id").limit(60))
+    pos = F.row_number().over(
+        Window.orderBy("rn", "source", "doc_id")).cast("bigint")
+    return head.select(pos.alias("position"), "doc_id", "source", "rn")

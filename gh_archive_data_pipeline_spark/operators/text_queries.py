@@ -403,7 +403,7 @@ def q106_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, term
     ),
     agg AS (
-      SELECT doc_id, max(c) AS top_count, sum(c) AS n_tokens
+      SELECT doc_id, max(c) AS top_count, CAST(sum(c) AS BIGINT) AS n_tokens
       FROM tf GROUP BY doc_id
     )
     SELECT doc_id, top_count, n_tokens,

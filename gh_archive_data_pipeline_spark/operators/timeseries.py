@@ -527,3 +527,60 @@ def q192_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "dow", "hod",
                     F.round("mu", 4).alias("baseline_mean"),
                     z.alias("zscore")))
+
+
+@register(
+    "q204_sequence_patterns",
+    sql="""
+    WITH journeys AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT)                   AS journey_len,
+           CAST((length(journey)
+                 - length(replace(journey, 'cp', ''))) // 2 AS BIGINT)
+                                                             AS click_then_buy,
+           CAST((length(journey)
+                 - length(replace(journey, 'vc', ''))) // 2 AS BIGINT)
+                                                             AS view_then_click,
+           (journey LIKE '%s%' AND strpos(journey, 's') <
+              CASE WHEN strpos(journey, 'p') = 0 THEN 99999
+                   ELSE strpos(journey, 'p') END)            AS signup_before_buy
+    FROM journeys
+    """,
+)
+def q204_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern mining without MATCH_RECOGNIZE: each user's
+    journey collapses to a string of event initials (c/e/p/s/v, one char per
+    event, event-time order), and adjacency patterns become plain string
+    ops — count of click→purchase and view→click bigrams, and whether
+    signup precedes the first purchase. The collect is per-user and each
+    journey is |events-per-user| chars, so the shuffle carries strings the
+    size of the data it aggregates; pattern counting is expression-only.
+    This is the cheap sequential-pattern plan (string algebra over sorted
+    aggregation) that covers most funnel questions before reaching for a
+    stateful engine."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.concat_ws(
+        "", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("ch")))),
+            lambda s: s["ch"]))
+    j = ev.groupBy("user_id").agg(journey.alias("journey"))
+    def count_pat(pat):
+        return ((F.length("journey")
+                 - F.length(F.replace(F.col("journey"), F.lit(pat))))
+                / 2).cast("bigint")
+    first_p = F.when(F.instr("journey", "p") == 0, 99999) \
+        .otherwise(F.instr("journey", "p"))
+    return j.select(
+        "user_id",
+        F.length("journey").cast("bigint").alias("journey_len"),
+        count_pat("cp").alias("click_then_buy"),
+        count_pat("vc").alias("view_then_click"),
+        (F.col("journey").like("%s%") & (F.instr("journey", "s") < first_p))
+        .alias("signup_before_buy"))
