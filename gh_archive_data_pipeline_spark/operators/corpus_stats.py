@@ -519,3 +519,49 @@ def q198_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(npmi, 6).alias("npmi"))
             .orderBy(F.desc("npmi"), "w1", "w2")
             .limit(20))
+
+
+@register(
+    "q207_source_divergence",
+    sql="""
+    WITH st AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    c_st AS (SELECT source, token, count(*)::DOUBLE AS c
+             FROM st GROUP BY source, token),
+    n_s AS (SELECT source, sum(c) AS n FROM c_st GROUP BY source),
+    c_t AS (SELECT token, sum(c) AS ct FROM c_st GROUP BY token),
+    tot AS (SELECT sum(c) AS big_n FROM c_st)
+    SELECT c_st.source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           round(sum((c / n) * ln((c / n) / (ct / big_n))), 6)
+               AS kl_vs_corpus
+    FROM c_st JOIN n_s USING (source) JOIN c_t USING (token) CROSS JOIN tot
+    GROUP BY c_st.source
+    """,
+)
+def q207_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift across corpus slices: per-source KL divergence of
+    the unigram distribution vs the whole corpus (plus vocab size / token
+    mass) — the number a mixture-rebalancing pass monitors when one source
+    starts drifting from the blend. KL is exact over counts; marginal
+    tables are vocab-sized and broadcast; the single data shuffle is the
+    (source, token) count."""
+    docs = load_table(spark, sf_dir, "documents")
+    c_st = (docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("source", "token")
+            .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    n_s = c_st.groupBy("source").agg(F.sum("c").alias("n"))
+    c_t = c_st.groupBy("token").agg(F.sum("c").alias("ct"))
+    tot = c_st.agg(F.sum("c").alias("big_n"))
+    p = F.col("c") / F.col("n")
+    q = F.col("ct") / F.col("big_n")
+    return (c_st.join(F.broadcast(n_s), "source")
+            .join(c_t, "token")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus")))

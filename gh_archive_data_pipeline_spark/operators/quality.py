@@ -274,3 +274,115 @@ def q172_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy(route.alias("route"))
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.countDistinct("event_type").cast("bigint").alias("n_types")))
+
+
+@register(
+    "q205_psi_drift",
+    sql="""
+    WITH mid AS (
+        SELECT epoch_us(min(ts))
+               + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS m_us
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / 25), 12) AS BIGINT) AS bin,
+               CASE WHEN epoch_us(ts) < m_us THEN 'ref' ELSE 'cur' END AS half
+        FROM events CROSS JOIN mid
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               sum(c_ref)::DOUBLE AS n_ref, sum(c_cur)::DOUBLE AS n_cur
+        FROM cells GROUP BY event_type
+    )
+    SELECT cells.event_type,
+           round(sum(((c_cur + 0.5) / (n_cur + 0.5) - (c_ref + 0.5) / (n_ref + 0.5))
+                     * ln(((c_cur + 0.5) / (n_cur + 0.5))
+                          / ((c_ref + 0.5) / (n_ref + 0.5)))), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM cells JOIN tot USING (event_type)
+    GROUP BY cells.event_type
+    """,
+)
+def q205_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the value distribution of
+    each event type in the second half of the month vs the first half,
+    binned on fixed 25-unit integer buckets (deterministic expression
+    binning — no engine-specific percentile interpolation), with +0.5
+    Laplace smoothing so empty cells don't blow up the log. PSI > 0.2 is
+    the conventional retrain/alert trigger. One data-sized shuffle (the
+    cell count), then per-type rollups on a 13-bin table."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(
+        (F.min(us) + F.floor((F.max(us) - F.min(us)) / 2)).cast("bigint")
+        .alias("m_us"))
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25), F.lit(12)).cast("bigint")
+        .alias("bin"),
+        F.when(us < F.col("m_us"), "ref").otherwise("cur").alias("half"))
+    cells = (binned.groupBy("event_type", "bin")
+             .agg(F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+                  .alias("c_ref"),
+                  F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+                  .alias("c_cur")))
+    tot = (cells.groupBy("event_type")
+           .agg(F.sum("c_ref").cast("double").alias("n_ref"),
+                F.sum("c_cur").cast("double").alias("n_cur")))
+    p_cur = (F.col("c_cur") + 0.5) / (F.col("n_cur") + 0.5)
+    p_ref = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 0.5)
+    return (cells.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6)
+                 .alias("psi"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_bins")))
+
+
+@register(
+    "q206_benford_audit",
+    sql="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS BIGINT)
+                   AS d
+        FROM orders
+    ),
+    obs AS (SELECT d, count(*)::DOUBLE AS c FROM digits GROUP BY d),
+    tot AS (SELECT sum(c) AS n FROM obs)
+    SELECT d AS leading_digit,
+           CAST(c AS BIGINT) AS observed,
+           round(n * ln(1 + 1.0 / d) / ln(10), 4) AS expected,
+           round((c - n * ln(1 + 1.0 / d) / ln(10))
+                 * (c - n * ln(1 + 1.0 / d) / ln(10))
+                 / (n * ln(1 + 1.0 / d) / ln(10)), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY leading_digit
+    """,
+)
+def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic forensic
+    data-quality screen for fabricated or truncated numeric columns: the
+    observed leading-digit distribution vs ln(1+1/d)/ln(10), with the
+    per-digit chi-square contribution. Leading digit comes from the string
+    cast (no log10 boundary hazard at exact powers of ten). The whole plan
+    is one 9-row aggregation; chi2 terms are expression-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (orders.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("c")))
+    tot = obs.agg(F.sum("c").alias("n"))
+    exp = F.col("n") * F.log(1 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select(F.col("d").alias("leading_digit"),
+                    F.col("c").cast("bigint").alias("observed"),
+                    F.round(exp, 4).alias("expected"),
+                    F.round((F.col("c") - exp) * (F.col("c") - exp) / exp, 6)
+                    .alias("chi2_term"))
+            .orderBy("leading_digit"))

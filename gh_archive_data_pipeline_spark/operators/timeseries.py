@@ -584,3 +584,50 @@ def q204_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_pat("vc").alias("view_then_click"),
         (F.col("journey").like("%s%") & (F.instr("journey", "s") < first_p))
         .alias("signup_before_buy"))
+
+
+@register(
+    "q208_out_of_order_audit",
+    sql="""
+    WITH run AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS seen_max
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < seen_max THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           round(sum(CASE WHEN ts < seen_max THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS late_frac,
+           CAST(coalesce(max(CASE WHEN ts < seen_max
+                             THEN epoch_us(seen_max) - epoch_us(ts) END), 0)
+                AS BIGINT) AS max_lateness_us
+    FROM run GROUP BY user_id
+    """,
+)
+def q208_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: treating event_id as arrival order, how often
+    does an event's timestamp precede the running max already seen for that
+    user (out-of-order arrival), and by how much at worst? max_lateness_us
+    IS the minimum watermark delay that would have dropped nothing — the
+    empirical input to every withWatermark() in the streaming plane. One
+    window + one groupBy, both on the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = ev.select(
+        "user_id", "ts", F.max("ts").over(w).alias("seen_max"))
+    late = F.col("ts") < F.col("seen_max")
+    lateness = (F.unix_micros(F.col("seen_max").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp")))
+    return (run.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.when(late, 1).otherwise(0)).cast("bigint")
+                 .alias("n_late"),
+                 F.round(F.sum(F.when(late, 1).otherwise(0)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("late_frac"),
+                 F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
+                 .cast("bigint").alias("max_lateness_us")))
