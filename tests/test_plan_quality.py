@@ -366,3 +366,43 @@ def test_q142_and_q135_share_two_phase_shape(spark):
     no sort of the fact."""
     plan = plan_of(spark, "q135_winsorized_scaling")
     assert "BroadcastExchange" in plan
+
+
+def test_q202_negative_sampling_group_limit(spark):
+    # per-anchor rank <= 3 must push into WindowGroupLimit (partial+final),
+    # and the anchor side must broadcast — no shuffle of the candidate set
+    plan = plan_of(spark, "q202_negative_sampling")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # label != label, build = anchors
+
+
+def test_q196_distinctive_terms_broadcast_marginals(spark):
+    # lang/token marginal tables are vocab-sized: both joins broadcast, and
+    # the top-3-per-lang rank runs as WindowGroupLimit
+    plan = plan_of(spark, "q196_distinctive_terms")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q194_bm25_joins_stay_broadcast(spark):
+    # df (per-term) and corpus stats (1 row) must never shuffle the tf table
+    plan = plan_of(spark, "q194_bm25_scores")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q189_pagerank_round_is_join_plus_agg(spark):
+    # one iteration = hash join on node id + partial/final aggregate;
+    # nothing quadratic, nothing collected
+    plan = plan_of(spark, "q189_pagerank_event_graph")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q190_capped_sessions_single_shuffle(spark):
+    # all three windows and the final groupBy share the user_id
+    # partitioning: exactly one Exchange over the event data
+    plan = plan_of(spark, "q190_capped_sessions", mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # data + AQE read
+    assert "CartesianProduct" not in plan
