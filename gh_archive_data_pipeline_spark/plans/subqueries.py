@@ -281,3 +281,40 @@ def q159_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) t
     """)
+
+
+_REACH_SQL = """
+WITH RECURSIVE
+seqs AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM {events}
+),
+edges AS (
+    SELECT DISTINCT event_type AS src, nxt AS dst
+    FROM seqs WHERE nxt IS NOT NULL
+),
+reach(dst, hops) AS (
+    SELECT dst, 1 FROM edges WHERE src = 'signup'
+    UNION ALL
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN edges e ON e.src = r.dst
+    WHERE r.hops < 4
+)
+SELECT dst AS event_type, CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY dst
+"""
+
+
+@register("q209_recursive_reachability", sql=_REACH_SQL.format(events="events"))
+def q209_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph recursion through WITH RECURSIVE (the other recursive-CTE shape
+    next to q104's series generation): minimum transition hops from 'signup'
+    to every reachable event type over the distinct per-user transition
+    graph, depth-bounded at 4 so cyclic edges terminate under UNION ALL.
+    The IDENTICAL SQL text runs on Spark and the DuckDB oracle. Spark plans
+    each recursive step as a join + union round — the same envelope as the
+    hand-rolled loops in operators/graph.py, but driven by the engine."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rec_v")
+    return spark.sql(_REACH_SQL.format(events="events_rec_v"))
