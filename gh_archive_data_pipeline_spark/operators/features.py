@@ -211,3 +211,99 @@ def q137_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_distance"),
         )
     )
+
+
+@register(
+    "q210_pit_features",
+    sql="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           round(p.value, 2) AS purchase_value,
+           CAST(count(CASE WHEN e.event_type = 'click' THEN 1 END) AS BIGINT)
+               AS clicks_7d,
+           CAST(count(CASE WHEN e.event_type = 'view'
+                             AND e.ts >= p.ts - INTERVAL 1 DAY THEN 1 END)
+                AS BIGINT) AS views_1d,
+           round(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                                   THEN e.value END), 0), 2)
+               AS prior_spend_7d
+    FROM purchases p LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 7 DAY
+     AND e.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.value
+    """,
+)
+def q210_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature-store join that
+    must never see the future: for every purchase, trailing-window behavior
+    counts (7-day clicks, 1-day views, 7-day prior spend) built strictly
+    from events BEFORE the purchase timestamp. The join is an equi-join on
+    user_id with a range predicate, so it shuffles each side once on the
+    user key and AQE handles per-user skew; there is no per-feature
+    re-scan — one pass produces all three features via conditional
+    aggregation. At 100 TB the same plan runs with the history side
+    bucketed by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id"), F.col("user_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("p_value")))
+    hist = ev.select(F.col("user_id").alias("h_user"), "event_type",
+                     F.col("ts").alias("h_ts"), F.col("value").alias("h_value"))
+    joined = purchases.join(
+        hist,
+        (F.col("h_user") == F.col("user_id"))
+        & (F.col("h_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("h_ts") < F.col("p_ts")),
+        "left")
+    return (joined.groupBy("event_id", "user_id", "p_value")
+            .agg(F.count(F.when(F.col("event_type") == "click", 1))
+                 .cast("bigint").alias("clicks_7d"),
+                 F.count(F.when((F.col("event_type") == "view")
+                                & (F.col("h_ts") >= F.col("p_ts")
+                                   - F.expr("INTERVAL 1 DAY")), 1))
+                 .cast("bigint").alias("views_1d"),
+                 F.round(F.coalesce(
+                     F.sum(F.when(F.col("event_type") == "purchase",
+                                  F.col("h_value"))), F.lit(0)), 2)
+                 .alias("prior_spend_7d"))
+            .select("event_id", "user_id",
+                    F.round("p_value", 2).alias("purchase_value"),
+                    "clicks_7d", "views_1d", "prior_spend_7d"))
+
+
+@register(
+    "q211_loo_target_encoding",
+    sql="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               sum(o_totalprice) AS s, count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           round(CASE WHEN n > 1 THEN (s - o_totalprice) / (n - 1) END, 4)
+               AS loo_priority_mean
+    FROM orders o JOIN stats USING (o_orderpriority)
+    """,
+)
+def q211_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (leave-one-out) target encoding: each order's category
+    feature is the mean total price of its priority class EXCLUDING the
+    order itself — (sum - x) / (n - 1) — so the encoded feature never
+    contains the row's own target. Category stats are a 5-row broadcast;
+    the fact table is scanned once. Single-member categories encode NULL
+    rather than a self-leaking value."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = (orders.groupBy("o_orderpriority")
+             .agg(F.sum("o_totalprice").alias("s"),
+                  F.count(F.lit(1)).alias("n")))
+    loo = F.when(F.col("n") > 1,
+                 (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1))
+    return (orders.join(F.broadcast(stats), "o_orderpriority")
+            .select("o_orderkey", "o_orderpriority",
+                    F.round(loo, 4).alias("loo_priority_mean")))
