@@ -563,3 +563,55 @@ def q199_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sb), "doc_b")
             .filter(F.col("split_a") != F.col("split_b"))
             .select("doc_a", "doc_b", "jaccard", "split_a", "split_b"))
+
+
+@register(
+    "q213_containment_dedup",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 60
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / len(a.s), 6) AS containment,
+           CAST(len(a.s) AS BIGINT) AS contained_size,
+           CAST(len(b.s) AS BIGINT) AS container_size
+    FROM sh a JOIN sh b
+      ON a.doc_id <> b.doc_id AND len(a.s) < len(b.s)
+    WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                / len(a.s), 6) >= 0.9
+    """,
+)
+def q213_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the dedup case Jaccard misses:
+    a short document fully quoted inside a longer one scores low Jaccard
+    (union is large) but high CONTAINMENT |A∩B| / |A|. Pairs with >= 0.9 of
+    the smaller doc's trigrams inside the larger are flagged, on the same
+    bounded audit window as q41 (at scale the candidate source is LSH on
+    the smaller side's shingles). The size inequality halves the pair space
+    and fixes the containment direction."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = shingles(docs, n=3).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("contained_doc"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("container_doc"),
+                  F.col("shingles").alias("sh_b"))
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size("sh_a"), 6)
+    return (a.join(b, (F.col("contained_doc") != F.col("container_doc"))
+                   & (F.size("sh_a") < F.size("sh_b")))
+            .select("contained_doc", "container_doc",
+                    containment.alias("containment"),
+                    F.size("sh_a").cast("bigint").alias("contained_size"),
+                    F.size("sh_b").cast("bigint").alias("container_size"))
+            .filter(F.col("containment") >= 0.9))

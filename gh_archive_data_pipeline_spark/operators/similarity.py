@@ -476,3 +476,49 @@ def q200_embedding_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos_full, 6).alias("cos_full"),
         F.round(cos_16, 6).alias("cos_16"),
         F.round(F.abs(cos_full - cos_16), 6).alias("abs_drift"))
+
+
+@register(
+    "q212_embedding_norm_audit",
+    sql="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS nrm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, avg(nrm) AS avg_nrm FROM norms GROUP BY label
+    )
+    SELECT norms.label,
+           CAST(count(*) AS BIGINT)        AS n_vecs,
+           round(avg(nrm), 6)              AS avg_norm,
+           round(min(nrm), 6)              AS min_norm,
+           round(max(nrm), 6)              AS max_norm,
+           CAST(sum(CASE WHEN nrm > 1.25 * avg_nrm THEN 1 ELSE 0 END)
+                AS BIGINT)                 AS n_outliers
+    FROM norms JOIN stats USING (label)
+    GROUP BY norms.label
+    """,
+)
+def q212_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-label L2-norm distribution plus a count
+    of vectors whose norm exceeds 1.25× the label mean — the cheap screen
+    for collapsed or exploding embeddings before they poison cosine-based
+    dedup/ANN (un-normalized outliers dominate dot products). Two-phase:
+    per-label stats aggregate (label-count-sized) broadcasts back over the
+    norms; norm math is JVM higher-order functions."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("label",
+                       norm(_as_double("embedding")).alias("nrm"))
+    stats = norms.groupBy("label").agg(F.avg("nrm").alias("avg_nrm"))
+    return (norms.join(F.broadcast(stats), "label")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"),
+                 F.sum(F.when(F.col("nrm") > 1.25 * F.col("avg_nrm"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers")))

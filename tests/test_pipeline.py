@@ -224,3 +224,53 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 5000
     assert back.agg({"id": "sum"}).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_incremental_ingestor_resumes_after_crash(tmp_path):
+    from gh_archive_data_pipeline_spark.pipeline.incremental_ingest import (
+        IncrementalIngestor,
+    )
+
+    bm = str(tmp_path / "bookmark.json")
+    units = [f"2024-01-01-{h}" for h in range(5)]
+    processed = []
+
+    def boom(u):
+        if u == units[2]:
+            raise RuntimeError("transient failure")
+        processed.append(u)
+        return u
+
+    ing = IncrementalIngestor(bm)
+    try:
+        ing.run(units, boom)
+    except RuntimeError:
+        pass
+    # two units committed before the crash; the failed one NOT bookmarked
+    assert processed == units[:2]
+    assert ing.pending(units) == units[2:]
+
+    # recovery run processes only the remainder (no double processing)
+    done_now = ing.run(units, lambda u: processed.append(u) or u)
+    assert list(done_now) == units[2:]
+    assert processed == units[:2] + units[2:]
+    assert ing.pending(units) == []
+
+    # late-discovered backfill hole is picked up on the next run
+    assert ing.pending(units + ["2023-12-31-23"]) == ["2023-12-31-23"]
+
+    # targeted reprocess
+    ing.bookmark.reset([units[1]])
+    assert ing.pending(units) == [units[1]]
+
+
+def test_incremental_ingestor_max_units_batching(tmp_path):
+    from gh_archive_data_pipeline_spark.pipeline.incremental_ingest import (
+        IncrementalIngestor,
+    )
+
+    ing = IncrementalIngestor(str(tmp_path / "bm.json"))
+    units = [str(i) for i in range(7)]
+    assert set(ing.run(units, lambda u: u, max_units=3)) == {"0", "1", "2"}
+    assert set(ing.run(units, lambda u: u, max_units=3)) == {"3", "4", "5"}
+    assert set(ing.run(units, lambda u: u)) == {"6"}
