@@ -386,3 +386,43 @@ def q206_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((F.col("c") - exp) * (F.col("c") - exp) / exp, 6)
                     .alias("chi2_term"))
             .orderBy("leading_digit"))
+
+
+@register(
+    "q215_k_anonymity",
+    sql="""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS risky_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                                                          AS risky_individuals,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+                                                          AS risky_frac,
+           CAST(min(n) AS BIGINT)                         AS min_group_size
+    FROM groups
+    """,
+)
+def q215_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier pair
+    (nation, market segment): how many identifier combinations — and how
+    many individuals — sit in groups smaller than k, i.e. are
+    re-identifiable by those attributes alone. The privacy-compliance
+    counterpart of the PII redaction pass (q106): redaction removes direct
+    identifiers, this measures the indirect ones. One count aggregation
+    plus a constant-size rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = (cust.groupBy("c_nationkey", "c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n")))
+    risky = F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("bigint")
+        .alias("risky_groups"),
+        F.sum(risky).cast("bigint").alias("risky_individuals"),
+        F.round(F.sum(risky).cast("double") / F.sum("n"), 6)
+        .alias("risky_frac"),
+        F.min("n").cast("bigint").alias("min_group_size"))

@@ -631,3 +631,153 @@ def q208_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("late_frac"),
                  F.coalesce(F.max(F.when(late, lateness)), F.lit(0))
                  .cast("bigint").alias("max_lateness_us")))
+
+
+@register(
+    "q214_ewma_control",
+    sql="""
+    WITH framed AS (
+        SELECT user_id, event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                   AS arr
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(range(1, len(arr) + 1),
+                 i -> arr[i] * CASE WHEN i = 1
+                                    THEN power(0.7, len(arr) - 1)
+                                    ELSE 0.3 * power(0.7, len(arr) - i)
+                               END)), 4) AS ewma
+    FROM framed
+    WHERE len(arr) = 20
+    """,
+)
+def q214_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control value (α = 0.3) per user over the trailing 20 events —
+    the anomaly-baseline smoother that is inherently sequential, expressed
+    without recursion: over the bounded frame, EWMA_n unrolls to the closed
+    form x_1·(1-α)^(n-1) + α·Σ x_i·(1-α)^(n-i), computable as an indexed
+    map-sum over the frame's collected array. Frame width caps the state
+    (20 doubles/row), so one user_id shuffle and JVM-side array math — the
+    unbounded-history variant belongs to the streaming stateful operator
+    (streaming/stateful.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, Window.currentRow))
+    framed = ev.select("user_id", "event_id",
+                       F.collect_list("value").over(w).alias("arr"))
+    n = F.size("arr")
+    weighted = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(F.col("arr"), i)
+        * F.when(i == 1, F.pow(0.7, (n - 1).cast("double")))
+        .otherwise(0.3 * F.pow(0.7, (n - i).cast("double"))))
+    ewma = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    # Warm-up rows (frame < 20) are excluded, as a control chart would:
+    # beyond chart semantics, short frames produce decimal-ALIGNED values
+    # (2-decimal inputs x short 0.7^k weights) that sit exactly on rounding
+    # boundaries, where the engines' last-ULP differences (libm pow, fold
+    # order) flip the 4dp round. Full frames mix 20 irrational weights, so
+    # boundary collisions vanish (~1e-9/row).
+    return (framed.filter(F.size("arr") == 20)
+            .select("user_id", "event_id",
+                    F.round(ewma, 4).alias("ewma")))
+
+
+@register(
+    "q216_survival_curve",
+    sql="""
+    WITH bounds AS (SELECT max(ts) AS censor_ts FROM events),
+    signups AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+        FROM signups s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+         AND e.ts >= s.signup_ts
+        GROUP BY s.user_id, s.signup_ts
+    ),
+    durations AS (
+        SELECT CAST(floor((epoch_us(coalesce(purchase_ts, censor_ts))
+                           - epoch_us(signup_ts)) / 86400000000) AS BIGINT)
+                   AS day,
+               (purchase_ts IS NOT NULL) AS converted
+        FROM first_purchase CROSS JOIN bounds
+    ),
+    daily AS (
+        SELECT day,
+               count(*) AS ending,
+               sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d
+        FROM durations GROUP BY day
+    ),
+    km AS (
+        SELECT day, d,
+               (SELECT count(*) FROM durations dd WHERE dd.day >= daily.day)
+                   AS n_risk
+        FROM daily
+    )
+    SELECT day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT)      AS n_converted,
+           round(exp(sum(ln(1 - d::DOUBLE / n_risk))
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM km WHERE d < n_risk
+    ORDER BY day
+    """,
+)
+def q216_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: days from signup to first
+    purchase, users without a purchase right-censored at the observation
+    end. S(day) = Π (1 - d_i / n_i) computed as exp of a running sum of
+    logs — a window over the per-day table (≤ observation-span rows), so
+    the only data-sized work is the per-user reduction; the at-risk counts
+    come from a day-level self-join on the tiny daily table. Degenerate
+    final days where everyone remaining converts (d = n) are dropped on
+    both sides (survival hits exact 0). This is the funnel/retention
+    statistic done right — censoring included, unlike naive conversion
+    rates."""
+    ev = load_table(spark, sf_dir, "events")
+    censor = ev.agg(F.max("ts").alias("censor_ts"))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    fp = (signups.join(purchases,
+                       (F.col("p_user") == F.col("user_id"))
+                       & (F.col("p_ts") >= F.col("signup_ts")), "left")
+          .groupBy("user_id", "signup_ts")
+          .agg(F.min("p_ts").alias("purchase_ts")))
+    end_us = F.unix_micros(
+        F.coalesce(F.col("purchase_ts"), F.col("censor_ts")).cast("timestamp"))
+    start_us = F.unix_micros(F.col("signup_ts").cast("timestamp"))
+    durations = (fp.crossJoin(F.broadcast(censor))
+                 .select(
+                     F.floor((end_us - start_us) / 86_400_000_000)
+                     .cast("bigint").alias("day"),
+                     F.col("purchase_ts").isNotNull().alias("converted")))
+    daily = (durations.groupBy("day")
+             .agg(F.count(F.lit(1)).alias("ending"),
+                  F.sum(F.when(F.col("converted"), 1).otherwise(0))
+                  .alias("d")))
+    # at-risk = everyone whose duration ends on this day or later: a
+    # self-join on the tiny per-day table (span-sized, broadcastable)
+    d2 = daily.select(F.col("day").alias("day2"), F.col("ending").alias("e2"))
+    km = (daily.join(F.broadcast(d2), F.col("day2") >= F.col("day"))
+          .groupBy("day", "d")
+          .agg(F.sum("e2").alias("n_risk")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (km.filter(F.col("d") < F.col("n_risk"))
+            .select("day",
+                    F.col("n_risk").cast("bigint").alias("n_risk"),
+                    F.col("d").cast("bigint").alias("n_converted"),
+                    F.round(F.exp(F.sum(
+                        F.log(1 - F.col("d").cast("double")
+                              / F.col("n_risk"))).over(w)), 6)
+                    .alias("survival"))
+            .orderBy("day"))
