@@ -44,20 +44,31 @@ def pca_top_component(emb: DataFrame) -> tuple[list[float], float, float]:
     # component in practice; a zero Rayleigh quotient would flag it loudly).
     v = [1.0 / math.sqrt(DIM)] * DIM
 
+    # Materialize the projected input once: without this every iteration
+    # re-runs the parquet scan through its whole lineage (15 scans); at
+    # cluster scale this is .cache() / a checkpoint to storage.
+    emb = emb.select("embedding").localCheckpoint()
     vec = _as_double(F.col("embedding"))
     for _ in range(ITERATIONS):
         mu_dot_v = sum(m * x for m, x in zip(mu, v))
         d = dot(vec, F.array(*[F.lit(float(x)) for x in v])) - F.lit(mu_dot_v)
-        sums = emb.select(
-            d.alias("d"), *[F.col("embedding").getItem(j).alias(f"e{j}")
-                            for j in range(DIM)]
-        ).agg(
-            F.sum("d").alias("sd"),
-            *[F.sum(F.col(f"e{j}") * F.col("d")).alias(f"s{j}")
-              for j in range(DIM)],
-        ).first()
-        w = [float(sums[f"s{j}"]) - mu[j] * float(sums["sd"])
-             for j in range(DIM)]
+        # Per-dimension sums via posexplode + groupBy(dim) rather than 64
+        # separate sum() expressions: the wide-agg form re-compiles a fresh
+        # 65-expression codegen unit EVERY iteration (v changes → new plan
+        # text) at ~1s/compile; this 3-expression shape compiles in ms.
+        # Communication is identical — partial aggregation reduces each
+        # partition to 65 (dim, sum) pairs before the shuffle. A sentinel
+        # dimension with e=1.0 rides along so Σd comes from the same pass.
+        rows = (emb.select(
+                    d.alias("d"),
+                    F.posexplode(F.concat(vec, F.array(F.lit(1.0))))
+                    .alias("j", "e"))
+                .groupBy("j")
+                .agg(F.sum(F.col("e") * F.col("d")).alias("s"))
+                .collect())
+        by_j = {int(r["j"]): float(r["s"]) for r in rows}
+        sd = by_j[DIM]  # the sentinel slot
+        w = [by_j[j] - mu[j] * sd for j in range(DIM)]
         nrm = math.sqrt(sum(x * x for x in w))
         v = [x / nrm for x in w]
         eigenvalue = nrm / n  # Rayleigh quotient after normalization step
@@ -119,6 +130,7 @@ def kmeans(emb: DataFrame, k: int = 8, iterations: int = 5) -> tuple[list[list[f
     seed_rows = (emb.orderBy("vec_id").limit(k)
                  .select(_as_double(F.col("embedding")).alias("e")).collect())
     centroids = [list(r.e) for r in seed_rows]
+    emb = emb.select("vec_id", "embedding").localCheckpoint()
     for _ in range(iterations):
         cluster, _d2 = _argmin_cluster(centroids)
         sums = (

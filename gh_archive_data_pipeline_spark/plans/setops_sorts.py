@@ -100,3 +100,43 @@ def q25_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("o_orderkey").alias("latest_orderkey"),
                 F.col("o_orderdate").alias("latest_date"))
     )
+
+
+@register(
+    "q217_bag_set_ops",
+    sql="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+         i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+         e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM i
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 'union_all', CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+    FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    """,
+)
+def q217_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics (ALL) set operations — the multiplicity-preserving
+    corner of §2.9 that q24's DISTINCT variants don't exercise:
+    INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    multiplicities, UNION ALL concatenates. Each arm collapses to a count
+    pair so the oracle pins the multiplicity arithmetic, not row order.
+    Spark plans INTERSECT/EXCEPT ALL as a single aggregate + generate
+    (replicate_rows) round — one shuffle per arm, no join explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+
+    def stats(df, op):
+        return df.agg(F.lit(op).alias("op"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                      F.countDistinct("k").cast("bigint").alias("n_keys"))
+
+    return (stats(a.intersectAll(b), "intersect_all")
+            .unionByName(stats(a.exceptAll(b), "except_all"))
+            .unionByName(stats(a.unionAll(b), "union_all")))
