@@ -307,3 +307,51 @@ def q211_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orders.join(F.broadcast(stats), "o_orderpriority")
             .select("o_orderkey", "o_orderpriority",
                     F.round(loo, 4).alias("loo_priority_mean")))
+
+
+@register(
+    "q218_churn_labels",
+    sql="""
+    WITH bounds AS (SELECT max(ts) AS horizon FROM events),
+    anchors AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id, a.user_id,
+           CAST(count(e.ts) AS BIGINT) AS future_events_7d,
+           (count(e.ts) = 0) AS churned_7d,
+           (a.ts + INTERVAL 7 DAY > horizon) AS censored
+    FROM anchors a
+    CROSS JOIN bounds
+    LEFT JOIN events e
+      ON e.user_id = a.user_id
+     AND e.ts > a.ts AND e.ts <= a.ts + INTERVAL 7 DAY
+    GROUP BY a.event_id, a.user_id, a.ts, horizon
+    """,
+)
+def q218_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label generation — the forward-looking mirror of q210's features:
+    for each purchase, did the user go silent for the next 7 days
+    (churned_7d), with a censoring flag when the 7-day window runs past the
+    observation horizon (those labels are not trustworthy and a training
+    set must drop or re-date them). Same single user-keyed range-join
+    envelope as the feature side, so features and labels co-partition and
+    their final join is exchange-free."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    anchors = (ev.filter(F.col("event_type") == "purchase")
+               .select("event_id", "user_id", F.col("ts").alias("a_ts")))
+    future = ev.select(F.col("user_id").alias("f_user"),
+                       F.col("ts").alias("f_ts"))
+    j = anchors.crossJoin(F.broadcast(horizon)).join(
+        future,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_ts") > F.col("a_ts"))
+        & (F.col("f_ts") <= F.col("a_ts") + F.expr("INTERVAL 7 DAY")),
+        "left")
+    return (j.groupBy("event_id", "user_id", "a_ts", "horizon")
+            .agg(F.count("f_ts").cast("bigint").alias("future_events_7d"))
+            .select("event_id", "user_id", "future_events_7d",
+                    (F.col("future_events_7d") == 0).alias("churned_7d"),
+                    (F.col("a_ts") + F.expr("INTERVAL 7 DAY")
+                     > F.col("horizon")).alias("censored")))

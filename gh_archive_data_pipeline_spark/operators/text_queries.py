@@ -692,3 +692,46 @@ def q196_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 3)
             .select("lang", "token", "in_lang_count",
                     F.round("log_odds", 6).alias("log_odds")))
+
+
+@register(
+    "q219_text_normalize",
+    sql="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                    AS raw_chars,
+           CAST(length(norm_text) AS BIGINT)               AS norm_chars,
+           CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS norm_tokens,
+           round(length(norm_text)::DOUBLE / length(text), 6)
+                                                           AS kept_frac,
+           substr(md5(norm_text), 1, 16)                   AS norm_digest
+    FROM norm
+    """,
+)
+def q219_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing text normalization — the pass that runs BEFORE exact
+    dedup so trivial variants (case, punctuation, whitespace runs) hash
+    identically: lowercase → non-alphanumerics to spaces → collapse runs →
+    trim, with before/after size stats and the md5 digest of the normalized
+    form (the dedup key q40 would consume). Pure expression plan; the
+    character classes are engine-portable ([a-z0-9 ] only, no Unicode
+    classes whose semantics differ between regex engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("raw_chars"),
+        F.length(norm).cast("bigint").alias("norm_chars"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("norm_tokens"),
+        F.round(F.length(norm).cast("double") / F.length("text"), 6)
+        .alias("kept_frac"),
+        F.substring(F.md5(norm), 1, 16).alias("norm_digest"))
