@@ -79,6 +79,7 @@ def _load_all() -> None:
         skew,
         text_queries,
         timeseries,
+        tokenize,
     )
     from ..streaming import batch_equivalents, stream_queries  # noqa: F401
 

@@ -477,3 +477,24 @@ def test_capped_sessions_slices_long_burst(spark, sf_dir):
     assert [r["cap_slice"] for r in out] == [0, 1, 2]
     # slices tile the burst contiguously
     assert out[0]["end_us"] < out[1]["start_us"] < out[1]["end_us"] < out[2]["start_us"]
+
+
+def test_wordpiece_reference_segmentation():
+    from gh_archive_data_pipeline_spark.operators.tokenize import wordpiece_word
+
+    # multi-piece words follow greedy longest-match with ## continuations
+    assert wordpiece_word("window") == ["wind", "##ow"]
+    assert wordpiece_word("spark") == ["sp", "##ark"]
+    assert wordpiece_word("query") == ["quer", "##y"]
+    # 'windy': 'wind' then single-char fallback
+    assert wordpiece_word("windy") == ["wind", "##y"]
+    # word with no multi-char match: all single-char pieces
+    assert wordpiece_word("cat") == ["c", "##a", "##t"]
+    # greedy means longest first even when shorter pieces exist
+    assert wordpiece_word("merge") == ["mer", "##ge"]
+    # round trip: stripping ## markers reconstructs the word
+    for w in ["window", "sparkly", "filter", "zzz9"]:
+        pieces = wordpiece_word(w)
+        assert "".join(p.removeprefix("##") for p in pieces) == w
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert not pieces[0].startswith("##")
