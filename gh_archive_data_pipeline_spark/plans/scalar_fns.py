@@ -329,3 +329,104 @@ def q161_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_events"),
              F.countDistinct("event_type").cast("bigint").alias("n_types"))
     )
+
+
+@register(
+    "q221_collated_grouping",
+    sql="""
+    WITH mangled AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                    ELSE lower(p_type) END AS t
+        FROM part
+    )
+    SELECT CAST(count(DISTINCT t) AS BIGINT)        AS n_binary_distinct,
+           CAST(count(DISTINCT lower(t)) AS BIGINT) AS n_collated_distinct
+    FROM mangled
+    """,
+)
+def q221_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): part types case-mangled
+    per row, then counted distinct under binary vs UTF8_LCASE collation —
+    the collated count collapses case variants without materializing a
+    lower() copy (the collation travels with the type, so joins/groupBys
+    downstream compare case-insensitively too). The oracle models the
+    collated semantics with lower(); the Spark side uses the real collated
+    column."""
+    part = load_table(spark, sf_dir, "part")
+    mangled = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type")).alias("t"))
+    return mangled.agg(
+        F.countDistinct("t").cast("bigint").alias("n_binary_distinct"),
+        F.countDistinct(F.collate("t", "UTF8_LCASE")).cast("bigint")
+        .alias("n_collated_distinct"))
+
+
+@register(
+    "q222_xml_ingest",
+    sql="""
+    SELECT o_orderkey AS order_key,
+           o_orderstatus AS status,
+           CAST(o_orderdate AS VARCHAR) AS order_date
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q222_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 from_xml): order rows rendered to XML
+    documents and parsed back with an explicit schema; the extracted fields
+    must round-trip exactly (the oracle recomputes them from the raw
+    columns). This is the expression-level path the spark-xml file source
+    shares — schema enforcement, type coercion, nested element access."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") % 97 == 0))
+    xml = F.concat(
+        F.lit("<order><key>"), F.col("o_orderkey").cast("string"),
+        F.lit("</key><status>"), F.col("o_orderstatus"),
+        F.lit("</status><date>"), F.col("o_orderdate").cast("string"),
+        F.lit("</date></order>"))
+    parsed = orders.select(
+        F.from_xml(xml, "key BIGINT, status STRING, date STRING").alias("p"))
+    return parsed.select(
+        F.col("p.key").alias("order_key"),
+        F.col("p.status").alias("status"),
+        F.col("p.date").alias("order_date"))
+
+
+@register(
+    "q223_csv_expression",
+    sql="""
+    WITH lines AS (
+        SELECT CASE WHEN l_linenumber = 7 THEN 'x' ELSE CAST(l_orderkey AS VARCHAR) END
+                   AS k_str,
+               l_linenumber, l_returnflag
+        FROM lineitem
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN TRY_CAST(k_str AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(sum(TRY_CAST(k_str AS BIGINT)) AS BIGINT) AS key_sum
+    FROM lines GROUP BY l_returnflag
+    """,
+)
+def q223_csv_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion at expression level (from_csv, the S-surface sibling of
+    q55's from_json): lineitem rows rendered to csv lines with a planted
+    malformed key on every 7th line number, parsed back with an explicit
+    schema — malformed ints surface as NULL (PERMISSIVE semantics), counted
+    per returnflag. The oracle reproduces the parse contract with
+    TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        ",",
+        F.when(F.col("l_linenumber") == 7, F.lit("x"))
+        .otherwise(F.col("l_orderkey").cast("string")),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"))
+    parsed = li.select(
+        F.from_csv(line, F.lit("k BIGINT, ln INT, flag STRING")).alias("p"))
+    return (parsed.groupBy(F.col("p.flag").alias("returnflag"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_malformed"),
+                 F.sum("p.k").cast("bigint").alias("key_sum")))
