@@ -615,3 +615,55 @@ def q213_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("sh_a").cast("bigint").alias("contained_size"),
                     F.size("sh_b").cast("bigint").alias("container_size"))
             .filter(F.col("containment") >= 0.9))
+
+
+@register(
+    "q224_duplicated_spans",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 6),
+                      i -> array_to_string(w[i:i+7], ' '))) AS span
+        FROM toks WHERE len(w) >= 8
+    ),
+    agg AS (
+        SELECT span,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM spans GROUP BY span
+    )
+    SELECT substr(md5(span), 1, 16) AS span_hash,
+           n_occurrences, n_docs
+    FROM agg
+    WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, span_hash
+    LIMIT 50
+    """,
+)
+def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection — the train-set memorization audit
+    from "Deduplicating Training Data Makes Language Models Better": every
+    8-token span that appears in 2+ documents, with occurrence counts. One
+    explode (span stream, shuffled as hashes+counts after partial agg) and
+    one groupBy — no suffix array needed for fixed-length spans, and the
+    span length is the knob (8 here; 50 in the paper). Spans leave the scan
+    as md5 hashes in the output so the shuffle payload stays narrow; at
+    100 TB you'd hash BEFORE the groupBy (xxhash64) and verify collisions
+    in a second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (docs.select("doc_id", F.split("text", " ").alias("w"))
+             .where(F.size("w") >= 8)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(w) - 7),"
+                 " i -> array_join(slice(w, i, 8), ' '))")).alias("span")))
+    agg = (spans.groupBy("span")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
+    return (agg.filter(F.col("n_docs") >= 2)
+            .select(F.substring(F.md5("span"), 1, 16).alias("span_hash"),
+                    "n_occurrences", "n_docs")
+            .orderBy(F.desc("n_occurrences"), "span_hash")
+            .limit(50))

@@ -274,3 +274,42 @@ def test_incremental_ingestor_max_units_batching(tmp_path):
     assert set(ing.run(units, lambda u: u, max_units=3)) == {"0", "1", "2"}
     assert set(ing.run(units, lambda u: u, max_units=3)) == {"3", "4", "5"}
     assert set(ing.run(units, lambda u: u)) == {"6"}
+
+
+def test_versioned_lake_time_travel(spark, tmp_path):
+    from gh_archive_data_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    v0 = V.write_version(spark.range(3).selectExpr("id", "id * 10 AS x"), path)
+    v1 = V.write_version(spark.range(5).selectExpr("id", "id * 20 AS x"), path)
+    assert (v0, v1) == (0, 1)
+    assert V.current_version(path) == 1
+    # published read sees the latest version
+    assert V.read_version(spark, path).count() == 5
+    # time travel reads the old snapshot unchanged
+    old = V.read_version(spark, path, version=0)
+    assert old.count() == 3
+    assert {r.x for r in old.collect()} == {0, 10, 20}
+    # a third write + vacuum(keep_last=2) drops only v0
+    V.write_version(spark.range(7), path)
+    assert V.vacuum(path, keep_last=2) == [0]
+    assert V.list_versions(path) == [1, 2]
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        V.read_version(spark, path, version=0)
+    # published version still intact after vacuum
+    assert V.read_version(spark, path).count() == 7
+
+
+def test_versioned_lake_publish_is_atomic(spark, tmp_path):
+    from gh_archive_data_pipeline_spark.sources import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_version(spark.range(4), path)
+    # a reader holding the old manifest keeps a consistent view while a new
+    # version is being written (immutability of v= dirs)
+    before = V.current_version(path)
+    df_old = V.read_version(spark, path, version=before)
+    V.write_version(spark.range(9), path)
+    assert df_old.count() == 4  # unchanged by the concurrent publish
+    assert V.read_version(spark, path).count() == 9
