@@ -426,3 +426,46 @@ def q215_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(risky).cast("double") / F.sum("n"), 6)
         .alias("risky_frac"),
         F.min("n").cast("bigint").alias("min_group_size"))
+
+
+@register(
+    "q226_dp_noisy_counts",
+    sql="""
+    WITH counts AS (
+        SELECT c_nationkey, count(*)::DOUBLE AS n
+        FROM customer GROUP BY c_nationkey
+    ),
+    seeded AS (
+        SELECT c_nationkey, n,
+               (CAST(CAST('0x' || substr(md5('dp-seed-' || c_nationkey), 1, 12)
+                          AS BIGINT) AS DOUBLE) / 281474976710656.0) - 0.5 AS u
+        FROM counts
+    )
+    SELECT c_nationkey,
+           CAST(n AS BIGINT) AS true_count,
+           round(n - sign(u) * ln(1 - 2 * abs(u)), 4) AS noisy_count
+    FROM seeded
+    """,
+)
+def q226_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped noisy counts: per-nation customer counts
+    with Laplace(1/ε, ε=1) noise via inverse-CDF sampling — u drawn from a
+    content-addressed uniform (md5 of a seeded key mapped to [-0.5, 0.5)),
+    noise = -sign(u)·ln(1-2|u|)·(1/ε). Deterministic seeding makes the
+    release replayable and oracle-checkable; a production DP release swaps
+    the seeded uniform for a true RNG and this query IS the release job
+    (sensitivity 1 count queries). True counts ride along here only for
+    the audit."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (cust.groupBy("c_nationkey")
+              .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("dp-seed-"),
+                                           F.col("c_nationkey").cast("string"))),
+                            1, 12), 16, 10).cast("double")
+         / F.lit(281474976710656.0)) - 0.5
+    seeded = counts.select("c_nationkey", "n", u.alias("u"))
+    noise = -F.signum("u") * F.log(1 - 2 * F.abs(F.col("u")))
+    return seeded.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") + noise, 4).alias("noisy_count"))

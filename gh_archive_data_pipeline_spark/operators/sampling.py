@@ -292,3 +292,69 @@ def q203_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = F.row_number().over(
         Window.orderBy("rn", "source", "doc_id")).cast("bigint")
     return head.select(pos.alias("position"), "doc_id", "source", "rn")
+
+
+@register(
+    "q225_materialize_mixture",
+    sql="""
+    WITH grp AS (
+        SELECT source, count(*) AS docs
+        FROM documents GROUP BY source
+    ),
+    target AS (
+        SELECT source,
+               CAST(ceil(500 * pow(docs, 0.5)
+                         / sum(pow(docs, 0.5)) OVER ()) AS BIGINT) AS quota
+        FROM grp
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, t.quota,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id) AS rn
+        FROM documents d JOIN target t USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS sampled_docs,
+           CAST(min(quota) AS BIGINT) AS quota,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           substr(md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY doc_id)), 1, 16) AS sample_digest
+    FROM ranked WHERE rn <= quota
+    GROUP BY source
+    """,
+)
+def q225_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a temperature-balanced training mix end-to-end (the
+    executable step after q130's weights): per-source quotas from
+    docs^0.5-temperature re-weighting of a 500-doc budget, filled by
+    deterministic content-hash order (md5 of doc_id — replayable, stable
+    under appends to OTHER sources). Output pins the exact sample via a
+    per-source digest of the chosen ids. Quota ranking is a per-source
+    WindowGroupLimit; nothing global. This is the data loader's manifest
+    build as a query."""
+    from ..sources.readers import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    w_all = Window.partitionBy()
+    target = grp.select(
+        "source",
+        F.ceil(500 * F.pow("docs", 0.5)
+               / F.sum(F.pow("docs", 0.5)).over(w_all)).cast("bigint")
+        .alias("quota"))
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = (docs.join(F.broadcast(target), "source")
+              .select("doc_id", "source", "quota",
+                      F.row_number().over(wr).alias("rn"))
+              .filter(F.col("rn") <= F.col("quota")))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sampled_docs"),
+                 F.min("quota").cast("bigint").alias("quota"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id"),
+                 F.substring(F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")
+                 ))), 1, 16).alias("sample_digest")))
