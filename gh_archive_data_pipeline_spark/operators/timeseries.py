@@ -781,3 +781,55 @@ def q216_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                               / F.col("n_risk"))).over(w)), 6)
                     .alias("survival"))
             .orderBy("day"))
+
+
+@register(
+    "q228_downsample_minmax",
+    sql="""
+    WITH bucketed AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket
+        FROM events WHERE user_id < 20
+    ),
+    ranked AS (
+        SELECT user_id, bucket, value,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY value ASC, ts, event_id) AS r_min,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY value DESC, ts, event_id) AS r_max
+        FROM bucketed
+    )
+    SELECT user_id, bucket,
+           CAST(count(*) AS BIGINT)          AS kept_points,
+           round(min(value), 2)              AS min_value,
+           round(max(value), 2)              AS max_value
+    FROM ranked WHERE r_min = 1 OR r_max = 1
+    GROUP BY user_id, bucket
+    """,
+)
+def q228_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max downsampling for time-series rendering: per (user, hour)
+    bucket keep only the extreme points (the envelope a plot needs —
+    guarantees no spike is lost, unlike averaging). Both rank windows share
+    the (user, bucket) partitioning — one shuffle; kept_points is 2 (or 1
+    when a single row is both extremes). The LTTB refinement has a
+    sequential dependency and belongs to a stateful pass; min-max is the
+    distributable 99% answer."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bucket = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                     / 3_600_000_000).cast("bigint")
+    b = ev.select("user_id", "ts", "event_id", "value",
+                  bucket.alias("bucket"))
+    w_min = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("value").asc(), "ts", "event_id")
+    w_max = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("value").desc(), "ts", "event_id")
+    ranked = b.select(
+        "user_id", "bucket", "value",
+        F.row_number().over(w_min).alias("r_min"),
+        F.row_number().over(w_max).alias("r_max"))
+    return (ranked.filter((F.col("r_min") == 1) | (F.col("r_max") == 1))
+            .groupBy("user_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("kept_points"),
+                 F.round(F.min("value"), 2).alias("min_value"),
+                 F.round(F.max("value"), 2).alias("max_value")))

@@ -733,3 +733,52 @@ def q96_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("priority"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@register(
+    "q227_percent_of_parent",
+    sql="""
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(c.c_acctbal) AS bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(bal, 2) AS balance,
+           round(bal / sum(bal) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           round(sum(bal) OVER (PARTITION BY region)
+                 / sum(bal) OVER (), 6) AS region_share_of_total
+    FROM base
+    """,
+)
+def q227_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: nation balances as a share of their
+    region, and each region as a share of the grand total — the drill-down
+    ratio every BI rollup needs, expressed as two windows OVER the
+    aggregated residue (125 rows), never over the fact table. The fact
+    scan aggregates once; both dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (cust
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region),
+                  nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.sum("c_acctbal").alias("bal")))
+    from pyspark.sql import Window
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return base.select(
+        "region", "nation",
+        F.round("bal", 2).alias("balance"),
+        F.round(F.col("bal") / F.sum("bal").over(w_region), 6)
+        .alias("share_of_region"),
+        F.round(F.sum("bal").over(w_region) / F.sum("bal").over(w_all), 6)
+        .alias("region_share_of_total"))
