@@ -469,3 +469,46 @@ def q226_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.col("n").cast("bigint").alias("true_count"),
         F.round(F.col("n") + noise, 4).alias("noisy_count"))
+
+
+@register(
+    "q231_order_total_audit",
+    sql="""
+    WITH li AS (
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS computed
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS childless_orders,
+           CAST(sum(CASE WHEN abs(o_totalprice - computed) < 0.02
+                         THEN 1 ELSE 0 END) AS BIGINT) AS consistent_orders,
+           round(avg(abs(o_totalprice - computed)), 2) AS avg_abs_gap,
+           round(max(abs(o_totalprice - computed)), 2) AS max_abs_gap
+    FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+    """,
+)
+def q231_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: o_totalprice vs the TPC-H
+    pricing identity recomputed from lineitems — on this synthetic fixture
+    the identity deliberately does NOT hold (0 consistent orders, 27
+    childless at sf0.001), and the audit's job is to SAY so with gap
+    magnitudes rather than assume. One lineitem aggregation, broadcast-side
+    join back to orders, constant-size rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.round(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))
+                             * (1 + F.col("l_tax"))), 2).alias("computed")))
+    gap = F.abs(F.col("o_totalprice") - F.col("computed"))
+    return (orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum(F.when(F.col("computed").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("childless_orders"),
+                 F.sum(F.when(gap < 0.02, 1).otherwise(0)).cast("bigint")
+                 .alias("consistent_orders"),
+                 F.round(F.avg(gap), 2).alias("avg_abs_gap"),
+                 F.round(F.max(gap), 2).alias("max_abs_gap")))

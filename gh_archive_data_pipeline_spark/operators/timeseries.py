@@ -833,3 +833,96 @@ def q228_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("kept_points"),
                  F.round(F.min("value"), 2).alias("min_value"),
                  F.round(F.max("value"), 2).alias("max_value")))
+
+
+@register(
+    "q229_new_user_growth",
+    sql="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, count(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+)
+def q229_new_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-user acquisition curve: each user attributed to their first-seen
+    day, daily cohort sizes, and the running total — the growth KPI. The
+    heavy reduction (min ts per user) is the only data-sized shuffle; the
+    cumulative window runs over the ~30-row daily residue."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.min("ts").cast("timestamp"))
+                  / 86_400_000_000).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(day.alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return daily.select(
+        "day", F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"))
+
+
+@register(
+    "q230_engagement_transitions",
+    sql="""
+    WITH weekly AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week,
+               count(*) AS n
+        FROM events GROUP BY user_id, week
+    ),
+    tiered AS (
+        SELECT user_id, week,
+               CASE WHEN n >= 100 THEN 'power'
+                    WHEN n >= 30 THEN 'regular' ELSE 'casual' END AS tier
+        FROM weekly
+    ),
+    paired AS (
+        SELECT a.tier AS tier_from, b.tier AS tier_to
+        FROM tiered a JOIN tiered b
+          ON a.user_id = b.user_id AND b.week = a.week + 1
+    )
+    SELECT tier_from, tier_to,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY tier_from), 6) AS p
+    FROM paired GROUP BY tier_from, tier_to
+    """,
+)
+def q230_engagement_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-tier retention matrix: users bucketed per week into
+    power/regular/casual by activity, then week-over-week transition
+    probabilities — the product-health Markov matrix (q134's event-level
+    cousin at the user-lifecycle level). Self-join on (user, week+1) keys
+    the same shuffle as the tiering aggregation; the probability window
+    runs over the 9-cell residue."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                   / 604_800_000_000).cast("bigint")
+    weekly = (ev.groupBy("user_id", week.alias("week"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tier = (F.when(F.col("n") >= 100, "power")
+            .when(F.col("n") >= 30, "regular").otherwise("casual"))
+    tiered = weekly.select("user_id", "week", tier.alias("tier"))
+    b = tiered.select(F.col("user_id").alias("u2"),
+                      F.col("week").alias("w2"),
+                      F.col("tier").alias("tier_to"))
+    paired = tiered.join(
+        b, (F.col("u2") == F.col("user_id")) & (F.col("w2") == F.col("week") + 1))
+    counts = (paired.groupBy(F.col("tier").alias("tier_from"), "tier_to")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("tier_from")
+    return counts.select(
+        "tier_from", "tier_to",
+        F.col("c").cast("bigint").alias("n_users"),
+        F.round(F.col("c").cast("double") / F.sum("c").over(w), 6).alias("p"))
