@@ -926,3 +926,152 @@ def q230_engagement_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier_from", "tier_to",
         F.col("c").cast("bigint").alias("n_users"),
         F.round(F.col("c").cast("double") / F.sum("c").over(w), 6).alias("p"))
+
+
+@register(
+    "q232_ltv_cohorts",
+    sql="""
+    WITH signup AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(min(ts)) / 604800000000) AS BIGINT)
+                   AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    revenue AS (
+        SELECT e.user_id, s.cohort_week,
+               CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT)
+                   - s.cohort_week AS weeks_since,
+               e.value
+        FROM events e JOIN signup s USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    cohort_size AS (
+        SELECT cohort_week, count(*) AS n_users FROM signup GROUP BY cohort_week
+    ),
+    weekly AS (
+        SELECT cohort_week, weeks_since, sum(value) AS rev
+        FROM revenue WHERE weeks_since >= 0
+        GROUP BY cohort_week, weeks_since
+    )
+    SELECT w.cohort_week, w.weeks_since,
+           CAST(c.n_users AS BIGINT) AS cohort_users,
+           round(sum(w.rev) OVER (PARTITION BY w.cohort_week
+                                  ORDER BY w.weeks_since
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / c.n_users, 4)
+               AS cum_revenue_per_user
+    FROM weekly w JOIN cohort_size c USING (cohort_week)
+    """,
+)
+def q232_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by signup week, purchase
+    revenue accumulated per weeks-since-signup, normalized per cohort user
+    — the LTV table growth teams read down-diagonally. Revenue joins the
+    cohort assignment on user_id (one shuffle); the cumulative window runs
+    on the (cohort × week) residue."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_micros(F.col(c).cast("timestamp"))
+                             / 604_800_000_000).cast("bigint")
+    signup = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id")
+              .agg(F.floor(F.unix_micros(F.min("ts").cast("timestamp"))
+                           / 604_800_000_000).cast("bigint")
+                   .alias("cohort_week")))
+    revenue = (ev.filter(F.col("event_type") == "purchase")
+               .join(signup, "user_id")
+               .select("cohort_week",
+                       (week("ts") - F.col("cohort_week")).alias("weeks_since"),
+                       "value")
+               .filter(F.col("weeks_since") >= 0))
+    cohort_size = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    weekly = (revenue.groupBy("cohort_week", "weeks_since")
+              .agg(F.sum("value").alias("rev")))
+    w = (Window.partitionBy("cohort_week").orderBy("weeks_since")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (weekly.join(F.broadcast(cohort_size), "cohort_week")
+            .select("cohort_week", "weeks_since",
+                    F.col("n_users").cast("bigint").alias("cohort_users"),
+                    F.round(F.sum("rev").over(w) / F.col("n_users"), 4)
+                    .alias("cum_revenue_per_user")))
+
+
+@register(
+    "q233_session_abandonment",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type,
+               CAST((floor(epoch_us(min(ts) OVER (PARTITION BY user_id, sid))
+                           / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+               sid
+        FROM (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS sid,
+                   ts
+            FROM marked
+        )
+    ),
+    per_session AS (
+        SELECT user_id, sid, min(dow) AS dow,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN has_click = 1 AND has_buy = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abandoned,
+           round(sum(CASE WHEN has_click = 1 AND has_buy = 0
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN has_click = 1 THEN 1 ELSE 0 END), 6)
+               AS abandonment_rate
+    FROM per_session GROUP BY dow
+    """,
+)
+def q233_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment by day of week: gap-sessionized (30 min) sessions
+    that contain a click but no purchase, as a share of clicking sessions.
+    Every window shares the user_id shuffle; day-of-week is epoch
+    arithmetic (engine-identical). The kind of funnel KPI that composes
+    three operator planes — sessionization, conditional flags, calendar
+    bucketing — in one pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1)
+        .otherwise(0).alias("new_session"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select("user_id", "ts", "event_type",
+                         F.sum("new_session").over(wc).alias("sid"))
+    ws = Window.partitionBy("user_id", "sid")
+    dow = ((F.floor(F.unix_micros(F.min("ts").over(ws).cast("timestamp"))
+                    / 86_400_000_000) + 4) % 7).cast("bigint")
+    per_session = (sess.select("user_id", "sid", dow.alias("dow"),
+                               "event_type")
+                   .groupBy("user_id", "sid")
+                   .agg(F.min("dow").alias("dow"),
+                        F.max(F.when(F.col("event_type") == "click", 1)
+                              .otherwise(0)).alias("has_click"),
+                        F.max(F.when(F.col("event_type") == "purchase", 1)
+                              .otherwise(0)).alias("has_buy")))
+    abandoned = F.sum(F.when((F.col("has_click") == 1)
+                             & (F.col("has_buy") == 0), 1).otherwise(0))
+    clicking = F.sum(F.when(F.col("has_click") == 1, 1).otherwise(0))
+    return (per_session.groupBy("dow")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 abandoned.cast("bigint").alias("abandoned"),
+                 F.round(abandoned.cast("double") / clicking, 6)
+                 .alias("abandonment_rate")))

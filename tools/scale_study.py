@@ -50,6 +50,12 @@ QUERIES = [
     "q89_tfidf_top_terms",
     "q125_repetition_ngrams",
     "q144_ngram_novelty",
+    # late round-2 additions: tokenizer, span dedup, PIT features, PageRank
+    "q188_bpe_pair_counts",
+    "q189_pagerank_event_graph",
+    "q210_pit_features",
+    "q220_wordpiece_tokenize",
+    "q224_duplicated_spans",
 ]
 
 
