@@ -782,3 +782,62 @@ def q227_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_of_region"),
         F.round(F.sum("bal").over(w_region) / F.sum("bal").over(w_all), 6)
         .alias("region_share_of_total"))
+
+
+@register(
+    "q234_mass_cutoff",
+    sql="""
+    WITH per_user AS (
+        SELECT event_type, user_id, sum(value) AS v
+        FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               sum(v) OVER (PARTITION BY event_type
+                            ORDER BY v DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_v,
+               sum(v) OVER (PARTITION BY event_type) AS total_v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v DESC, user_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_users
+        FROM per_user
+    )
+    SELECT event_type,
+           CAST(min(n_users) AS BIGINT) AS n_users,
+           CAST(min(CASE WHEN cum_v >= 0.5 * total_v THEN rn END) AS BIGINT)
+               AS users_for_half_mass,
+           round(min(CASE WHEN cum_v >= 0.5 * total_v THEN rn END)::DOUBLE
+                 / min(n_users), 6) AS concentration
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q234_mass_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style mass cutoff (top-p on data): per event type, the
+    smallest number of users whose summed value covers 50 % of the total —
+    the concentration statistic behind "how few heavy users carry this
+    metric" (and the same cumulative-mass machinery as top-p sampling).
+    Both windows and the groupBy share the event_type partitioning of the
+    per-user residue; the fact table shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.sum("value").alias("v")))
+    from pyspark.sql import Window
+    w_cum = (Window.partitionBy("event_type")
+             .orderBy(F.desc("v"), "user_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type", "v",
+        F.sum("v").over(w_cum).alias("cum_v"),
+        F.sum("v").over(w_all).alias("total_v"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("v"), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_users"))
+    hit = F.when(F.col("cum_v") >= 0.5 * F.col("total_v"), F.col("rn"))
+    return (ranked.groupBy("event_type")
+            .agg(F.min("n_users").cast("bigint").alias("n_users"),
+                 F.min(hit).cast("bigint").alias("users_for_half_mass"),
+                 F.round(F.min(hit).cast("double") / F.min("n_users"), 6)
+                 .alias("concentration")))

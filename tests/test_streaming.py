@@ -482,3 +482,63 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
     assert len(seen) == 100
     assert {r["id"] for r in seen} == set(range(100))
     assert all(r["label"] == f"row-{r['id']}" for r in seen)
+
+
+def test_supervisor_restarts_failed_query(spark, tmp_path):
+    """A transient foreachBatch failure kills the query; the supervisor
+    rebuilds it against the same checkpoint and the retry completes with
+    the batch delivered exactly once."""
+    from gh_archive_data_pipeline_spark.streaming.supervisor import (
+        run_supervised,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.range(10).selectExpr("id", "id * 2 AS x").write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    poison = tmp_path / "poison"
+    poison.touch()
+
+    def factory():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def write(batch, _bid):
+            if poison.exists():
+                poison.unlink()
+                raise RuntimeError("transient sink failure")
+            batch.write.mode("append").parquet(str(out))
+
+        return (stream.writeStream.foreachBatch(write)
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True).start())
+
+    res = run_supervised(factory, max_restarts=2, timeout_sec=90)
+    assert res.succeeded
+    assert res.restarts == 1
+    assert len(res.errors) == 1 and res.errors[0].startswith("attempt 0")
+    assert spark.read.parquet(str(out)).count() == 10  # exactly once
+
+
+def test_supervisor_gives_up_after_max_restarts(spark, tmp_path):
+    from gh_archive_data_pipeline_spark.streaming.supervisor import (
+        run_supervised,
+    )
+
+    src = tmp_path / "src"
+    spark.range(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def factory():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+
+        def write(batch, _bid):
+            raise RuntimeError("permanent failure")
+
+        return (stream.writeStream.foreachBatch(write)
+                .option("checkpointLocation", str(tmp_path / "ck2"))
+                .trigger(availableNow=True).start())
+
+    res = run_supervised(factory, max_restarts=2, backoff_sec=0.1,
+                         timeout_sec=60)
+    assert not res.succeeded
+    assert len(res.errors) == 3  # initial + 2 restarts, all recorded
