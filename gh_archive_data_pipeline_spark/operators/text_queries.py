@@ -735,3 +735,89 @@ def q219_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length(norm).cast("double") / F.length("text"), 6)
         .alias("kept_frac"),
         F.substring(F.md5(norm), 1, 16).alias("norm_digest"))
+
+
+@register(
+    "q235_curation_pipeline",
+    sql="""
+    WITH normalized AS (
+        SELECT doc_id, lang, source,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    ),
+    deduped AS (
+        SELECT doc_id, lang, source, norm_text,
+               row_number() OVER (PARTITION BY md5(norm_text)
+                                  ORDER BY doc_id) AS dup_rank
+        FROM normalized
+    ),
+    quality AS (
+        SELECT doc_id, lang, source, norm_text,
+               (dup_rank = 1) AS kept_dedup,
+               (dup_rank = 1
+                AND length(norm_text) BETWEEN 50 AND 2000
+                AND len(string_split(norm_text, ' ')) >= 10) AS kept_quality
+        FROM deduped
+    ),
+    split AS (
+        SELECT lang, source, kept_dedup, kept_quality,
+               CASE WHEN strpos('0123456789abcdef',
+                                substr(md5(norm_text), 1, 1)) <= 11
+                    THEN 'train'
+                    WHEN strpos('0123456789abcdef',
+                                substr(md5(norm_text), 1, 1)) <= 14
+                    THEN 'val' ELSE 'test' END AS split,
+               len(string_split(norm_text, ' ')) AS n_tokens
+        FROM quality
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept_dedup THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_dedup,
+           CAST(sum(CASE WHEN kept_quality THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_quality,
+           CAST(sum(CASE WHEN kept_quality THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS final_tokens
+    FROM split GROUP BY split
+    """,
+)
+def q235_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end in ONE logical plan: canonicalizing
+    normalization (q219) → exact dedup on the normalized digest (q40's key,
+    first-doc-wins) → quality gate (length window + min tokens) →
+    content-hash split (q88), reported as per-split survivor counts and
+    final token mass. Catalyst fuses the whole chain into: one scan, one
+    digest-keyed window, one final aggregation — demonstrating that
+    operator composition costs plan nodes, not extra passes over 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    normalized = docs.select("doc_id", "lang", "source",
+                             norm.alias("norm_text"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    deduped = normalized.withColumn("dup_rank", F.row_number().over(w))
+    toks = F.size(F.split("norm_text", " "))
+    kept_dedup = F.col("dup_rank") == 1
+    kept_quality = (kept_dedup
+                    & F.length("norm_text").between(50, 2000)
+                    & (toks >= 10))
+    bucket = F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5("norm_text"), 1, 1))
+    split = (F.when(bucket <= 11, "train")
+             .when(bucket <= 14, "val").otherwise("test"))
+    staged = deduped.select(
+        split.alias("split"),
+        kept_dedup.alias("kept_dedup"),
+        kept_quality.alias("kept_quality"),
+        toks.alias("n_tokens"))
+    return (staged.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("kept_dedup"), 1).otherwise(0))
+                 .cast("bigint").alias("after_dedup"),
+                 F.sum(F.when(F.col("kept_quality"), 1).otherwise(0))
+                 .cast("bigint").alias("after_quality"),
+                 F.sum(F.when(F.col("kept_quality"), F.col("n_tokens"))
+                       .otherwise(0)).cast("bigint").alias("final_tokens")))
