@@ -333,3 +333,45 @@ def q182_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (audio_energy_frames(with_binary_payload(docs))
             .orderBy("doc_id", "frame_idx"))
+
+
+@register(
+    "q236_binary_manifest",
+    sql="""
+    WITH payloads AS (
+        SELECT doc_id, source, encode(text) AS payload
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                    AS n_assets,
+           CAST(sum(octet_length(payload)) AS BIGINT)  AS total_bytes,
+           CAST(max(octet_length(payload)) AS BIGINT)  AS max_bytes,
+           substr(md5(string_agg(md5(CAST(payload AS VARCHAR)), ','
+                                 ORDER BY doc_id)), 1, 16) AS content_digest
+    FROM payloads GROUP BY source
+    """,
+)
+def q236_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column manifest — the first ORACLE-checked query over opaque
+    binary payloads (the multimodal ops q57/q58/q118/q166/q182 are
+    rows-only by the decode stubs' nature): text encoded to bytes stands in
+    for media blobs, and per-source asset counts, byte totals, and an
+    order-stable digest of every payload's base64-md5 pin that binary
+    columns survive scan→shuffle→aggregate byte-exactly in both engines.
+    Bytes never cross a shuffle here — the per-payload md5 is computed
+    before the groupBy, so the exchange carries 32-char digests."""
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    per_doc = docs.select(
+        "doc_id", "source",
+        F.octet_length(payload).alias("nbytes"),
+        F.md5(payload).alias("digest"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+                 F.sum("nbytes").cast("bigint").alias("total_bytes"),
+                 F.max("nbytes").cast("bigint").alias("max_bytes"),
+                 F.substring(F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "digest"))),
+                     lambda s: s["digest"]))), 1, 16).alias("content_digest")))

@@ -22,24 +22,48 @@ _counter = itertools.count()
 _stream_dir_cache: dict[str, tuple[str, "object"]] = {}
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   n_files: int = 1) -> DataFrame:
     """Stream the events fixture through the file source, applying the same
     nanos→timestamp normalization as the batch loader.
 
-    The file stream source wants a directory; the fixture is a single file,
-    so it is symlinked into a temp dir (zero-copy), cached per sf_dir."""
+    ``n_files=1`` symlinks the single fixture file (zero-copy) → one
+    micro-batch. ``n_files>1`` rewrites the fixture ONCE per (sf_dir, n)
+    into n time-RANGE-partitioned files with increasing mtimes and reads
+    with maxFilesPerTrigger=1, so an availableNow drain executes n real
+    micro-batches in event-time order — watermarks advance between batches
+    and state genuinely carries across them. Time-ordered splits are what
+    make this safe: a later batch never contains rows behind the watermark,
+    so nothing is dropped and results equal the single-batch run. Queries
+    whose OUTPUT contract is per-batch (q76's applyInPandasWithState
+    emissions) must keep n_files=1."""
+    import glob
     import os
     import tempfile
 
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    if sf_dir not in _stream_dir_cache:
+    key = f"{sf_dir}#{n_files}"
+    if key not in _stream_dir_cache:
         stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-        schema = spark.read.parquet(path).schema  # physical schema (ts int64)
-        _stream_dir_cache[sf_dir] = (stream_dir, schema)
-    stream_dir, schema = _stream_dir_cache[sf_dir]
-    raw = read_file_stream(spark, stream_dir, schema)
+        if n_files <= 1:
+            os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+        else:
+            raw0 = spark.read.parquet(path)
+            (raw0.repartitionByRange(n_files, "ts")
+             .sortWithinPartitions("ts")
+             .write.mode("overwrite").parquet(stream_dir))
+            # file source batches by modification time: stamp range files in
+            # name order (range partition k = k-th time slice) so replay
+            # order is event-time order
+            for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/part-*"))):
+                os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        schema = spark.read.parquet(path).schema
+        _stream_dir_cache[key] = (stream_dir, schema)
+    stream_dir, schema = _stream_dir_cache[key]
+    raw = read_file_stream(
+        spark, stream_dir, schema,
+        max_files_per_trigger=1 if n_files > 1 else None)
     if dict(raw.dtypes).get("ts") == "bigint":
         # nanos-int64 fixture generation: convert like the batch loader
         raw = raw.withColumn(
@@ -60,9 +84,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q59_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2/T4/T5 executed for real: file-source stream → watermarked tumbling
-    window agg → availableNow drain → memory sink. Oracle-checked against
-    plain SQL — streaming and batch must agree on every window."""
-    stream = _events_stream(spark, sf_dir)
+    window agg → availableNow drain (4 time-ordered micro-batches, so
+    window state accumulates across real batch boundaries) → memory sink.
+    Oracle-checked against plain SQL — streaming and batch must agree on
+    every window."""
+    stream = _events_stream(spark, sf_dir, n_files=4)
     windowed = windowed_counts(stream, watermark="2 hours")
     name = f"stream_tumbling_{next(_counter)}"
     out = run_to_memory(windowed, name, spark, output_mode="complete")
@@ -84,7 +110,7 @@ def q60_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-duplicate semantics are pinned in test_streaming.py."""
     from .pipeline import dedup_within_watermark
 
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, n_files=4)
     deduped = dedup_within_watermark(stream, ["event_id"])
     name = f"stream_dedup_{next(_counter)}"
     out = run_to_memory(deduped.select("event_id", "user_id", "event_type"),
@@ -190,7 +216,7 @@ def q78_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes over the purchase stream. Each event lands in exactly 2 windows;
     the oracle expands event→2 window starts and aggregates — streaming and
     batch must agree on every overlapping window."""
-    stream = _events_stream(spark, sf_dir).filter(
+    stream = _events_stream(spark, sf_dir, n_files=4).filter(
         F.col("event_type") == "purchase")
     windowed = windowed_counts(stream, window="1 hour", slide="30 minutes",
                                watermark="2 hours", key_col="event_type")
@@ -257,7 +283,7 @@ def q152_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-second watermark: every window whose end precedes the final watermark
     (= max event time) is emitted; the oracle applies the same cutoff, so
     the trailing partial hour is excluded on both sides."""
-    ev = (_events_stream(spark, sf_dir)
+    ev = (_events_stream(spark, sf_dir, n_files=4)
           .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
           .withWatermark("ts", "0 seconds"))
     w5 = (ev.groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -307,7 +333,7 @@ def q195_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pipeline import start_upsert_sink
 
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir, n_files=4)
     if sf_dir not in _upsert_dir_cache:
         _upsert_dir_cache[sf_dir] = tempfile.mkdtemp(prefix="stream_upsert_")
     work = _upsert_dir_cache[sf_dir]
@@ -360,7 +386,7 @@ def q201_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     final watermark (= max event time) are emitted as finalized. The
     gaps-and-islands oracle applies the same cutoff, so streaming session
     merging must agree with first-principles sessionization exactly."""
-    ev = (_events_stream(spark, sf_dir)
+    ev = (_events_stream(spark, sf_dir, n_files=4)
           .select(F.col("ts").cast("timestamp").alias("ts"),
                   "user_id", "value")
           .withWatermark("ts", "0 seconds"))
