@@ -161,3 +161,65 @@ def q110_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "event_type",
                          F.col("p_ts_asof").alias("ts_asof"),
                          F.col("p_value_asof").alias("value_asof"))
+
+
+@register(
+    "q237_nearest_event_join",
+    sql="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click'
+    ),
+    candidates AS (
+        SELECT p.event_id, p.user_id,
+               c.click_id,
+               abs(epoch_us(c.click_ts) - epoch_us(p.ts)) AS dist_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.click_ts) - epoch_us(p.ts)),
+                            c.click_ts, c.click_id) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.click_ts BETWEEN p.ts - INTERVAL 1 HOUR
+                            AND p.ts + INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id, click_id,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM candidates WHERE rn = 1
+    """,
+)
+def q237_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor temporal join — the as-of variant DuckDB's ASOF
+    can't express (backward-only): each purchase matched to the closest
+    click within ±1 h, ties to the earlier click. Banded equi-join on
+    user_id with the time band as a residual predicate, then a per-purchase
+    WindowGroupLimit argmin — candidate sets stay band-bounded, so cost is
+    O(matches), not O(n²). The same plan with a bucketed time key is the
+    unbounded-scale version (operators/intervals.py)."""
+    from ..sources.readers import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", F.col("ts").alias("p_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts")))
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")))
+    dist = F.abs(us("click_ts") - us("p_ts"))
+    w = Window.partitionBy("event_id").orderBy(dist, "click_ts", "click_id")
+    return (joined.withColumn("dist_us", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "user_id", "click_id",
+                    F.col("dist_us").cast("bigint").alias("dist_us")))

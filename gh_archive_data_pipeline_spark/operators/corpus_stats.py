@@ -565,3 +565,114 @@ def q207_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
                  F.sum("c").cast("bigint").alias("n_tokens"),
                  F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus")))
+
+
+@register(
+    "q238_vocab_overlap",
+    sql="""
+    WITH v AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_tokens,
+           round(count(*)::DOUBLE / least(sa.n, sb.n), 6)
+               AS overlap_coefficient
+    FROM v a
+    JOIN v b ON a.token = b.token AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    """,
+)
+def q238_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Szymkiewicz–Simpson
+    coefficient |A∩B| / min(|A|,|B|)) — with q207's KL this completes the
+    slice-similarity picture: KL says the distributions differ, overlap
+    says whether the vocabularies even intersect. The token self-join keys
+    on the token (vocab-sized rows after DISTINCT); source-pair counts are
+    a 3-row residue."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+         .distinct())
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "token")
+    b = v.select(F.col("source").alias("source_b"), F.col("token").alias("t2"))
+    pairs = (a.join(b, (F.col("token") == F.col("t2"))
+                    & (F.col("source_a") < F.col("source_b")))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_tokens")))
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (pairs.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "shared_tokens",
+                    F.round(F.col("shared_tokens").cast("double")
+                            / F.least("na", "nb"), 6)
+                    .alias("overlap_coefficient")))
+
+
+@register(
+    "q239_token_drift_movers",
+    sql="""
+    WITH mid AS (
+        SELECT (min(doc_id) + max(doc_id)) // 2 AS m FROM documents
+    ),
+    tok AS (
+        SELECT CASE WHEN doc_id < m THEN 'ref' ELSE 'cur' END AS half,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents CROSS JOIN mid
+    ),
+    counts AS (
+        SELECT token,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM tok GROUP BY token
+    ),
+    tot AS (
+        SELECT sum(c_ref)::DOUBLE AS n_ref, sum(c_cur)::DOUBLE AS n_cur
+        FROM counts
+    )
+    SELECT token,
+           CAST(c_ref AS BIGINT) AS c_ref,
+           CAST(c_cur AS BIGINT) AS c_cur,
+           round(ln(((c_cur + 0.5) / (n_cur + 0.5))
+                    / ((c_ref + 0.5) / (n_ref + 0.5))), 6) AS log_ratio
+    FROM counts CROSS JOIN tot
+    ORDER BY abs(round(ln(((c_cur + 0.5) / (n_cur + 0.5))
+                          / ((c_ref + 0.5) / (n_ref + 0.5))), 6)) DESC,
+             token
+    LIMIT 20
+    """,
+)
+def q239_token_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level drift movers: the 20 tokens whose smoothed frequency
+    log-ratio between corpus halves (by doc_id, the ingestion order) moved
+    most — the vocabulary-granular companion to q205's distribution-level
+    PSI, and the first thing to read when PSI fires. Two-sided smoothing
+    keeps new/vanished tokens finite."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor((F.min("doc_id") + F.max("doc_id")) / 2)
+                   .cast("bigint").alias("m"))
+    tok = (docs.crossJoin(F.broadcast(mid))
+           .select(F.when(F.col("doc_id") < F.col("m"), "ref")
+                   .otherwise("cur").alias("half"),
+                   F.explode(F.split("text", " ")).alias("token")))
+    counts = (tok.groupBy("token")
+              .agg(F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+                   .alias("c_ref"),
+                   F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+                   .alias("c_cur")))
+    tot = counts.agg(F.sum("c_ref").cast("double").alias("n_ref"),
+                     F.sum("c_cur").cast("double").alias("n_cur"))
+    ratio = F.round(F.log(((F.col("c_cur") + 0.5) / (F.col("n_cur") + 0.5))
+                          / ((F.col("c_ref") + 0.5) / (F.col("n_ref") + 0.5))),
+                    6)
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("token",
+                    F.col("c_ref").cast("bigint").alias("c_ref"),
+                    F.col("c_cur").cast("bigint").alias("c_cur"),
+                    ratio.alias("log_ratio"))
+            .orderBy(F.abs(F.col("log_ratio")).desc(), "token")
+            .limit(20))
