@@ -430,3 +430,78 @@ def q223_csv_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_malformed"),
                  F.sum("p.k").cast("bigint").alias("key_sum")))
+
+
+@register(
+    "q241_explode_outer",
+    sql="""
+    WITH rare AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t = 'vector')
+                   AS hits
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT r.doc_id, u.hit,
+           CAST(len(r.hits) AS BIGINT) AS n_hits
+    FROM rare r
+    LEFT JOIN LATERAL (SELECT unnest(r.hits) AS hit) u ON true
+    """,
+)
+def q241_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer) — the F6 corner plain explode
+    gets wrong in audits: documents whose filtered token array is EMPTY must
+    still appear (with a NULL element), or every "docs without X" count
+    downstream silently drops them. The oracle models it with
+    LEFT JOIN LATERAL unnest."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hits = F.filter(F.split("text", " "), lambda t: t == "vector")
+    rare = docs.select("doc_id", hits.alias("hits"))
+    return rare.select(
+        "doc_id",
+        F.explode_outer("hits").alias("hit"),
+        F.size("hits").cast("bigint").alias("n_hits"))
+
+
+@register(
+    "q242_array_hofs",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(w) > 0 AND list_bool_or(list_transform(w, x -> x = 'spark'))
+               AS has_spark,
+           coalesce(list_bool_and(list_transform(w, x -> length(x) < 12)),
+                    true)                                  AS all_short,
+           CAST(len(list_filter(w, x -> length(x) >= 6)) AS BIGINT)
+                                                           AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                                                           AS total_chars,
+           round(list_reduce(list_transform(w, x -> length(x)::DOUBLE),
+                             (acc, x) -> acc + x)
+                 / len(w), 4)                              AS avg_token_len
+    FROM t
+    """,
+)
+def q242_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one sweep — exists, forall, filter,
+    transform, aggregate/reduce — the F6 lambda surface, each pinned
+    against DuckDB's list_* equivalents. All JVM-side codegen'd
+    expressions; no explode, no shuffle: per-row array algebra is the
+    pattern that keeps 100 TB token-level work inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = F.split("text", " ")
+    t = docs.select("doc_id", w.alias("w"))
+    lens = F.transform("w", lambda x: F.length(x).cast("double"))
+    return t.select(
+        "doc_id",
+        F.exists("w", lambda x: x == "spark").alias("has_spark"),
+        F.forall("w", lambda x: F.length(x) < 12).alias("all_short"),
+        F.size(F.filter("w", lambda x: F.length(x) >= 6)).cast("bigint")
+        .alias("n_long"),
+        F.aggregate(F.transform("w", lambda x: F.length(x)),
+                    F.lit(0), lambda acc, x: acc + x).cast("bigint")
+        .alias("total_chars"),
+        F.round(F.aggregate(lens, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("w"), 4).alias("avg_token_len"))

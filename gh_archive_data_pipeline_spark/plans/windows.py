@@ -320,3 +320,61 @@ def q197_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     median = F.when(n % 2 == 1, mid_odd).otherwise((mid_lo + mid_hi) / 2.0)
     return ev.select("user_id", "event_id",
                      F.round(median, 4).alias("rolling_median5"))
+
+
+@register(
+    "q240_grouping_sets_topk",
+    sql="""
+    WITH per_group AS (
+        SELECT CASE WHEN g = 0 THEN 'brand' ELSE 'type' END AS dim,
+               coalesce(p_brand, p_type) AS dim_value,
+               p_partkey, p_retailprice
+        FROM (
+            SELECT p_brand, p_type, p_partkey, p_retailprice,
+                   grouping(p_brand) AS g
+            FROM part
+            GROUP BY GROUPING SETS ((p_brand, p_partkey, p_retailprice),
+                                    (p_type, p_partkey, p_retailprice))
+        )
+    )
+    SELECT dim, dim_value, p_partkey,
+           round(p_retailprice, 2) AS retail_price
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY dim, dim_value
+                                     ORDER BY p_retailprice DESC, p_partkey)
+                      AS rn
+        FROM per_group
+    ) WHERE rn <= 3
+    """,
+)
+def q240_grouping_sets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand AND per type from ONE grouping-sets
+    pass — the multi-hierarchy leaderboard without scanning the fact twice:
+    GROUPING SETS replicates rows per dimension inside the aggregate
+    (grouping() disambiguates), then a single WindowGroupLimit ranks both
+    hierarchies at once."""
+    part = load_table(spark, sf_dir, "part")
+    # GROUPING SETS with per-set grouping() disambiguation is SQL-surface;
+    # run the identical text through spark.sql (same plan as the oracle).
+    part.createOrReplaceTempView("part_gs_v")
+    return spark.sql("""
+        WITH per_group AS (
+            SELECT CASE WHEN grouping(p_brand) = 0 THEN 'brand' ELSE 'type'
+                   END AS dim,
+                   coalesce(p_brand, p_type) AS dim_value,
+                   p_partkey, p_retailprice,
+                   grouping(p_brand) AS g
+            FROM part_gs_v
+            GROUP BY GROUPING SETS ((p_brand, p_partkey, p_retailprice),
+                                    (p_type, p_partkey, p_retailprice))
+        )
+        SELECT dim, dim_value, p_partkey,
+               round(p_retailprice, 2) AS retail_price
+        FROM (
+            SELECT dim, dim_value, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY dim, dim_value
+                                      ORDER BY p_retailprice DESC, p_partkey)
+                       AS rn
+            FROM per_group
+        ) WHERE rn <= 3
+    """)
