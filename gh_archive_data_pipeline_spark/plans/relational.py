@@ -841,3 +841,47 @@ def q234_mass_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(hit).cast("bigint").alias("users_for_half_mass"),
                  F.round(F.min(hit).cast("double") / F.min("n_users"), 6)
                  .alias("concentration")))
+
+
+@register(
+    "q243_event_type_overlap",
+    sql="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS both_users,
+           round(count(*)::DOUBLE / (sa.n + sb.n - count(*)), 6)
+               AS user_jaccard
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sizes sa ON sa.event_type = a.event_type
+    JOIN sizes sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, sa.n, sb.n
+    """,
+)
+def q243_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature co-usage matrix: for every pair of event types, how many
+    users do BOTH and the Jaccard of their user sets — the adoption-overlap
+    grid product analytics reads before bundling features. The self-join
+    keys on user_id over the distinct (user, type) reduction (≤5 rows per
+    user), so pair fan-out is bounded by type-count², not events²."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u2"),
+                  F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, (F.col("u2") == F.col("user_id"))
+                    & (F.col("type_a") < F.col("type_b")))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("both_users")))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "both_users",
+                    F.round(F.col("both_users").cast("double")
+                            / (F.col("na") + F.col("nb") - F.col("both_users")),
+                            6).alias("user_jaccard")))

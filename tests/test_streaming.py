@@ -542,3 +542,54 @@ def test_supervisor_gives_up_after_max_restarts(spark, tmp_path):
                          timeout_sec=60)
     assert not res.succeeded
     assert len(res.errors) == 3  # initial + 2 restarts, all recorded
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """Windowed stateful aggregation under the RocksDB state-store provider
+    (the production choice for large state: bounded heap, incremental
+    checkpoints) must produce the identical result set as the default
+    HDFS-backed store. Provider is a per-query conf via the checkpoint's
+    runtime conf scope."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    spark.range(1000).selectExpr(
+        "timestamp_micros(CAST(1700000000000000 + id * 60000000 AS LONG)) AS ts",
+        "CAST(id % 7 AS STRING) AS k",
+        "CAST(id AS DOUBLE) AS v").write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def drain(provider: str | None, name: str):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                             None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                           provider)
+        try:
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            agg = (stream.withWatermark("ts", "2 hours")
+                   .groupBy(F.window("ts", "1 hour"), "k")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("v"), 2).alias("s")))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(120)
+            return {tuple(r) for r in spark.sql(
+                f"SELECT window.start, k, n, s FROM {name}").collect()}
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass")
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old)
+
+    rocks = drain(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider", "rocks_drain")
+    default = drain(None, "default_drain")
+    assert rocks == default
+    assert len(rocks) > 0
