@@ -139,3 +139,52 @@ def test_cms_never_underestimates(spark, keys):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert est[k] >= e
+
+
+@given(word=st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                    min_size=1, max_size=24))
+@PROP_SETTINGS
+def test_wordpiece_roundtrip_and_greedy(word):
+    """WordPiece properties for ANY alphanumeric word: pieces reconstruct
+    the word exactly; the first piece is a start form and the rest are
+    continuations; and the match is GREEDY — no piece could be extended by
+    the character that follows it and stay in the vocabulary."""
+    from gh_archive_data_pipeline_spark.operators.tokenize import (
+        VOCAB, wordpiece_word,
+    )
+
+    pieces = wordpiece_word(word)
+    assert "".join(p.removeprefix("##") for p in pieces) == word
+    assert not pieces[0].startswith("##")
+    assert all(p.startswith("##") for p in pieces[1:])
+    vocab = set(VOCAB)
+    pos = 0
+    for i, p in enumerate(pieces):
+        core = p.removeprefix("##")
+        nxt = word[pos + len(core): pos + len(core) + 1]
+        if nxt:  # greedy: extending this piece must leave the vocab
+            extended = (core + nxt) if i == 0 else ("##" + core + nxt)
+            assert extended not in vocab
+        pos += len(core)
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6),
+              st.floats(0.1, 5.0, allow_nan=False)),
+    min_size=1, max_size=20))
+@PROP_SETTINGS
+def test_pagerank_mass_and_positivity(spark, edges):
+    """PageRank properties on ANY weighted digraph: every rank is positive,
+    at least (1-d)/n (the teleport floor), and total mass never exceeds 1
+    (dangling nodes may leak mass; with none, mass ≈ 1)."""
+    from gh_archive_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", w) for a, b, w in edges],
+        "src string, dst string, weight double")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(df, iterations=3).collect()}
+    n = len(ranks)
+    assert all(v > 0 for v in ranks.values())
+    assert all(v >= 0.15 / n - 1e-12 for v in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-9
