@@ -1075,3 +1075,103 @@ def q233_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  abandoned.cast("bigint").alias("abandoned"),
                  F.round(abandoned.cast("double") / clicking, 6)
                  .alias("abandonment_rate")))
+
+
+@register(
+    "q245_linear_interpolation",
+    sql="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN value END AS known
+        FROM events WHERE user_id < 50
+    ),
+    bounded AS (
+        SELECT user_id, ts, event_id, known,
+               last_value(known IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               first_value(known IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               max(CASE WHEN known IS NOT NULL THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+               min(CASE WHEN known IS NOT NULL THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM purchases
+    )
+    SELECT user_id, event_id,
+           round(CASE
+               WHEN known IS NOT NULL THEN known
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               WHEN next_t = prev_t THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (epoch_us(ts) - prev_t)::DOUBLE / (next_t - prev_t)
+           END, 4) AS interp_value
+    FROM bounded
+    """,
+)
+def q245_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse signal: purchase values are the
+    known points; every other event gets prev + slope·Δt between its
+    neighboring knowns (edges extend flat) — the gap-fill a feature
+    pipeline applies to irregular sensors. Four frame windows, all on the
+    same user_id partitioning → one shuffle; IGNORE NULLS last/first_value
+    does the neighbor search without joins."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    known = F.when(F.col("event_type") == "purchase", F.col("value"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "ts", "event_id", us.alias("t"),
+                     known.alias("known"))
+    back = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    b = base.select(
+        "user_id", "event_id", "t", "known",
+        F.last("known", ignorenulls=True).over(back).alias("prev_v"),
+        F.first("known", ignorenulls=True).over(fwd).alias("next_v"),
+        F.max(F.when(F.col("known").isNotNull(), F.col("t"))).over(back)
+        .alias("prev_t"),
+        F.min(F.when(F.col("known").isNotNull(), F.col("t"))).over(fwd)
+        .alias("next_t"))
+    interp = (F.when(F.col("known").isNotNull(), F.col("known"))
+              .when(F.col("prev_v").isNull(), F.col("next_v"))
+              .when(F.col("next_v").isNull(), F.col("prev_v"))
+              .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+              .otherwise(F.col("prev_v")
+                         + (F.col("next_v") - F.col("prev_v"))
+                         * (F.col("t") - F.col("prev_t")).cast("double")
+                         / (F.col("next_t") - F.col("prev_t"))))
+    return b.select("user_id", "event_id",
+                    F.round(interp, 4).alias("interp_value"))
+
+
+@register(
+    "q246_daily_quantiles",
+    sql="""
+    SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY day
+    """,
+)
+def q246_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily exact quantile trajectories (p50/p90/p99 of event value) — the
+    latency/size percentile time series every SLO dashboard plots. Exact
+    percentile is a per-group sort of the day's values; the day key bounds
+    each group so the sort is partition-local after one shuffle. Both
+    engines interpolate linearly (percentile / quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / 86_400_000_000).cast("bigint")
+    return (ev.groupBy(day.alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99")))

@@ -885,3 +885,49 @@ def q243_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("both_users").cast("double")
                             / (F.col("na") + F.col("nb") - F.col("both_users")),
                             6).alias("user_jaccard")))
+
+
+@register(
+    "q244_kpi_single_pass",
+    sql="""
+    SELECT CAST(count(*) AS BIGINT)                             AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)            AS n_customers,
+           round(sum(o_totalprice), 2)                          AS gross,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+                                                                AS gross_filled,
+           round(avg(o_totalprice), 4)                          AS aov,
+           round(avg(CASE WHEN o_orderpriority LIKE '1-%'
+                          THEN o_totalprice END), 4)            AS aov_urgent,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS open_orders,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                          ELSE 0 END) / sum(o_totalprice), 6)   AS open_share,
+           round(min(o_totalprice), 2)                          AS min_order,
+           round(max(o_totalprice), 2)                          AS max_order
+    FROM orders
+    """,
+)
+def q244_kpi_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten dashboard KPIs in ONE scan — conditional aggregation as metric
+    batching: overall and segmented sums/averages, open-order share, and
+    extrema computed together so the daily KPI job reads the fact table
+    once, not once per metric. Everything is partial-aggregable except the
+    exact COUNT DISTINCT, which Spark plans as a two-phase expand — still
+    one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.round(F.sum(tp), 2).alias("gross"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F", tp)), 2)
+        .alias("gross_filled"),
+        F.round(F.avg(tp), 4).alias("aov"),
+        F.round(F.avg(F.when(F.col("o_orderpriority").like("1-%"), tp)), 4)
+        .alias("aov_urgent"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint").alias("open_orders"),
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "O", tp).otherwise(0))
+                / F.sum(tp), 6).alias("open_share"),
+        F.round(F.min(tp), 2).alias("min_order"),
+        F.round(F.max(tp), 2).alias("max_order"))
