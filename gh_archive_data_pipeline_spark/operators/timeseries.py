@@ -1175,3 +1175,90 @@ def q246_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
                  F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
                  F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99")))
+
+
+@register(
+    "q248_cep_triple",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS start_event_id,
+           CAST(epoch_us(ts2) - epoch_us(ts) AS BIGINT) AS span_us
+    FROM seq
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+      AND epoch_us(ts2) - epoch_us(ts) <= 600000000
+    """,
+)
+def q248_cep_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event detection without MATCH_RECOGNIZE: the strict
+    consecutive pattern click→click→purchase completing within 10 minutes,
+    found with two leads over the per-user sequence — zero joins, one
+    user_id shuffle, O(1) state per row. The time bound rides as a plain
+    predicate on the pattern's end-to-end span. (q204 covers unbounded string
+    patterns; this is the time-constrained, row-anchored variant.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    seq = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"))
+    span = us(F.col("ts2")) - us(F.col("ts"))
+    return (seq.filter((F.col("event_type") == "click")
+                       & (F.col("t1") == "click")
+                       & (F.col("t2") == "purchase")
+                       & (span <= 600_000_000))
+            .select("user_id", F.col("event_id").alias("start_event_id"),
+                    span.cast("bigint").alias("span_us")))
+
+
+@register(
+    "q249_day_novelty_rank",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    )
+    SELECT a.day,
+           CAST(a.n AS BIGINT) AS n_events,
+           CAST(count(b.day) AS BIGINT) AS prior_days,
+           CAST(sum(CASE WHEN b.n <= a.n THEN 1 ELSE 0 END) AS BIGINT)
+               AS prior_days_below,
+           round(CASE WHEN count(b.day) > 0
+                      THEN sum(CASE WHEN b.n <= a.n THEN 1 ELSE 0 END)::DOUBLE
+                           / count(b.day) END, 6) AS novelty_pct
+    FROM daily a LEFT JOIN daily b ON b.day < a.day
+    GROUP BY a.day, a.n
+    """,
+)
+def q249_day_novelty_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"How unusual is today?" — each day's event count ranked against its
+    own history only (percentile among PRIOR days, never the future): the
+    leak-free anomaly score a monitoring system can alert on in real time.
+    The self-join runs on the day-level residue (~30 rows), so the history
+    comparison is free; the data-sized work is the single daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / 86_400_000_000).cast("bigint")
+    daily = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("n").alias("b_n"))
+    below = F.sum(F.when(F.col("b_n") <= F.col("n"), 1).otherwise(0))
+    prior = F.count("b_day")
+    return (daily.join(F.broadcast(b), F.col("b_day") < F.col("day"), "left")
+            .groupBy("day", "n")
+            .agg(prior.cast("bigint").alias("prior_days"),
+                 below.cast("bigint").alias("prior_days_below"),
+                 F.round(F.when(prior > 0,
+                                below.cast("double") / prior), 6)
+                 .alias("novelty_pct"))
+            .select(F.col("day"),
+                    F.col("n").cast("bigint").alias("n_events"),
+                    "prior_days", "prior_days_below", "novelty_pct"))

@@ -81,6 +81,7 @@ def _load_all() -> None:
         timeseries,
         tokenize,
     )
+    from ..sources import versioned  # noqa: F401
     from ..streaming import batch_equivalents, stream_queries  # noqa: F401
 
 

@@ -82,3 +82,54 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return removable
+
+
+# q247's versioned table per fixture dir — built once per session, then
+# time-travel reads serve every repeated invocation (same idempotent-cache
+# pattern as the streaming upsert's gold table).
+_demo_cache: dict[str, str] = {}
+
+
+def _register_query() -> None:
+    from pyspark.sql import functions as F
+
+    from ..plans.registry import register
+    from .readers import load_table
+
+    @register(
+        "q247_time_travel",
+        sql="""
+        SELECT 0 AS version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               false AS is_current
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), true FROM orders
+        """,
+    )
+    def q247_time_travel(spark, sf_dir):
+        """Versioned-lake time travel as a query: v0 snapshots the filled
+        orders, v1 overwrites with ALL orders; reading version 0 after v1
+        is published must still see the old snapshot (immutable v-dirs +
+        atomic manifest, sources/versioned.py). The oracle recomputes both
+        snapshots' counts from the raw table — if time travel leaked the
+        overwrite into v0, the version-0 row count would betray it."""
+        import os
+        import tempfile
+
+        orders = load_table(spark, sf_dir, "orders")
+        if sf_dir not in _demo_cache:
+            path = os.path.join(tempfile.mkdtemp(prefix="versioned_"), "t")
+            write_version(orders.filter(F.col("o_orderstatus") == "F"), path)
+            write_version(orders, path)
+            _demo_cache[sf_dir] = path
+        path = _demo_cache[sf_dir]
+        cur = current_version(path)
+        rows = []
+        for v in list_versions(path):
+            rows.append((v, read_version(spark, path, v).count(), v == cur))
+        return spark.createDataFrame(
+            rows, "version int, n_rows bigint, is_current boolean")
+
+
+_register_query()
