@@ -1306,3 +1306,32 @@ def q187_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("total").cast("bigint").alias("total_events"),
         F.round(top.cast("double") / F.any_value("total"), 6)
         .alias("top20pct_share"))
+
+
+@register(
+    "q250_bitmap_distinct",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q250_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 4's
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count family) — the high-cardinality COUNT
+    DISTINCT strategy that shuffles fixed-size bitmaps instead of raw
+    values: ids fold into per-bucket bitsets map-side, buckets OR together,
+    popcounts sum. Same answer as COUNT(DISTINCT) — the oracle — with
+    shuffle bytes O(buckets), not O(distinct ids). This is the pattern
+    warehouse engines hide behind their exact-distinct rewrites."""
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (ev.groupBy("event_type",
+                             F.bitmap_bucket_number("user_id").alias("bucket"))
+                  .agg(F.bitmap_construct_agg(
+                      F.bitmap_bit_position("user_id")).alias("bm")))
+    return (per_bucket.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bm")).cast("bigint")
+                 .alias("distinct_users")))
