@@ -1262,3 +1262,83 @@ def q249_day_novelty_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("day"),
                     F.col("n").cast("bigint").alias("n_events"),
                     "prior_days", "prior_days_below", "novelty_pct"))
+
+
+@register(
+    "q251_in_transit",
+    sql="""
+    WITH deltas AS (
+        SELECT l_shipdate AS day, 1 AS delta FROM lineitem
+        UNION ALL
+        SELECT l_shipdate + INTERVAL ((l_orderkey % 20) + 1) DAY, -1
+        FROM lineitem
+    ),
+    daily AS (
+        SELECT CAST(day AS DATE) AS day, sum(delta) AS net
+        FROM deltas GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS in_transit
+    FROM daily
+    """,
+)
+def q251_in_transit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval counting by delta events — "how many shipments are in
+    transit on day D" without expanding day×shipment pairs: +1 at ship, -1
+    at (deterministic synthetic) receipt, daily net, running sum. The
+    O(days) residue carries the cumulative window; the fact table
+    contributes exactly two delta rows per shipment. This is the
+    concurrent-intervals pattern (active sessions, room occupancy, open
+    connections) at lake scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.select(F.col("l_shipdate").cast("date").alias("day"),
+                     F.lit(1).alias("delta"))
+    receipt = li.select(
+        F.date_add(F.col("l_shipdate").cast("date"),
+                   ((F.col("l_orderkey") % 20) + 1).cast("int")).alias("day"),
+        F.lit(-1).alias("delta"))
+    daily = (ship.unionByName(receipt)
+             .groupBy("day").agg(F.sum("delta").alias("net")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("net").cast("bigint").alias("net_change"),
+        F.sum("net").over(w).cast("bigint").alias("in_transit"))
+
+
+@register(
+    "q252_ship_lag",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+               AS avg_lag_days,
+           round(quantile_cont(date_diff('day', o_orderdate, l_shipdate),
+                               0.9), 4) AS p90_lag_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q252_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority class (the TPC-H
+    Q12-shaped SLA question on the columns this fixture has): average, p90,
+    and worst lag in days. The fact⋈fact join shuffles on the order key
+    once; the percentile groups are priority-bounded so their sorts are
+    partition-local."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate").cast("date"),
+                     F.col("o_orderdate").cast("date"))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.round(F.avg(lag), 4).alias("avg_lag_days"),
+                 F.round(F.percentile(lag, F.lit(0.9)), 4)
+                 .alias("p90_lag_days"),
+                 F.max(lag).cast("bigint").alias("max_lag_days")))
