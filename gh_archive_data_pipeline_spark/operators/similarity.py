@@ -522,3 +522,55 @@ def q212_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("nrm"), 6).alias("max_norm"),
                  F.sum(F.when(F.col("nrm") > 1.25 * F.col("avg_nrm"), 1)
                        .otherwise(0)).cast("bigint").alias("n_outliers")))
+
+
+@register(
+    "q254_label_separability",
+    sql="""
+    WITH pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]))) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 120 AND b.vec_id < 120
+    )
+    SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_pairs,
+           CAST(sum(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS inter_pairs,
+           round(avg(CASE WHEN la = lb THEN sim END), 6)  AS intra_cos,
+           round(avg(CASE WHEN la <> lb THEN sim END), 6) AS inter_cos,
+           round(avg(CASE WHEN la = lb THEN sim END)
+                 - avg(CASE WHEN la <> lb THEN sim END), 6) AS margin
+    FROM pairs
+    """,
+)
+def q254_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space separability: mean intra-label vs inter-label cosine
+    over a bounded vector sample, and their margin — the one-number answer
+    to "do these embeddings know about the labels" that decides whether
+    label-aware negative sampling (q202) is even meaningful. Bounded pair
+    window documented as the audit form; the estimator at scale samples
+    pairs per label instead of enumerating them."""
+    from ..sources.readers import load_table
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 120)
+           .select("vec_id", "label", _as_double("embedding").alias("e")))
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                   F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+                   F.col("e").alias("eb"))
+    pairs = (a.join(b, F.col("ia") < F.col("ib"))
+             .select("la", "lb", cosine(F.col("ea"), F.col("eb")).alias("sim")))
+    intra = F.when(F.col("la") == F.col("lb"), F.col("sim"))
+    inter = F.when(F.col("la") != F.col("lb"), F.col("sim"))
+    return pairs.agg(
+        F.count(intra).cast("bigint").alias("intra_pairs"),
+        F.count(inter).cast("bigint").alias("inter_pairs"),
+        F.round(F.avg(intra), 6).alias("intra_cos"),
+        F.round(F.avg(inter), 6).alias("inter_cos"),
+        F.round(F.avg(intra) - F.avg(inter), 6).alias("margin"))

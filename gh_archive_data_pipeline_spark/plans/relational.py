@@ -931,3 +931,118 @@ def q244_kpi_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(tp), 6).alias("open_share"),
         F.round(F.min(tp), 2).alias("min_order"),
         F.round(F.max(tp), 2).alias("max_order"))
+
+
+@register(
+    "q253_customer_rfm",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency, o_custkey)  AS f,
+               ntile(5) OVER (ORDER BY monetary, o_custkey)   AS m
+        FROM per_cust
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                WHEN r <= 2 AND f >= 4 THEN 'at_risk_loyal'
+                WHEN r >= 4 AND f <= 2 THEN 'new'
+                ELSE 'mid' END AS segment
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q253_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles (ntile with
+    custkey tie-breaks → deterministic) rolled into the classic segment
+    grid. The per-customer reduction is the data-sized shuffle; the three
+    global ntiles run on the customer residue — the known single-partition
+    stage (q22's documented exception), bounded by customer count, and at
+    100 TB replaced by percentile_approx cutpoints + a broadcast join."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum("o_totalprice").alias("monetary")))
+    from pyspark.sql import Window
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m"))
+    segment = (F.when((F.col("r") >= 4) & (F.col("f") >= 4)
+                      & (F.col("m") >= 4), "champion")
+               .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk_loyal")
+               .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
+               .otherwise("mid"))
+    return (scored.groupBy(F.col("r").cast("bigint").alias("r"),
+                           F.col("f").cast("bigint").alias("f"),
+                           F.col("m").cast("bigint").alias("m"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+            .withColumn("segment", segment))
+
+
+@register(
+    "q255_revenue_waterfall",
+    sql="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(month) AS m0, max(month) AS m1 FROM monthly
+    ),
+    pivoted AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN month = m0 THEN rev ELSE 0 END) AS rev_start,
+               sum(CASE WHEN month = m1 THEN rev ELSE 0 END) AS rev_end
+        FROM monthly CROSS JOIN bounds
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           round(rev_start, 2) AS rev_start,
+           round(rev_end, 2)   AS rev_end,
+           round(rev_end - rev_start, 2) AS delta,
+           round((rev_end - rev_start)
+                 / sum(rev_end - rev_start) OVER (), 6) AS delta_share
+    FROM pivoted
+    """,
+)
+def q255_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall: first-vs-last-month revenue change decomposed per
+    priority class, each segment's share of the total delta — the bridge
+    chart's data. Segment deltas reconcile to the total by construction
+    (the share column sums to 1), which is the property hand-built
+    waterfalls usually break. Global window runs on the 5-row residue."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+        .alias("month"))
+        .agg(F.sum("o_totalprice").alias("rev")))
+    bounds = monthly.agg(F.min("month").alias("m0"), F.max("month").alias("m1"))
+    pivoted = (monthly.crossJoin(F.broadcast(bounds))
+               .groupBy("o_orderpriority")
+               .agg(F.sum(F.when(F.col("month") == F.col("m0"), F.col("rev"))
+                          .otherwise(0)).alias("rev_start"),
+                    F.sum(F.when(F.col("month") == F.col("m1"), F.col("rev"))
+                          .otherwise(0)).alias("rev_end")))
+    from pyspark.sql import Window
+    delta = F.col("rev_end") - F.col("rev_start")
+    return pivoted.select(
+        "o_orderpriority",
+        F.round("rev_start", 2).alias("rev_start"),
+        F.round("rev_end", 2).alias("rev_end"),
+        F.round(delta, 2).alias("delta"),
+        F.round(delta / F.sum(delta).over(Window.partitionBy()), 6)
+        .alias("delta_share"))
