@@ -1046,3 +1046,82 @@ def q255_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(delta, 2).alias("delta"),
         F.round(delta / F.sum(delta).over(Window.partitionBy()), 6)
         .alias("delta_share"))
+
+
+@register(
+    "q256_group_mode",
+    sql="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM counts
+    )
+    SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q256_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event type,
+    ties broken alphabetically — the manual rank form rather than the
+    engines' mode() aggregates, whose tie-breaking is implementation-defined
+    and would never hash-match across engines. Count then WindowGroupLimit,
+    both on the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "event_type")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("modal_type"),
+                    F.col("c").cast("bigint").alias("n")))
+
+
+@register(
+    "q257_duplicate_orders",
+    sql="""
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey AS custkey,
+           round(a.o_totalprice, 2) AS amount,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate BETWEEN a.o_orderdate
+                           AND a.o_orderdate + INTERVAL 7 DAY
+    """,
+)
+def q257_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: order pairs from the same customer with
+    the IDENTICAL total within 7 days — the accounts-payable fraud/glitch
+    audit. The join keys on (custkey, totalprice) — an equi-join, so the
+    date band is a residual filter on already-tiny groups, not a range-join
+    blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").alias("order_a"),
+                      F.col("o_custkey").alias("custkey"),
+                      F.col("o_totalprice").alias("amount"),
+                      F.col("o_orderdate").alias("date_a"))
+    b = orders.select(F.col("o_orderkey").alias("order_b"),
+                      F.col("o_custkey").alias("ck2"),
+                      F.col("o_totalprice").alias("tp2"),
+                      F.col("o_orderdate").alias("date_b"))
+    pairs = a.join(
+        b,
+        (F.col("ck2") == F.col("custkey"))
+        & (F.col("tp2") == F.col("amount"))
+        & (F.col("order_a") < F.col("order_b"))
+        & (F.col("date_b") >= F.col("date_a"))
+        & (F.col("date_b") <= F.date_add(F.col("date_a").cast("date"), 7)))
+    return pairs.select(
+        "order_a", "order_b", "custkey",
+        F.round("amount", 2).alias("amount"),
+        F.datediff(F.col("date_b").cast("date"), F.col("date_a").cast("date"))
+        .cast("bigint").alias("days_apart"))
