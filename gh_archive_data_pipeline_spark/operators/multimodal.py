@@ -263,13 +263,38 @@ def resize_plan(assets: DataFrame, max_side: int = 224) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
 
 
-@register("q166_multimodal_resize", sql=None)
+@register(
+    "q166_multimodal_resize",
+    sql="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT)
+                   & 2147483647 AS h
+        FROM documents
+    ),
+    wh AS (
+        SELECT doc_id,
+               64 + h % 512 AS w,
+               64 + (h // 512) % 512 AS ht
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER)  AS fake_width,
+           CAST(ht AS INTEGER) AS fake_height,
+           CAST(w * 224 // greatest(w, ht) AS INTEGER)  AS target_width,
+           CAST(ht * 224 // greatest(w, ht) AS INTEGER) AS target_height,
+           CAST(224 AS BIGINT) AS scale_num,
+           CAST(greatest(w, ht) AS BIGINT) AS scale_den
+    FROM wh ORDER BY doc_id
+    """,
+)
 def q166_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize planning over binary payloads — rows-only (the fake
-    decode has no SQL oracle; the unit test pins aspect-ratio preservation
-    and the fit-in-bounds contract). Demonstrates the 1-to-1 mapInPandas
-    multimodal shape alongside q57's feature extraction and q118's 1-to-N
-    frame sampling."""
+    """Image-resize planning over binary payloads via mapInPandas — now
+    ORACLE-checked end to end: the stub decode derives dims from the
+    payload's sha256 head bytes with pure integer arithmetic, so the
+    DuckDB oracle recomputes the identical plan (digest → dims →
+    aspect-preserving integer targets) from the raw text. The unit test
+    additionally pins aspect-ratio preservation and fit-in-bounds."""
     docs = load_table(spark, sf_dir, "documents")
     return resize_plan(with_binary_payload(docs)).orderBy("doc_id")
 

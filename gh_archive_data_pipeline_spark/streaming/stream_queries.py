@@ -402,3 +402,41 @@ def q201_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_events", "session_value"),
         name, spark, output_mode="append")
     return out
+
+
+@register(
+    "q258_stream_stateful_multibatch",
+    sql="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q258_stream_stateful_multibatch(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """T8's applyInPandasWithState driven through FOUR real micro-batches
+    (q76 is the single-batch form): per-user state accumulates across batch
+    boundaries, each batch emits a running snapshot, and the LAST snapshot
+    per user (largest n_events; monotone by construction) must equal the
+    batch GROUP BY — proving the custom stateful operator's state survives
+    and composes across genuine micro-batches, which a single-batch drain
+    cannot show. Watermark finalization may also evict keys whose last
+    event precedes the final watermark by the session gap; finalized rows
+    carry the same totals, so the argmax covers both paths."""
+    from pyspark.sql import Window
+
+    from .stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir, n_files=4)
+    stats = running_user_stats(stream)
+    name = f"stream_stateful_mb_{next(_counter)}"
+    out = run_to_memory(stats, name, spark, output_mode="append")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"),
+                                             F.desc("finalized"))
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("total_value", 2).alias("total_value"),
+                    F.round("max_value", 2).alias("max_value")))
