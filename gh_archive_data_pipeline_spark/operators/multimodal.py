@@ -348,13 +348,47 @@ def audio_energy_frames(assets: DataFrame, frame_ms: int = 250,
     return assets.select("doc_id", "payload").mapInPandas(op, ENERGY_SCHEMA)
 
 
-@register("q182_audio_energy", sql=None)
+@register(
+    "q182_audio_energy",
+    sql="""
+    WITH RECURSIVE
+    seed AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(sha256(text), 1, 16)) AS UBIGINT)
+                    AS HUGEINT) AS x0
+        FROM documents
+    ),
+    gen(doc_id, k, x) AS (
+        SELECT doc_id, 0, x0 FROM seed
+        UNION ALL
+        SELECT doc_id, k + 1,
+               (x * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+        FROM gen WHERE k < 512
+    ),
+    samples AS (
+        SELECT doc_id, k - 1 AS idx,
+               CAST((x // 65536) % 65536 - 32768 AS BIGINT) AS s
+        FROM gen WHERE k >= 1
+    )
+    SELECT doc_id,
+           CAST(idx // 64 AS INTEGER) AS frame_idx,
+           CAST((idx // 64) * 250 AS BIGINT) AS start_ms,
+           CAST(floor(sqrt(sum(s * s) // 64)) AS BIGINT) AS rms,
+           max(abs(s)) AS peak
+    FROM samples GROUP BY doc_id, idx // 64
+    """,
+)
 def q182_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed audio-energy extraction over binary payloads — rows-only
-    (stubbed PCM decode has no SQL oracle; the unit test pins frame count,
-    determinism across runs, and the RMS<=peak invariant). Completes the
-    multimodal set: q57 image features, q118 video frames, q166 resize
-    planning, and this audio path, all on the same mapInPandas spine."""
+    """Windowed audio-energy extraction over binary payloads — now
+    ORACLE-checked: the stubbed PCM decode is a 64-bit LCG seeded from the
+    payload digest, which the DuckDB oracle replays exactly in HUGEINT
+    arithmetic (512 recursive steps per doc) before computing the same
+    integer RMS/peak per 64-sample frame. A pandas-UDF media kernel and a
+    recursive-SQL reimplementation agreeing on every frame is the audio
+    counterpart of q220's tokenizer cross-check. Completes the multimodal
+    set: q57 image features, q118 video frames, q166 resize planning, all
+    on the same mapInPandas spine."""
     docs = load_table(spark, sf_dir, "documents")
     return (audio_energy_frames(with_binary_payload(docs))
             .orderBy("doc_id", "frame_idx"))
