@@ -355,3 +355,168 @@ def q218_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("future_events_7d") == 0).alias("churned_7d"),
                     (F.col("a_ts") + F.expr("INTERVAL 7 DAY")
                      > F.col("horizon")).alias("censored")))
+
+
+@register(
+    "q259_mahalanobis_outliers",
+    sql="""
+    WITH gaps AS (
+        SELECT event_id, event_type, value,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    feat AS (
+        SELECT event_id, event_type, value,
+               gap_us::DOUBLE / 1000000 AS gap_s
+        FROM gaps WHERE gap_us IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(value) AS mu_v, var_samp(value) AS var_v,
+               avg(gap_s) AS mu_g, var_samp(gap_s) AS var_g
+        FROM feat GROUP BY event_type
+    )
+    SELECT f.event_id, f.event_type,
+           round(sqrt((f.value - mu_v) * (f.value - mu_v) / var_v
+                      + (f.gap_s - mu_g) * (f.gap_s - mu_g) / var_g), 4)
+               AS mdist
+    FROM feat f JOIN stats USING (event_type)
+    ORDER BY mdist DESC, event_id
+    LIMIT 50
+    """,
+)
+def q259_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers by diagonal Mahalanobis distance over two
+    derived features (event value, inter-event gap): per-type moments
+    broadcast back onto the feature rows, distance is expression-only, top
+    50 reported — the multi-feature upgrade of q120's single-column
+    z-score. Full-covariance Mahalanobis adds the inverse-covariance
+    broadcast; same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    feat = (ev.select("event_id", "event_type", "value",
+                      ((us - prev).cast("double") / 1_000_000).alias("gap_s"))
+            .filter(F.col("gap_s").isNotNull()))
+    stats = (feat.groupBy("event_type")
+             .agg(F.avg("value").alias("mu_v"),
+                  F.var_samp("value").alias("var_v"),
+                  F.avg("gap_s").alias("mu_g"),
+                  F.var_samp("gap_s").alias("var_g")))
+    d2 = ((F.col("value") - F.col("mu_v")) ** 2 / F.col("var_v")
+          + (F.col("gap_s") - F.col("mu_g")) ** 2 / F.col("var_g"))
+    return (feat.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type",
+                    F.round(F.sqrt(d2), 4).alias("mdist"))
+            .orderBy(F.desc("mdist"), "event_id")
+            .limit(50))
+
+
+@register(
+    "q260_feature_hashing",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT DISTINCT token,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256
+                   AS bucket
+        FROM tok
+    ),
+    per_bucket AS (
+        SELECT bucket, count(*) AS n_tokens FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(count(*) AS BIGINT)                        AS used_buckets,
+           CAST(sum(n_tokens) AS BIGINT)                   AS vocab_size,
+           CAST(sum(CASE WHEN n_tokens > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS colliding_buckets,
+           CAST(sum(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                                                           AS colliding_tokens,
+           CAST(max(n_tokens) AS BIGINT)                   AS worst_bucket
+    FROM per_bucket
+    """,
+)
+def q260_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick audited: distinct vocabulary hashed into 256
+    feature buckets (md5-based — portable, seedless), with the collision
+    accounting (how many buckets hold 2+ tokens, how many tokens share)
+    that decides whether the bucket count is big enough for a linear model.
+    Shuffles carry (token) then (bucket) keys only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+           .distinct())
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("bigint") % 256)
+    per_bucket = (tok.select(bucket.alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens")))
+    coll = F.when(F.col("n_tokens") > 1, F.col("n_tokens")).otherwise(0)
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("used_buckets"),
+        F.sum("n_tokens").cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("n_tokens") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("colliding_buckets"),
+        F.sum(coll).cast("bigint").alias("colliding_tokens"),
+        F.max("n_tokens").cast("bigint").alias("worst_bucket"))
+
+
+@register(
+    "q261_ab_exposure",
+    sql="""
+    WITH assignment AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                          AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+        FROM events GROUP BY user_id
+    ),
+    outcomes AS (
+        SELECT a.user_id, a.variant,
+               max(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts > a.first_click THEN 1 ELSE 0 END)
+                   AS converted
+        FROM assignment a LEFT JOIN events e ON e.user_id = a.user_id
+        WHERE a.first_click IS NOT NULL
+        GROUP BY a.user_id, a.variant
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS exposed_users,
+           CAST(sum(converted) AS BIGINT) AS converters,
+           round(avg(converted::DOUBLE), 6) AS conversion_rate
+    FROM outcomes GROUP BY variant
+    """,
+)
+def q261_ab_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-based A/B analysis: users hash-assigned to variants
+    (seeded md5 — the deterministic bucketing a real experiment platform
+    uses), exposure = first click, outcome = any purchase AFTER exposure —
+    the post-exposure filter that naive conversion comparisons omit.
+    Complements q163's Welch z-test with the correct denominator
+    construction; one user-keyed join, residue rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1-"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 2 == 0,
+        "control").otherwise("treatment")
+    assignment = (ev.groupBy("user_id")
+                  .agg(F.min(F.when(F.col("event_type") == "click",
+                                    F.col("ts"))).alias("first_click"))
+                  .withColumn("variant", variant)
+                  .filter(F.col("first_click").isNotNull()))
+    e2 = ev.select(F.col("user_id").alias("u2"), "event_type",
+                   F.col("ts").alias("e_ts"))
+    outcomes = (assignment.join(e2, F.col("u2") == F.col("user_id"), "left")
+                .groupBy("user_id", "variant")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("e_ts") > F.col("first_click")),
+                                  1).otherwise(0)).alias("converted")))
+    return (outcomes.groupBy("variant")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exposed_users"),
+                 F.sum("converted").cast("bigint").alias("converters"),
+                 F.round(F.avg(F.col("converted").cast("double")), 6)
+                 .alias("conversion_rate")))
