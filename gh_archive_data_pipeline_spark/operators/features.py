@@ -520,3 +520,182 @@ def q261_ab_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("converted").cast("bigint").alias("converters"),
                  F.round(F.avg(F.col("converted").cast("double")), 6)
                  .alias("conversion_rate")))
+
+
+@register(
+    "q262_stratified_rates",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'heavy' ELSE 'light' END
+                   AS stratum,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicked
+        FROM events GROUP BY user_id
+    ),
+    strata AS (
+        SELECT stratum,
+               count(*) AS n_users,
+               sum(CASE WHEN clicked = 1 THEN 1 ELSE 0 END) AS n_clicked,
+               sum(CASE WHEN clicked = 1 AND converted = 1
+                        THEN 1 ELSE 0 END) AS n_conv
+        FROM per_user GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(n_users AS BIGINT)  AS n_users,
+           CAST(n_clicked AS BIGINT) AS n_clicked,
+           round(n_conv::DOUBLE / n_clicked, 6) AS rate_in_stratum,
+           round(sum(n_conv) OVER ()::DOUBLE
+                 / sum(n_clicked) OVER (), 6)   AS pooled_rate,
+           round(sum(n_conv::DOUBLE / n_clicked * n_users) OVER ()
+                 / sum(n_users) OVER (), 6)     AS stratum_weighted_rate
+    FROM strata
+    """,
+)
+def q262_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified vs pooled conversion rates — the Simpson's-paradox guard:
+    per-stratum rates alongside the naive pooled rate and the
+    population-weighted rate; when they disagree, the pooled number is
+    confounded by stratum mix. Windows run on the 2-row strata residue."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("converted"),
+                     F.max(F.when(F.col("event_type") == "click", 1)
+                           .otherwise(0)).alias("clicked"))
+                .withColumn("stratum",
+                            F.when(F.col("user_id") % 3 == 0, "heavy")
+                            .otherwise("light")))
+    strata = (per_user.groupBy("stratum")
+              .agg(F.count(F.lit(1)).alias("n_users"),
+                   F.sum("clicked").alias("n_clicked"),
+                   F.sum(F.when((F.col("clicked") == 1)
+                                & (F.col("converted") == 1), 1)
+                         .otherwise(0)).alias("n_conv")))
+    w = Window.partitionBy()
+    rate = F.col("n_conv").cast("double") / F.col("n_clicked")
+    return strata.select(
+        "stratum",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_clicked").cast("bigint").alias("n_clicked"),
+        F.round(rate, 6).alias("rate_in_stratum"),
+        F.round(F.sum("n_conv").over(w).cast("double")
+                / F.sum("n_clicked").over(w), 6).alias("pooled_rate"),
+        F.round(F.sum(rate * F.col("n_users")).over(w)
+                / F.sum("n_users").over(w), 6)
+        .alias("stratum_weighted_rate"))
+
+
+@register(
+    "q263_jackknife_se",
+    sql="""
+    WITH per_nation AS (
+        SELECT c_nationkey, sum(c_acctbal) AS t, count(*) AS n
+        FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (SELECT sum(t) AS big_t, sum(n) AS big_n,
+                   count(*)::DOUBLE AS g FROM per_nation),
+    loo AS (
+        SELECT c_nationkey,
+               (big_t - t) / (big_n - n) AS stat_i,
+               big_t / big_n AS stat_all, g
+        FROM per_nation CROSS JOIN tot
+    )
+    SELECT round(min(stat_all), 6) AS mean_balance,
+           round(sqrt((min(g) - 1) / min(g)
+                      * sum((stat_i - stat_all) * (stat_i - stat_all))), 6)
+               AS jackknife_se,
+           CAST(min(g) AS BIGINT) AS n_groups
+    FROM loo
+    """,
+)
+def q263_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error for a ratio statistic
+    (mean account balance): recompute the estimate without each nation,
+    SE = sqrt((g-1)/g · Σ(θ_i - θ)²) — the distribution-free uncertainty a
+    dashboards-with-error-bars pipeline attaches to every aggregate, and
+    entirely expressible as one residue pass (25 leave-one-out stats from
+    the per-nation sums, no resampling)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = (cust.groupBy("c_nationkey")
+                  .agg(F.sum("c_acctbal").alias("t"),
+                       F.count(F.lit(1)).alias("n")))
+    tot = per_nation.agg(F.sum("t").alias("big_t"),
+                         F.sum("n").alias("big_n"),
+                         F.count(F.lit(1)).cast("double").alias("g"))
+    loo = (per_nation.crossJoin(F.broadcast(tot))
+           .select(((F.col("big_t") - F.col("t"))
+                    / (F.col("big_n") - F.col("n"))).alias("stat_i"),
+                   (F.col("big_t") / F.col("big_n")).alias("stat_all"),
+                   "g"))
+    dev = (F.col("stat_i") - F.col("stat_all"))
+    return loo.agg(
+        F.round(F.min("stat_all"), 6).alias("mean_balance"),
+        F.round(F.sqrt((F.min("g") - 1) / F.min("g")
+                       * F.sum(dev * dev)), 6).alias("jackknife_se"),
+        F.min("g").cast("bigint").alias("n_groups"))
+
+
+@register(
+    "q264_ks_statistic",
+    sql="""
+    WITH flagged AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (
+        SELECT sum(is_a)::DOUBLE AS na, sum(is_b)::DOUBLE AS nb FROM flagged
+    ),
+    cdf AS (
+        SELECT value,
+               sum(is_a) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ca,
+               sum(is_b) OVER (ORDER BY value
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cb
+        FROM flagged
+    ),
+    stepped AS (
+        SELECT value, max(ca) AS ca, max(cb) AS cb
+        FROM cdf GROUP BY value
+    )
+    SELECT round(max(abs(ca / na - cb / nb)), 6) AS ks_stat,
+           CAST(min(na) AS BIGINT) AS n_click,
+           CAST(min(nb) AS BIGINT) AS n_purchase
+    FROM stepped CROSS JOIN tot
+    """,
+)
+def q264_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (click vs purchase value
+    distributions): max CDF gap via running counts over the merged sorted
+    values, collapsed to one row per distinct value so ties are handled
+    exactly. The global ordered window is the known single-partition stage
+    on the residue — at 100 TB the same statistic computes from per-bucket
+    counts (equi-width CDF) with a bounded error instead of a total sort."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("value",
+                  F.when(F.col("event_type") == "click", 1).otherwise(0)
+                  .alias("is_a"),
+                  F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                  .alias("is_b")))
+    tot = ev.agg(F.sum("is_a").cast("double").alias("na"),
+                 F.sum("is_b").cast("double").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    cdf = ev.select("value",
+                    F.sum("is_a").over(w).alias("ca"),
+                    F.sum("is_b").over(w).alias("cb"))
+    stepped = cdf.groupBy("value").agg(F.max("ca").alias("ca"),
+                                       F.max("cb").alias("cb"))
+    return (stepped.crossJoin(F.broadcast(tot))
+            .agg(F.round(F.max(F.abs(F.col("ca") / F.col("na")
+                                     - F.col("cb") / F.col("nb"))), 6)
+                 .alias("ks_stat"),
+                 F.min("na").cast("bigint").alias("n_click"),
+                 F.min("nb").cast("bigint").alias("n_purchase")))
