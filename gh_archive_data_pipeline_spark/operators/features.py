@@ -699,3 +699,71 @@ def q264_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("ks_stat"),
                  F.min("na").cast("bigint").alias("n_click"),
                  F.min("nb").cast("bigint").alias("n_purchase")))
+
+
+@register(
+    "q265_exact_auc",
+    sql="""
+    WITH scored AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS score,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT label,
+               rank() OVER (ORDER BY score) AS min_rank,
+               count(*) OVER (PARTITION BY score) AS tie_n
+        FROM scored
+    ),
+    midranked AS (
+        SELECT label, min_rank + (tie_n - 1) / 2.0 AS mid_rank
+        FROM ranked
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN label = 1 THEN mid_rank END) AS rank_sum,
+               sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::DOUBLE AS np,
+               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::DOUBLE AS nn
+        FROM midranked
+    )
+    SELECT round((rank_sum - np * (np + 1) / 2) / nullif(np * nn, 0), 6)
+               AS auc,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def q265_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by the Mann-Whitney rank identity, with proper
+    mid-rank tie handling (min-rank + (ties-1)/2 — integer-exact, so both
+    engines agree to the last bit before the single division): does click
+    count predict purchasing? The model-eval metric as a two-window pass
+    over the per-user residue; at 100 TB the same identity computes from a
+    score-histogram (ranks from cumulative counts) without a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = (ev.groupBy("user_id")
+              .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0)).alias("score"),
+                   F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") > 250), 1)
+                         .otherwise(0)).alias("label")))
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        (F.rank().over(w_rank)
+         + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("mid_rank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("mid_rank"))).alias("rank_sum"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("double")
+        .alias("np"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("double")
+        .alias("nn"))
+    return agg.select(
+        F.round((F.col("rank_sum") - F.col("np") * (F.col("np") + 1) / 2)
+                / F.nullif(F.col("np") * F.col("nn"), F.lit(0.0)), 6)
+        .alias("auc"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"))
