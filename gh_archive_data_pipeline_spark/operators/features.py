@@ -767,3 +767,102 @@ def q265_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("auc"),
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"))
+
+
+@register(
+    "q266_odds_ratio",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS exposed,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS outcome
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS a,
+               sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS b,
+               sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS c,
+               sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS d
+        FROM per_user
+    )
+    SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+           CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+           round(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)), 6)
+               AS odds_ratio,
+           round(exp(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+                     - 1.96 * sqrt(1/(a+0.5) + 1/(b+0.5)
+                                   + 1/(c+0.5) + 1/(d+0.5))), 6) AS ci_low,
+           round(exp(ln(((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5)))
+                     + 1.96 * sqrt(1/(a+0.5) + 1/(b+0.5)
+                                   + 1/(c+0.5) + 1/(d+0.5))), 6) AS ci_high
+    FROM cells
+    """,
+)
+def q266_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio (Haldane-Anscombe corrected) with the Woolf 95% CI: does
+    having signed up associate with high-value purchasing? Exact integer
+    cells → one deterministic float expression; the CI crossing 1.0 is the
+    readable no-effect test next to q173's chi-square. Single reduction +
+    1-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "signup", 1)
+                           .otherwise(0)).alias("exposed"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).alias("outcome")))
+    def cell(e, o):
+        return F.sum(F.when((F.col("exposed") == e) & (F.col("outcome") == o),
+                            1).otherwise(0)).cast("double")
+    cells = per_user.agg(cell(1, 1).alias("a"), cell(1, 0).alias("b"),
+                         cell(0, 1).alias("c"), cell(0, 0).alias("d"))
+    # Haldane-Anscombe +0.5 on every cell: keeps the estimator finite when
+    # a cell is empty (sf0.001 has no unexposed users), standard practice.
+    a, b = F.col("a") + 0.5, F.col("b") + 0.5
+    c, d = F.col("c") + 0.5, F.col("d") + 0.5
+    orr = (a * d) / (b * c)
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return cells.select(
+        F.col("a").cast("bigint").alias("n11"),
+        F.col("b").cast("bigint").alias("n10"),
+        F.col("c").cast("bigint").alias("n01"),
+        F.col("d").cast("bigint").alias("n00"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("ci_high"))
+
+
+@register(
+    "q267_expanding_target_encoding",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4)
+               AS past_priority_mean
+    FROM orders
+    """,
+)
+def q267_expanding_target_encoding(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TIME-safe target encoding — the streaming-world sibling of q211's
+    leave-one-out: each order's category feature is the mean total of
+    STRICTLY EARLIER orders in its priority class (expanding window,
+    1 PRECEDING), so the feature at time t is computable at time t. First
+    order per class encodes NULL (no history), exactly as a live scorer
+    would. One window on the category partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.avg("o_totalprice").over(w), 4)
+        .alias("past_priority_mean"))
