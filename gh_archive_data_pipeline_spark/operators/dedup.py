@@ -667,3 +667,53 @@ def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_occurrences", "n_docs")
             .orderBy(F.desc("n_occurrences"), "span_hash")
             .limit(50))
+
+
+@register(
+    "q269_dedup_timeline",
+    sql="""
+    WITH digests AS (
+        SELECT doc_id, doc_id // 100 AS chunk,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest
+        FROM documents
+    ),
+    flagged AS (
+        SELECT chunk,
+               CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY digest)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM digests
+    )
+    SELECT CAST(chunk AS BIGINT) AS chunk,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           round(sum(is_dup)::DOUBLE / count(*), 6) AS dup_rate
+    FROM flagged GROUP BY chunk
+    """,
+)
+def q269_dedup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate timeline: with doc_id as arrival order, the share
+    of each 100-doc ingestion chunk that duplicates earlier content
+    (normalized-digest match, q219's canonical form) — the monitoring
+    curve that tells a crawl operator WHEN duplication started climbing,
+    not just the corpus-wide rate. First-occurrence attribution is one
+    min-over-digest window; everything shuffles on digest/chunk keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    digests = docs.select("doc_id",
+                          F.floor(F.col("doc_id") / 100).cast("bigint")
+                          .alias("chunk"),
+                          F.md5(norm).alias("digest"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("digest")
+    flagged = digests.select(
+        "chunk",
+        F.when(F.col("doc_id") > F.min("doc_id").over(w), 1).otherwise(0)
+        .alias("is_dup"))
+    return (flagged.groupBy("chunk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("is_dup").cast("bigint").alias("n_dups"),
+                 F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6)
+                 .alias("dup_rate")))

@@ -866,3 +866,33 @@ def q267_expanding_target_encoding(spark: SparkSession,
         "o_orderkey", "o_orderpriority",
         F.round(F.avg("o_totalprice").over(w), 4)
         .alias("past_priority_mean"))
+
+
+@register(
+    "q268_decay_score",
+    sql="""
+    WITH bounds AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(exp(-0.1 * (epoch_us(now_ts) - epoch_us(ts))
+                         / 86400000000.0)), 4) AS decay_score
+    FROM events CROSS JOIN bounds
+    GROUP BY user_id
+    """,
+)
+def q268_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: Σ exp(-λ·age_days) per user (λ=0.1 —
+    half-life ≈ a week) — the decayed-frequency score rankers and
+    churn models consume instead of raw counts, computable in one
+    map-side-combined aggregation (each event contributes independently, so
+    no window needed, unlike EWMA's sequential weighting)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("now_ts"))
+    age_days = ((F.unix_micros(F.col("now_ts").cast("timestamp"))
+                 - F.unix_micros(F.col("ts").cast("timestamp")))
+                / 86_400_000_000.0)
+    return (ev.crossJoin(F.broadcast(bounds))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.sum(F.exp(-0.1 * age_days)), 4)
+                 .alias("decay_score")))
