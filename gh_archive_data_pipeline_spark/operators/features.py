@@ -896,3 +896,53 @@ def q268_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  F.round(F.sum(F.exp(-0.1 * age_days)), 4)
                  .alias("decay_score")))
+
+
+@register(
+    "q272_fold_stability",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('fold-' || user_id), 1, 8)) AS BIGINT)
+                   % 5 AS fold,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    per_fold AS (
+        SELECT fold, count(*) AS n,
+               avg(converted::DOUBLE) AS rate
+        FROM per_user GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(n AS BIGINT) AS n_users,
+           round(rate, 6) AS conversion_rate,
+           round(avg(rate) OVER (), 6) AS mean_rate,
+           round(stddev_samp(rate) OVER (), 6) AS rate_sd
+    FROM per_fold
+    """,
+)
+def q272_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric stability across 5 content-hash folds: the conversion rate
+    recomputed per deterministic fold with the cross-fold mean and standard
+    deviation — the cheap sanity check that a headline metric isn't driven
+    by a handful of users (high fold SD → investigate before shipping the
+    number). Hash-fold assignment reuses q88's portable md5 bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    fold = (F.conv(F.substring(F.md5(F.concat(F.lit("fold-"),
+                                              F.col("user_id").cast("string"))),
+                               1, 8), 16, 10).cast("bigint") % 5)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("converted"))
+                .withColumn("fold", fold))
+    per_fold = (per_user.groupBy("fold")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg(F.col("converted").cast("double")).alias("rate")))
+    w = Window.partitionBy()
+    return per_fold.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("rate", 6).alias("conversion_rate"),
+        F.round(F.avg("rate").over(w), 6).alias("mean_rate"),
+        F.round(F.stddev_samp("rate").over(w), 6).alias("rate_sd"))

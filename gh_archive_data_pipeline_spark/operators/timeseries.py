@@ -1342,3 +1342,81 @@ def q252_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile(lag, F.lit(0.9)), 4)
                  .alias("p90_lag_days"),
                  F.max(lag).cast("bigint").alias("max_lag_days")))
+
+
+@register(
+    "q271_peak_concurrency",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM (SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sid
+              FROM marked)
+        GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT s_start AS t, 1 AS d FROM sessions
+        UNION ALL
+        SELECT s_end + INTERVAL 30 MINUTE, -1 FROM sessions
+    ),
+    timeline AS (
+        SELECT t, sum(d) AS net FROM deltas GROUP BY t
+    ),
+    running AS (
+        SELECT t, sum(net) OVER (ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS active
+        FROM timeline
+    )
+    SELECT CAST(max(active) AS BIGINT) AS peak_concurrent,
+           CAST(min(CASE WHEN active = (SELECT max(active) FROM running)
+                         THEN epoch_us(t) END) AS BIGINT) AS peak_at_us
+    FROM running
+    """,
+)
+def q271_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (capacity planning's headline number):
+    gap-sessionize, emit ±1 deltas at session start / end+gap, running-sum
+    the timeline, take the max and its first occurrence. Interval counting
+    (q251's pattern) composed over derived sessions rather than raw rows —
+    three shared-partition windows plus one residue cumulative."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1)
+        .otherwise(0).alias("new_session"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (marked.select("user_id", "ts",
+                          F.sum("new_session").over(wc).alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end")))
+    deltas = (sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d"))
+              .unionByName(sess.select(
+                  (F.col("s_end") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+                  F.lit(-1).alias("d"))))
+    timeline = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    wr = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    running = timeline.select(
+        "t", F.sum("net").over(wr).alias("active"))
+    peak = running.agg(F.max("active").alias("mx"))
+    return (running.crossJoin(F.broadcast(peak))
+            .agg(F.max("active").cast("bigint").alias("peak_concurrent"),
+                 F.min(F.when(F.col("active") == F.col("mx"),
+                              F.unix_micros(F.col("t").cast("timestamp"))))
+                 .cast("bigint").alias("peak_at_us")))

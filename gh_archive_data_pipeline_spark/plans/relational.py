@@ -1125,3 +1125,67 @@ def q257_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("amount", 2).alias("amount"),
         F.datediff(F.col("date_b").cast("date"), F.col("date_a").cast("date"))
         .cast("bigint").alias("days_apart"))
+
+
+@register(
+    "q270_rate_volume_decomposition",
+    sql="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(month) AS m0, max(month) AS m1 FROM monthly),
+    wide AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN month = m0 THEN n ELSE 0 END) AS n0,
+               sum(CASE WHEN month = m0 THEN rev ELSE 0 END) AS r0,
+               sum(CASE WHEN month = m1 THEN n ELSE 0 END) AS n1,
+               sum(CASE WHEN month = m1 THEN rev ELSE 0 END) AS r1
+        FROM monthly CROSS JOIN bounds GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           round(r1 - r0, 2) AS delta_rev,
+           round((n1 - n0) * (r0 / nullif(n0, 0)), 2) AS volume_effect,
+           round(n1 * (r1 / nullif(n1, 0) - r0 / nullif(n0, 0)), 2)
+               AS rate_effect,
+           round((r1 - r0)
+                 - (n1 - n0) * (r0 / nullif(n0, 0))
+                 - n1 * (r1 / nullif(n1, 0) - r0 / nullif(n0, 0)), 2)
+               AS residual
+    FROM wide
+    """,
+)
+def q270_rate_volume_decomposition(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Rate/volume decomposition of the revenue change per priority class:
+    Δrev = Δorders·AOV₀ (volume effect) + orders₁·ΔAOV (rate effect) — an
+    EXACT decomposition, so the residual column must be 0.00 everywhere
+    and the oracle enforces that identity. The metric-explains-itself query
+    every revenue review wants next to q255's waterfall. Residue-only math
+    after one monthly aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+        .alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")))
+    bounds = monthly.agg(F.min("month").alias("m0"), F.max("month").alias("m1"))
+    def pick(col, m):
+        return F.sum(F.when(F.col("month") == F.col(m), F.col(col)).otherwise(0))
+    wide = (monthly.crossJoin(F.broadcast(bounds))
+            .groupBy("o_orderpriority")
+            .agg(pick("n", "m0").alias("n0"), pick("rev", "m0").alias("r0"),
+                 pick("n", "m1").alias("n1"), pick("rev", "m1").alias("r1")))
+    n0 = F.nullif(F.col("n0").cast("double"), F.lit(0.0))
+    n1 = F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    volume = (F.col("n1") - F.col("n0")) * (F.col("r0") / n0)
+    rate = F.col("n1") * (F.col("r1") / n1 - F.col("r0") / n0)
+    delta = F.col("r1") - F.col("r0")
+    return wide.select(
+        "o_orderpriority",
+        F.round(delta, 2).alias("delta_rev"),
+        F.round(volume, 2).alias("volume_effect"),
+        F.round(rate, 2).alias("rate_effect"),
+        F.round(delta - volume - rate, 2).alias("residual"))
