@@ -676,3 +676,61 @@ def q239_token_drift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ratio.alias("log_ratio"))
             .orderBy(F.abs(F.col("log_ratio")).desc(), "token")
             .limit(20))
+
+
+@register(
+    "q275_heaps_curve",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id // 50 AS chunk,
+               doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT token, min(doc_id) // 50 AS first_chunk,
+               count(*) AS occurrences
+        FROM tok GROUP BY token
+    ),
+    chunk_tokens AS (
+        SELECT chunk, count(*) AS toks FROM tok GROUP BY chunk
+    ),
+    new_types AS (
+        SELECT first_chunk AS chunk, count(*) AS new_types
+        FROM first_seen GROUP BY first_chunk
+    )
+    SELECT CAST(c.chunk AS BIGINT) AS chunk,
+           CAST(sum(c.toks) OVER (ORDER BY c.chunk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (
+                ORDER BY c.chunk ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS cum_vocab
+    FROM chunk_tokens c LEFT JOIN new_types n ON n.chunk = c.chunk
+    """,
+)
+def q275_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct types vs
+    cumulative tokens by 50-doc ingestion chunk — the curve whose flattening
+    says a crawl stopped finding new language (and whose slope estimates
+    the Heaps exponent). First-occurrence attribution is one min-per-token
+    aggregation; cumulative windows run on the chunk residue."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.floor(F.col("doc_id") / 50).cast("bigint")
+                      .alias("chunk"), "doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+    first_seen = (tok.groupBy("token")
+                  .agg(F.floor(F.min("doc_id") / 50).cast("bigint")
+                       .alias("first_chunk")))
+    chunk_tokens = tok.groupBy("chunk").agg(F.count(F.lit(1)).alias("toks"))
+    new_types = (first_seen.groupBy(F.col("first_chunk").alias("chunk"))
+                 .agg(F.count(F.lit(1)).alias("new_types")))
+    w = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    joined = chunk_tokens.join(F.broadcast(new_types), "chunk", "left")
+    return joined.select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("bigint")
+        .alias("cum_vocab"))

@@ -1420,3 +1420,43 @@ def q271_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("active") == F.col("mx"),
                               F.unix_micros(F.col("t").cast("timestamp"))))
                  .cast("bigint").alias("peak_at_us")))
+
+
+@register(
+    "q274_purchase_regularity",
+    sql="""
+    WITH purchase_gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+               / 3600000000.0 AS gap_h
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(gap_h) AS BIGINT) AS n_gaps,
+           round(avg(gap_h), 4) AS mean_gap_h,
+           round(stddev_samp(gap_h) / nullif(avg(gap_h), 0), 4) AS gap_cv
+    FROM purchase_gaps
+    GROUP BY user_id
+    HAVING count(gap_h) >= 3
+    """,
+)
+def q274_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase regularity: per-user mean gap between purchases and
+    its coefficient of variation (CV < 1 = clock-like habitual buyer,
+    CV > 1 = bursty) — the repeat-purchase-rhythm feature subscription
+    models key on. One window + one groupBy on the user partitioning;
+    users with fewer than 4 purchases are excluded (CV needs support)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gaps = ev.select("user_id", ((us - prev) / 3_600_000_000.0).alias("gap_h"))
+    return (gaps.groupBy("user_id")
+            .agg(F.count("gap_h").cast("bigint").alias("n_gaps"),
+                 F.round(F.avg("gap_h"), 4).alias("mean_gap_h"),
+                 F.round(F.stddev_samp("gap_h")
+                         / F.nullif(F.avg("gap_h"), F.lit(0.0)), 4)
+                 .alias("gap_cv"))
+            .filter(F.col("n_gaps") >= 3))

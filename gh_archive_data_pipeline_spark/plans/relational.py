@@ -1189,3 +1189,51 @@ def q270_rate_volume_decomposition(spark: SparkSession,
         F.round(volume, 2).alias("volume_effect"),
         F.round(rate, 2).alias("rate_effect"),
         F.round(delta - volume - rate, 2).alias("residual"))
+
+
+@register(
+    "q273_abc_classification",
+    sql="""
+    WITH ranked AS (
+        SELECT p_type, p_partkey, p_retailprice,
+               sum(p_retailprice) OVER (PARTITION BY p_type
+                                        ORDER BY p_retailprice DESC, p_partkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_v,
+               sum(p_retailprice) OVER (PARTITION BY p_type) AS tot_v
+        FROM part
+    ),
+    classed AS (
+        SELECT p_type,
+               CASE WHEN cum_v <= 0.5 * tot_v THEN 'A'
+                    WHEN cum_v <= 0.8 * tot_v THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT p_type, abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY p_type, abc_class
+    """,
+)
+def q273_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification per part type: parts ranked by retail
+    price, class A = the head covering 50 % of cumulative value, B to 80 %,
+    C the tail — the Pareto operating split (q187 measures concentration;
+    this ASSIGNS the classes). Cumulative and total windows share the
+    p_type partitioning — one shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+    w_cum = (Window.partitionBy("p_type")
+             .orderBy(F.desc("p_retailprice"), "p_partkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("p_type")
+    ranked = part.select(
+        "p_type",
+        F.sum("p_retailprice").over(w_cum).alias("cum_v"),
+        F.sum("p_retailprice").over(w_all).alias("tot_v"))
+    abc = (F.when(F.col("cum_v") <= 0.5 * F.col("tot_v"), "A")
+           .when(F.col("cum_v") <= 0.8 * F.col("tot_v"), "B")
+           .otherwise("C"))
+    return (ranked.select("p_type", abc.alias("abc_class"))
+            .groupBy("p_type", "abc_class")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts")))
