@@ -734,3 +734,57 @@ def q275_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
         F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("bigint")
         .alias("cum_vocab"))
+
+
+@register(
+    "q277_zipf_slope",
+    sql="""
+    WITH freq AS (
+        SELECT token, count(*)::DOUBLE AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY f DESC, token)) AS x,
+               ln(f) AS y
+        FROM freq ORDER BY f DESC, token LIMIT 100
+    ),
+    m AS (
+        SELECT avg(x) AS mx, avg(y) AS my, count(*)::DOUBLE AS n FROM ranked
+    )
+    SELECT round(sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)), 6)
+               AS zipf_slope,
+           round(min(my) - sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx))
+                 * min(mx), 6) AS intercept,
+           CAST(min(n) AS BIGINT) AS n_tokens
+    FROM ranked CROSS JOIN m
+    """,
+)
+def q277_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the top
+    100 tokens — natural corpora sit near -1; a flat slope exposes
+    synthetic/templated text (this fixture's near-uniform vocabulary is
+    exactly such a signature, and the query measures it). Rank ties break
+    on the token so both engines rank identically; the regression is
+    closed-form residue arithmetic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("f")))
+    ranked = (freq.withColumn(
+        "x", F.log(F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+                   .cast("double")))
+        .withColumn("y", F.log("f"))
+        .orderBy(F.desc("f"), "token").limit(100)
+        .select("x", "y"))
+    m = ranked.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                   F.count(F.lit(1)).cast("double").alias("n"))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    slope = F.sum(dx * dy) / F.sum(dx * dx)
+    return (ranked.crossJoin(F.broadcast(m))
+            .agg(F.round(slope, 6).alias("zipf_slope"),
+                 F.round(F.min("my") - slope * F.min("mx"), 6)
+                 .alias("intercept"),
+                 F.min("n").cast("bigint").alias("n_tokens")))

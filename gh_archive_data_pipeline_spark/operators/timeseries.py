@@ -1460,3 +1460,61 @@ def q274_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.nullif(F.avg("gap_h"), F.lit(0.0)), 4)
                  .alias("gap_cv"))
             .filter(F.col("n_gaps") >= 3))
+
+
+@register(
+    "q276_busiest_rolling_hour",
+    sql="""
+    WITH b5 AS (
+        SELECT epoch_us(ts) // 300000000 AS b, count(*) AS n
+        FROM events GROUP BY b
+    ),
+    spine AS (
+        SELECT unnest(generate_series((SELECT min(b) FROM b5),
+                                      (SELECT max(b) FROM b5))) AS b
+    ),
+    dense AS (
+        SELECT s.b, coalesce(b5.n, 0) AS n
+        FROM spine s LEFT JOIN b5 ON b5.b = s.b
+    ),
+    rolling AS (
+        SELECT b, sum(n) OVER (ORDER BY b
+                               ROWS BETWEEN 11 PRECEDING
+                               AND CURRENT ROW) AS hour_n,
+               row_number() OVER (ORDER BY b) AS rn
+        FROM dense
+    )
+    SELECT CAST(max(hour_n) AS BIGINT) AS peak_hour_events,
+           CAST(min(CASE WHEN hour_n = (SELECT max(hour_n) FROM rolling
+                                        WHERE rn >= 12)
+                         THEN (b - 11) * 300 END) AS BIGINT)
+               AS window_start_epoch
+    FROM rolling WHERE rn >= 12
+    """,
+)
+def q276_busiest_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busiest rolling hour at 5-minute resolution: bucket counts on a
+    DENSE 5-min spine (gap buckets must contribute zeros or the rolling
+    frame silently shrinks), 12-bucket trailing sum, max with its window
+    start — the load-planning number a fixed hourly histogram understates.
+    Only the ~8k-bucket residue carries windows; partial-frame rows (first
+    11) are excluded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.unix_micros(F.col("ts").cast("timestamp")) / 300_000_000) \
+        .cast("bigint")
+    b5 = ev.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("n"))
+    bounds = b5.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("b"))
+    dense = (spine.join(b5, "b", "left")
+             .select("b", F.coalesce("n", F.lit(0)).alias("n")))
+    w = Window.orderBy("b").rowsBetween(-11, Window.currentRow)
+    rolling = dense.select(
+        "b", F.sum("n").over(w).alias("hour_n"),
+        F.row_number().over(Window.orderBy("b")).alias("rn")) \
+        .filter(F.col("rn") >= 12)
+    mx = rolling.agg(F.max("hour_n").alias("mx"))
+    return (rolling.crossJoin(F.broadcast(mx))
+            .agg(F.max("hour_n").cast("bigint").alias("peak_hour_events"),
+                 F.min(F.when(F.col("hour_n") == F.col("mx"),
+                              (F.col("b") - 11) * 300)).cast("bigint")
+                 .alias("window_start_epoch")))

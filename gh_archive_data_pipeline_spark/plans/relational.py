@@ -1237,3 +1237,46 @@ def q273_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.select("p_type", abc.alias("abc_class"))
             .groupBy("p_type", "abc_class")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts")))
+
+
+@register(
+    "q278_market_concentration",
+    sql="""
+    WITH per_cust AS (
+        SELECT n.n_name, c.c_custkey, sum(c.c_acctbal) AS bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_custkey
+    ),
+    tot AS (
+        SELECT n_name, sum(bal) AS t FROM per_cust GROUP BY n_name
+    )
+    SELECT p.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum((bal / t) * (bal / t)), 6) AS hhi,
+           round(1.0 / count(*), 6) AS hhi_floor
+    FROM per_cust p JOIN tot USING (n_name)
+    WHERE t > 0
+    GROUP BY p.n_name
+    """,
+)
+def q278_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of account balances per nation:
+    HHI = Σ share² against its 1/n floor — how dominated each market is by
+    its largest customers (the antitrust statistic, and the Gini's
+    squared-share cousin q164 doesn't cover). Negative balances make HHI
+    ill-defined, so nations with non-positive totals are excluded on both
+    sides; per-customer shares aggregate once, residue math after."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (cust.join(F.broadcast(nation),
+                          cust["c_nationkey"] == nation["n_nationkey"])
+                .groupBy("n_name", "c_custkey")
+                .agg(F.sum("c_acctbal").alias("bal")))
+    tot = per_cust.groupBy("n_name").agg(F.sum("bal").alias("t"))
+    share = F.col("bal") / F.col("t")
+    return (per_cust.join(F.broadcast(tot), "n_name")
+            .filter(F.col("t") > 0)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.round(F.sum(share * share), 6).alias("hhi"),
+                 F.round(1.0 / F.count(F.lit(1)), 6).alias("hhi_floor")))
