@@ -1518,3 +1518,63 @@ def q276_busiest_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("hour_n") == F.col("mx"),
                               (F.col("b") - 11) * 300)).cast("bigint")
                  .alias("window_start_epoch")))
+
+
+@register(
+    "q279_conversion_by_depth",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    depth AS (
+        SELECT event_type,
+               least(row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id), 10) AS depth
+        FROM (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS sid
+              FROM marked)
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS purchase_share
+    FROM depth GROUP BY depth
+    """,
+)
+def q279_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase share by position WITHIN the session (depth 1..10+, capped):
+    do users buy on arrival or only after browsing — the engagement-depth
+    curve that decides where checkout friction matters. Sessionization and
+    depth ranking share the user partitioning; the rollup groups a 10-row
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1)
+        .otherwise(0).alias("new_session"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select("user_id", "ts", "event_id", "event_type",
+                         F.sum("new_session").over(wc).alias("sid"))
+    wd = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    depth = sess.select(
+        "event_type",
+        F.least(F.row_number().over(wd), F.lit(10)).cast("bigint")
+        .alias("depth"))
+    buys = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    return (depth.groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 buys.cast("bigint").alias("purchases"),
+                 F.round(buys.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("purchase_share")))
