@@ -946,3 +946,156 @@ def q272_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate", 6).alias("conversion_rate"),
         F.round(F.avg("rate").over(w), 6).alias("mean_rate"),
         F.round(F.stddev_samp("rate").over(w), 6).alias("rate_sd"))
+
+
+@register(
+    "q280_rate_ratio_test",
+    sql="""
+    WITH bounds AS (
+        SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) / 86400000000.0
+                   AS span_days
+        FROM events
+    ),
+    counts AS (
+        SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_err,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_buy
+        FROM events
+    )
+    SELECT CAST(n_err AS BIGINT) AS n_error,
+           CAST(n_buy AS BIGINT) AS n_purchase,
+           round(n_err / span_days, 4) AS error_per_day,
+           round(n_buy / span_days, 4) AS purchase_per_day,
+           round(n_err / n_buy, 6) AS rate_ratio,
+           round(exp(ln(n_err / n_buy) - 1.96 * sqrt(1/n_err + 1/n_buy)), 6)
+               AS ci_low,
+           round(exp(ln(n_err / n_buy) + 1.96 * sqrt(1/n_err + 1/n_buy)), 6)
+               AS ci_high
+    FROM counts CROSS JOIN bounds
+    """,
+)
+def q280_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate-ratio with its Wald 95% CI (exp(ln RR ±
+    1.96·√(1/n₁+1/n₂))): error events per purchase event over the same
+    exposure window — the incident-rate comparison an SRE/quality review
+    reads (CI excluding 1 = the rates genuinely differ). One reduction,
+    1-row closed-form arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    bounds = ev.agg(((us(F.max("ts")) - us(F.min("ts"))) / 86_400_000_000.0)
+                    .alias("span_days"))
+    counts = ev.agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double").alias("n_err"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double").alias("n_buy"))
+    rr = F.col("n_err") / F.col("n_buy")
+    se = F.sqrt(1 / F.col("n_err") + 1 / F.col("n_buy"))
+    return (counts.crossJoin(F.broadcast(bounds))
+            .select(F.col("n_err").cast("bigint").alias("n_error"),
+                    F.col("n_buy").cast("bigint").alias("n_purchase"),
+                    F.round(F.col("n_err") / F.col("span_days"), 4)
+                    .alias("error_per_day"),
+                    F.round(F.col("n_buy") / F.col("span_days"), 4)
+                    .alias("purchase_per_day"),
+                    F.round(rr, 6).alias("rate_ratio"),
+                    F.round(F.exp(F.log(rr) - 1.96 * se), 6).alias("ci_low"),
+                    F.round(F.exp(F.log(rr) + 1.96 * se), 6).alias("ci_high")))
+
+
+@register(
+    "q282_decision_stump",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    thresholds AS (SELECT unnest(generate_series(1, 20)) AS t),
+    cells AS (
+        SELECT t,
+               sum(CASE WHEN score >= t THEN 1 ELSE 0 END)::DOUBLE AS n_hi,
+               sum(CASE WHEN score >= t AND label = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS p_hi,
+               sum(CASE WHEN score < t THEN 1 ELSE 0 END)::DOUBLE AS n_lo,
+               sum(CASE WHEN score < t AND label = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS p_lo,
+               count(*)::DOUBLE AS n,
+               sum(label)::DOUBLE AS p
+        FROM per_user CROSS JOIN thresholds
+        GROUP BY t
+    ),
+    scored AS (
+        SELECT t, n_hi, n_lo,
+               round(
+                 (CASE WHEN p > 0 AND p < n THEN
+                    -(p/n)*ln(p/n) - (1-p/n)*ln(1-p/n) ELSE 0 END)
+                 - (n_hi/n) * (CASE WHEN p_hi > 0 AND p_hi < n_hi THEN
+                     -(p_hi/n_hi)*ln(p_hi/n_hi)
+                     - (1-p_hi/n_hi)*ln(1-p_hi/n_hi) ELSE 0 END)
+                 - (n_lo/n) * (CASE WHEN p_lo > 0 AND p_lo < n_lo THEN
+                     -(p_lo/n_lo)*ln(p_lo/n_lo)
+                     - (1-p_lo/n_lo)*ln(1-p_lo/n_lo) ELSE 0 END), 6)
+                   AS info_gain
+        FROM cells WHERE n_hi > 0 AND n_lo > 0
+    )
+    SELECT CAST(t AS BIGINT) AS threshold,
+           CAST(n_hi AS BIGINT) AS n_above,
+           CAST(n_lo AS BIGINT) AS n_below,
+           info_gain
+    FROM scored
+    ORDER BY info_gain DESC, t
+    LIMIT 1
+    """,
+)
+def q282_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level decision tree fit as a query: the click-count threshold
+    with maximal information gain for predicting high-value purchase —
+    exhaustive candidate evaluation (20 thresholds × per-user reduction via
+    a broadcast cross join, one aggregation) with exact Shannon entropy.
+    This is how a tree learner's split search distributes: candidates
+    broadcast, one pass computes every split's statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                           .otherwise(0)).alias("score"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).alias("label")))
+    spark_thresholds = ev.sparkSession.range(1, 21).select(
+        F.col("id").alias("t"))
+    cells = (per_user.crossJoin(F.broadcast(spark_thresholds))
+             .groupBy("t")
+             .agg(*[e.cast("double").alias(a) for e, a in [
+                 (F.sum(F.when(F.col("score") >= F.col("t"), 1).otherwise(0)),
+                  "n_hi"),
+                 (F.sum(F.when((F.col("score") >= F.col("t"))
+                               & (F.col("label") == 1), 1).otherwise(0)),
+                  "p_hi"),
+                 (F.sum(F.when(F.col("score") < F.col("t"), 1).otherwise(0)),
+                  "n_lo"),
+                 (F.sum(F.when((F.col("score") < F.col("t"))
+                               & (F.col("label") == 1), 1).otherwise(0)),
+                  "p_lo"),
+                 (F.count(F.lit(1)), "n"),
+                 (F.sum("label"), "p")]]))
+
+    def ent(p, n):
+        q = p / n
+        return F.when((p > 0) & (p < n),
+                      -q * F.log(q) - (1 - q) * F.log(1 - q)).otherwise(0.0)
+
+    gain = F.round(
+        ent(F.col("p"), F.col("n"))
+        - (F.col("n_hi") / F.col("n")) * ent(F.col("p_hi"), F.col("n_hi"))
+        - (F.col("n_lo") / F.col("n")) * ent(F.col("p_lo"), F.col("n_lo")), 6)
+    return (cells.filter((F.col("n_hi") > 0) & (F.col("n_lo") > 0))
+            .select(F.col("t").cast("bigint").alias("threshold"),
+                    F.col("n_hi").cast("bigint").alias("n_above"),
+                    F.col("n_lo").cast("bigint").alias("n_below"),
+                    gain.alias("info_gain"))
+            .orderBy(F.desc("info_gain"), "threshold")
+            .limit(1))

@@ -1280,3 +1280,52 @@ def q278_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  F.round(F.sum(share * share), 6).alias("hhi"),
                  F.round(1.0 / F.count(F.lit(1)), 6).alias("hhi_floor")))
+
+
+@register(
+    "q281_nation_trade_matrix",
+    sql="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_3', 'NATION_7')
+      AND sn.n_name IN ('NATION_3', 'NATION_7')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q281_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-border trade volume: discounted revenue flowing
+    between a chosen nation pair's customer/supplier sides — the two-fact-join
+    (lineitem⋈orders on orderkey is the one real shuffle) with customer,
+    supplier, and both nation hops broadcast, and the nation filters pushed
+    through the dimension joins so the fact scan's probe side shrinks
+    before shuffling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    c = (cust.join(F.broadcast(cn), cust["c_nationkey"] == F.col("cnk"))
+         .select("c_custkey", "cust_nation"))
+    s = (supp.join(F.broadcast(sn), supp["s_nationkey"] == F.col("snk"))
+         .select("s_suppkey", "supp_nation"))
+    joined = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+              .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+              .filter(F.col("cust_nation") != F.col("supp_nation")))
+    return (joined.groupBy("cust_nation", "supp_nation")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("volume")))
