@@ -1099,3 +1099,106 @@ def q282_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gain.alias("info_gain"))
             .orderBy(F.desc("info_gain"), "threshold")
             .limit(1))
+
+
+@register(
+    "q283_anova_f",
+    sql="""
+    WITH groups AS (
+        SELECT o_orderpriority AS g, count(*)::DOUBLE AS n,
+               avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+        FROM orders GROUP BY o_orderpriority
+    ),
+    grand AS (
+        SELECT sum(n * m) / sum(n) AS gm, sum(n) AS big_n,
+               count(*)::DOUBLE AS k
+        FROM groups
+    )
+    SELECT CAST(min(k) AS BIGINT) AS n_groups,
+           CAST(min(big_n) AS BIGINT) AS n_total,
+           round(sum(n * (m - gm) * (m - gm)) / (min(k) - 1), 4)
+               AS between_ms,
+           round(sum((n - 1) * v) / (min(big_n) - min(k)), 4) AS within_ms,
+           round((sum(n * (m - gm) * (m - gm)) / (min(k) - 1))
+                 / (sum((n - 1) * v) / (min(big_n) - min(k))), 6) AS f_stat
+    FROM groups CROSS JOIN grand
+    """,
+)
+def q283_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic: does order priority explain any variance
+    in order totals? Between-group vs within-group mean squares from
+    per-group moments only — the k-group generalization of q163's
+    two-sample z-test, one reduction plus 5-row residue arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    groups = (orders.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                   F.avg("o_totalprice").alias("m"),
+                   F.var_samp("o_totalprice").alias("v")))
+    grand = groups.agg((F.sum(F.col("n") * F.col("m")) / F.sum("n"))
+                       .alias("gm"),
+                       F.sum("n").alias("big_n"),
+                       F.count(F.lit(1)).cast("double").alias("k"))
+    between = F.sum(F.col("n") * (F.col("m") - F.col("gm"))
+                    * (F.col("m") - F.col("gm"))) / (F.min("k") - 1)
+    within = F.sum((F.col("n") - 1) * F.col("v")) \
+        / (F.min("big_n") - F.min("k"))
+    return (groups.crossJoin(F.broadcast(grand))
+            .agg(F.min("k").cast("bigint").alias("n_groups"),
+                 F.min("big_n").cast("bigint").alias("n_total"),
+                 F.round(between, 4).alias("between_ms"),
+                 F.round(within, 4).alias("within_ms"),
+                 F.round(between / within, 6).alias("f_stat")))
+
+
+@register(
+    "q284_effect_size",
+    sql="""
+    WITH g AS (
+        SELECT event_type, count(*)::DOUBLE AS n,
+               avg(value) AS m, var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    wide AS (
+        SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+               max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+               max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+               max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+               max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+               max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+        FROM g
+    )
+    SELECT round(m1 - m2, 4) AS mean_diff,
+           round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 4)
+               AS pooled_sd,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+               AS cohens_d
+    FROM wide
+    """,
+)
+def q284_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size (pooled-SD standardized mean difference) for
+    click vs purchase values — the practical-significance number that
+    belongs next to every p-value the stats plane produces (q163 z, q173
+    chi-square, q283 F): a tiny d with a significant p = big data, no
+    effect. Residue-only arithmetic from per-group moments."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase")))
+    g = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.avg("value").alias("m"), F.var_samp("value").alias("v")))
+    def pick(c, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(c)))
+    wide = g.agg(pick("n", "click").alias("n1"), pick("m", "click").alias("m1"),
+                 pick("v", "click").alias("v1"),
+                 pick("n", "purchase").alias("n2"),
+                 pick("m", "purchase").alias("m2"),
+                 pick("v", "purchase").alias("v2"))
+    pooled = F.sqrt(((F.col("n1") - 1) * F.col("v1")
+                     + (F.col("n2") - 1) * F.col("v2"))
+                    / (F.col("n1") + F.col("n2") - 2))
+    return wide.select(
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round(pooled, 4).alias("pooled_sd"),
+        F.round((F.col("m1") - F.col("m2")) / pooled, 6).alias("cohens_d"))

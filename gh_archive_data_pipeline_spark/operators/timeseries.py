@@ -1578,3 +1578,55 @@ def q279_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                  buys.cast("bigint").alias("purchases"),
                  F.round(buys.cast("double") / F.count(F.lit(1)), 6)
                  .alias("purchase_share")))
+
+
+@register(
+    "q285_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY day
+    ),
+    mu AS (SELECT avg(n) AS m FROM daily),
+    cusum AS (
+        SELECT day,
+               sum(n - m) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS s
+        FROM daily CROSS JOIN mu
+    ),
+    peak AS (SELECT max(abs(s)) AS mx FROM cusum)
+    SELECT CAST(min(CASE WHEN abs(s) = mx THEN day END) AS BIGINT)
+               AS changepoint_day,
+           round(min(mx), 4) AS cusum_magnitude,
+           round(min(mx) / (SELECT sum(n) FROM daily), 6)
+               AS magnitude_share
+    FROM cusum CROSS JOIN peak
+    """,
+)
+def q285_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate: the day where the cumulative deviation
+    of daily volume from its mean peaks — the standard "when did the level
+    shift" estimator (argmax |Σ(x-μ)|), flat-series magnitudes near zero.
+    Mean broadcast, one cumulative window on the ~30-day residue."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / 86_400_000_000).cast("bigint")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    mu = daily.agg(F.avg("n").alias("m"))
+    tot = daily.agg(F.sum("n").alias("tot"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cusum = (daily.crossJoin(F.broadcast(mu))
+             .select("day", F.sum(F.col("n") - F.col("m")).over(w).alias("s")))
+    peak = cusum.agg(F.max(F.abs(F.col("s"))).alias("mx"))
+    return (cusum.crossJoin(F.broadcast(peak))
+            .crossJoin(F.broadcast(tot))
+            .agg(F.min(F.when(F.abs(F.col("s")) == F.col("mx"),
+                              F.col("day"))).cast("bigint")
+                 .alias("changepoint_day"),
+                 F.round(F.min("mx"), 4).alias("cusum_magnitude"),
+                 F.round(F.min("mx") / F.min("tot"), 6)
+                 .alias("magnitude_share")))
