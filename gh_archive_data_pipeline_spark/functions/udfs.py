@@ -73,3 +73,34 @@ def zscore_normalize_group(pdf):
     out = pdf[["event_id", "event_type"]].copy()
     out["z"] = ((pdf["value"] - mean) / std).round(4)
     return out
+
+
+def pav_isotonic(pdf):
+    """applyInPandas kernel: weighted pool-adjacent-violators (PAV) isotonic
+    regression over one group's (score, w, y) bins, ascending in score.
+    O(n) stack merge — each bin is pushed once and every merge removes one
+    stack entry. The group is a BOUNDED per-score residue (<= a few dozen
+    bins), never the raw fact table, so a single group is not a scale
+    hazard. The DuckDB oracle recomputes the identical function via the
+    minimax characterization iso[i] = max_{j<=i} min_{k>=i} wmean(j..k)."""
+    pdf = pdf.sort_values("score", ignore_index=True)
+    stack: list[list[float]] = []  # [w_sum, wy_sum]
+    sizes: list[int] = []
+    for w, y in zip(pdf["w"], pdf["y"]):
+        stack.append([float(w), float(w) * float(y)])
+        sizes.append(1)
+        while len(stack) >= 2 and (stack[-2][1] / stack[-2][0]
+                                   > stack[-1][1] / stack[-1][0]):
+            w2, wy2 = stack.pop()
+            n2 = sizes.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += wy2
+            sizes[-1] += n2
+    iso: list[float] = []
+    for (w_sum, wy_sum), n in zip(stack, sizes):
+        iso.extend([wy_sum / w_sum] * n)
+    out = pdf[["score"]].copy()
+    out["n_users"] = pdf["w"].astype("int64")
+    out["raw_rate"] = pdf["y"].round(6)
+    out["iso_rate"] = pd.Series(iso).round(6)
+    return out

@@ -717,3 +717,71 @@ def q269_dedup_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("is_dup").cast("bigint").alias("n_dups"),
                  F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6)
                  .alias("dup_rate")))
+
+
+@register(
+    "q289_sorted_neighborhood",
+    sql="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nt
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, substr(nt, 1, 24) AS sort_key,
+               substr(nt, 1, 4) AS block, substr(nt, 1, 160) AS probe
+        FROM norm WHERE length(nt) >= 30
+    ),
+    nb AS (
+        SELECT doc_id AS a_id, lead(doc_id, 1) OVER w AS b_id,
+               probe AS a_probe, lead(probe, 1) OVER w AS b_probe
+        FROM keyed WINDOW w AS (PARTITION BY block ORDER BY sort_key, doc_id)
+        UNION ALL
+        SELECT doc_id, lead(doc_id, 2) OVER w2,
+               probe, lead(probe, 2) OVER w2
+        FROM keyed WINDOW w2 AS (PARTITION BY block ORDER BY sort_key, doc_id)
+    )
+    SELECT a_id, b_id,
+           round(1 - levenshtein(a_probe, b_probe)::DOUBLE
+                     / greatest(length(a_probe), length(b_probe)), 4) AS sim
+    FROM nb
+    WHERE b_id IS NOT NULL
+      AND 1 - levenshtein(a_probe, b_probe)::DOUBLE
+              / greatest(length(a_probe), length(b_probe)) >= 0.4
+    ORDER BY a_id, b_id
+    """,
+)
+def q289_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking — the third candidate-generation
+    strategy next to LSH banding (q42) and prefix filtering (q151): sort
+    the corpus once on a normalized key and compare each record only to
+    its w=2 successors inside its block. O(n log n) sort + O(w*n) window
+    pairs, zero self-join; the entity-resolution classic for near-dups
+    that share a prefix. Blocks are the 4-char key prefix, so the window
+    runs partition-parallel (PARTITION BY block) instead of through one
+    global-sort partition — the boundary pairs lost between blocks are the
+    standard blocking recall trade, identical on both engines. Verification
+    is edit-distance similarity on a 160-char probe (JVM levenshtein)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    keyed = (docs.select("doc_id", nt.alias("nt"))
+             .filter(F.length("nt") >= 30)
+             .select("doc_id",
+                     F.substring("nt", 1, 24).alias("sort_key"),
+                     F.substring("nt", 1, 4).alias("block"),
+                     F.substring("nt", 1, 160).alias("probe")))
+    w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
+    pairs = None
+    for step in (1, 2):
+        p = keyed.select(
+            F.col("doc_id").alias("a_id"),
+            F.lead("doc_id", step).over(w).alias("b_id"),
+            F.col("probe").alias("a_probe"),
+            F.lead("probe", step).over(w).alias("b_probe"))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    sim = (1 - F.levenshtein("a_probe", "b_probe").cast("double")
+           / F.greatest(F.length("a_probe"), F.length("b_probe")))
+    return (pairs.filter(F.col("b_id").isNotNull())
+            .filter(sim >= 0.4)
+            .select("a_id", "b_id", F.round(sim, 4).alias("sim"))
+            .orderBy("a_id", "b_id"))

@@ -1202,3 +1202,251 @@ def q284_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
         F.round(pooled, 4).alias("pooled_sd"),
         F.round((F.col("m1") - F.col("m2")) / pooled, 6).alias("cohens_d"))
+
+
+@register(
+    "q286_poisson_bootstrap",
+    sql="""
+    WITH reps AS (
+        SELECT e.value, t.b,
+               CAST(('0x' || substr(md5('boot-' || t.b || '-' || e.event_id),
+                                    1, 8)) AS BIGINT) / 4294967296.0 AS u
+        FROM events e CROSS JOIN (SELECT range AS b FROM range(32)) t
+        WHERE e.event_type = 'purchase'
+    ),
+    weighted AS (
+        SELECT b, value,
+               CASE WHEN u < 0.3678794412 THEN 0
+                    WHEN u < 0.7357588823 THEN 1
+                    WHEN u < 0.9196986029 THEN 2
+                    WHEN u < 0.9810118431 THEN 3
+                    WHEN u < 0.9963401532 THEN 4
+                    WHEN u < 0.9994058152 THEN 5
+                    ELSE 6 END AS w
+        FROM reps
+    ),
+    rep_means AS (
+        SELECT b, sum(w * value) / sum(w) AS m
+        FROM weighted GROUP BY b
+    ),
+    point AS (
+        SELECT avg(value) AS pm, count(*) AS n
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(min(p.n) AS BIGINT) AS n_rows,
+           round(min(p.pm), 4) AS point_mean,
+           round(avg(r.m), 4) AS boot_mean,
+           round(stddev_samp(r.m), 6) AS boot_se,
+           round(min(p.pm) - 1.96 * stddev_samp(r.m), 4) AS ci_lo,
+           round(min(p.pm) + 1.96 * stddev_samp(r.m), 4) AS ci_hi
+    FROM rep_means r CROSS JOIN point p
+    """,
+)
+def q286_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: the distributed-scale resampling method. A true
+    bootstrap resamples n rows WITH replacement — impossible to coordinate
+    across executors — but each row's multiplicity in a replica is
+    asymptotically Poisson(1), so every row independently draws 32 Poisson
+    weights (deterministic md5-derived uniforms through the Poisson(1)
+    inverse CDF) and each replica mean is one weighted aggregation. One
+    pass over the fact, no global resample, no driver collect; the replica
+    dimension broadcasts. Standard error and normal-approx CI come from the
+    32 replica means (tiny residue)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id", "value"))
+    reps = spark.range(32).select(F.col("id").alias("b"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("boot-"), F.col("b").cast("string"),
+                       F.lit("-"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
+    # Poisson(1) inverse CDF: cumulative probabilities e^-1 * sum(1/k!)
+    w = (F.when(u < 0.3678794412, 0).when(u < 0.7357588823, 1)
+         .when(u < 0.9196986029, 2).when(u < 0.9810118431, 3)
+         .when(u < 0.9963401532, 4).when(u < 0.9994058152, 5).otherwise(6))
+    rep_means = (ev.crossJoin(F.broadcast(reps))
+                 .withColumn("w", w)
+                 .groupBy("b")
+                 .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w"))
+                      .alias("m")))
+    point = ev.agg(F.avg("value").alias("pm"), F.count(F.lit(1)).alias("n"))
+    return (rep_means.crossJoin(F.broadcast(point))
+            .agg(F.min("n").cast("bigint").alias("n_rows"),
+                 F.round(F.min("pm"), 4).alias("point_mean"),
+                 F.round(F.avg("m"), 4).alias("boot_mean"),
+                 F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+                 F.round(F.min("pm") - 1.96 * F.stddev_samp("m"), 4)
+                 .alias("ci_lo"),
+                 F.round(F.min("pm") + 1.96 * F.stddev_samp("m"), 4)
+                 .alias("ci_hi")))
+
+
+@register(
+    "q287_fdr_bh",
+    sql="""
+    WITH g AS (
+        SELECT avg(c_acctbal) AS gm, stddev_pop(c_acctbal) AS gs
+        FROM customer
+    ),
+    per_nation AS (
+        SELECT n.n_name, count(*)::DOUBLE AS n, avg(c.c_acctbal) AS m
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    z AS (
+        SELECT n_name, n,
+               abs((m - g.gm) / (g.gs / sqrt(n))) AS az
+        FROM per_nation CROSS JOIN g
+    ),
+    p AS (
+        SELECT n_name, n,
+               az,
+               2 * (exp(-az * az / 2) / 2.5066282746310002)
+                 * (0.319381530 * (1 / (1 + 0.2316419 * az))
+                    - 0.356563782 * pow(1 / (1 + 0.2316419 * az), 2)
+                    + 1.781477937 * pow(1 / (1 + 0.2316419 * az), 3)
+                    - 1.821255978 * pow(1 / (1 + 0.2316419 * az), 4)
+                    + 1.330274429 * pow(1 / (1 + 0.2316419 * az), 5))
+                   AS pval
+        FROM z
+    ),
+    ranked AS (
+        SELECT n_name, n, az, pval,
+               row_number() OVER (ORDER BY pval, n_name) AS rnk,
+               count(*) OVER () AS m_hyp
+        FROM p
+    ),
+    cut AS (
+        SELECT *,
+               max(CASE WHEN pval <= rnk * 0.10 / m_hyp THEN rnk END)
+                   OVER () AS k
+        FROM ranked
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_cust,
+           round(az, 4) AS abs_z, round(pval, 6) AS p_value,
+           CAST(rnk AS BIGINT) AS p_rank,
+           round(rnk * 0.10 / m_hyp, 6) AS bh_threshold,
+           CAST(CASE WHEN k IS NOT NULL AND rnk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM cut
+    ORDER BY p_rank
+    """,
+)
+def q287_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over 25 simultaneous
+    hypotheses (is each nation's mean account balance shifted from the
+    global mean?). Per-nation z from two tiny aggregates (global moments
+    broadcast over the per-nation reduction), two-sided p via the
+    Abramowitz-Stegun 7.1.26 normal-tail polynomial (pure arithmetic, so
+    the DuckDB oracle reproduces it bit-for-bit), then the BH step-up rule
+    as window functions: reject every p ranked at or below the largest rank
+    whose p <= rank/m * alpha. The multiple-testing guard every metrics
+    plane that fans out per-segment tests (q163, q280, q283) needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    g = cust.agg(F.avg("c_acctbal").alias("gm"),
+                 F.stddev_pop("c_acctbal").alias("gs"))
+    per_nation = (cust.join(F.broadcast(nation),
+                            cust.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_name")
+                  .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                       F.avg("c_acctbal").alias("m")))
+    az = F.abs((F.col("m") - F.col("gm")) / (F.col("gs") / F.sqrt("n")))
+    t = 1 / (1 + 0.2316419 * F.col("az"))
+    pval = (2 * (F.exp(-F.col("az") * F.col("az") / 2) / 2.5066282746310002)
+            * (0.319381530 * t - 0.356563782 * F.pow(t, 2)
+               + 1.781477937 * F.pow(t, 3) - 1.821255978 * F.pow(t, 4)
+               + 1.330274429 * F.pow(t, 5)))
+    ranked = (per_nation.crossJoin(F.broadcast(g))
+              .withColumn("az", az)
+              .withColumn("pval", pval)
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy("pval", "n_name")))
+              .withColumn("m_hyp", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    cut = ranked.withColumn(
+        "k", F.max(F.when(F.col("pval") <= F.col("rnk") * 0.10
+                          / F.col("m_hyp"), F.col("rnk")))
+        .over(Window.partitionBy()))
+    return (cut.select(
+        "n_name", F.col("n").cast("bigint").alias("n_cust"),
+        F.round("az", 4).alias("abs_z"),
+        F.round("pval", 6).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("p_rank"),
+        F.round(F.col("rnk") * 0.10 / F.col("m_hyp"), 6)
+        .alias("bh_threshold"),
+        F.when(F.col("k").isNotNull() & (F.col("rnk") <= F.col("k")), 1)
+        .otherwise(0).cast("bigint").alias("rejected"))
+        .orderBy("p_rank"))
+
+
+@register(
+    "q288_isotonic_calibration",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                     12) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS label
+        FROM events GROUP BY user_id
+    ),
+    bins AS (
+        SELECT score, count(*)::DOUBLE AS w, avg(label::DOUBLE) AS y
+        FROM per_user GROUP BY score
+    ),
+    pre AS (
+        SELECT score, w, y,
+               sum(w) OVER (ORDER BY score) AS cw,
+               sum(w * y) OVER (ORDER BY score) AS cwy
+        FROM bins
+    ),
+    inner_min AS (
+        SELECT i.score AS score, j.score AS j_score,
+               min((k.cwy - j.cwy + j.w * j.y) / (k.cw - j.cw + j.w))
+                   AS seg_min
+        FROM pre i
+        JOIN pre j ON j.score <= i.score
+        JOIN pre k ON k.score >= i.score
+        GROUP BY i.score, j.score
+    ),
+    iso AS (
+        SELECT score, max(seg_min) AS iso_val
+        FROM inner_min GROUP BY score
+    )
+    SELECT CAST(b.score AS BIGINT) AS score,
+           CAST(b.w AS BIGINT) AS n_users,
+           round(b.y, 6) AS raw_rate,
+           round(i.iso_val, 6) AS iso_rate
+    FROM bins b JOIN iso i USING (score)
+    ORDER BY score
+    """,
+)
+def q288_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of conversion rate vs engagement
+    score — the model-calibration step between raw bin rates and a served
+    probability. Spark side: one reduction to <=13 (score, weight, rate)
+    bins, then the weighted pool-adjacent-violators algorithm in a single
+    bounded applyInPandas group (functions/udfs.py:pav_isotonic). The
+    DuckDB oracle solves the SAME optimization through the O(B^3) minimax
+    identity iso[i] = max_{j<=i} min_{k>=i} wmean(j..k) on the tiny bin
+    relation — two genuinely different algorithms, one answer, which is
+    the strongest kind of oracle check."""
+    from ..functions.udfs import pav_isotonic
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                                   .otherwise(0)), F.lit(12)).alias("score"),
+                     F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("label")))
+    bins = (per_user.groupBy("score")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"),
+                 F.avg(F.col("label").cast("double")).alias("y")))
+    return (bins.withColumn("g", F.lit(0))
+            .groupBy("g")
+            .applyInPandas(
+                pav_isotonic,
+                "score bigint, n_users bigint, raw_rate double, "
+                "iso_rate double")
+            .orderBy("score"))

@@ -498,3 +498,78 @@ def test_wordpiece_reference_segmentation():
         assert "".join(p.removeprefix("##") for p in pieces) == w
         assert all(p.startswith("##") for p in pieces[1:])
         assert not pieces[0].startswith("##")
+
+
+def test_pav_isotonic_pools_violators():
+    # bins: rates [0.1, 0.5, 0.3, 0.8] with weights [10, 10, 30, 10]:
+    # 0.5 > 0.3 violates -> pool to (10*0.5+30*0.3)/40 = 0.35; monotone after
+    from gh_archive_data_pipeline_spark.functions.udfs import pav_isotonic
+
+    pdf = pd.DataFrame({"score": [3, 0, 1, 2],  # unsorted on purpose
+                        "w": [10.0, 10.0, 10.0, 30.0],
+                        "y": [0.8, 0.1, 0.5, 0.3]})
+    out = pav_isotonic(pdf)
+    assert out["score"].tolist() == [0, 1, 2, 3]
+    assert out["iso_rate"].tolist() == [0.1, 0.35, 0.35, 0.8]
+    # PAV preserves the weighted mean within pooled blocks and overall
+    assert (out["iso_rate"] * [10, 10, 30, 10]).sum() == pytest.approx(
+        (pdf["w"] * pdf["y"]).sum())
+    # monotone non-decreasing
+    assert out["iso_rate"].is_monotonic_increasing
+
+
+def test_pav_isotonic_identity_when_monotone():
+    from gh_archive_data_pipeline_spark.functions.udfs import pav_isotonic
+
+    pdf = pd.DataFrame({"score": [0, 1, 2], "w": [5.0, 5.0, 5.0],
+                        "y": [0.1, 0.2, 0.9]})
+    out = pav_isotonic(pdf)
+    assert out["iso_rate"].tolist() == [0.1, 0.2, 0.9]
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    # the md5-derived Poisson(1) weights should average ~1 with P(0)~e^-1
+    sdf = spark.range(20_000).select(
+        (F.conv(F.substring(F.md5(F.concat(F.lit("boot-0-"),
+                                           F.col("id").cast("string"))),
+                            1, 8), 16, 10).cast("bigint")
+         / F.lit(4294967296.0)).alias("u"))
+    w = (F.when(F.col("u") < 0.3678794412, 0)
+         .when(F.col("u") < 0.7357588823, 1)
+         .when(F.col("u") < 0.9196986029, 2)
+         .when(F.col("u") < 0.9810118431, 3)
+         .when(F.col("u") < 0.9963401532, 4)
+         .when(F.col("u") < 0.9994058152, 5).otherwise(6))
+    row = sdf.select(w.alias("w")).agg(
+        F.avg("w").alias("mean"),
+        F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+    ).collect()[0]
+    assert row["mean"] == pytest.approx(1.0, abs=0.03)
+    assert row["p0"] == pytest.approx(0.3679, abs=0.02)
+
+
+def test_bh_fdr_step_up_rule(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import q287_fdr_bh
+
+    out = q287_fdr_bh(spark, sf_dir).collect()
+    assert len(out) == 25  # one hypothesis per nation
+    # ranks are a permutation 1..25 and p is non-decreasing in rank
+    assert sorted(r["p_rank"] for r in out) == list(range(1, 26))
+    ordered = sorted(out, key=lambda r: r["p_rank"])
+    ps = [r["p_value"] for r in ordered]
+    assert ps == sorted(ps)
+    # rejected set is a prefix of the p-ordered list (step-up property)
+    flags = [r["rejected"] for r in ordered]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_sorted_neighborhood_candidates_have_high_sim(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        q289_sorted_neighborhood,
+    )
+
+    out = q289_sorted_neighborhood(spark, sf_dir).collect()
+    assert len(out) > 0  # fixture plants near-duplicates
+    for r in out:
+        assert 0.4 <= r["sim"] <= 1.0
+        assert r["a_id"] != r["b_id"]
