@@ -12,7 +12,7 @@ driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -788,3 +788,98 @@ def q277_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("my") - slope * F.min("mx"), 6)
                  .alias("intercept"),
                  F.min("n").cast("bigint").alias("n_tokens")))
+
+
+@register(
+    "q291_rrf_fusion",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf
+        FROM tok WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)))
+                   AS bm25,
+               sum(tf) / min(dlen) AS density
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a,
+               row_number() OVER (ORDER BY density DESC, doc_id) AS rank_b
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           round(1.0 / (60 + rank_a) + 1.0 / (60 + rank_b), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q291_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval scorers over the same query
+    — the standard way hybrid search (lexical + secondary signal) merges
+    incomparable score scales: each candidate contributes 1/(60+rank) per
+    list and the sums re-rank. Scorer A is q194's BM25; scorer B is plain
+    match density (matched terms / doc length). Candidates are only the
+    docs matching >= 1 query term, so the two ranking windows run over a
+    bounded result-set residue, not the corpus — at 100 TB each per-query
+    rank list arrives as a top-k (TakeOrderedAndProject), never a global
+    sort of the lake."""
+    terms = ("spark", "join", "window")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+    dl = (tok.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dlen").alias("avgdl"))
+    tf = (tok.filter(F.col("token").isin(*terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(contrib).alias("bm25"),
+                   (F.sum("tf") / F.min("dlen")).alias("density")))
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rank_a"),
+        F.row_number().over(Window.orderBy(F.desc("density"), "doc_id"))
+        .alias("rank_b"))
+    return (ranked.select(
+        "doc_id",
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+        F.round(1.0 / (60 + F.col("rank_a")) + 1.0 / (60 + F.col("rank_b")),
+                6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20))

@@ -1450,3 +1450,314 @@ def q288_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score bigint, n_users bigint, raw_rate double, "
                 "iso_rate double")
             .orderBy("score"))
+
+
+@register(
+    "q290_cuped",
+    sql="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS mid_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                          AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               sum(CASE WHEN epoch_us(ts) <= b.mid_us THEN 1 ELSE 0 END)
+                   ::DOUBLE AS x,
+               coalesce(sum(CASE WHEN epoch_us(ts) > b.mid_us
+                                 THEN value END), 0) AS y
+        FROM events CROSS JOIN bounds b
+        GROUP BY user_id
+    ),
+    stats AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mx
+        FROM per_user
+    ),
+    adj AS (
+        SELECT variant, y,
+               y - s.theta * (x - s.mx) AS y_adj
+        FROM per_user CROSS JOIN stats s
+    ),
+    pooled AS (
+        SELECT min(s.theta) AS theta,
+               1 - var_pop(y_adj) / var_pop(y) AS var_red
+        FROM adj CROSS JOIN stats s
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) AS raw_mean,
+           round(avg(y_adj), 4) AS adj_mean,
+           round(min(p.theta), 6) AS theta,
+           round(min(p.var_red), 6) AS var_reduction
+    FROM adj CROSS JOIN pooled p
+    GROUP BY variant
+    ORDER BY variant
+    """,
+)
+def q290_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B plane (q261/q163): adjust each
+    user's experiment-period metric by their PRE-period activity,
+    y' = y - theta * (x - mean(x)) with theta = cov(x,y)/var(x) — the
+    industry-standard trick that shrinks metric variance (here measured as
+    `var_reduction`) without biasing the treatment/control difference.
+    Pre/post split at the time midpoint; assignment is the same md5 hash
+    split as q261. Two reductions over the per-user residue: one for the
+    pooled moments (broadcast back), one for the per-arm means."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(((F.unix_micros(F.min("ts").cast("timestamp"))
+                      + F.unix_micros(F.max("ts").cast("timestamp"))) / 2)
+                    .alias("mid_us"))
+    variant = (F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1-"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8), 16, 10).cast("bigint") % 2 == 0,
+        "control").otherwise("treatment"))
+    per_user = (ev.crossJoin(F.broadcast(bounds))
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.unix_micros(F.col("ts")
+                                                .cast("timestamp"))
+                                  <= F.col("mid_us"), 1)
+                           .otherwise(0)).cast("double").alias("x"),
+                     F.coalesce(
+                         F.sum(F.when(F.unix_micros(F.col("ts")
+                                                    .cast("timestamp"))
+                                      > F.col("mid_us"),
+                                      F.col("value"))), F.lit(0.0))
+                     .alias("y"))
+                .withColumn("variant", variant))
+    stats = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mx"))
+    adj = (per_user.crossJoin(F.broadcast(stats))
+           .withColumn("y_adj", F.col("y") - F.col("theta")
+                       * (F.col("x") - F.col("mx"))))
+    pooled = (adj.agg(F.min("theta").alias("theta"),
+                      (1 - F.var_pop("y_adj") / F.var_pop("y"))
+                      .alias("var_red")))
+    return (adj.crossJoin(F.broadcast(pooled.withColumnRenamed(
+                "theta", "p_theta")))
+            .groupBy("variant")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.avg("y"), 4).alias("raw_mean"),
+                 F.round(F.avg("y_adj"), 4).alias("adj_mean"),
+                 F.round(F.min("p_theta"), 6).alias("theta"),
+                 F.round(F.min("var_red"), 6).alias("var_reduction"))
+            .orderBy("variant"))
+
+
+@register(
+    "q292_conformal_interval",
+    sql="""
+    WITH split AS (
+        SELECT *, CAST(('0x' || substr(md5('conf-' || o_orderkey), 1, 8))
+                       AS BIGINT) % 10 AS b
+        FROM orders
+    ),
+    model AS (
+        SELECT o_orderpriority, avg(o_totalprice) AS pred
+        FROM split WHERE b <= 5 GROUP BY o_orderpriority
+    ),
+    qhat AS (
+        SELECT s.o_orderpriority,
+               quantile_cont(abs(s.o_totalprice - m.pred), 0.9) AS q_hat
+        FROM split s JOIN model m USING (o_orderpriority)
+        WHERE s.b IN (6, 7)
+        GROUP BY s.o_orderpriority
+    )
+    SELECT s.o_orderpriority,
+           round(min(m.pred), 4) AS pred,
+           round(min(q.q_hat), 4) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN abs(s.o_totalprice - m.pred) <= q.q_hat
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM split s
+    JOIN model m USING (o_orderpriority)
+    JOIN qhat q USING (o_orderpriority)
+    WHERE s.b IN (8, 9)
+    GROUP BY s.o_orderpriority
+    ORDER BY s.o_orderpriority
+    """,
+)
+def q292_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals: hash-split orders 60/20/20
+    into train/calibration/test, fit a trivial per-priority mean model on
+    train, take the 90th-percentile absolute residual on calibration as
+    the interval half-width q_hat, then measure empirical coverage on the
+    held-out test split — the distribution-free way to attach honest
+    uncertainty to ANY point model, and at scale it is just three grouped
+    aggregations over one deterministic md5 split (no row ever moves twice:
+    the model and q_hat residues broadcast back onto the fact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("conf-"), F.col("o_orderkey").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 10)
+    split = orders.withColumn("b", b)
+    model = (split.filter(F.col("b") <= 5)
+             .groupBy("o_orderpriority")
+             .agg(F.avg("o_totalprice").alias("pred")))
+    resid = F.abs(F.col("o_totalprice") - F.col("pred"))
+    qhat = (split.filter(F.col("b").isin(6, 7))
+            .join(F.broadcast(model), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.percentile(resid, 0.9).alias("q_hat")))
+    return (split.filter(F.col("b").isin(8, 9))
+            .join(F.broadcast(model), "o_orderpriority")
+            .join(F.broadcast(qhat), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.min("pred"), 4).alias("pred"),
+                 F.round(F.min("q_hat"), 4).alias("q_hat"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                 F.round(F.avg(F.when(resid <= F.col("q_hat"), 1.0)
+                               .otherwise(0.0)), 6).alias("coverage"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "q293_quota_allocation",
+    sql="""
+    WITH counts AS (
+        SELECT n.n_name, count(*)::DOUBLE AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    shares AS (
+        SELECT n_name, n_cust,
+               1000.0 * n_cust / sum(n_cust) OVER () AS exact_share,
+               floor(1000.0 * n_cust / sum(n_cust) OVER ()) AS base
+        FROM counts
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY exact_share - base DESC, n_name)
+                   AS frac_rank,
+               1000 - sum(base) OVER () AS leftover
+        FROM shares
+    )
+    SELECT n_name, CAST(n_cust AS BIGINT) AS n_cust,
+           round(exact_share, 4) AS exact_share,
+           CAST(base + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked
+    ORDER BY n_name
+    """,
+)
+def q293_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder quota allocation: split a fixed sampling budget
+    (1000 rows) across nation strata exactly proportional to population —
+    floor every exact share, then hand the leftover units to the largest
+    fractional remainders (deterministic tie-break on name). This is how a
+    stratified-sampling plan turns real-valued proportions into integer
+    per-stratum quotas that sum EXACTLY to the budget, with no
+    floating-point drift; the whole computation happens on the 25-row
+    stratum residue after one reduction."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = (cust.join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.count(F.lit(1)).cast("double").alias("n_cust")))
+    everything = Window.partitionBy()
+    shares = counts.withColumn(
+        "exact_share",
+        1000.0 * F.col("n_cust") / F.sum("n_cust").over(everything)) \
+        .withColumn("base", F.floor("exact_share"))
+    ranked = (shares.withColumn(
+        "frac_rank", F.row_number().over(
+            Window.orderBy(F.desc(F.col("exact_share") - F.col("base")),
+                           "n_name")))
+        .withColumn("leftover", 1000 - F.sum("base").over(everything)))
+    return (ranked.select(
+        "n_name", F.col("n_cust").cast("bigint").alias("n_cust"),
+        F.round("exact_share", 4).alias("exact_share"),
+        (F.col("base") + F.when(F.col("frac_rank") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("bigint").alias("final_alloc"))
+        .orderBy("n_name"))
+
+
+@register(
+    "q294_brier_decomposition",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('cal-' || user_id), 1, 8))
+                    AS BIGINT) % 2 AS half,
+               least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                     12) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::DOUBLE AS y
+        FROM events GROUP BY user_id
+    ),
+    model AS (
+        SELECT score, avg(y) AS p
+        FROM per_user WHERE half = 0 GROUP BY score
+    ),
+    test AS (
+        SELECT t.y, m.p, t.score
+        FROM per_user t JOIN model m USING (score)
+        WHERE t.half = 1
+    ),
+    per_bin AS (
+        SELECT score, min(p) AS p, count(*)::DOUBLE AS n_b, avg(y) AS ybar_b
+        FROM test GROUP BY score
+    ),
+    overall AS (
+        SELECT avg(y) AS ybar, count(*)::DOUBLE AS n, avg((p - y) * (p - y))
+                   AS brier
+        FROM test
+    )
+    SELECT CAST(min(o.n) AS BIGINT) AS n_test,
+           round(min(o.brier), 6) AS brier,
+           round(sum(b.n_b * (b.p - b.ybar_b) * (b.p - b.ybar_b)) / min(o.n),
+                 6) AS reliability,
+           round(sum(b.n_b * (b.ybar_b - o.ybar) * (b.ybar_b - o.ybar))
+                 / min(o.n), 6) AS resolution,
+           round(min(o.ybar) * (1 - min(o.ybar)), 6) AS uncertainty
+    FROM per_bin b CROSS JOIN overall o
+    """,
+)
+def q294_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the calibration audit that
+    pairs with q288's isotonic fit: train per-score-bin conversion
+    probabilities on half the users (md5 split), score the other half, and
+    split the mean squared error into reliability (miscalibration) minus
+    resolution (discrimination) plus irreducible uncertainty, which sum
+    back to the Brier score as an identity. Everything reduces to bin
+    residues; the model broadcasts onto the held-out half."""
+    ev = load_table(spark, sf_dir, "events")
+    half = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("cal-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                                   .otherwise(0)), F.lit(12)).alias("score"),
+                     F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).cast("double").alias("y"))
+                .withColumn("half", half))
+    model = (per_user.filter(F.col("half") == 0)
+             .groupBy("score").agg(F.avg("y").alias("p")))
+    test = (per_user.filter(F.col("half") == 1)
+            .join(F.broadcast(model), "score")
+            .select("score", "y", "p"))
+    per_bin = (test.groupBy("score")
+               .agg(F.min("p").alias("p"),
+                    F.count(F.lit(1)).cast("double").alias("n_b"),
+                    F.avg("y").alias("ybar_b")))
+    overall = test.agg(F.avg("y").alias("ybar"),
+                       F.count(F.lit(1)).cast("double").alias("n"),
+                       F.avg((F.col("p") - F.col("y"))
+                             * (F.col("p") - F.col("y"))).alias("brier"))
+    return (per_bin.crossJoin(F.broadcast(overall))
+            .agg(F.min("n").cast("bigint").alias("n_test"),
+                 F.round(F.min("brier"), 6).alias("brier"),
+                 F.round(F.sum(F.col("n_b")
+                               * (F.col("p") - F.col("ybar_b"))
+                               * (F.col("p") - F.col("ybar_b")))
+                         / F.min("n"), 6).alias("reliability"),
+                 F.round(F.sum(F.col("n_b")
+                               * (F.col("ybar_b") - F.col("ybar"))
+                               * (F.col("ybar_b") - F.col("ybar")))
+                         / F.min("n"), 6).alias("resolution"),
+                 F.round(F.min("ybar") * (1 - F.min("ybar")), 6)
+                 .alias("uncertainty")))

@@ -573,3 +573,67 @@ def test_sorted_neighborhood_candidates_have_high_sim(spark, sf_dir):
     for r in out:
         assert 0.4 <= r["sim"] <= 1.0
         assert r["a_id"] != r["b_id"]
+
+
+def test_quota_allocation_sums_to_budget(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q293_quota_allocation,
+    )
+
+    out = q293_quota_allocation(spark, sf_dir).collect()
+    assert sum(r["final_alloc"] for r in out) == 1000
+    # each final allocation is within 1 of the exact share (quota property)
+    for r in out:
+        assert abs(r["final_alloc"] - r["exact_share"]) < 1.0
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q292_conformal_interval,
+    )
+
+    out = q292_conformal_interval(spark, sf_dir).collect()
+    assert len(out) == 5  # one row per order priority
+    for r in out:
+        assert r["q_hat"] > 0
+        # split-conformal guarantees coverage >= ~alpha on exchangeable
+        # data; finite-sample slack at sf0.001 is wide but bounded
+        assert 0.6 <= r["coverage"] <= 1.0
+
+
+def test_cuped_preserves_arm_ordering_and_reduces_variance(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import q290_cuped
+
+    out = {r["variant"]: r for r in q290_cuped(spark, sf_dir).collect()}
+    assert set(out) == {"control", "treatment"}
+    # theta shared across arms; variance never increases (theta optimal)
+    assert out["control"]["theta"] == out["treatment"]["theta"]
+    assert out["control"]["var_reduction"] >= 0
+
+
+def test_brier_identity(spark, sf_dir):
+    # Murphy: brier = reliability - resolution + uncertainty
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q294_brier_decomposition,
+    )
+
+    r = q294_brier_decomposition(spark, sf_dir).collect()[0]
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=1e-5)
+    assert 0 <= r["brier"] <= 1
+
+
+def test_rrf_rewards_agreement(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q291_rrf_fusion,
+    )
+
+    out = q291_rrf_fusion(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    # rrf strictly computed from the two ranks
+    for r in out:
+        assert r["rrf"] == pytest.approx(
+            1 / (60 + r["rank_a"]) + 1 / (60 + r["rank_b"]), abs=1e-6)
+    # output sorted by fused score
+    scores = [r["rrf"] for r in out]
+    assert scores == sorted(scores, reverse=True)
