@@ -1761,3 +1761,93 @@ def q294_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.min("n"), 6).alias("resolution"),
                  F.round(F.min("ybar") * (1 - F.min("ybar")), 6)
                  .alias("uncertainty")))
+
+
+@register(
+    "q296_ols_normal_equations",
+    sql="""
+    WITH feats AS (
+        SELECT l.l_orderkey,
+               sum(l.l_quantity) AS x1,
+               count(*)::DOUBLE AS x2,
+               min(o.o_totalprice) AS y
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey
+    ),
+    mom AS (
+        SELECT count(*)::DOUBLE AS n,
+               avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+               var_pop(x1) AS c11, covar_pop(x1, x2) AS c12,
+               var_pop(x2) AS c22,
+               covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+               var_pop(y) AS cyy
+        FROM feats
+    ),
+    beta AS (
+        SELECT n, m1, m2, my, cyy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM mom
+    ),
+    fit AS (
+        SELECT b.n, b.my - b.b1 * b.m1 - b.b2 * b.m2 AS b0, b.b1, b.b2,
+               avg(pow(f.y - (b.my - b.b1 * b.m1 - b.b2 * b.m2)
+                       - b.b1 * f.x1 - b.b2 * f.x2, 2)) / b.cyy AS sse_frac
+        FROM feats f CROSS JOIN beta b
+        GROUP BY b.n, b.my, b.b1, b.b2, b.m1, b.m2, b.cyy
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(b0, 4) AS beta0, round(b1, 4) AS beta1,
+           round(b2, 4) AS beta2,
+           round(1 - sse_frac, 6) AS r2
+    FROM fit
+    """,
+)
+def q296_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression fit entirely in aggregates — the
+    normal-equations pattern that scales to any row count because the
+    model solve touches only MOMENTS: one pass computes the centered
+    second-moment (Gram) matrix via var_pop/covar_pop, the 2x2 system is
+    solved in closed form (Cramer), and a second pass broadcasts the
+    coefficients back to score R^2. Centering the features first keeps the
+    determinant well-conditioned (raw X'X products would cancel 10+
+    digits). The k-feature generalization aggregates the k x k Gram matrix
+    the same way and solves on the driver — the classic distributed-ML
+    pattern q136's single-feature slope is a special case of."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    feats = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("x1"),
+                  F.count(F.lit(1)).cast("double").alias("x2"),
+                  F.min("o_totalprice").alias("y")))
+    mom = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"), F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.var_pop("x1").alias("c11"), F.covar_pop("x1", "x2").alias("c12"),
+        F.var_pop("x2").alias("c22"),
+        F.covar_pop("x1", "y").alias("c1y"),
+        F.covar_pop("x2", "y").alias("c2y"),
+        F.var_pop("y").alias("cyy"))
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    beta = mom.select(
+        "n", "m1", "m2", "my", "cyy",
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det)
+        .alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det)
+        .alias("b2"))
+    pred_err = (F.col("y")
+                - (F.col("my") - F.col("b1") * F.col("m1")
+                   - F.col("b2") * F.col("m2"))
+                - F.col("b1") * F.col("x1") - F.col("b2") * F.col("x2"))
+    return (feats.crossJoin(F.broadcast(beta))
+            .groupBy("n", "my", "b1", "b2", "m1", "m2", "cyy")
+            .agg((F.avg(F.pow(pred_err, 2)) / F.col("cyy"))
+                 .alias("sse_frac"))
+            .select(F.col("n").cast("bigint").alias("n_orders"),
+                    F.round(F.col("my") - F.col("b1") * F.col("m1")
+                            - F.col("b2") * F.col("m2"), 4).alias("beta0"),
+                    F.round("b1", 4).alias("beta1"),
+                    F.round("b2", 4).alias("beta2"),
+                    F.round(1 - F.col("sse_frac"), 6).alias("r2")))

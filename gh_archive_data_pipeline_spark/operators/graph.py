@@ -222,3 +222,82 @@ def q189_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranks.select(F.col("node").alias("event_type"),
                          F.round("rank", 6).alias("pagerank"))
             .orderBy(F.desc("pagerank"), "event_type"))
+
+
+@register(
+    "q295_triangle_count",
+    sql="""
+    WITH pur AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM pur a JOIN pur b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT node, count(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*)::DOUBLE AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedge AS (
+        SELECT sum(d * (d - 1) / 2) AS w, count(*) AS n_nodes
+        FROM deg
+    )
+    SELECT CAST(w.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           round(3.0 * t.t / w.w, 6) AS clustering_coeff
+    FROM tri t CROSS JOIN wedge w
+    """,
+)
+def q295_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the co-purchase
+    graph (users who purchased in the same hour share an edge). Edges are
+    oriented low-id -> high-id so each triangle is enumerated exactly once
+    by the two-join wedge-close pattern (e1: u->v, e2: v->w, e3 closes
+    u->w). At 100 TB the standard refinement is DEGREE-ordered orientation
+    (each edge points low-degree -> high-degree), which bounds every
+    node's out-neighborhood by sqrt(m) and caps the wedge join's skew; the
+    id-ordered plan here has the same shape — two shuffle joins keyed on
+    node ids — so only the orientation rule changes. The co-occurrence
+    blowup is bounded per hour-group (k users -> k^2/2 pairs), the same
+    contract as q41's candidate windows."""
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+           .distinct())
+    a, b = pur.alias("a"), pur.alias("b")
+    edges = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.user_id") < F.col("b.user_id")))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("double").alias("d")))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count(F.lit(1)).cast("double").alias("t")))
+    wedge = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+                    F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (tri.crossJoin(F.broadcast(wedge))
+            .crossJoin(F.broadcast(n_edges))
+            .select(F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.col("n_edges").cast("bigint").alias("n_edges"),
+                    F.col("t").cast("bigint").alias("n_triangles"),
+                    F.round(3.0 * F.col("t") / F.col("w"), 6)
+                    .alias("clustering_coeff")))

@@ -512,3 +512,80 @@ def q231_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("consistent_orders"),
                  F.round(F.avg(gap), 2).alias("avg_abs_gap"),
                  F.round(F.max(gap), 2).alias("max_abs_gap")))
+
+
+@register(
+    "q297_fd_discovery",
+    sql="""
+    WITH cands AS (
+        SELECT 'events.user_id->event_type' AS fd,
+               count(*) AS n_groups,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_violations
+        FROM (SELECT user_id, count(DISTINCT event_type) AS c
+              FROM events GROUP BY user_id)
+        UNION ALL
+        SELECT 'orders.o_custkey->o_orderpriority',
+               count(*), sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS c
+              FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->l_returnflag',
+               count(*), sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS c
+              FROM lineitem GROUP BY l_partkey)
+        UNION ALL
+        SELECT 'customer.c_custkey->c_mktsegment',
+               count(*), sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS c
+              FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'nation.n_nationkey->n_regionkey',
+               count(*), sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+        FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS c
+              FROM nation GROUP BY n_nationkey)
+    )
+    SELECT fd, CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS holds,
+           round(n_violations::DOUBLE / n_groups, 6) AS violation_rate
+    FROM cands
+    ORDER BY fd
+    """,
+)
+def q297_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs — the
+    schema-profiling pass (Deequ/Metanome style) that answers "does A
+    uniquely determine B?" by counting determinant groups with more than
+    one distinct dependent value. Each candidate is one grouped
+    count-distinct reduction (shuffle keyed on the determinant; map-side
+    partial aggregation applies), so checking k candidates is k
+    independent scans that run in parallel — no candidate ever needs the
+    raw rows of another. Key-based candidates (c_custkey, n_nationkey)
+    document the holds=1 baseline; behavioral ones surface real
+    violations."""
+    cands = [
+        ("events", "user_id", "event_type"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_partkey", "l_returnflag"),
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("nation", "n_nationkey", "n_regionkey"),
+    ]
+    out = None
+    for table, det, dep in cands:
+        grouped = (load_table(spark, sf_dir, table)
+                   .groupBy(det)
+                   .agg(F.count_distinct(dep).alias("c")))
+        row = grouped.agg(
+            F.lit(f"{table}.{det}->{dep}").alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint")
+            .alias("n_violations"))
+        out = row if out is None else out.unionAll(row)
+    return (out.select(
+        "fd", "n_groups", "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("bigint")
+        .alias("holds"),
+        F.round(F.col("n_violations").cast("double") / F.col("n_groups"), 6)
+        .alias("violation_rate"))
+        .orderBy("fd"))

@@ -637,3 +637,76 @@ def test_rrf_rewards_agreement(spark, sf_dir):
     # output sorted by fused score
     scores = [r["rrf"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_triangle_count_known_graph(spark):
+    # 4 purchases in one hour -> K4: 6 edges, 4 triangles, gcc = 1
+    import gh_archive_data_pipeline_spark.operators.graph as gmod
+    from gh_archive_data_pipeline_spark.operators.graph import (
+        q295_triangle_count,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(i, dt.datetime(2024, 1, 1, 10, i), i, "purchase")
+            for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        out = q295_triangle_count(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+    assert out["n_nodes"] == 4
+    assert out["n_edges"] == 6
+    assert out["n_triangles"] == 4
+    assert out["clustering_coeff"] == pytest.approx(1.0)
+
+
+def test_ols_normal_equations_recovers_exact_fit(spark):
+    # y = 10 + 2*x1 + 3*x2 exactly -> betas recovered, r2 = 1
+    import gh_archive_data_pipeline_spark.operators.features as fmod
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q296_ols_normal_equations,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    li_rows, o_rows = [], []
+    for ok in range(1, 30):
+        n_lines = 1 + ok % 4
+        qty_each = float(ok % 7 + 1)
+        for ln in range(n_lines):
+            li_rows.append((ok, qty_each))
+        x1, x2 = qty_each * n_lines, float(n_lines)
+        o_rows.append((ok, 10.0 + 2.0 * x1 + 3.0 * x2))
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_quantity double")
+    orders = spark.createDataFrame(o_rows,
+                                   "o_orderkey long, o_totalprice double")
+    tables = {"lineitem": li, "orders": orders}
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: tables[n]
+        fmod.load_table = lambda sp, d, n: tables[n]
+        out = q296_ols_normal_equations(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        fmod.load_table = orig
+    assert out["beta0"] == pytest.approx(10.0, abs=1e-3)
+    assert out["beta1"] == pytest.approx(2.0, abs=1e-3)
+    assert out["beta2"] == pytest.approx(3.0, abs=1e-3)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_fd_discovery_flags_keys_as_holding(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.quality import (
+        q297_fd_discovery,
+    )
+
+    out = {r["fd"]: r for r in q297_fd_discovery(spark, sf_dir).collect()}
+    # key-determined dependencies hold by construction
+    assert out["customer.c_custkey->c_mktsegment"]["holds"] == 1
+    assert out["nation.n_nationkey->n_regionkey"]["holds"] == 1
+    for r in out.values():
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        assert (r["holds"] == 1) == (r["n_violations"] == 0)
