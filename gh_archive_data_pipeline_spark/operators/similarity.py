@@ -574,3 +574,58 @@ def q254_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(intra), 6).alias("intra_cos"),
         F.round(F.avg(inter), 6).alias("inter_cos"),
         F.round(F.avg(intra) - F.avg(inter), 6).alias("margin"))
+
+
+@register(
+    "q301_embedding_anisotropy",
+    sql="""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (SELECT max(vec_id) + 1 FROM embeddings) AS n
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, o.off AS off,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM vecs a
+        CROSS JOIN (SELECT unnest([7, 131]) AS off) o
+        JOIN vecs b ON b.vec_id = (a.vec_id + o.off) % a.n
+        WHERE a.vec_id <> (a.vec_id + o.off) % a.n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 6) AS mean_cos,
+           round(stddev_samp(cos), 6) AS sd_cos,
+           round(quantile_cont(cos, 0.05), 6) AS p05_cos,
+           round(quantile_cont(cos, 0.95), 6) AS p95_cos
+    FROM pairs
+    """,
+)
+def q301_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: the distribution of cosine
+    similarity between (deterministically chosen) unrelated vector pairs.
+    A healthy isotropic space centers near 0; a collapsed/anisotropic one
+    (common after bad pooling or truncation — see q200) shows a high mean
+    offset, which silently breaks every cosine threshold downstream (q70's
+    near-dup cut, q45's LSH recall). Pairing by fixed id offsets (+7,
+    +131 mod n) gives a reproducible pseudo-random sample with ZERO
+    shuffle fan-out: each offset is one equi-join on vec_id, and at scale
+    a storage-partitioned join on the id keeps it co-located."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_row = emb.agg((F.max("vec_id") + 1).alias("n"))
+    vecs = (emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .crossJoin(F.broadcast(n_row)))
+    offs = spark.createDataFrame([(7,), (131,)], "off long")
+    a = (vecs.crossJoin(F.broadcast(offs))
+         .withColumn("b_id", (F.col("vec_id") + F.col("off")) % F.col("n"))
+         .filter(F.col("vec_id") != F.col("b_id")))
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    pairs = (a.join(b, "b_id")
+             .select(cosine(F.col("v"), F.col("bv")).alias("cos")))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.round(F.stddev_samp("cos"), 6).alias("sd_cos"),
+        F.round(F.percentile("cos", 0.05), 6).alias("p05_cos"),
+        F.round(F.percentile("cos", 0.95), 6).alias("p95_cos"))

@@ -1630,3 +1630,178 @@ def q285_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("mx"), 4).alias("cusum_magnitude"),
                  F.round(F.min("mx") / F.min("tot"), 6)
                  .alias("magnitude_share")))
+
+
+@register(
+    "q298_mann_kendall",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               sum(value) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT sign(b.y - a.y) AS s
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    stat AS (
+        SELECT sum(s) AS s_stat,
+               (SELECT count(*)::DOUBLE FROM daily) AS n
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(n * (n - 1) * (2 * n + 5) / 18, 4) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                      WHEN s_stat < 0 THEN (s_stat + 1)
+                      ELSE 0 END
+                 / sqrt(n * (n - 1) * (2 * n + 5) / 18), 6) AS z
+    FROM stat
+    """,
+)
+def q298_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test on daily purchase revenue —
+    the distribution-free "is this metric drifting?" check that needs no
+    normality assumption: S sums the signs of all pairwise day differences
+    and z uses the exact no-ties variance n(n-1)(2n+5)/18 with the
+    standard continuity correction. The pairwise join runs on the DAILY
+    residue (~n_days^2 rows after one map-side-combined reduction of the
+    fact), so the fact table itself is touched once regardless of scale —
+    the same bounded-residue contract as q283/q285."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy((F.unix_micros(F.date_trunc("day", "ts")
+                                     .cast("timestamp"))
+                       / F.lit(86400000000)).cast("bigint").alias("d"))
+             .agg(F.sum("value").alias("y")))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, F.col("a.d") < F.col("b.d"))
+             .select(F.signum(F.col("b.y") - F.col("a.y")).alias("s")))
+    n_days = daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    stat = pairs.agg(F.sum("s").alias("s_stat")) \
+        .crossJoin(F.broadcast(n_days))
+    var_s = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18
+    corrected = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+                 .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+                 .otherwise(0))
+    return stat.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(corrected / F.sqrt(var_s), 6).alias("z"))
+
+
+@register(
+    "q299_theil_sen",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               sum(value) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    fit AS (
+        SELECT quantile_cont(slope, 0.5) AS slope,
+               (SELECT count(*) FROM slopes) AS n_pairs
+        FROM slopes
+    )
+    SELECT CAST(f.n_pairs AS BIGINT) AS n_pairs,
+           round(f.slope, 6) AS slope,
+           round(quantile_cont(d.y - f.slope * d.d, 0.5), 4) AS intercept
+    FROM daily d CROSS JOIN fit f
+    GROUP BY f.n_pairs, f.slope
+    """,
+)
+def q299_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator on the same daily revenue series as
+    q298: the slope is the MEDIAN of all pairwise slopes (up to ~29%
+    contamination tolerated, vs 0% for OLS), the intercept the median
+    residual intercept. Pairwise enumeration again happens on the daily
+    residue only; at very long horizons the standard refinement subsamples
+    pairs (random pairs give the same estimator asymptotically), which
+    slots in as a filter on the pair join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy((F.unix_micros(F.date_trunc("day", "ts")
+                                     .cast("timestamp"))
+                       / F.lit(86400000000)).cast("bigint").alias("d"))
+             .agg(F.sum("value").alias("y")))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (a.join(b, F.col("a.d") < F.col("b.d"))
+              .select(((F.col("b.y") - F.col("a.y"))
+                       / (F.col("b.d") - F.col("a.d"))).alias("slope")))
+    fit = slopes.agg(F.percentile("slope", 0.5).alias("slope"),
+                     F.count(F.lit(1)).alias("n_pairs"))
+    return (daily.crossJoin(F.broadcast(fit))
+            .groupBy("n_pairs", "slope")
+            .agg(F.round(F.percentile(F.col("y") - F.col("slope")
+                                      * F.col("d"), 0.5), 4)
+                 .alias("intercept"))
+            .select(F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.round("slope", 6).alias("slope"), "intercept"))
+
+
+@register(
+    "q300_rolling_backtest",
+    sql="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+        SELECT event_type, d, y,
+               avg(y) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS yhat,
+               count(*) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS hist
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(y - yhat)), 4) AS mae,
+           round(avg(abs(y - yhat) / y), 6) AS mape,
+           round(sqrt(avg((y - yhat) * (y - yhat))), 4) AS rmse
+    FROM fc WHERE hist = 7 AND y > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q300_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: a 7-day trailing-mean forecaster
+    evaluated one day ahead at EVERY origin (the honest way to score a
+    forecasting rule — never a single train/test split), reporting
+    MAE/MAPE/RMSE per event type. Only full 7-day histories score. One
+    per-series window pass over the daily residue; series are independent
+    so the window partitions by event_type and parallelizes per series —
+    the pattern extends to any forecaster expressible over a trailing
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(-7, -1))
+    fc = (daily.withColumn("yhat", F.avg("y").over(w))
+          .withColumn("hist", F.count(F.lit(1)).over(w)))
+    err = F.col("y") - F.col("yhat")
+    return (fc.filter((F.col("hist") == 7) & (F.col("y") > 0))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+                 F.round(F.avg(F.abs(err)), 4).alias("mae"),
+                 F.round(F.avg(F.abs(err) / F.col("y")), 6).alias("mape"),
+                 F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"))
+            .orderBy("event_type"))

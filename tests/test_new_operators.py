@@ -710,3 +710,103 @@ def test_fd_discovery_flags_keys_as_holding(spark, sf_dir):
     for r in out.values():
         assert 0.0 <= r["violation_rate"] <= 1.0
         assert (r["holds"] == 1) == (r["n_violations"] == 0)
+
+
+def _patch_events(spark, rows, schema, module):
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    ev = spark.createDataFrame(rows, schema)
+    return readers, ev, module
+
+
+def test_mann_kendall_detects_strict_trend(spark):
+    # strictly increasing daily revenue -> S = n(n-1)/2, strong positive z
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q298_mann_kendall,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i, 12), 1,
+             "purchase", 100.0 + 10 * i)
+            for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q298_mann_kendall(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert out["s_stat"] == 45  # 10*9/2 — every pair concordant
+    assert out["z"] > 2.5
+
+
+def test_theil_sen_exact_on_linear_series(spark):
+    # y = 50 + 7*d exactly -> slope 7, intercept 50 (robust to one outlier)
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q299_theil_sen,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    for i in range(12):
+        v = 50.0 + 7.0 * (19723 + i)  # 19723 = epoch day of 2024-01-01
+        if i == 5:
+            v += 500.0  # outlier day
+        rows.append((i, dt.datetime(2024, 1, 1 + i, 12), 1, "purchase", v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q299_theil_sen(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert out["slope"] == pytest.approx(7.0, abs=0.01)
+    assert out["intercept"] == pytest.approx(50.0, abs=1.0)
+
+
+def test_rolling_backtest_perfect_on_constant_series(spark):
+    # constant daily count -> trailing-mean forecast is exact, all errors 0
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q300_rolling_backtest,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(d * 10 + k, dt.datetime(2024, 1, 1 + d, k), k, "click", 1.0)
+            for d in range(12) for k in range(3)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q300_rolling_backtest(spark, "unused").collect()
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert len(out) == 1
+    assert out[0]["n_forecasts"] == 5  # days 8..12 have full 7-day history
+    assert out[0]["mae"] == 0.0
+    assert out[0]["rmse"] == 0.0
+
+
+def test_embedding_anisotropy_shape(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q301_embedding_anisotropy,
+    )
+
+    r = q301_embedding_anisotropy(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 0
+    assert -1.0 <= r["p05_cos"] <= r["p95_cos"] <= 1.0
+    assert r["sd_cos"] > 0
