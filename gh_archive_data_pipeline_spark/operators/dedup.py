@@ -785,3 +785,96 @@ def q289_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(sim >= 0.4)
             .select("a_id", "b_id", F.round(sim, 4).alias("sim"))
             .orderBy("a_id", "b_id"))
+
+
+@register(
+    "q302_blocking_recall_audit",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks
+    ),
+    truth AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+                    6) >= 0.25
+    ),
+    keyed AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 24) AS sort_key,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      1, 4) AS block
+        FROM documents WHERE doc_id < 500
+    ),
+    cand AS (
+        SELECT least(doc_id, nxt) AS da, greatest(doc_id, nxt) AS db
+        FROM (
+            SELECT doc_id, lead(doc_id, 1) OVER w AS nxt
+            FROM keyed
+            WINDOW w AS (PARTITION BY block ORDER BY sort_key, doc_id)
+            UNION ALL
+            SELECT doc_id, lead(doc_id, 2) OVER w2
+            FROM keyed
+            WINDOW w2 AS (PARTITION BY block ORDER BY sort_key, doc_id)
+        ) WHERE nxt IS NOT NULL
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*)::DOUBLE
+                 / (SELECT count(*) FROM truth), 6) AS recall
+    FROM truth t JOIN cand c ON t.da = c.da AND t.db = c.db
+    """,
+)
+def q302_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy recall audit — the meta-check a dedup pipeline
+    runs before trusting ANY candidate generator: ground-truth near-dup
+    pairs (exact trigram Jaccard >= 0.25 over the full 500-doc fixture —
+    bounded all-pairs is affordable at audit-sample size) intersected with the sorted-neighborhood
+    candidates of q289, reporting how many true pairs the blocker
+    surfaces. At scale this audit runs on a sampled window exactly like
+    this one — recall measured on a bounded sample bounds the blocker's
+    production miss rate without ever materializing all-pairs truth on
+    the full corpus."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500))
+    truth = (ngram_jaccard_pairs(docs)
+             .filter(F.col("jaccard") >= 0.25)
+             .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db")))
+    nt = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    keyed = docs.select("doc_id",
+                        F.substring(nt, 1, 24).alias("sort_key"),
+                        F.substring(nt, 1, 4).alias("block"))
+    w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
+    cand = None
+    for step in (1, 2):
+        p = keyed.select("doc_id",
+                         F.lead("doc_id", step).over(w).alias("nxt"))
+        cand = p if cand is None else cand.unionAll(p)
+    cand = (cand.filter(F.col("nxt").isNotNull())
+            .select(F.least("doc_id", "nxt").alias("da"),
+                    F.greatest("doc_id", "nxt").alias("db")))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = truth.join(cand, ["da", "db"]) \
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    return (hits.crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(n_cand))
+            .select(F.col("n_truth").cast("bigint").alias("n_truth"),
+                    F.col("n_candidates").cast("bigint")
+                    .alias("n_candidates"),
+                    F.col("n_hits").cast("bigint").alias("n_hits"),
+                    F.round(F.col("n_hits").cast("double")
+                            / F.col("n_truth"), 6).alias("recall")))

@@ -1805,3 +1805,101 @@ def q300_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.abs(err) / F.col("y")), 6).alias("mape"),
                  F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"))
             .orderBy("event_type"))
+
+
+@register(
+    "q304_hurst_exponent",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) - 1 AS rn FROM daily
+    ),
+    blocked AS (
+        SELECT m.m, CAST(floor(rn / m.m) AS BIGINT) AS blk, rn, y
+        FROM idx CROSS JOIN (SELECT unnest([5, 10, 15]) AS m) m
+    ),
+    dev AS (
+        SELECT m, blk, rn, y,
+               y - avg(y) OVER (PARTITION BY m, blk) AS e,
+               count(*) OVER (PARTITION BY m, blk) AS blk_n
+        FROM blocked
+    ),
+    cum AS (
+        SELECT m, blk, blk_n,
+               sum(e) OVER (PARTITION BY m, blk ORDER BY rn) AS z,
+               stddev_pop(y) OVER (PARTITION BY m, blk) AS s
+        FROM dev
+    ),
+    rs AS (
+        SELECT m, blk, (max(z) - min(z)) / min(s) AS rs
+        FROM cum WHERE blk_n = m AND s > 0
+        GROUP BY m, blk
+    ),
+    pts AS (
+        SELECT m, ln(m::DOUBLE) AS x, ln(avg(rs)) AS y,
+               count(*) AS n_blocks, avg(rs) AS avg_rs
+        FROM rs GROUP BY m
+    ),
+    centered AS (
+        SELECT *, x - avg(x) OVER () AS xc, y - avg(y) OVER () AS yc
+        FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           round(avg_rs, 6) AS avg_rs,
+           round(sum(xc * yc) OVER () / sum(xc * xc) OVER (), 6) AS hurst
+    FROM centered
+    ORDER BY m
+    """,
+)
+def q304_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis on the daily event
+    count series: split the series into blocks of m days for m in
+    {5,10,15}, compute each full block's range-of-cumulative-deviations
+    over its standard deviation, and fit log(avg R/S) against log(m) —
+    slope ~0.5 means memoryless traffic, >0.5 long-range dependence
+    (bursts cluster: capacity planning can't assume Poisson), <0.5
+    mean-reversion. All windows partition by (m, block) so every block is
+    independent work; the regression runs on a 3-point residue via the
+    same centered-moment arithmetic as q296."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    idx = daily.select(
+        "y", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn"))
+    ms = spark.createDataFrame([(5,), (10,), (15,)], "m long")
+    blocked = (idx.crossJoin(F.broadcast(ms))
+               .withColumn("blk", F.floor(F.col("rn") / F.col("m"))))
+    wb = Window.partitionBy("m", "blk")
+    dev = (blocked.withColumn("e", F.col("y") - F.avg("y").over(wb))
+           .withColumn("blk_n", F.count(F.lit(1)).over(wb)))
+    wo = Window.partitionBy("m", "blk").orderBy("rn")
+    cum = (dev.withColumn("z", F.sum("e").over(wo))
+           .withColumn("s", F.stddev_pop("y").over(wb)))
+    rs = (cum.filter((F.col("blk_n") == F.col("m")) & (F.col("s") > 0))
+          .groupBy("m", "blk")
+          .agg(((F.max("z") - F.min("z")) / F.min("s")).alias("rs")))
+    pts = (rs.groupBy("m")
+           .agg(F.count(F.lit(1)).alias("n_blocks"),
+                F.avg("rs").alias("avg_rs"))
+           .withColumn("x", F.log(F.col("m").cast("double")))
+           .withColumn("yv", F.log("avg_rs")))
+    everything = Window.partitionBy()
+    centered = (pts
+                .withColumn("xc", F.col("x") - F.avg("x").over(everything))
+                .withColumn("yc", F.col("yv") - F.avg("yv").over(everything)))
+    return (centered.select(
+        F.col("m").cast("bigint").alias("m"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round("avg_rs", 6).alias("avg_rs"),
+        F.round(F.sum(F.col("xc") * F.col("yc")).over(everything)
+                / F.sum(F.col("xc") * F.col("xc")).over(everything), 6)
+        .alias("hurst"))
+        .orderBy("m"))

@@ -1335,3 +1335,74 @@ def q250_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_bucket.groupBy("event_type")
             .agg(F.sum(F.bitmap_count("bm")).cast("bigint")
                  .alias("distinct_users")))
+
+
+@register(
+    "q303_markov_entropy_rate",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*)::DOUBLE AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tp AS (
+      SELECT from_type, n,
+             sum(n) OVER (PARTITION BY from_type) AS n_from
+      FROM t
+    ),
+    cond AS (
+      SELECT from_type, min(n_from) AS n_from,
+             -sum((n / n_from) * log2(n / n_from)) AS h_cond
+      FROM tp GROUP BY from_type
+    )
+    SELECT from_type,
+           CAST(n_from AS BIGINT) AS n_transitions,
+           round(h_cond, 6) AS h_cond_bits,
+           round(sum(n_from * h_cond) OVER () / sum(n_from) OVER (), 6)
+               AS entropy_rate_bits
+    FROM cond
+    ORDER BY from_type
+    """,
+)
+def q303_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain (q134's transition
+    matrix reduced to one predictability number): per-state conditional
+    entropy H(next|from) in bits, weighted by observed state frequency into
+    the chain's entropy rate. Low rate = predictable sessions (prefetchable,
+    cacheable, simulatable); the per-state rows show WHICH states are
+    chaotic. The heavy step is the same single user_id-partitioned lag
+    window as q134; all entropy arithmetic runs on the 25-cell matrix
+    residue."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"))
+    t = (seq.filter(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    tp = t.withColumn("n_from", F.sum("n").over(
+        Window.partitionBy("from_type")))
+    pr = F.col("n") / F.col("n_from")
+    cond = (tp.groupBy("from_type")
+            .agg(F.min("n_from").alias("n_from"),
+                 (-F.sum(pr * F.log2(pr))).alias("h_cond")))
+    everything = Window.partitionBy()
+    return (cond.select(
+        "from_type",
+        F.col("n_from").cast("bigint").alias("n_transitions"),
+        F.round("h_cond", 6).alias("h_cond_bits"),
+        F.round(F.sum(F.col("n_from") * F.col("h_cond")).over(everything)
+                / F.sum("n_from").over(everything), 6)
+        .alias("entropy_rate_bits"))
+        .orderBy("from_type"))

@@ -810,3 +810,59 @@ def test_embedding_anisotropy_shape(spark, sf_dir):
     assert r["n_pairs"] > 0
     assert -1.0 <= r["p05_cos"] <= r["p95_cos"] <= 1.0
     assert r["sd_cos"] > 0
+
+
+def test_blocking_recall_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        q302_blocking_recall_audit,
+    )
+
+    r = q302_blocking_recall_audit(spark, sf_dir).collect()[0]
+    assert r["n_truth"] > 0  # fixture plants near-duplicates
+    assert 0 <= r["n_hits"] <= r["n_truth"]
+    assert 0.0 <= r["recall"] <= 1.0
+    # candidate set is the w=2 sorted-neighborhood: at most 2 pairs per doc
+    assert r["n_candidates"] <= 2 * 500
+
+
+def test_entropy_rate_uniform_chain(spark):
+    # uniform 2-state alternation: every state deterministic -> 0 bits;
+    #uniform random transitions -> 1 bit. Build the deterministic case.
+    import gh_archive_data_pipeline_spark.plans.advanced as amod
+    from gh_archive_data_pipeline_spark.plans.advanced import (
+        q303_markov_entropy_rate,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i), 1,
+             "click" if i % 2 == 0 else "view")
+            for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        amod.load_table = lambda sp, d, n: ev
+        out = q303_markov_entropy_rate(spark, "unused").collect()
+    finally:
+        readers.load_table = orig
+        amod.load_table = orig
+    # deterministic alternation: H(next|state) = 0 for both states
+    assert all(r["h_cond_bits"] == 0.0 for r in out)
+    assert all(r["entropy_rate_bits"] == 0.0 for r in out)
+
+
+def test_hurst_fixture_in_valid_range(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q304_hurst_exponent,
+    )
+
+    out = q304_hurst_exponent(spark, sf_dir).collect()
+    assert [r["m"] for r in out] == [5, 10, 15]
+    # avg R/S grows with block size; H in (0, 1) for any real series
+    rs = [r["avg_rs"] for r in out]
+    assert rs == sorted(rs)
+    h = out[0]["hurst"]
+    assert 0.0 < h < 1.0
+    assert all(r["hurst"] == h for r in out)
