@@ -771,14 +771,25 @@ def q289_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.substring("nt", 1, 4).alias("block"),
                      F.substring("nt", 1, 160).alias("probe")))
     w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
-    pairs = None
-    for step in (1, 2):
-        p = keyed.select(
-            F.col("doc_id").alias("a_id"),
-            F.lead("doc_id", step).over(w).alias("b_id"),
-            F.col("probe").alias("a_probe"),
-            F.lead("probe", step).over(w).alias("b_probe"))
-        pairs = p if pairs is None else pairs.unionAll(p)
+    # both neighborhood offsets come from ONE window pass (one sort, one
+    # exchange keyed on block) and stack via explode — not one window per
+    # offset, which would sort the corpus w times
+    led = keyed.select(
+        F.col("doc_id").alias("a_id"), F.col("probe").alias("a_probe"),
+        F.lead("doc_id", 1).over(w).alias("id1"),
+        F.lead("probe", 1).over(w).alias("pr1"),
+        F.lead("doc_id", 2).over(w).alias("id2"),
+        F.lead("probe", 2).over(w).alias("pr2"))
+    pairs = (led.select(
+        "a_id", "a_probe",
+        F.explode(F.array(
+            F.struct(F.col("id1").alias("b_id"),
+                     F.col("pr1").alias("b_probe")),
+            F.struct(F.col("id2").alias("b_id"),
+                     F.col("pr2").alias("b_probe")))).alias("nb"))
+        .select("a_id", "a_probe",
+                F.col("nb.b_id").alias("b_id"),
+                F.col("nb.b_probe").alias("b_probe")))
     sim = (1 - F.levenshtein("a_probe", "b_probe").cast("double")
            / F.greatest(F.length("a_probe"), F.length("b_probe")))
     return (pairs.filter(F.col("b_id").isNotNull())
@@ -858,12 +869,12 @@ def q302_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.substring(nt, 1, 24).alias("sort_key"),
                         F.substring(nt, 1, 4).alias("block"))
     w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
-    cand = None
-    for step in (1, 2):
-        p = keyed.select("doc_id",
-                         F.lead("doc_id", step).over(w).alias("nxt"))
-        cand = p if cand is None else cand.unionAll(p)
-    cand = (cand.filter(F.col("nxt").isNotNull())
+    cand = (keyed.select("doc_id",
+                         F.lead("doc_id", 1).over(w).alias("n1"),
+                         F.lead("doc_id", 2).over(w).alias("n2"))
+            .select("doc_id",
+                    F.explode(F.array("n1", "n2")).alias("nxt"))
+            .filter(F.col("nxt").isNotNull())
             .select(F.least("doc_id", "nxt").alias("da"),
                     F.greatest("doc_id", "nxt").alias("db")))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))

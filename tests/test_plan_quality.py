@@ -406,3 +406,49 @@ def test_q190_capped_sessions_single_shuffle(spark):
     plan = plan_of(spark, "q190_capped_sessions", mode="simple")
     assert plan.count("Exchange hashpartitioning(user_id") <= 2  # data + AQE read
     assert "CartesianProduct" not in plan
+
+
+def test_q286_bootstrap_replicas_broadcast(spark):
+    # the 32-replica dimension must ride a broadcast, never shuffle the fact
+    plan = plan_of(spark, "q286_poisson_bootstrap")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the per-replica means reduce with partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q292_conformal_model_broadcasts(spark):
+    # train model + q_hat residues broadcast back onto the fact scans
+    plan = plan_of(spark, "q292_conformal_interval")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # hash-bucket filter evaluates in the scan stage, not a separate shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_q295_triangle_joins_are_shuffle_hash_or_smj(spark):
+    # wedge-close joins key on node ids — any hash strategy is fine, but the
+    # plan must not degenerate to a nested-loop cross product
+    plan = plan_of(spark, "q295_triangle_count")
+    assert "CartesianProduct" not in plan
+
+
+def test_q300_backtest_single_series_shuffle(spark):
+    # exactly three exchanges: the daily reduction, the per-series window
+    # repartition, and the final orderBy — nothing data-sized beyond those
+    import re
+
+    plan = plan_of(spark, "q300_rolling_backtest")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 3, plan
+    assert "Window" in plan
+
+
+def test_q289_sorted_neighborhood_partitions_by_block(spark):
+    # ONE block-partitioned window pass (both lead offsets stacked by
+    # explode), never one window per offset and never a global-order window
+    import re
+
+    plan = plan_of(spark, "q289_sorted_neighborhood")
+    n_win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_win == 1, plan
+    # the exchange feeding the window hashes on block, not SinglePartition
+    assert "hashpartitioning(block" in plan, plan
