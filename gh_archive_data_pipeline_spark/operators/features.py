@@ -1851,3 +1851,198 @@ def q296_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("b1", 4).alias("beta1"),
                     F.round("b2", 4).alias("beta2"),
                     F.round(1 - F.col("sse_frac"), 6).alias("r2")))
+
+
+@register(
+    "q305_wasserstein_1d",
+    sql="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (SELECT sum(c)::DOUBLE AS nc, sum(p)::DOUBLE AS np FROM s),
+    byv AS (SELECT v, sum(c) AS dc, sum(p) AS dp FROM s GROUP BY v),
+    cdf AS (
+        SELECT v,
+               sum(dc) OVER (ORDER BY v) / t.nc AS f1,
+               sum(dp) OVER (ORDER BY v) / t.np AS f2,
+               lead(v) OVER (ORDER BY v) AS nv
+        FROM byv CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_values,
+           round(sum(abs(f1 - f2) * (nv - v)), 4) AS w1_distance,
+           round(max(abs(f1 - f2)), 6) AS ks_gap
+    FROM cdf WHERE nv IS NOT NULL
+    """,
+)
+def q305_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the click and
+    purchase value distributions — the drift metric that, unlike KS (q264)
+    or PSI (q205), weighs HOW FAR mass moved, not just that it moved:
+    W1 = integral of |F1 - F2| over the merged support, computed exactly
+    as a running-CDF window with lead() step widths. Same
+    residue-single-partition contract as q264 (one row per DISTINCT value
+    after the groupBy); at 100 TB the integral computes from per-bucket
+    CDFs with bounded error instead of the exact support."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase")))
+    s = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"))
+    tot = s.agg(F.sum("c").cast("double").alias("nc"),
+                F.sum("p").cast("double").alias("np"))
+    byv = s.groupBy("v").agg(F.sum("c").alias("dc"), F.sum("p").alias("dp"))
+    w = Window.orderBy("v")
+    cdf = (byv.crossJoin(F.broadcast(tot))
+           .select("v",
+                   (F.sum("dc").over(w) / F.col("nc")).alias("f1"),
+                   (F.sum("dp").over(w) / F.col("np")).alias("f2"),
+                   F.lead("v").over(w).alias("nv")))
+    gap = F.abs(F.col("f1") - F.col("f2"))
+    return (cdf.filter(F.col("nv").isNotNull())
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                 F.round(F.sum(gap * (F.col("nv") - F.col("v"))), 4)
+                 .alias("w1_distance"),
+                 F.round(F.max(gap), 6).alias("ks_gap")))
+
+
+@register(
+    "q306_tail_dependence",
+    sql="""
+    WITH th AS (
+        SELECT quantile_cont(l_quantity, 0.95) AS qh,
+               quantile_cont(l_quantity, 0.05) AS ql,
+               quantile_cont(l_extendedprice, 0.95) AS ph,
+               quantile_cont(l_extendedprice, 0.05) AS pl
+        FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(th.qh), 4) AS qty_p95,
+           round(min(th.ph), 4) AS price_p95,
+           round(sum(CASE WHEN l_quantity > th.qh
+                           AND l_extendedprice > th.ph
+                          THEN 1.0 ELSE 0.0 END)
+                 / nullif(sum(CASE WHEN l_quantity > th.qh
+                              THEN 1.0 ELSE 0.0 END), 0), 6)
+               AS lambda_upper,
+           round(sum(CASE WHEN l_quantity <= th.ql
+                           AND l_extendedprice <= th.pl
+                          THEN 1.0 ELSE 0.0 END)
+                 / nullif(sum(CASE WHEN l_quantity <= th.ql
+                              THEN 1.0 ELSE 0.0 END), 0), 6)
+               AS lambda_lower
+    FROM lineitem CROSS JOIN th
+    """,
+)
+def q306_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence coefficients between quantity and price:
+    given one variable is in its extreme 5% tail, how often is the other
+    too? Pearson correlation (q119) misses exactly this — two variables
+    can be uncorrelated in the bulk yet move together in the tails (the
+    co-extreme behavior that breaks capacity plans and risk models). One
+    percentile aggregate broadcasts four thresholds back over the fact;
+    the conditional fractions are plain filtered ratios."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = li.agg(F.percentile("l_quantity", 0.95).alias("qh"),
+                F.percentile("l_quantity", 0.05).alias("ql"),
+                F.percentile("l_extendedprice", 0.95).alias("ph"),
+                F.percentile("l_extendedprice", 0.05).alias("pl"))
+    up_cond = F.when(F.col("l_quantity") > F.col("qh"), 1.0).otherwise(0.0)
+    up_both = F.when((F.col("l_quantity") > F.col("qh"))
+                     & (F.col("l_extendedprice") > F.col("ph")), 1.0) \
+        .otherwise(0.0)
+    lo_cond = F.when(F.col("l_quantity") <= F.col("ql"), 1.0).otherwise(0.0)
+    lo_both = F.when((F.col("l_quantity") <= F.col("ql"))
+                     & (F.col("l_extendedprice") <= F.col("pl")), 1.0) \
+        .otherwise(0.0)
+    return (li.crossJoin(F.broadcast(th))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.round(F.min("qh"), 4).alias("qty_p95"),
+                 F.round(F.min("ph"), 4).alias("price_p95"),
+                 F.round(F.sum(up_both)
+                         / F.nullif(F.sum(up_cond), F.lit(0.0)), 6)
+                 .alias("lambda_upper"),
+                 F.round(F.sum(lo_both)
+                         / F.nullif(F.sum(lo_cond), F.lit(0.0)), 6)
+                 .alias("lambda_lower")))
+
+
+@register(
+    "q308_srm_check",
+    sql="""
+    WITH assign AS (
+        SELECT CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                    AS BIGINT) % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+        FROM assign
+    ),
+    chi AS (
+        SELECT n0, n1,
+               pow(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+               + pow(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2) AS x2
+        FROM counts
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           round(x2, 6) AS chi2,
+           round(2 * (exp(-x2 / 2) / 2.5066282746310002)
+                 * (0.319381530 * (1 / (1 + 0.2316419 * sqrt(x2)))
+                    - 0.356563782 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 2)
+                    + 1.781477937 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 3)
+                    - 1.821255978 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 4)
+                    + 1.330274429 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 5)),
+                 6) AS p_value,
+           CAST(CASE WHEN 2 * (exp(-x2 / 2) / 2.5066282746310002)
+                 * (0.319381530 * (1 / (1 + 0.2316419 * sqrt(x2)))
+                    - 0.356563782 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 2)
+                    + 1.781477937 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 3)
+                    - 1.821255978 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 4)
+                    + 1.330274429 * pow(1 / (1 + 0.2316419 * sqrt(x2)), 5))
+                 < 0.001 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM chi
+    """,
+)
+def q308_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate every experiment
+    readout must pass before anyone reads q261/q290's treatment effects: a
+    1-df chi-square of observed arm counts against the designed 50/50
+    split, with the p-value through the chi-square(1) = Z^2 identity and
+    the same A&S normal-tail polynomial as q287 (pure arithmetic, so the
+    oracle matches bit-for-bit). p < 0.001 flags broken randomization —
+    the industry threshold, because SRM at scale is essentially never
+    chance. One distinct + one reduction; everything else is residue
+    arithmetic on a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    counts = (ev.select("user_id").distinct()
+              .select(arm.alias("arm"))
+              .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                   .cast("double").alias("n0"),
+                   F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                   .cast("double").alias("n1")))
+    half = (F.col("n0") + F.col("n1")) / 2
+    chi = counts.withColumn(
+        "x2", F.pow(F.col("n0") - half, 2) / half
+        + F.pow(F.col("n1") - half, 2) / half)
+    z = F.sqrt(F.col("x2"))
+    t = 1 / (1 + 0.2316419 * z)
+    pval = (2 * (F.exp(-F.col("x2") / 2) / 2.5066282746310002)
+            * (0.319381530 * t - 0.356563782 * F.pow(t, 2)
+               + 1.781477937 * F.pow(t, 3) - 1.821255978 * F.pow(t, 4)
+               + 1.330274429 * F.pow(t, 5)))
+    return chi.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.round("x2", 6).alias("chi2"),
+        F.round(pval, 6).alias("p_value"),
+        F.when(pval < 0.001, 1).otherwise(0).cast("bigint")
+        .alias("srm_flag"))

@@ -1903,3 +1903,46 @@ def q304_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("xc") * F.col("xc")).over(everything), 6)
         .alias("hurst"))
         .orderBy("m"))
+
+
+@register(
+    "q307_autocorrelation",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    )
+    SELECT l.lag AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.y, b.y), 6) AS acf
+    FROM daily a
+    CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+    JOIN daily b ON b.d = a.d - l.lag
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+def q307_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume at lags 1-7 — the
+    first diagnostic read before any forecasting (q300) or anomaly
+    (q192/q285) work: a spike at lag 7 means weekly seasonality, slow
+    decay means trend, near-zero everything means q286-style iid
+    resampling is safe. Each lag is one equi-join of the daily residue
+    against its shifted self (the lag dimension broadcasts); corr() is the
+    same moment aggregate both engines define identically."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    return (a.crossJoin(F.broadcast(lags))
+            .join(b, F.col("bd") == F.col("a.d") - F.col("lag"))
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.corr(F.col("a.y"), F.col("by")), 6).alias("acf"))
+            .orderBy("lag"))

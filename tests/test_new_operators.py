@@ -866,3 +866,95 @@ def test_hurst_fixture_in_valid_range(spark, sf_dir):
     h = out[0]["hurst"]
     assert 0.0 < h < 1.0
     assert all(r["hurst"] == h for r in out)
+
+
+def test_wasserstein_identical_distributions_is_zero(spark):
+    # click and purchase drawn from identical values -> W1 = 0, KS = 0
+    import gh_archive_data_pipeline_spark.operators.features as fmod
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q305_wasserstein_1d,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    for i in range(50):
+        rows.append((2 * i, dt.datetime(2024, 1, 1), 1, "click",
+                     float(i % 10)))
+        rows.append((2 * i + 1, dt.datetime(2024, 1, 1), 1, "purchase",
+                     float(i % 10)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        fmod.load_table = lambda sp, d, n: ev
+        r = q305_wasserstein_1d(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        fmod.load_table = orig
+    assert r["w1_distance"] == 0.0
+    assert r["ks_gap"] == 0.0
+
+
+def test_wasserstein_shifted_distribution(spark):
+    # purchase = click + 5 exactly -> W1 = 5 (mass moves 5 units)
+    import gh_archive_data_pipeline_spark.operators.features as fmod
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q305_wasserstein_1d,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, dt.datetime(2024, 1, 1), 1, "click",
+                     float(i % 8)))
+        rows.append((2 * i + 1, dt.datetime(2024, 1, 1), 1, "purchase",
+                     float(i % 8) + 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        fmod.load_table = lambda sp, d, n: ev
+        r = q305_wasserstein_1d(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        fmod.load_table = orig
+    assert r["w1_distance"] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_tail_dependence_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q306_tail_dependence,
+    )
+
+    r = q306_tail_dependence(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["lambda_upper"] <= 1.0
+    assert 0.0 <= r["lambda_lower"] <= 1.0
+
+
+def test_acf_lag_structure(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q307_autocorrelation,
+    )
+
+    out = q307_autocorrelation(spark, sf_dir).collect()
+    assert [r["lag"] for r in out] == list(range(1, 8))
+    # longer lags have fewer pairs; all correlations bounded
+    ns = [r["n_pairs"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert all(-1.0 <= r["acf"] <= 1.0 for r in out)
+
+
+def test_srm_check_balanced_hash_split(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q308_srm_check,
+    )
+
+    r = q308_srm_check(spark, sf_dir).collect()[0]
+    # md5 split is unbiased: no SRM flag on fixture data
+    assert r["srm_flag"] == 0
+    assert r["p_value"] > 0.001
+    assert r["n_control"] + r["n_treatment"] > 0
