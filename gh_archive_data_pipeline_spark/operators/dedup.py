@@ -889,3 +889,83 @@ def q302_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_hits").cast("bigint").alias("n_hits"),
                     F.round(F.col("n_hits").cast("double")
                             / F.col("n_truth"), 6).alias("recall")))
+
+
+@register(
+    "q311_dedup_threshold_sweep",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                     / (len(a.s) + len(b.s)
+                        - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+                     6) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    th AS (SELECT unnest([0.02, 0.05, 0.1, 0.5, 0.95]) AS t),
+    hit AS (
+        SELECT th.t, p.da, p.db FROM pairs p JOIN th ON p.j >= th.t
+    ),
+    pair_counts AS (
+        SELECT t, count(*) AS n_pairs FROM hit GROUP BY t
+    ),
+    docs AS (
+        SELECT t, count(DISTINCT d) AS n_docs
+        FROM (SELECT t, da AS d FROM hit
+              UNION ALL SELECT t, db FROM hit)
+        GROUP BY t
+    )
+    SELECT th.t AS threshold,
+           CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_affected,
+           round(coalesce(d.n_docs, 0) / 500.0, 6) AS frac_affected
+    FROM th
+    LEFT JOIN pair_counts pc ON pc.t = th.t
+    LEFT JOIN docs d ON d.t = th.t
+    ORDER BY threshold
+    """,
+)
+def q311_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep — the tuning table that decides
+    the near-dup cut BEFORE committing a full-corpus dedup run: for each
+    candidate Jaccard threshold, how many pairs fire and how many
+    documents would be touched. Pairs are computed ONCE on the bounded
+    audit sample (same 500-doc window as q302) and the five thresholds
+    broadcast against them — the sweep costs one extra tiny join, not five
+    recomputations. At scale the same sweep runs over the LSH-candidate
+    pairs (q42), whose exact-Jaccard verify already exists."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500))
+    pairs = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db"),
+        F.col("jaccard").alias("j"))
+    th = spark.createDataFrame([(t,) for t in (0.02, 0.05, 0.1, 0.5, 0.95)],
+                               "t double")
+    hit = pairs.join(F.broadcast(th), F.col("j") >= F.col("t"))
+    pair_counts = hit.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs_hit = (hit.select("t", F.col("da").alias("d"))
+                .unionAll(hit.select("t", F.col("db").alias("d")))
+                .groupBy("t")
+                .agg(F.count_distinct("d").alias("n_docs")))
+    return (th.join(pair_counts, "t", "left")
+            .join(docs_hit, "t", "left")
+            .select(F.col("t").alias("threshold"),
+                    F.coalesce("n_pairs", F.lit(0)).cast("bigint")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs", F.lit(0)).cast("bigint")
+                    .alias("n_docs_affected"),
+                    F.round(F.coalesce("n_docs", F.lit(0)) / 500.0, 6)
+                    .alias("frac_affected"))
+            .orderBy("threshold"))

@@ -224,6 +224,25 @@ def q189_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pagerank"), "event_type"))
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges oriented low-id -> high-id: users who
+    purchased within the same hour. Shared by the graph-statistics queries
+    (q295/q309/q310); the per-hour pair blowup is bounded by hour-group
+    size (k users -> k^2/2 pairs)."""
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+           .distinct())
+    a, b = pur.alias("a"), pur.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.user_id") < F.col("b.user_id")))
+            .select(F.col("a.user_id").alias("u"),
+                    F.col("b.user_id").alias("v"))
+            .distinct())
+
+
 @register(
     "q295_triangle_count",
     sql="""
@@ -270,18 +289,7 @@ def q295_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     node ids — so only the orientation rule changes. The co-occurrence
     blowup is bounded per hour-group (k users -> k^2/2 pairs), the same
     contract as q41's candidate windows."""
-    from ..sources.readers import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    pur = (ev.filter(F.col("event_type") == "purchase")
-           .select("user_id", F.date_trunc("hour", "ts").alias("h"))
-           .distinct())
-    a, b = pur.alias("a"), pur.alias("b")
-    edges = (a.join(b, (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.user_id") < F.col("b.user_id")))
-             .select(F.col("a.user_id").alias("u"),
-                     F.col("b.user_id").alias("v"))
-             .distinct())
+    edges = copurchase_edges(spark, sf_dir)
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
            .groupBy("node")
@@ -301,3 +309,110 @@ def q295_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("t").cast("bigint").alias("n_triangles"),
                     F.round(3.0 * F.col("t") / F.col("w"), 6)
                     .alias("clustering_coeff")))
+
+
+@register(
+    "q309_degree_powerlaw",
+    sql="""
+    WITH pur AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM pur a JOIN pur b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT node, count(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    dmin AS (SELECT min(d) AS dm FROM deg)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(m.dm) AS BIGINT) AS d_min,
+           CAST(max(deg.d) AS BIGINT) AS d_max,
+           round(avg(deg.d), 4) AS mean_degree,
+           round(1 + count(*) / sum(ln(deg.d / (m.dm - 0.5))), 6)
+               AS alpha_mle
+    FROM deg CROSS JOIN dmin m
+    """,
+)
+def q309_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit for the co-purchase graph: the
+    discrete maximum-likelihood exponent alpha = 1 + n / sum(ln(d /
+    (d_min - 1/2))) (the Clauset-Shalizi-Newman estimator with the
+    continuity correction). alpha tells you whether the graph has
+    hub-and-spoke structure (2 < alpha < 3 — expect severe join skew on
+    hub nodes, plan for salting) or a flat degree profile (alpha large —
+    uniform shuffles are fine). One degree reduction + one scalar
+    broadcast; the estimator itself is residue arithmetic."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("double").alias("d")))
+    dmin = deg.agg(F.min("d").alias("dm"))
+    return (deg.crossJoin(F.broadcast(dmin))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                 F.min("dm").cast("bigint").alias("d_min"),
+                 F.max("d").cast("bigint").alias("d_max"),
+                 F.round(F.avg("d"), 4).alias("mean_degree"),
+                 F.round(1 + F.count(F.lit(1))
+                         / F.sum(F.log(F.col("d") / (F.col("dm") - 0.5))),
+                         6).alias("alpha_mle")))
+
+
+@register(
+    "q310_degree_assortativity",
+    sql="""
+    WITH pur AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM pur a JOIN pur b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT node, count(*)::DOUBLE AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    ends AS (
+        SELECT du.d AS da, dv.d AS db
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    sym AS (
+        SELECT da, db FROM ends UNION ALL SELECT db, da FROM ends
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round(corr(da, db), 6) AS assortativity
+    FROM sym
+    """,
+)
+def q310_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list.
+    Positive = hubs link to hubs (social-network-like; hot shuffle
+    partitions collide), negative = hubs link to leaves (star-like;
+    broadcast the hub side). With q309's alpha this is the two-number
+    summary of how the graph will behave under joins. Two broadcast-sized
+    joins of the degree table onto the edge list, then one corr()
+    reduction."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("double").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("da"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("db"))
+    ends = edges.join(du, "u").join(dv, "v").select("da", "db")
+    sym = ends.unionAll(ends.select(F.col("db").alias("da"),
+                                    F.col("da").alias("db")))
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(F.corr("da", "db"), 6).alias("assortativity"))

@@ -358,3 +358,73 @@ def q225_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sort_array(F.collect_list("doc_id")),
                      lambda x: x.cast("string")
                  ))), 1, 16).alias("sample_digest")))
+
+
+@register(
+    "q312_horvitz_thompson",
+    sql="""
+    WITH sizes AS (
+        SELECT o.o_orderkey, o.o_totalprice AS y,
+               count(*)::DOUBLE AS x
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    tot AS (
+        SELECT sum(x) AS sx, sum(y) AS true_total,
+               count(*)::DOUBLE AS n_pop
+        FROM sizes
+    ),
+    probs AS (
+        SELECT s.o_orderkey, s.y,
+               least(1.0, 500.0 * s.x / t.sx) AS pi,
+               CAST(('0x' || substr(md5('ht-' || s.o_orderkey), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM sizes s CROSS JOIN tot t
+    )
+    SELECT CAST(min(t.n_pop) AS BIGINT) AS n_population,
+           CAST(sum(CASE WHEN p.u < p.pi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           round(min(t.true_total), 2) AS true_total,
+           round(sum(CASE WHEN p.u < p.pi THEN p.y / p.pi ELSE 0 END), 2)
+               AS ht_estimate,
+           round(abs(sum(CASE WHEN p.u < p.pi THEN p.y / p.pi ELSE 0 END)
+                     - min(t.true_total)) / min(t.true_total), 6)
+               AS rel_error
+    FROM probs p CROSS JOIN tot t
+    """,
+)
+def q312_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation under unequal-probability (PPS)
+    sampling: each order's inclusion probability is proportional to its
+    line count (a cheap size proxy), inclusion is decided by the same
+    deterministic md5-uniform as q286, and the estimator reweights each
+    sampled y by 1/pi — the unbiased way to estimate aggregates from a
+    biased-on-purpose sample, which is how a 100 TB profiling pass reads
+    0.5% of the data and still reports calibrated totals. One reduction
+    for the size measure, one broadcast scalar, one filtered weighted
+    sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (orders.join(li, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderkey", "o_totalprice")
+             .agg(F.count(F.lit(1)).cast("double").alias("x"))
+             .select("o_orderkey", F.col("o_totalprice").alias("y"), "x"))
+    tot = sizes.agg(F.sum("x").alias("sx"),
+                    F.sum("y").alias("true_total"),
+                    F.count(F.lit(1)).cast("double").alias("n_pop"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ht-"), F.col("o_orderkey").cast("string"))),
+        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
+    probs = (sizes.crossJoin(F.broadcast(tot))
+             .withColumn("pi", F.least(F.lit(1.0),
+                                       500.0 * F.col("x") / F.col("sx")))
+             .withColumn("u", u))
+    inc = F.col("u") < F.col("pi")
+    ht = F.sum(F.when(inc, F.col("y") / F.col("pi")).otherwise(0.0))
+    return probs.agg(
+        F.min("n_pop").cast("bigint").alias("n_population"),
+        F.sum(F.when(inc, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.round(F.min("true_total"), 2).alias("true_total"),
+        F.round(ht, 2).alias("ht_estimate"),
+        F.round(F.abs(ht - F.min("true_total")) / F.min("true_total"), 6)
+        .alias("rel_error"))

@@ -958,3 +958,67 @@ def test_srm_check_balanced_hash_split(spark, sf_dir):
     assert r["srm_flag"] == 0
     assert r["p_value"] > 0.001
     assert r["n_control"] + r["n_treatment"] > 0
+
+
+def test_degree_powerlaw_alpha_known_graph(spark):
+    # star K1,4 in one hour: center degree 4, leaves degree 1 each... the
+    # co-purchase graph of one hour is a CLIQUE, so use two hours instead:
+    # hour A: users {1,2} (edge 1-2); hour B: users {1,3} (edge 1-3)
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+    from gh_archive_data_pipeline_spark.operators.graph import (
+        q309_degree_powerlaw,
+    )
+
+    rows = [(1, dt.datetime(2024, 1, 1, 10), 1, "purchase"),
+            (2, dt.datetime(2024, 1, 1, 10), 2, "purchase"),
+            (3, dt.datetime(2024, 1, 1, 11), 1, "purchase"),
+            (4, dt.datetime(2024, 1, 1, 11), 3, "purchase")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        out = q309_degree_powerlaw(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+    assert out["n_nodes"] == 3
+    assert out["d_min"] == 1 and out["d_max"] == 2
+    # alpha = 1 + 3 / (ln(2/0.5) + ln(1/0.5) + ln(1/0.5)) = 1 + 3/ln(16)
+    import math
+    assert out["alpha_mle"] == pytest.approx(1 + 3 / math.log(16), abs=1e-4)
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.graph import (
+        q310_degree_assortativity,
+    )
+
+    r = q310_degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        q311_dedup_threshold_sweep,
+    )
+
+    out = q311_dedup_threshold_sweep(spark, sf_dir).collect()
+    assert len(out) == 5
+    pairs = [r["n_pairs"] for r in out]
+    docs = [r["n_docs_affected"] for r in out]
+    # raising the threshold can only shrink the hit sets
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+
+
+def test_horvitz_thompson_reasonable_estimate(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        q312_horvitz_thompson,
+    )
+
+    r = q312_horvitz_thompson(spark, sf_dir).collect()[0]
+    assert 0 < r["n_sampled"] < r["n_population"]
+    # HT is unbiased; on the fixture one deterministic draw lands within 20%
+    assert r["rel_error"] < 0.2
