@@ -883,3 +883,195 @@ def q291_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("rrf"))
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20))
+
+
+@register(
+    "q315_kneser_ney",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> list_extract(t, i) || ' ' || list_extract(t, i+1)))
+                   AS bigram
+        FROM toks
+    ),
+    bgc AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               count(*)::DOUBLE AS c12
+        FROM bg GROUP BY 1, 2
+    ),
+    pref AS (
+        SELECT w1, sum(c12) AS c1, count(*)::DOUBLE AS n1p_fwd
+        FROM bgc GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, count(*)::DOUBLE AS n1p_bwd FROM bgc GROUP BY w2
+    ),
+    types AS (SELECT count(*)::DOUBLE AS n_types FROM bgc)
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+           round(greatest(b.c12 - 0.75, 0) / p.c1
+                 + (0.75 * p.n1p_fwd / p.c1) * (c.n1p_bwd / t.n_types),
+                 6) AS p_kn,
+           round(b.c12 / p.c1, 6) AS p_mle
+    FROM bgc b
+    JOIN pref p USING (w1)
+    JOIN cont c USING (w2)
+    CROSS JOIN types t
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def q315_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount d = 0.75) —
+    the classic n-gram LM smoothing, built entirely from count
+    aggregations: absolute discounting of the bigram MLE plus the
+    back-off mass routed through the CONTINUATION probability (how many
+    distinct contexts a word completes, not how often it occurs — the
+    insight that makes KN work). Three count tables (bigram, prefix,
+    continuation) joined back on their keys; shuffles carry short strings
+    and counts only, the same envelope as q153's MLE model which this
+    strictly improves."""
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+    bg = (load_table(spark, sf_dir, "documents")
+          .select(F.split("text", " ").alias("toks"))
+          .where(F.size("toks") >= 2)
+          .select(F.explode(bigrams).alias("bigram")))
+    bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
+                     F.split("bigram", " ").getItem(1).alias("w2"))
+           .groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("double").alias("c12")))
+    pref = (bgc.groupBy("w1")
+            .agg(F.sum("c12").alias("c1"),
+                 F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
+    cont = (bgc.groupBy("w2")
+            .agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd")))
+    types = bgc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p_kn = (F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+            + (0.75 * F.col("n1p_fwd") / F.col("c1"))
+            * (F.col("n1p_bwd") / F.col("n_types")))
+    return (bgc.join(pref, "w1")
+            .join(cont, "w2")
+            .crossJoin(F.broadcast(types))
+            .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                    F.round(p_kn, 6).alias("p_kn"),
+                    F.round(F.col("c12") / F.col("c1"), 6).alias("p_mle"))
+            .orderBy(F.desc("c12"), "w1", "w2")
+            .limit(25))
+
+
+@register(
+    "q316_scaling_curve",
+    sql="""
+    WITH buckets AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('sc-' || doc_id), 1, 8)) AS BIGINT)
+                   % 8 AS b,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM buckets),
+    ks AS (SELECT unnest([0, 1, 3, 6]) AS k),
+    train AS (
+        SELECT ks.k, w, count(*)::DOUBLE AS c
+        FROM buckets JOIN ks ON buckets.b <= ks.k AND buckets.b < 7
+        GROUP BY ks.k, w
+    ),
+    train_tot AS (
+        SELECT k, sum(c) AS n FROM train GROUP BY k
+    ),
+    eval_toks AS (SELECT w FROM buckets WHERE b = 7),
+    ce AS (
+        SELECT ks.k,
+               count(*)::DOUBLE AS n_eval,
+               avg(-ln((coalesce(t.c, 0) + 0.5)
+                       / (tt.n + 0.5 * v.v))) AS cross_entropy
+        FROM eval_toks e
+        CROSS JOIN ks
+        LEFT JOIN train t ON t.k = ks.k AND t.w = e.w
+        JOIN train_tot tt ON tt.k = ks.k
+        CROSS JOIN vocab v
+        GROUP BY ks.k
+    ),
+    pts AS (
+        SELECT k, cross_entropy, n_eval,
+               (SELECT n FROM train_tot WHERE train_tot.k = ce.k)
+                   AS train_tokens
+        FROM ce
+    ),
+    centered AS (
+        SELECT *,
+               ln(train_tokens) - avg(ln(train_tokens)) OVER () AS xc,
+               ln(cross_entropy) - avg(ln(cross_entropy)) OVER () AS yc
+        FROM pts
+    )
+    SELECT CAST(k + 1 AS BIGINT) AS n_train_buckets,
+           CAST(train_tokens AS BIGINT) AS train_tokens,
+           round(cross_entropy, 6) AS cross_entropy,
+           round(sum(xc * yc) OVER () / sum(xc * xc) OVER (), 6)
+               AS scaling_slope
+    FROM centered
+    ORDER BY n_train_buckets
+    """,
+)
+def q316_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling-law curve: held-out unigram cross-entropy as the
+    training corpus grows through nested hash-fraction subsets (1/8, 2/8,
+    4/8, 7/8 of documents; bucket 7 is always the eval split), with the
+    fitted log-log slope — the toy version of the loss-vs-data power law
+    that decides whether gathering more data is still worth it. The
+    nested subsets come from ONE token scan: per-(bucket<=k, word) counts
+    group once with the k-dimension broadcast; the smoothed LM
+    ((c + 0.5) / (N + 0.5V)) keeps out-of-vocabulary eval tokens finite
+    and identical on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("sc-"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 8)
+    toks = (docs.select(b.alias("b"),
+                        F.explode(F.split("text", " ")).alias("w")))
+    vocab = toks.agg(F.count_distinct("w").cast("double").alias("v"))
+    ks = spark.createDataFrame([(0,), (1,), (3,), (6,)], "k long")
+    train = (toks.filter(F.col("b") < 7)
+             .join(F.broadcast(ks), F.col("b") <= F.col("k"))
+             .groupBy("k", "w")
+             .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    train_tot = train.groupBy("k").agg(F.sum("c").alias("n"))
+    ev = toks.filter(F.col("b") == 7).select("w")
+    tr = train.select(F.col("k").alias("tk"), F.col("w").alias("tw"),
+                      F.col("c").alias("c"))
+    ce = (ev.crossJoin(F.broadcast(ks))
+          .join(tr, (F.col("tk") == F.col("k"))
+                & (F.col("tw") == F.col("w")), "left")
+          .join(F.broadcast(train_tot.withColumnRenamed("k", "nk")),
+                F.col("nk") == F.col("k"))
+          .crossJoin(F.broadcast(vocab))
+          .groupBy("k")
+          .agg(F.count(F.lit(1)).cast("double").alias("n_eval"),
+               F.avg(-F.log((F.coalesce("c", F.lit(0.0)) + 0.5)
+                            / (F.col("n") + 0.5 * F.col("v"))))
+               .alias("cross_entropy")))
+    pts = (ce.join(F.broadcast(train_tot), "k")
+           .select("k", "cross_entropy",
+                   F.col("n").alias("train_tokens")))
+    everything = Window.partitionBy()
+    centered = (pts
+                .withColumn("xc", F.log("train_tokens")
+                            - F.avg(F.log("train_tokens")).over(everything))
+                .withColumn("yc", F.log("cross_entropy")
+                            - F.avg(F.log("cross_entropy")).over(everything)))
+    return (centered.select(
+        (F.col("k") + 1).cast("bigint").alias("n_train_buckets"),
+        F.col("train_tokens").cast("bigint").alias("train_tokens"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round(F.sum(F.col("xc") * F.col("yc")).over(everything)
+                / F.sum(F.col("xc") * F.col("xc")).over(everything), 6)
+        .alias("scaling_slope"))
+        .orderBy("n_train_buckets"))

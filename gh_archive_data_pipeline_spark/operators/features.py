@@ -2046,3 +2046,209 @@ def q308_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pval, 6).alias("p_value"),
         F.when(pval < 0.001, 1).otherwise(0).cast("bigint")
         .alias("srm_flag"))
+
+
+@register(
+    "q313_effect_heterogeneity",
+    sql="""
+    WITH per_user AS (
+        SELECT e.user_id,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || e.user_id), 1, 8))
+                          AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm,
+               coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                                 THEN e.value END), 0) AS y,
+               min(c.c_mktsegment) AS seg
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id
+    ),
+    cells AS (
+        SELECT seg,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS nt,
+               avg(CASE WHEN arm = 1 THEN y END) AS mt,
+               var_samp(CASE WHEN arm = 1 THEN y END) AS vt,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::DOUBLE AS nc,
+               avg(CASE WHEN arm = 0 THEN y END) AS mc,
+               var_samp(CASE WHEN arm = 0 THEN y END) AS vc
+        FROM per_user GROUP BY seg
+    ),
+    eff AS (
+        SELECT seg, nt, nc,
+               mt - mc AS d,
+               vt / nt + vc / nc AS v
+        FROM cells WHERE nt > 1 AND nc > 1
+    ),
+    wtd AS (
+        SELECT seg, nt, nc, d, 1 / v AS w FROM eff WHERE v > 0
+    ),
+    pooled AS (
+        SELECT sum(w * d) / sum(w) AS pe,
+               count(*)::DOUBLE AS k
+        FROM wtd
+    ),
+    q AS (
+        SELECT min(p.pe) AS pe, min(p.k) AS k,
+               sum(w.w * (w.d - p.pe) * (w.d - p.pe)) AS qstat
+        FROM wtd w CROSS JOIN pooled p
+    )
+    SELECT w.seg,
+           CAST(w.nt AS BIGINT) AS n_treat,
+           CAST(w.nc AS BIGINT) AS n_ctrl,
+           round(w.d, 6) AS effect,
+           round(min(q.pe), 6) AS pooled_effect,
+           round(min(q.qstat), 6) AS cochran_q,
+           round(greatest(0, (min(q.qstat) - (min(q.k) - 1))
+                             / nullif(min(q.qstat), 0)), 6) AS i_squared
+    FROM wtd w CROSS JOIN q
+    GROUP BY w.seg, w.nt, w.nc, w.d
+    ORDER BY w.seg
+    """,
+)
+def q313_effect_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment-effect heterogeneity meta-analysis across customer
+    segments: per-segment conversion lift with its variance, the
+    inverse-variance pooled (fixed-effect) estimate, Cochran's Q and the
+    I^2 statistic — the readout that says whether one experiment number is
+    honest or the effect differs by segment (I^2 near 1 = don't ship a
+    single global decision). Reuses q261's hash assignment; everything
+    after the per-user reduction is residue arithmetic on <= 5 segment
+    cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (ev.join(F.broadcast(cust),
+                        ev.user_id == cust.c_custkey)
+                .groupBy("user_id")
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), F.lit(0.0)).alias("y"),
+                     F.min("c_mktsegment").alias("seg"))
+                .withColumn("arm", arm))
+    t_y = F.when(F.col("arm") == 1, F.col("y"))
+    c_y = F.when(F.col("arm") == 0, F.col("y"))
+    cells = (per_user.groupBy("seg")
+             .agg(F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                  .cast("double").alias("nt"),
+                  F.avg(t_y).alias("mt"), F.var_samp(t_y).alias("vt"),
+                  F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                  .cast("double").alias("nc"),
+                  F.avg(c_y).alias("mc"), F.var_samp(c_y).alias("vc")))
+    eff = (cells.filter((F.col("nt") > 1) & (F.col("nc") > 1))
+           .withColumn("d", F.col("mt") - F.col("mc"))
+           .withColumn("v", F.col("vt") / F.col("nt")
+                       + F.col("vc") / F.col("nc")))
+    wtd = eff.filter(F.col("v") > 0).withColumn("w", 1 / F.col("v"))
+    pooled = wtd.agg((F.sum(F.col("w") * F.col("d")) / F.sum("w"))
+                     .alias("pe"),
+                     F.count(F.lit(1)).cast("double").alias("k"))
+    q = (wtd.crossJoin(F.broadcast(pooled))
+         .agg(F.min("pe").alias("pe"), F.min("k").alias("k"),
+              F.sum(F.col("w") * (F.col("d") - F.col("pe"))
+                    * (F.col("d") - F.col("pe"))).alias("qstat")))
+    return (wtd.crossJoin(F.broadcast(q))
+            .groupBy("seg", "nt", "nc", "d")
+            .agg(F.round(F.min("pe"), 6).alias("pooled_effect"),
+                 F.round(F.min("qstat"), 6).alias("cochran_q"),
+                 F.round(F.greatest(
+                     F.lit(0.0),
+                     (F.min("qstat") - (F.min("k") - 1))
+                     / F.nullif(F.min("qstat"), F.lit(0.0))), 6)
+                 .alias("i_squared"))
+            .select("seg",
+                    F.col("nt").cast("bigint").alias("n_treat"),
+                    F.col("nc").cast("bigint").alias("n_ctrl"),
+                    F.round("d", 6).alias("effect"),
+                    "pooled_effect", "cochran_q", "i_squared")
+            .orderBy("seg"))
+
+
+@register(
+    "q314_threshold_selection",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                     12) AS score,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    th AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10,11,12]) AS t),
+    conf AS (
+        SELECT th.t,
+               sum(CASE WHEN score >= th.t AND label = 1
+                        THEN 1 ELSE 0 END)::DOUBLE AS tp,
+               sum(CASE WHEN score >= th.t AND label = 0
+                        THEN 1 ELSE 0 END)::DOUBLE AS fp,
+               sum(CASE WHEN score < th.t AND label = 1
+                        THEN 1 ELSE 0 END)::DOUBLE AS fn,
+               sum(CASE WHEN score < th.t AND label = 0
+                        THEN 1 ELSE 0 END)::DOUBLE AS tn
+        FROM per_user CROSS JOIN th
+        GROUP BY th.t
+    ),
+    scored AS (
+        SELECT t, tp, fp, fn, tn,
+               tp / nullif(tp + fp, 0) AS prec,
+               tp / nullif(tp + fn, 0) AS rec,
+               2 * tp / nullif(2 * tp + fp + fn, 0) AS f1,
+               tp / nullif(tp + fn, 0) + tn / nullif(tn + fp, 0) - 1
+                   AS youden
+        FROM conf
+    )
+    SELECT CAST(t AS BIGINT) AS threshold,
+           round(coalesce(prec, 0), 6) AS precision_,
+           round(coalesce(rec, 0), 6) AS recall_,
+           round(coalesce(f1, 0), 6) AS f1,
+           round(coalesce(youden, 0), 6) AS youden_j,
+           CAST(CASE WHEN f1 = max(f1) OVER () THEN 1 ELSE 0 END AS BIGINT)
+               AS is_best_f1
+    FROM scored
+    ORDER BY threshold
+    """,
+)
+def q314_threshold_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold selection for the engagement-score classifier:
+    the full confusion matrix at every candidate threshold in one
+    aggregation pass (threshold dimension broadcast against the per-user
+    residue, exactly q282's candidate-evaluation shape), scored with
+    precision / recall / F1 / Youden's J, and the F1-argmax flagged. The
+    companion to q265's threshold-free AUC — AUC says the score ranks
+    well, this says where to CUT it."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                                   .otherwise(0)), F.lit(12)).alias("score"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).alias("label")))
+    th = spark.range(1, 13).select(F.col("id").alias("t"))
+    pos = F.col("score") >= F.col("t")
+    conf = (per_user.crossJoin(F.broadcast(th))
+            .groupBy("t")
+            .agg(*[e.cast("double").alias(a) for e, a in [
+                (F.sum(F.when(pos & (F.col("label") == 1), 1).otherwise(0)),
+                 "tp"),
+                (F.sum(F.when(pos & (F.col("label") == 0), 1).otherwise(0)),
+                 "fp"),
+                (F.sum(F.when(~pos & (F.col("label") == 1), 1).otherwise(0)),
+                 "fn"),
+                (F.sum(F.when(~pos & (F.col("label") == 0), 1).otherwise(0)),
+                 "tn")]]))
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0.0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0.0))
+    f1 = 2 * F.col("tp") / F.nullif(2 * F.col("tp") + F.col("fp")
+                                    + F.col("fn"), F.lit(0.0))
+    spec = F.col("tn") / F.nullif(F.col("tn") + F.col("fp"), F.lit(0.0))
+    scored = (conf.withColumn("prec", prec).withColumn("rec", rec)
+              .withColumn("f1", f1).withColumn("youden", rec + spec - 1))
+    return (scored.select(
+        F.col("t").cast("bigint").alias("threshold"),
+        F.round(F.coalesce("prec", F.lit(0.0)), 6).alias("precision_"),
+        F.round(F.coalesce("rec", F.lit(0.0)), 6).alias("recall_"),
+        F.round(F.coalesce("f1", F.lit(0.0)), 6).alias("f1"),
+        F.round(F.coalesce("youden", F.lit(0.0)), 6).alias("youden_j"),
+        F.when(F.col("f1") == F.max("f1").over(Window.partitionBy()), 1)
+        .otherwise(0).cast("bigint").alias("is_best_f1"))
+        .orderBy("threshold"))

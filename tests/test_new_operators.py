@@ -1022,3 +1022,64 @@ def test_horvitz_thompson_reasonable_estimate(spark, sf_dir):
     assert 0 < r["n_sampled"] < r["n_population"]
     # HT is unbiased; on the fixture one deterministic draw lands within 20%
     assert r["rel_error"] < 0.2
+
+
+def test_effect_heterogeneity_consistency(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q313_effect_heterogeneity,
+    )
+
+    out = q313_effect_heterogeneity(spark, sf_dir).collect()
+    if not out:  # tiny SF can have degenerate cells; structure test only
+        return
+    pooled = out[0]["pooled_effect"]
+    # pooled effect is shared and lies within the per-segment effect range
+    assert all(r["pooled_effect"] == pooled for r in out)
+    effs = [r["effect"] for r in out]
+    assert min(effs) - 1e-9 <= pooled <= max(effs) + 1e-9
+    assert all(0.0 <= r["i_squared"] <= 1.0 for r in out)
+
+
+def test_threshold_selection_confusion_consistency(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q314_threshold_selection,
+    )
+
+    out = q314_threshold_selection(spark, sf_dir).collect()
+    assert len(out) == 12
+    # recall is non-increasing in the threshold; exactly >=1 best-F1 rows
+    recalls = [r["recall_"] for r in out]
+    assert recalls == sorted(recalls, reverse=True)
+    assert sum(r["is_best_f1"] for r in out) >= 1
+    best = max(r["f1"] for r in out)
+    assert all((r["f1"] == best) == bool(r["is_best_f1"]) for r in out)
+
+
+def test_kneser_ney_discount_properties(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q315_kneser_ney,
+    )
+
+    out = q315_kneser_ney(spark, sf_dir).collect()
+    assert 0 < len(out) <= 25
+    for r in out:
+        assert 0.0 < r["p_kn"] <= 1.0
+        # for high-count bigrams discount and back-off nearly cancel;
+        # KN never exceeds MLE by more than the back-off mass share
+        assert abs(r["p_kn"] - r["p_mle"]) < 0.05
+
+
+def test_scaling_curve_more_data_not_worse(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q316_scaling_curve,
+    )
+
+    out = q316_scaling_curve(spark, sf_dir).collect()
+    assert [r["n_train_buckets"] for r in out] == [1, 2, 4, 7]
+    toks = [r["train_tokens"] for r in out]
+    assert toks == sorted(toks)  # nested subsets grow
+    # held-out cross-entropy should not INCREASE materially with more data
+    ces = [r["cross_entropy"] for r in out]
+    assert ces[-1] <= ces[0] + 0.05
+    slope = out[0]["scaling_slope"]
+    assert all(r["scaling_slope"] == slope for r in out)
