@@ -2252,3 +2252,67 @@ def q314_threshold_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("f1") == F.max("f1").over(Window.partitionBy()), 1)
         .otherwise(0).cast("bigint").alias("is_best_f1"))
         .orderBy("threshold"))
+
+
+@register(
+    "q319_mde_power",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0) AS y,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                          AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm
+        FROM events GROUP BY user_id
+    ),
+    moments AS (
+        SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS nt,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::DOUBLE AS nc,
+               var_samp(y) AS v, avg(y) AS mean_y
+        FROM per_user
+    )
+    SELECT CAST(nt AS BIGINT) AS n_treat,
+           CAST(nc AS BIGINT) AS n_ctrl,
+           round(mean_y, 4) AS mean_outcome,
+           round(sqrt(v), 4) AS sd_outcome,
+           round((1.959964 + 0.841621) * sqrt(v / nt + v / nc), 4)
+               AS mde_absolute,
+           round((1.959964 + 0.841621) * sqrt(v / nt + v / nc)
+                 / nullif(mean_y, 0), 6) AS mde_relative
+    FROM moments
+    """,
+)
+def q319_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for the
+    per-user purchase-value metric under q261's hash split — the DESIGN
+    half of the experiment plane (q163/q261/q290/q308/q313 are all
+    readouts): MDE = (z_{0.975} + z_{0.80}) * SE of the arm difference,
+    with the standard constants 1.959964 and 0.841621 as exact literals so
+    both engines agree to the bit. Read it as "don't bother launching
+    unless you expect at least an mde_relative lift". One per-user
+    reduction, one moments row, pure residue arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), F.lit(0.0)).alias("y"))
+                .withColumn("arm", arm))
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double")
+        .alias("nt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double")
+        .alias("nc"),
+        F.var_samp("y").alias("v"), F.avg("y").alias("mean_y"))
+    mde = (1.959964 + 0.841621) * F.sqrt(F.col("v") / F.col("nt")
+                                         + F.col("v") / F.col("nc"))
+    return m.select(
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round("mean_y", 4).alias("mean_outcome"),
+        F.round(F.sqrt("v"), 4).alias("sd_outcome"),
+        F.round(mde, 4).alias("mde_absolute"),
+        F.round(mde / F.nullif(F.col("mean_y"), F.lit(0.0)), 6)
+        .alias("mde_relative"))

@@ -1946,3 +1946,137 @@ def q307_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.round(F.corr(F.col("a.y"), F.col("by")), 6).alias("acf"))
             .orderBy("lag"))
+
+
+@register(
+    "q317_anomaly_attribution",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               event_type, count(*)::DOUBLE AS c
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT d, sum(c) AS tot FROM daily GROUP BY d
+    ),
+    zs AS (
+        SELECT d, tot,
+               (tot - avg(tot) OVER ()) / stddev_samp(tot) OVER () AS z
+        FROM totals
+    ),
+    scored AS (
+        SELECT d, tot, z,
+               row_number() OVER (ORDER BY abs(z) DESC, d) AS rnk
+        FROM zs
+    ),
+    base AS (
+        SELECT event_type, avg(c) AS base_c FROM daily GROUP BY event_type
+    )
+    SELECT s.d AS day_idx, round(s.z, 4) AS day_z,
+           dl.event_type AS event_type,
+           CAST(dl.c AS BIGINT) AS n_events,
+           round(dl.c - b.base_c, 4) AS excess,
+           round((dl.c - b.base_c)
+                 / sum(dl.c - b.base_c) OVER (PARTITION BY s.d), 6)
+               AS excess_share
+    FROM scored s
+    JOIN daily dl ON dl.d = s.d
+    JOIN base b ON b.event_type = dl.event_type
+    WHERE s.rnk <= 3
+    ORDER BY day_idx, dl.event_type
+    """,
+)
+def q317_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly ATTRIBUTION — the step after detection (q192/q285) that ops
+    actually needs: for the three most anomalous days (|z| of daily total
+    volume), decompose the excess over each event type's own daily
+    baseline into signed shares that sum to 1 per day — "the spike on day
+    14 was 80% error events". The per-type baseline is a 5-row broadcast;
+    the day ranking runs on the daily residue; nothing re-reads the
+    fact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"),
+        "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    totals = daily.groupBy("d").agg(F.sum("c").alias("tot"))
+    everything = Window.partitionBy()
+    z = ((F.col("tot") - F.avg("tot").over(everything))
+         / F.stddev_samp("tot").over(everything))
+    scored = (totals.withColumn("z", z)
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.desc(F.abs(F.col("z"))), "d"))))
+    base = daily.groupBy("event_type").agg(F.avg("c").alias("base_c"))
+    day_w = Window.partitionBy("d")
+    return (scored.filter(F.col("rnk") <= 3)
+            .join(daily, "d")
+            .join(F.broadcast(base), "event_type")
+            .select(F.col("d").alias("day_idx"),
+                    F.round("z", 4).alias("day_z"),
+                    "event_type",
+                    F.col("c").cast("bigint").alias("n_events"),
+                    F.round(F.col("c") - F.col("base_c"), 4).alias("excess"),
+                    F.round((F.col("c") - F.col("base_c"))
+                            / F.sum(F.col("c") - F.col("base_c")).over(day_w),
+                            6).alias("excess_share"))
+            .orderBy("day_idx", "event_type"))
+
+
+@register(
+    "q318_session_gap_sweep",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                   AS gap_us
+        FROM events
+    ),
+    th AS (SELECT unnest([300, 900, 1800, 3600]) AS gap_s),
+    stats AS (
+        SELECT th.gap_s,
+               count(*)::DOUBLE AS n_events,
+               sum(CASE WHEN g.gap_us IS NULL
+                         OR g.gap_us > th.gap_s * 1000000::BIGINT
+                        THEN 1 ELSE 0 END)::DOUBLE AS n_sessions
+        FROM gaps g CROSS JOIN th
+        GROUP BY th.gap_s
+    )
+    SELECT CAST(gap_s AS BIGINT) AS gap_seconds,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           round(n_events / n_sessions, 4) AS avg_events_per_session
+    FROM stats
+    ORDER BY gap_seconds
+    """,
+)
+def q318_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-threshold sensitivity sweep — the tuning table that
+    justifies the 30-minute industry default instead of assuming it: for
+    each candidate inactivity gap, the number of sessions (= session
+    starts: first event per user or gap above threshold) and average
+    session size. The expensive part — the per-user lag window — runs
+    ONCE; the four thresholds then broadcast against the materialized gap
+    column, so the sweep costs one aggregation, not four window passes.
+    A stable plateau across thresholds means sessions are robust; a cliff
+    means the metric is an artifact of the cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gaps = ev.select("user_id", (us - prev).alias("gap_us"))
+    th = spark.createDataFrame([(300,), (900,), (1800,), (3600,)],
+                               "gap_s long")
+    is_start = (F.col("gap_us").isNull()
+                | (F.col("gap_us") > F.col("gap_s") * 1000000))
+    return (gaps.crossJoin(F.broadcast(th))
+            .groupBy("gap_s")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_events"),
+                 F.sum(F.when(is_start, 1).otherwise(0)).cast("double")
+                 .alias("n_sessions"))
+            .select(F.col("gap_s").cast("bigint").alias("gap_seconds"),
+                    F.col("n_sessions").cast("bigint").alias("n_sessions"),
+                    F.round(F.col("n_events") / F.col("n_sessions"), 4)
+                    .alias("avg_events_per_session"))
+            .orderBy("gap_seconds"))

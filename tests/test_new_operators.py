@@ -1083,3 +1083,46 @@ def test_scaling_curve_more_data_not_worse(spark, sf_dir):
     assert ces[-1] <= ces[0] + 0.05
     slope = out[0]["scaling_slope"]
     assert all(r["scaling_slope"] == slope for r in out)
+
+
+def test_anomaly_attribution_shares_sum_to_one(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q317_anomaly_attribution,
+    )
+    from collections import defaultdict
+
+    out = q317_anomaly_attribution(spark, sf_dir).collect()
+    days = defaultdict(float)
+    for r in out:
+        days[r["day_idx"]] += r["excess_share"]
+    assert 1 <= len(days) <= 3
+    for total in days.values():
+        assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_session_gap_sweep_monotone(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q318_session_gap_sweep,
+    )
+
+    out = q318_session_gap_sweep(spark, sf_dir).collect()
+    assert [r["gap_seconds"] for r in out] == [300, 900, 1800, 3600]
+    # a longer allowed gap merges sessions: counts fall, sizes grow
+    ns = [r["n_sessions"] for r in out]
+    sz = [r["avg_events_per_session"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert sz == sorted(sz)
+
+
+def test_mde_power_scales_inverse_sqrt_n(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q319_mde_power,
+    )
+
+    r = q319_mde_power(spark, sf_dir).collect()[0]
+    # MDE formula check from the returned moments
+    import math
+    se = r["sd_outcome"] * math.sqrt(1 / r["n_treat"] + 1 / r["n_ctrl"])
+    assert r["mde_absolute"] == pytest.approx((1.959964 + 0.841621) * se,
+                                              rel=1e-3)
+    assert r["mde_relative"] > 0
