@@ -629,3 +629,221 @@ def q301_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("cos"), 6).alias("sd_cos"),
         F.round(F.percentile("cos", 0.05), 6).alias("p05_cos"),
         F.round(F.percentile("cos", 0.95), 6).alias("p95_cos"))
+
+
+@register(
+    "q320_knn_accuracy",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS qid, a.label AS true_label, b.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e))) DESC,
+                            b.vec_id) AS rnk
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, nb_label, count(*) AS c
+        FROM pairs WHERE rnk <= 5
+        GROUP BY qid, true_label, nb_label
+    ),
+    pred AS (
+        SELECT qid, true_label, nb_label AS pred_label
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY c DESC, nb_label) = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN pred_label = true_label
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+)
+def q320_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification accuracy on the labeled embedding
+    corpus — the standard probe of whether an embedding space separates
+    classes, run entirely as relational ops: cosine all-pairs (the exact
+    baseline, same contract as q44 — at scale the candidate pairs come
+    from LSH q45/IVF q71 instead), per-query top-5 window, majority vote
+    as a count + rank (ties broken toward the smaller label on both
+    engines), per-class accuracy. Complements q254's centroid margin: the
+    margin says classes have distinct means, accuracy says NEIGHBORHOODS
+    are pure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label",
+                   _as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("true_label"),
+                 F.col("e").alias("qe"))
+    b = v.select(F.col("vec_id").alias("nid"),
+                 F.col("label").alias("nb_label"),
+                 F.col("e").alias("ne"))
+    pairs = (a.join(b, F.col("qid") != F.col("nid"))
+             .select("qid", "true_label", "nb_label", "nid",
+                     cosine(F.col("qe"), F.col("ne")).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nid")
+    votes = (pairs.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= 5)
+             .groupBy("qid", "true_label", "nb_label")
+             .agg(F.count(F.lit(1)).alias("c")))
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), "nb_label")
+    pred = (votes.withColumn("vr", F.row_number().over(wv))
+            .filter(F.col("vr") == 1)
+            .select("qid", "true_label",
+                    F.col("nb_label").alias("pred_label")))
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (pred.groupBy(F.col("true_label").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.sum(hit).cast("bigint").alias("n_correct"),
+                 F.round(F.avg(hit.cast("double")), 6).alias("accuracy"))
+            .orderBy("label"))
+
+
+@register(
+    "q321_silhouette",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    pd AS (
+        SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+               1 - list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS dist
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    per_cluster AS (
+        SELECT i, li, lj, avg(dist) AS mean_d
+        FROM pd GROUP BY i, li, lj
+    ),
+    ab AS (
+        SELECT i, li,
+               max(CASE WHEN lj = li THEN mean_d END) AS a,
+               min(CASE WHEN lj <> li THEN mean_d END) AS b
+        FROM per_cluster GROUP BY i, li
+    ),
+    sil AS (
+        SELECT i, li, (b - a) / greatest(a, b) AS s
+        FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+    )
+    SELECT li AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(s), 6) AS mean_silhouette,
+           round(sum(avg(s) * count(*)) OVER () / sum(count(*)) OVER (), 6)
+               AS overall_silhouette
+    FROM sil
+    GROUP BY li
+    ORDER BY label
+    """,
+)
+def q321_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette coefficient of the label partition in embedding space
+    (cosine distance): a(i) = mean distance to own cluster, b(i) = nearest
+    other cluster's mean distance, s = (b-a)/max(a,b), averaged per label
+    and size-weighted overall. The clustering-quality number that punishes
+    both loose clusters AND close neighbors, where q254's margin only
+    sees centroids. All-pairs on the bounded eval corpus (at 100 TB:
+    sampled, or per-candidate via LSH buckets); the per-(point, cluster)
+    reduction is one groupBy, the rest is residue arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label",
+                   _as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("i"), F.col("label").alias("li"),
+                 F.col("e").alias("ae"))
+    b = v.select(F.col("vec_id").alias("j"), F.col("label").alias("lj"),
+                 F.col("e").alias("be"))
+    pd_ = (a.join(b, F.col("i") != F.col("j"))
+           .select("i", "li", "lj",
+                   (1 - cosine(F.col("ae"), F.col("be"))).alias("dist")))
+    per_cluster = (pd_.groupBy("i", "li", "lj")
+                   .agg(F.avg("dist").alias("mean_d")))
+    ab = (per_cluster.groupBy("i", "li")
+          .agg(F.max(F.when(F.col("lj") == F.col("li"), F.col("mean_d")))
+               .alias("a"),
+               F.min(F.when(F.col("lj") != F.col("li"), F.col("mean_d")))
+               .alias("b")))
+    sil = (ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .select("li", ((F.col("b") - F.col("a"))
+                          / F.greatest("a", "b")).alias("s")))
+    grp = sil.groupBy(F.col("li").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("s").alias("ms"))
+    everything = Window.partitionBy()
+    return (grp.select(
+        "label", F.col("n").cast("bigint").alias("n_vectors"),
+        F.round("ms", 6).alias("mean_silhouette"),
+        F.round(F.sum(F.col("ms") * F.col("n")).over(everything)
+                / F.sum("n").over(everything), 6)
+        .alias("overall_silhouette"))
+        .orderBy("label"))
+
+
+@register(
+    "q322_intrinsic_dimension",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    nn AS (
+        SELECT a.vec_id AS i,
+               list_distance(a.e, b.e) AS d,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY list_distance(a.e, b.e), b.vec_id)
+                   AS rnk
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    two AS (
+        SELECT i,
+               max(CASE WHEN rnk = 1 THEN d END) AS r1,
+               max(CASE WHEN rnk = 2 THEN d END) AS r2
+        FROM nn WHERE rnk <= 2 GROUP BY i
+    ),
+    mu AS (
+        SELECT i, r2 / r1 AS mu FROM two WHERE r1 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(mu), 6) AS mean_mu,
+           round(count(*) / sum(ln(mu)), 4) AS id_twonn
+    FROM mu
+    """,
+)
+def q322_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al.): the MLE id = n / sum(ln(r2/r1)) over each point's two
+    nearest-neighbor euclidean distances. A 64-dim embedding whose
+    intrinsic dimension is ~8 wastes 7/8ths of its storage AND its
+    distance contrast — this number decides whether q200's truncation or
+    q90's quantization is safe. Exact all-pairs on the bounded corpus
+    with a top-2 window (at scale: candidate pairs from LSH buckets, the
+    estimator is unchanged); points with duplicate coordinates (r1 = 0)
+    are excluded on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("i"), F.col("e").alias("ae"))
+    b = v.select(F.col("vec_id").alias("j"), F.col("e").alias("be"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("ae"), F.col("be"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("i").orderBy("d", "j")
+    nn = (a.join(b, F.col("i") != F.col("j"))
+          .select("i", "j", dist.alias("d"))
+          .withColumn("rnk", F.row_number().over(w))
+          .filter(F.col("rnk") <= 2))
+    two = (nn.groupBy("i")
+           .agg(F.max(F.when(F.col("rnk") == 1, F.col("d"))).alias("r1"),
+                F.max(F.when(F.col("rnk") == 2, F.col("d"))).alias("r2")))
+    mu = (two.filter(F.col("r1") > 0)
+          .select((F.col("r2") / F.col("r1")).alias("mu")))
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.avg("mu"), 6).alias("mean_mu"),
+        F.round(F.count(F.lit(1)) / F.sum(F.log("mu")), 4).alias("id_twonn"))

@@ -1126,3 +1126,63 @@ def test_mde_power_scales_inverse_sqrt_n(spark, sf_dir):
     assert r["mde_absolute"] == pytest.approx((1.959964 + 0.841621) * se,
                                               rel=1e-3)
     assert r["mde_relative"] > 0
+
+
+def test_knn_accuracy_perfectly_separated_clusters(spark):
+    # two far-apart clusters of 6 -> leave-one-out 5-NN is 100% correct
+    import gh_archive_data_pipeline_spark.operators.similarity as smod
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q320_knn_accuracy,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.1 * i, 0.0, 1.0], 0))
+        rows.append((10 + i, [-10.0 - 0.1 * i, 0.1, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: emb
+        smod.load_table = lambda sp, d, n: emb
+        out = {r["label"]: r for r in q320_knn_accuracy(spark, "u").collect()}
+    finally:
+        readers.load_table = orig
+        smod.load_table = orig
+    assert out[0]["accuracy"] == 1.0 and out[1]["accuracy"] == 1.0
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    import gh_archive_data_pipeline_spark.operators.similarity as smod
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q321_silhouette,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.001 * i, 0.0], 0))
+        rows.append((10 + i, [-0.001 * i, 0.0, 1.0], 1))  # orthogonal
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: emb
+        smod.load_table = lambda sp, d, n: emb
+        out = q321_silhouette(spark, "u").collect()
+    finally:
+        readers.load_table = orig
+        smod.load_table = orig
+    assert all(r["mean_silhouette"] > 0.9 for r in out)
+
+
+def test_intrinsic_dimension_positive_and_finite(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q322_intrinsic_dimension,
+    )
+
+    r = q322_intrinsic_dimension(spark, sf_dir).collect()[0]
+    assert r["n_points"] > 0
+    assert r["mean_mu"] >= 1.0  # r2 >= r1 by construction
+    assert 0 < r["id_twonn"] < 200
