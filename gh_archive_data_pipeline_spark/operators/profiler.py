@@ -9,7 +9,7 @@ is exactly how a 100 TB profile must run (Deequ does the same internally).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -216,3 +216,69 @@ def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.any_value("mad_price"), 2).alias("mad_price"),
                  F.sum(F.when(F.col("adev") > 3 * F.col("mad_price"), 1)
                        .otherwise(0)).cast("bigint").alias("n_outliers")))
+
+
+@register(
+    "q325_kmv_sketch",
+    sql="""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('kmv-' || event_type || '-'
+                                        || user_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u) AS rnk,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(min(nd) AS BIGINT) AS exact_distinct,
+           round(CASE WHEN min(nd) <= 64 THEN min(nd)::DOUBLE
+                      ELSE 63.0 / max(CASE WHEN rnk = 64 THEN u END)
+                 END, 4) AS kmv_estimate,
+           round(abs(CASE WHEN min(nd) <= 64 THEN min(nd)::DOUBLE
+                          ELSE 63.0 / max(CASE WHEN rnk = 64 THEN u END)
+                     END - min(nd)) / min(nd), 6) AS rel_error
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q325_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k = 64) per event type,
+    with its error measured against the exact count in the same result.
+    Unlike HLL (q34/q100 — engine-private register layouts, rows-only
+    checkable), KMV built on an explicit md5-uniform IS deterministic
+    and engine-portable: the estimate (k-1)/u_(k) reproduces bit-for-bit
+    in any system that can hash and sort, which makes sketch results
+    AUDITABLE across engine migrations — the property this query
+    demonstrates by being value-checked against DuckDB. Mergeability at
+    100 TB: per-partition bottom-k sets union and re-truncate (a
+    map-side-combinable agg); the window form here is the bounded-residue
+    equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("kmv-"), F.col("event_type"), F.lit("-"),
+                       F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
+    w = Window.partitionBy("event_type").orderBy("u")
+    wc = Window.partitionBy("event_type")
+    ranked = (du.select("event_type", u.alias("u"))
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("nd", F.count(F.lit(1)).over(wc)))
+    kth = F.max(F.when(F.col("rnk") == 64, F.col("u")))
+    est = (F.when(F.min("nd") <= 64, F.min("nd").cast("double"))
+           .otherwise(63.0 / kth))
+    return (ranked.groupBy("event_type")
+            .agg(F.min("nd").cast("bigint").alias("exact_distinct"),
+                 F.round(est, 4).alias("kmv_estimate"),
+                 F.round(F.abs(est - F.min("nd")) / F.min("nd"), 6)
+                 .alias("rel_error"))
+            .orderBy("event_type"))

@@ -318,3 +318,112 @@ def q209_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-rolled loops in operators/graph.py, but driven by the engine."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rec_v")
     return spark.sql(_REACH_SQL.format(events="events_rec_v"))
+
+
+@register(
+    "q323_q22_shape",
+    sql="""
+    WITH pos_avg AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    ),
+    cut AS (
+        SELECT max(epoch_us(o_orderdate)) - 5184000000000 AS c FROM orders
+    ),
+    rich_idle AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CAST(c.c_nationkey % 5 AS BIGINT) AS cntry_grp
+        FROM customer c CROSS JOIN pos_avg p CROSS JOIN cut
+        WHERE c.c_acctbal > p.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND epoch_us(o.o_orderdate) > cut.c)
+    )
+    SELECT cntry_grp,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM rich_idle
+    GROUP BY cntry_grp
+    ORDER BY cntry_grp
+    """,
+)
+def q323_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (Global Sales Opportunity): customers with
+    above-average positive balances and no RECENT orders (a 60-day
+    recency window replaces the original's no-orders-ever, which the
+    fixture's dense order history would leave empty), counted per country
+    group (nationkey bucket stands in for the phone prefix the fixture
+    lacks). The classic three-part composite: an uncorrelated scalar
+    subquery (broadcast one row), an anti join against orders (broadcast
+    the filtered customer side, never shuffle the fact), and a grouped
+    rollup of the survivors — each piece exists alone (q66, q08, q01);
+    this pins their composition, which is where optimizers historically
+    get Q22 wrong."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql("""
+        WITH pos_avg AS (
+            SELECT avg(c_acctbal) AS ab FROM customer_v WHERE c_acctbal > 0
+        ),
+        cut AS (
+            SELECT max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))
+                   - 5184000000000 AS c
+            FROM orders_v
+        ),
+        rich_idle AS (
+            SELECT c.c_custkey, c.c_acctbal,
+                   CAST(c.c_nationkey % 5 AS BIGINT) AS cntry_grp
+            FROM customer_v c CROSS JOIN pos_avg p CROSS JOIN cut
+            WHERE c.c_acctbal > p.ab
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders_v o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND unix_micros(CAST(o.o_orderdate AS TIMESTAMP)) > cut.c)
+        )
+        SELECT cntry_grp,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM rich_idle
+        GROUP BY cntry_grp
+        ORDER BY cntry_grp
+    """)
+
+
+@register(
+    "q324_q16_shape",
+    sql="""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23'
+      AND p.p_size IN (10, 20, 30, 40)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 20
+    """,
+)
+def q324_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (Parts/Supplier Relationship): how many distinct
+    suppliers can deliver parts of each surviving (brand, size) combo,
+    excluding one brand, restricting sizes, and dropping complained-about
+    suppliers via NOT IN (suppliers in deficit). Exercises the null-aware
+    anti join NOT IN compiles to, dimension-filter pushdown into the part
+    scan, and grouped COUNT(DISTINCT) over a join — the exact composite
+    the benchmark designed Q16 to stress."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql("""
+        SELECT p.p_brand, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem_v l
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#23'
+          AND p.p_size IN (10, 20, 30, 40)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_v
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+        LIMIT 20
+    """)

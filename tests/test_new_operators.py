@@ -1186,3 +1186,42 @@ def test_intrinsic_dimension_positive_and_finite(spark, sf_dir):
     assert r["n_points"] > 0
     assert r["mean_mu"] >= 1.0  # r2 >= r1 by construction
     assert 0 < r["id_twonn"] < 200
+
+
+def test_q22_shape_buckets_partition_customers(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.plans.subqueries import (
+        q323_q22_shape,
+    )
+
+    out = q323_q22_shape(spark, sf_dir).collect()
+    assert all(0 <= r["cntry_grp"] <= 4 for r in out)
+    assert all(r["n_custs"] > 0 for r in out)
+    # above-average balances: per-bucket average beats a loose floor
+    for r in out:
+        assert r["total_acctbal"] / r["n_custs"] > 0
+
+
+def test_q16_shape_excludes_brand(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.plans.subqueries import (
+        q324_q16_shape,
+    )
+
+    out = q324_q16_shape(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    assert all(r["p_brand"] != "Brand#23" for r in out)
+    assert all(r["p_size"] in (10, 20, 30, 40) for r in out)
+    cnts = [r["supplier_cnt"] for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_kmv_estimate_within_theory_bound(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.profiler import (
+        q325_kmv_sketch,
+    )
+
+    out = q325_kmv_sketch(spark, sf_dir).collect()
+    assert len(out) == 5
+    for r in out:
+        # k=64 -> relative SE ~ 1/sqrt(62) ~ 12.7%; allow 4 sigma
+        assert r["rel_error"] < 0.51
+        assert r["kmv_estimate"] > 0
