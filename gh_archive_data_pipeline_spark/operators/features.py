@@ -2316,3 +2316,225 @@ def q319_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 4).alias("mde_absolute"),
         F.round(mde / F.nullif(F.col("mean_y"), F.lit(0.0)), 6)
         .alias("mde_relative"))
+
+
+@register(
+    "q326_join_size_estimate",
+    sql="""
+    WITH ha AS (
+        SELECT o_custkey % 16 AS b, count(*)::DOUBLE AS na,
+               count(DISTINCT o_custkey)::DOUBLE AS da
+        FROM orders GROUP BY 1
+    ),
+    hb AS (
+        SELECT c_custkey % 16 AS b, count(*)::DOUBLE AS nb,
+               count(DISTINCT c_custkey)::DOUBLE AS db
+        FROM customer GROUP BY 1
+    ),
+    est AS (
+        SELECT sum(ha.na * hb.nb / greatest(ha.da, hb.db)) AS est_rows
+        FROM ha JOIN hb USING (b)
+    ),
+    actual AS (
+        SELECT count(*)::DOUBLE AS act_rows
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT CAST(round(e.est_rows, 0) AS BIGINT) AS estimated_rows,
+           CAST(a.act_rows AS BIGINT) AS actual_rows,
+           round(abs(e.est_rows - a.act_rows) / a.act_rows, 6) AS rel_error
+    FROM est e CROSS JOIN actual a
+    """,
+)
+def q326_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join cardinality estimation — the formula inside
+    every cost-based optimizer, run as a query so its accuracy is
+    measurable: bucket both join keys into 16 hash buckets, estimate the
+    per-bucket join output as na*nb/max(distinct_a, distinct_b) (the
+    uniform-frequency assumption), sum, and compare against the true join
+    count. A large rel_error on YOUR key distribution is exactly when the
+    optimizer mis-plans this join at 100 TB and an explicit broadcast /
+    salting hint earns its keep (q74/q75). Histograms are 16-row
+    residues; only the ground-truth join touches data at full width."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ha = (orders.groupBy((F.col("o_custkey") % 16).alias("b"))
+          .agg(F.count(F.lit(1)).cast("double").alias("na"),
+               F.count_distinct("o_custkey").cast("double").alias("da")))
+    hb = (cust.groupBy((F.col("c_custkey") % 16).alias("b"))
+          .agg(F.count(F.lit(1)).cast("double").alias("nb"),
+               F.count_distinct("c_custkey").cast("double").alias("db")))
+    est = (ha.join(hb, "b")
+           .agg(F.sum(F.col("na") * F.col("nb")
+                      / F.greatest("da", "db")).alias("est_rows")))
+    actual = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+              .agg(F.count(F.lit(1)).cast("double").alias("act_rows")))
+    return (est.crossJoin(F.broadcast(actual))
+            .select(F.round("est_rows", 0).cast("bigint")
+                    .alias("estimated_rows"),
+                    F.col("act_rows").cast("bigint").alias("actual_rows"),
+                    F.round(F.abs(F.col("est_rows") - F.col("act_rows"))
+                            / F.col("act_rows"), 6).alias("rel_error")))
+
+
+@register(
+    "q327_huber_regression",
+    sql="""
+    WITH pts AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    ols AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS b1,
+               avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0
+        FROM pts
+    ),
+    resid AS (
+        SELECT p.x, p.y, abs(p.y - o.b0 - o.b1 * p.x) AS ar
+        FROM pts p CROSS JOIN ols o
+    ),
+    scale AS (
+        SELECT quantile_cont(ar, 0.5) / 0.6745 AS s FROM resid
+    ),
+    wtd AS (
+        SELECT x, y,
+               least(1.0, 1.345 * sc.s / nullif(ar, 0)) AS w
+        FROM resid CROSS JOIN scale sc
+    ),
+    huber AS (
+        SELECT (sum(w * x * y) / sum(w)
+                - (sum(w * x) / sum(w)) * (sum(w * y) / sum(w)))
+               / (sum(w * x * x) / sum(w)
+                  - (sum(w * x) / sum(w)) * (sum(w * x) / sum(w))) AS hb1,
+               sum(w * y) / sum(w) AS wy, sum(w * x) / sum(w) AS wx,
+               count(*)::DOUBLE AS n, sum(CASE WHEN w < 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS n_downweighted
+        FROM wtd
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(n_downweighted AS BIGINT) AS n_downweighted,
+           round((SELECT b1 FROM ols), 6) AS ols_slope,
+           round(hb1, 6) AS huber_slope,
+           round(wy - hb1 * wx, 4) AS huber_intercept
+    FROM huber
+    """,
+)
+def q327_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber robust regression (IRLS with the standard c = 1.345
+    tuning and MAD scale): fit OLS, compute robust residual scale
+    (median/0.6745), downweight residuals beyond c*scale with w =
+    min(1, c*s/|r|), refit with weighted moments. Heavy-tailed price data
+    moves OLS; the Huber step pulls the slope back toward the bulk —
+    n_downweighted says how many rows were doing the pulling. Three
+    aggregate passes over the fact (moments, residual quantile, weighted
+    moments) with only scalar broadcasts between: the iterative-
+    reweighting pattern expressed in aggregates, extendable to k steps
+    by repetition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(F.col("l_quantity").alias("x"),
+                    F.col("l_extendedprice").alias("y"))
+    b1 = F.covar_pop("x", "y") / F.var_pop("x")
+    ols = pts.agg(b1.alias("b1"),
+                  (F.avg("y") - b1 * F.avg("x")).alias("b0"))
+    resid = (pts.crossJoin(F.broadcast(ols))
+             .withColumn("ar", F.abs(F.col("y") - F.col("b0")
+                                     - F.col("b1") * F.col("x"))))
+    scale = resid.agg((F.percentile("ar", 0.5) / 0.6745).alias("s"))
+    wtd = (resid.crossJoin(F.broadcast(scale))
+           .withColumn("w", F.least(
+               F.lit(1.0),
+               1.345 * F.col("s") / F.nullif(F.col("ar"), F.lit(0.0)))))
+    sw = F.sum("w")
+    wx, wy = F.sum(F.col("w") * F.col("x")) / sw, \
+        F.sum(F.col("w") * F.col("y")) / sw
+    hb1 = ((F.sum(F.col("w") * F.col("x") * F.col("y")) / sw - wx * wy)
+           / (F.sum(F.col("w") * F.col("x") * F.col("x")) / sw - wx * wx))
+    huber = wtd.agg(hb1.alias("hb1"), wy.alias("wy"), wx.alias("wx"),
+                    F.count(F.lit(1)).cast("double").alias("n"),
+                    F.sum(F.when(F.col("w") < 1, 1).otherwise(0))
+                    .cast("double").alias("n_downweighted"))
+    return (huber.crossJoin(F.broadcast(ols))
+            .select(F.col("n").cast("bigint").alias("n_rows"),
+                    F.col("n_downweighted").cast("bigint")
+                    .alias("n_downweighted"),
+                    F.round("b1", 6).alias("ols_slope"),
+                    F.round("hb1", 6).alias("huber_slope"),
+                    F.round(F.col("wy") - F.col("hb1") * F.col("wx"), 4)
+                    .alias("huber_intercept")))
+
+
+@register(
+    "q328_diff_in_diff",
+    sql="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS mid_us
+        FROM events
+    ),
+    cells AS (
+        SELECT CASE WHEN c.c_nationkey % 5 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN epoch_us(e.ts) > b.mid_us THEN 1 ELSE 0 END
+                   AS post,
+               e.value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        CROSS JOIN bounds b
+        WHERE e.event_type = 'purchase'
+    ),
+    m AS (
+        SELECT treated, post, avg(value) AS mv, count(*)::DOUBLE AS n,
+               var_samp(value) AS v
+        FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+        SELECT max(CASE WHEN treated = 1 AND post = 1 THEN mv END) AS t1,
+               max(CASE WHEN treated = 1 AND post = 0 THEN mv END) AS t0,
+               max(CASE WHEN treated = 0 AND post = 1 THEN mv END) AS c1,
+               max(CASE WHEN treated = 0 AND post = 0 THEN mv END) AS c0,
+               sum(v / n) AS var_did
+        FROM m
+    )
+    SELECT round(t1 - t0, 4) AS treated_change,
+           round(c1 - c0, 4) AS control_change,
+           round((t1 - t0) - (c1 - c0), 4) AS did_estimate,
+           round(sqrt(var_did), 4) AS did_se,
+           round(((t1 - t0) - (c1 - c0)) / sqrt(var_did), 6) AS did_z
+    FROM wide
+    """,
+)
+def q328_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: purchase value change for a "treated"
+    customer group (one nation bucket) net of the change every other
+    group experienced — the quasi-experimental estimator for rollouts
+    that CAN'T be randomized (q261/q290 need a real split; DiD needs
+    only a before/after and a comparison group). Four cell means from one
+    reduction, the 2x2 double difference, and its SE from summed cell
+    variances. Parallel-trends is the assumption to check — q307's ACF
+    and q298's trend test on the PRE period are the diagnostics."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = ev.agg(((F.unix_micros(F.min("ts").cast("timestamp"))
+                      + F.unix_micros(F.max("ts").cast("timestamp"))) / 2)
+                    .alias("mid_us"))
+    cells = (ev.filter(F.col("event_type") == "purchase")
+             .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+             .crossJoin(F.broadcast(bounds))
+             .select(F.when(F.col("c_nationkey") % 5 == 0, 1).otherwise(0)
+                     .alias("treated"),
+                     F.when(F.unix_micros(F.col("ts").cast("timestamp"))
+                            > F.col("mid_us"), 1).otherwise(0).alias("post"),
+                     "value"))
+    m = (cells.groupBy("treated", "post")
+         .agg(F.avg("value").alias("mv"),
+              F.count(F.lit(1)).cast("double").alias("n"),
+              F.var_samp("value").alias("v")))
+    def pick(t, p):
+        return F.max(F.when((F.col("treated") == t) & (F.col("post") == p),
+                            F.col("mv")))
+    wide = m.agg(pick(1, 1).alias("t1"), pick(1, 0).alias("t0"),
+                 pick(0, 1).alias("c1"), pick(0, 0).alias("c0"),
+                 F.sum(F.col("v") / F.col("n")).alias("var_did"))
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    return wide.select(
+        F.round(F.col("t1") - F.col("t0"), 4).alias("treated_change"),
+        F.round(F.col("c1") - F.col("c0"), 4).alias("control_change"),
+        F.round(did, 4).alias("did_estimate"),
+        F.round(F.sqrt("var_did"), 4).alias("did_se"),
+        F.round(did / F.sqrt("var_did"), 6).alias("did_z"))

@@ -1225,3 +1225,50 @@ def test_kmv_estimate_within_theory_bound(spark, sf_dir):
         # k=64 -> relative SE ~ 1/sqrt(62) ~ 12.7%; allow 4 sigma
         assert r["rel_error"] < 0.51
         assert r["kmv_estimate"] > 0
+
+
+def test_join_size_estimate_exact_on_uniform_keys(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q326_join_size_estimate,
+    )
+
+    r = q326_join_size_estimate(spark, sf_dir).collect()[0]
+    # fixture keys are uniform, so the histogram estimate is near-exact
+    assert r["rel_error"] < 0.05
+    assert r["actual_rows"] > 0
+
+
+def test_huber_downweights_planted_outlier(spark):
+    # exact line y=2x plus one wild outlier: OLS bends, Huber stays at 2
+    import gh_archive_data_pipeline_spark.operators.features as fmod
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q327_huber_regression,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = [(float(i % 25 + 1), 2.0 * (i % 25 + 1) + 0.01 * (i % 7))
+            for i in range(200)]
+    rows.append((26.0, 5000.0))  # outlier
+    li = spark.createDataFrame(rows, "l_quantity double, l_extendedprice double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: li
+        fmod.load_table = lambda sp, d, n: li
+        r = q327_huber_regression(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        fmod.load_table = orig
+    assert r["n_downweighted"] >= 1
+    # Huber slope closer to the true 2.0 than OLS
+    assert abs(r["huber_slope"] - 2.0) < abs(r["ols_slope"] - 2.0)
+
+
+def test_did_arithmetic_identity(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q328_diff_in_diff,
+    )
+
+    r = q328_diff_in_diff(spark, sf_dir).collect()[0]
+    assert r["did_estimate"] == pytest.approx(
+        r["treated_change"] - r["control_change"], abs=1e-3)
+    assert r["did_se"] > 0

@@ -452,3 +452,24 @@ def test_q289_sorted_neighborhood_partitions_by_block(spark):
     assert n_win == 1, plan
     # the exchange feeding the window hashes on block, not SinglePartition
     assert "hashpartitioning(block" in plan, plan
+
+
+def test_q324_not_in_compiles_to_null_aware_anti(spark):
+    # NOT IN must become a (null-aware) anti join, never a cross filter
+    plan = plan_of(spark, "q324_q16_shape")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_q320_knn_allpairs_broadcasts_one_side(spark):
+    # the exact all-pairs baseline must broadcast the smaller relation
+    plan = plan_of(spark, "q320_knn_accuracy")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q318_gap_sweep_single_window_pass(spark):
+    import re
+
+    plan = plan_of(spark, "q318_session_gap_sweep")
+    n_win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_win == 1, plan
