@@ -1075,3 +1075,67 @@ def q316_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("xc") * F.col("xc")).over(everything), 6)
         .alias("scaling_slope"))
         .orderBy("n_train_buckets"))
+
+
+@register(
+    "q332_source_influence",
+    sql="""
+    WITH per_doc AS (
+        SELECT source,
+               len(string_split(text, ' '))::DOUBLE AS n_toks,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, count(*)::DOUBLE AS n, sum(ttr) AS s_ttr,
+               sum(n_toks) AS s_toks
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(n) AS tn, sum(s_ttr) AS ts FROM per_source
+    )
+    SELECT p.source,
+           CAST(p.n AS BIGINT) AS n_docs,
+           round(p.s_ttr / p.n, 6) AS source_mean_ttr,
+           round(t.ts / t.tn, 6) AS corpus_mean_ttr,
+           round((t.ts - p.s_ttr) / (t.tn - p.n), 6) AS loo_mean_ttr,
+           round(t.ts / t.tn - (t.ts - p.s_ttr) / (t.tn - p.n), 6)
+               AS influence
+    FROM per_source p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def q332_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on a corpus quality metric
+    (type-token ratio): for each source, what the corpus mean would be
+    WITHOUT it, computed ALGEBRAICALLY from per-source sums — the
+    influence of removing source s is mean - (total - sum_s)/(n - n_s),
+    so k leave-one-out experiments cost ONE scan instead of k re-scans.
+    This is the cheap first pass of data valuation: a source whose
+    removal improves the metric is a deletion candidate before any
+    model-in-the-loop scoring. The same algebra works for any
+    sum-decomposable metric (means, rates, counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = docs.select(
+        "source", F.size(toks).cast("double").alias("n_toks"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("ttr"))
+    per_source = (per_doc.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                       F.sum("ttr").alias("s_ttr"),
+                       F.sum("n_toks").alias("s_toks")))
+    tot = per_source.agg(F.sum("n").alias("tn"), F.sum("s_ttr").alias("ts"))
+    loo = (F.col("ts") - F.col("s_ttr")) / (F.col("tn") - F.col("n"))
+    return (per_source.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("n").cast("bigint").alias("n_docs"),
+                    F.round(F.col("s_ttr") / F.col("n"), 6)
+                    .alias("source_mean_ttr"),
+                    F.round(F.col("ts") / F.col("tn"), 6)
+                    .alias("corpus_mean_ttr"),
+                    F.round(loo, 6).alias("loo_mean_ttr"),
+                    F.round(F.col("ts") / F.col("tn") - loo, 6)
+                    .alias("influence"))
+            .orderBy("source"))

@@ -2538,3 +2538,177 @@ def q328_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 4).alias("did_estimate"),
         F.round(F.sqrt("var_did"), 4).alias("did_se"),
         F.round(did / F.sqrt("var_did"), 6).alias("did_z"))
+
+
+@register(
+    "q329_hill_tail_index",
+    sql="""
+    WITH ranked AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+        FROM orders
+    ),
+    topk AS (
+        SELECT x, rnk,
+               max(CASE WHEN rnk = 201 THEN x END) OVER () AS xk
+        FROM ranked WHERE rnk <= 201
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           round(min(xk), 2) AS threshold,
+           round(1 / avg(ln(x / xk)), 6) AS hill_alpha,
+           round(avg(ln(x / xk)), 6) AS mean_log_excess
+    FROM topk WHERE rnk <= 200
+    """,
+)
+def q329_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-200 order
+    values: alpha = 1 / mean(ln(x_i / x_(k+1))). The continuous-value
+    sibling of q309's discrete power-law fit and q277's Zipf slope —
+    alpha <= 2 means infinite variance (sample means of revenue never
+    stabilize; medians and trimmed means are mandatory), alpha <= 1 means
+    infinite MEAN. One top-k window over the fact (TakeOrdered shape at
+    scale), then residue arithmetic on 200 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = orders.select(F.col("o_totalprice").alias("x"),
+                           F.row_number().over(w).alias("rnk")) \
+        .filter(F.col("rnk") <= 201)
+    everything = Window.partitionBy()
+    topk = ranked.withColumn(
+        "xk", F.max(F.when(F.col("rnk") == 201, F.col("x")))
+        .over(everything))
+    return (topk.filter(F.col("rnk") <= 200)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                 F.round(F.min("xk"), 2).alias("threshold"),
+                 F.round(1 / F.avg(F.log(F.col("x") / F.col("xk"))), 6)
+                 .alias("hill_alpha"),
+                 F.round(F.avg(F.log(F.col("x") / F.col("xk"))), 6)
+                 .alias("mean_log_excess")))
+
+
+@register(
+    "q330_capture_recapture",
+    sql="""
+    WITH du AS (SELECT DISTINCT user_id FROM events),
+    marks AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('cap1-' || user_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 < 0.4 AS s1,
+               CAST(('0x' || substr(md5('cap2-' || user_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 < 0.4 AS s2
+        FROM du
+    )
+    SELECT CAST(count(*) AS BIGINT) AS true_population,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample1,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample2,
+           CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           round((sum(CASE WHEN s1 THEN 1 ELSE 0 END) + 1.0)
+                 * (sum(CASE WHEN s2 THEN 1 ELSE 0 END) + 1.0)
+                 / (sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) + 1.0) - 1,
+                 4) AS chapman_estimate
+    FROM marks
+    """,
+)
+def q330_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) population estimation: two independent
+    deterministic 40% hash samples of the user base; the overlap rate
+    estimates the total population as (n1+1)(n2+1)/(m+1) - 1. This is how
+    you size a population you can only SAMPLE — duplicate pairs a blocking
+    strategy missed (q302's denominator at production scale), users of an
+    unlogged surface — and the query carries its own ground truth for
+    calibration. One distinct + one row of residue arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id").distinct()
+    def mark(salt):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
+            1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)) < 0.4
+    marks = du.select(mark("cap1-").alias("s1"), mark("cap2-").alias("s2"))
+    n1 = F.sum(F.when(F.col("s1"), 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("s2"), 1).otherwise(0))
+    m = F.sum(F.when(F.col("s1") & F.col("s2"), 1).otherwise(0))
+    return marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_population"),
+        n1.cast("bigint").alias("n_sample1"),
+        n2.cast("bigint").alias("n_sample2"),
+        m.cast("bigint").alias("n_both"),
+        F.round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 4)
+        .alias("chapman_estimate"))
+
+
+@register(
+    "q331_quantile_treatment_effect",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0) AS y,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                          AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm
+        FROM events GROUP BY user_id
+    ),
+    wide AS (
+        SELECT quantile_cont(CASE WHEN arm = 1 THEN y END, 0.25) AS t25,
+               quantile_cont(CASE WHEN arm = 0 THEN y END, 0.25) AS c25,
+               quantile_cont(CASE WHEN arm = 1 THEN y END, 0.50) AS t50,
+               quantile_cont(CASE WHEN arm = 0 THEN y END, 0.50) AS c50,
+               quantile_cont(CASE WHEN arm = 1 THEN y END, 0.75) AS t75,
+               quantile_cont(CASE WHEN arm = 0 THEN y END, 0.75) AS c75,
+               quantile_cont(CASE WHEN arm = 1 THEN y END, 0.90) AS t90,
+               quantile_cont(CASE WHEN arm = 0 THEN y END, 0.90) AS c90
+        FROM per_user
+    ),
+    stacked AS (
+        SELECT 0.25 AS quantile, t25 AS qt, c25 AS qc FROM wide
+        UNION ALL SELECT 0.50, t50, c50 FROM wide
+        UNION ALL SELECT 0.75, t75, c75 FROM wide
+        UNION ALL SELECT 0.90, t90, c90 FROM wide
+    )
+    SELECT CAST(quantile AS DOUBLE) AS quantile,
+           round(qt, 4) AS treat_q,
+           round(qc, 4) AS ctrl_q,
+           round(qt - qc, 4) AS qte
+    FROM stacked
+    ORDER BY quantile
+    """,
+)
+def q331_quantile_treatment_effect(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the quartiles and P90: the
+    DISTRIBUTIONAL experiment readout that mean-based estimators
+    (q261/q290/q163) cannot give — a lift concentrated in the top decile
+    with a flat median is a whale effect, not a broad one, and ships a
+    different product decision. Per-arm interpolated quantiles from one
+    per-user reduction with the quantile grid broadcast; Spark
+    `percentile` and DuckDB `quantile_cont` agree exactly (q16's
+    established bridge)."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), F.lit(0.0)).alias("y"))
+                .withColumn("arm", arm))
+    t_y = F.when(F.col("arm") == 1, F.col("y"))
+    c_y = F.when(F.col("arm") == 0, F.col("y"))
+    # percentile percentages must be foldable literals in Spark, so the
+    # quantile grid is 8 aggregate expressions on one row, then stacked
+    wide = per_user.agg(*[
+        F.percentile(col, q).alias(f"{side}_{int(q * 100)}")
+        for q in (0.25, 0.5, 0.75, 0.9)
+        for side, col in (("t", t_y), ("c", c_y))])
+    stacked = wide.select(F.expr(
+        "stack(4, "
+        + ", ".join(f"{q}D, t_{int(q * 100)}, c_{int(q * 100)}"
+                    for q in (0.25, 0.5, 0.75, 0.9))
+        + ") AS (quantile, qt, qc)"))
+    return (stacked.select(
+        "quantile",
+        F.round("qt", 4).alias("treat_q"),
+        F.round("qc", 4).alias("ctrl_q"),
+        F.round(F.col("qt") - F.col("qc"), 4).alias("qte"))
+        .orderBy("quantile"))

@@ -1272,3 +1272,53 @@ def test_did_arithmetic_identity(spark, sf_dir):
     assert r["did_estimate"] == pytest.approx(
         r["treated_change"] - r["control_change"], abs=1e-3)
     assert r["did_se"] > 0
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q329_hill_tail_index,
+    )
+
+    r = q329_hill_tail_index(spark, sf_dir).collect()[0]
+    assert r["k"] == 200
+    assert r["hill_alpha"] > 0
+    assert r["mean_log_excess"] > 0  # top values strictly above threshold
+
+
+def test_capture_recapture_close_to_truth(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q330_capture_recapture,
+    )
+
+    r = q330_capture_recapture(spark, sf_dir).collect()[0]
+    assert r["n_both"] <= min(r["n_sample1"], r["n_sample2"])
+    # Chapman is nearly unbiased; deterministic draw lands within 35%
+    assert abs(r["chapman_estimate"] - r["true_population"]) \
+        < 0.35 * r["true_population"]
+
+
+def test_qte_rows_and_monotone_quantiles(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q331_quantile_treatment_effect,
+    )
+
+    out = q331_quantile_treatment_effect(spark, sf_dir).collect()
+    assert [r["quantile"] for r in out] == [0.25, 0.5, 0.75, 0.9]
+    # quantiles are monotone within each arm
+    assert [r["treat_q"] for r in out] == sorted(r["treat_q"] for r in out)
+    assert [r["ctrl_q"] for r in out] == sorted(r["ctrl_q"] for r in out)
+
+
+def test_source_influence_identity(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q332_source_influence,
+    )
+
+    out = q332_source_influence(spark, sf_dir).collect()
+    assert len(out) == 20
+    corpus = out[0]["corpus_mean_ttr"]
+    for r in out:
+        assert r["corpus_mean_ttr"] == corpus
+        # influence = corpus mean - LOO mean by definition
+        assert r["influence"] == pytest.approx(
+            r["corpus_mean_ttr"] - r["loo_mean_ttr"], abs=2e-6)
