@@ -1139,3 +1139,77 @@ def q332_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("ts") / F.col("tn") - loo, 6)
                     .alias("influence"))
             .orderBy("source"))
+
+
+@register(
+    "q335_burrows_delta",
+    sql="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    top_words AS (
+        SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 20
+    ),
+    src_tot AS (
+        SELECT source, count(*)::DOUBLE AS n FROM tok GROUP BY source
+    ),
+    freqs AS (
+        SELECT t.source, t.w, count(*)::DOUBLE / min(st.n) AS f
+        FROM tok t
+        JOIN top_words tw ON tw.w = t.w
+        JOIN src_tot st ON st.source = t.source
+        GROUP BY t.source, t.w
+    ),
+    zs AS (
+        SELECT source, w,
+               (f - avg(f) OVER (PARTITION BY w))
+                 / stddev_samp(f) OVER (PARTITION BY w) AS z
+        FROM freqs
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_words,
+           round(avg(abs(a.z - b.z)), 6) AS burrows_delta
+    FROM zs a JOIN zs b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY burrows_delta DESC, source_a, source_b
+    LIMIT 15
+    """,
+)
+def q335_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-score each
+    source's relative frequency of the corpus's 20 most common words
+    (function words — the authorship signal that survives topic change),
+    then Delta(a,b) = mean |z_a - z_b|. The top pairs are the most
+    stylistically DIFFERENT sources — the screen for "these two feeds
+    are not interchangeable in the training mix" that q207's KL-vs-corpus
+    can't give pairwise. The vocabulary residue is 20 rows/source; the
+    pairwise join runs on that residue, never on tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    top_words = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.desc("c"), "w").limit(20).select("w"))
+    src_tot = (tok.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    freqs = (tok.join(F.broadcast(top_words), "w")
+             .join(F.broadcast(src_tot), "source")
+             .groupBy("source", "w")
+             .agg((F.count(F.lit(1)).cast("double") / F.min("n"))
+                  .alias("f")))
+    ww = Window.partitionBy("w")
+    zs = freqs.select(
+        "source", "w",
+        ((F.col("f") - F.avg("f").over(ww))
+         / F.stddev_samp("f").over(ww)).alias("z"))
+    a = zs.select(F.col("source").alias("source_a"), "w",
+                  F.col("z").alias("za"))
+    b = zs.select(F.col("source").alias("source_b"),
+                  F.col("w").alias("bw"), F.col("z").alias("zb"))
+    return (a.join(b, (F.col("bw") == F.col("w"))
+                   & (F.col("source_a") < F.col("source_b")))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_words"),
+                 F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6)
+                 .alias("burrows_delta"))
+            .orderBy(F.desc("burrows_delta"), "source_a", "source_b")
+            .limit(15))

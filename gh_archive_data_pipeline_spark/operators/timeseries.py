@@ -2080,3 +2080,110 @@ def q318_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_events") / F.col("n_sessions"), 4)
                     .alias("avg_events_per_session"))
             .orderBy("gap_seconds"))
+
+
+@register(
+    "q333_peak_detection",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT d, y,
+               max(y) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING
+                            AND 1 PRECEDING) AS max_left,
+               max(y) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                            AND 2 FOLLOWING) AS max_right,
+               count(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING
+                              AND 2 FOLLOWING) AS n_ctx
+        FROM daily
+    )
+    SELECT d AS day_idx,
+           CAST(y AS BIGINT) AS n_events,
+           round(y - greatest(max_left, max_right), 4) AS prominence
+    FROM ctx
+    WHERE n_ctx = 5 AND y > max_left AND y > max_right
+    ORDER BY day_idx
+    """,
+)
+def q333_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with prominence on the daily volume series: a
+    day is a peak when it strictly exceeds every neighbor within ±2 days,
+    and its prominence is the margin over the taller shoulder — the
+    signal-processing primitive under campaign-spike reports and q317's
+    attribution (detect first, attribute second). Edge days with a
+    truncated context window are excluded rather than reported with
+    understated shoulders. One frame-bounded window pass over the daily
+    residue; series-partitioned at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    wl = Window.orderBy("d").rowsBetween(-2, -1)
+    wr = Window.orderBy("d").rowsBetween(1, 2)
+    wc = Window.orderBy("d").rowsBetween(-2, 2)
+    ctx = (daily.withColumn("max_left", F.max("y").over(wl))
+           .withColumn("max_right", F.max("y").over(wr))
+           .withColumn("n_ctx", F.count(F.lit(1)).over(wc)))
+    return (ctx.filter((F.col("n_ctx") == 5)
+                       & (F.col("y") > F.col("max_left"))
+                       & (F.col("y") > F.col("max_right")))
+            .select(F.col("d").alias("day_idx"),
+                    F.col("y").cast("bigint").alias("n_events"),
+                    F.round(F.col("y")
+                            - F.greatest("max_left", "max_right"), 4)
+                    .alias("prominence"))
+            .orderBy("day_idx"))
+
+
+@register(
+    "q334_cross_correlation",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   ::DOUBLE AS clicks,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::DOUBLE AS purchases
+        FROM events GROUP BY 1
+    )
+    SELECT l.lag AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.clicks, b.purchases), 6) AS ccf
+    FROM daily a
+    CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+    JOIN daily b ON b.d = a.d + l.lag
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+def q334_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily clicks and purchases at
+    lags -3..+3: a peak at positive lag k means click volume LEADS
+    purchase volume by k days — the causal-direction screen that decides
+    whether clicks are a usable leading indicator for q300's forecaster.
+    q307's ACF is the special case of a series against itself; same
+    equi-join-per-lag plan on the daily residue with the lag dimension
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             .cast("double").alias("clicks"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .cast("double").alias("purchases")))
+    lags = spark.createDataFrame([(i,) for i in range(-3, 4)], "lag long")
+    b = daily.select(F.col("d").alias("bd"),
+                     F.col("purchases").alias("bp"))
+    return (daily.alias("a").crossJoin(F.broadcast(lags))
+            .join(b, F.col("bd") == F.col("d") + F.col("lag"))
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.corr("clicks", "bp"), 6).alias("ccf"))
+            .orderBy("lag"))

@@ -1322,3 +1322,82 @@ def test_source_influence_identity(spark, sf_dir):
         # influence = corpus mean - LOO mean by definition
         assert r["influence"] == pytest.approx(
             r["corpus_mean_ttr"] - r["loo_mean_ttr"], abs=2e-6)
+
+
+def test_peak_detection_planted_spike(spark):
+    # flat series with one spike at day 5 -> exactly one peak, prominence 50
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q333_peak_detection,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows = []
+    eid = 0
+    for d in range(11):
+        n = 60 if d == 5 else 10
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, k % 24), 1))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q333_peak_detection(spark, "unused").collect()
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert len(out) == 1
+    assert out[0]["n_events"] == 60
+    assert out[0]["prominence"] == 50.0
+
+
+def test_cross_correlation_planted_lead(spark):
+    # purchases = clicks shifted by +2 days -> ccf peaks at lag +2
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q334_cross_correlation,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows, eid = [], 0
+    pattern = [5, 20, 8, 30, 12, 25, 6, 18, 10, 28, 7, 22, 9, 26, 11]
+    for d, n in enumerate(pattern):
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, k % 24), 1,
+                         "click"))
+            eid += 1
+        if d + 2 < len(pattern):
+            for k in range(n):  # same counts two days later
+                rows.append((eid, dt.datetime(2024, 1, 3 + d, k % 24), 1,
+                             "purchase"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = {r["lag"]: r["ccf"] for r in
+               q334_cross_correlation(spark, "unused").collect()}
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert max(out, key=lambda k: out[k] if out[k] is not None else -2) == 2
+    assert out[2] > 0.9
+
+
+def test_burrows_delta_symmetric_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q335_burrows_delta,
+    )
+
+    out = q335_burrows_delta(spark, sf_dir).collect()
+    assert 0 < len(out) <= 15
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared_words"] <= 20
+        assert r["burrows_delta"] >= 0
