@@ -2712,3 +2712,225 @@ def q331_quantile_treatment_effect(spark: SparkSession,
         F.round("qc", 4).alias("ctrl_q"),
         F.round(F.col("qt") - F.col("qc"), 4).alias("qte"))
         .orderBy("quantile"))
+
+
+@register(
+    "q337_cluster_robust_se",
+    sql="""
+    WITH ev AS (
+        SELECT user_id, value,
+               CASE WHEN CAST(('0x' || substr(md5('exp1-' || user_id), 1, 8))
+                          AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END AS arm
+        FROM events WHERE event_type = 'purchase'
+    ),
+    naive AS (
+        SELECT sqrt(var_samp(CASE WHEN arm = 1 THEN value END)
+                    / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    + var_samp(CASE WHEN arm = 0 THEN value END)
+                    / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)) AS se,
+               count(*)::DOUBLE AS n_events
+        FROM ev
+    ),
+    per_user AS (
+        SELECT user_id, min(arm) AS arm, avg(value) AS uy
+        FROM ev GROUP BY user_id
+    ),
+    clustered AS (
+        SELECT sqrt(var_samp(CASE WHEN arm = 1 THEN uy END)
+                    / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    + var_samp(CASE WHEN arm = 0 THEN uy END)
+                    / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)) AS se,
+               count(*)::DOUBLE AS n_users
+        FROM per_user
+    )
+    SELECT CAST(n.n_events AS BIGINT) AS n_events,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           round(n.se, 6) AS naive_event_se,
+           round(c.se, 6) AS cluster_user_se,
+           round(c.se / n.se, 4) AS design_effect_ratio
+    FROM naive n CROSS JOIN clustered c
+    """,
+)
+def q337_cluster_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis-unit bug, quantified: randomization is per USER
+    (q261's hash) but purchase events repeat per user, so the naive
+    event-level standard error pretends to more independent observations
+    than exist. Both SEs from the same scan — event-level (wrong) and
+    user-aggregated (right) — and their ratio, the design effect a
+    reviewer multiplies every too-good p-value by. Ratio near 1 here
+    means low within-user correlation; on real data it is routinely 2-5x,
+    which silently converts q163-style significant results into noise."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("exp1-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    evm = ev.select("user_id", "value").withColumn("arm", arm)
+
+    def two_arm_se(df, col):
+        t = F.when(F.col("arm") == 1, F.col(col))
+        c = F.when(F.col("arm") == 0, F.col(col))
+        return df.agg(
+            F.sqrt(F.var_samp(t) / F.sum(F.when(F.col("arm") == 1, 1)
+                                         .otherwise(0))
+                   + F.var_samp(c) / F.sum(F.when(F.col("arm") == 0, 1)
+                                           .otherwise(0))).alias("se"),
+            F.count(F.lit(1)).cast("double").alias("n"))
+
+    naive = two_arm_se(evm, "value")
+    per_user = (evm.groupBy("user_id")
+                .agg(F.min("arm").alias("arm"), F.avg("value").alias("uy")))
+    clustered = two_arm_se(per_user, "uy")
+    return (naive.withColumnRenamed("se", "nse")
+            .withColumnRenamed("n", "n_events")
+            .crossJoin(F.broadcast(
+                clustered.withColumnRenamed("se", "cse")
+                .withColumnRenamed("n", "n_users")))
+            .select(F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("n_users").cast("bigint").alias("n_users"),
+                    F.round("nse", 6).alias("naive_event_se"),
+                    F.round("cse", 6).alias("cluster_user_se"),
+                    F.round(F.col("cse") / F.col("nse"), 4)
+                    .alias("design_effect_ratio")))
+
+
+@register(
+    "q338_regression_discontinuity",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END)::DOUBLE AS y
+        FROM events GROUP BY user_id
+    ),
+    win AS (
+        SELECT r - 13 AS x, y,
+               CASE WHEN r >= 13 THEN 1 ELSE 0 END AS side
+        FROM per_user WHERE r BETWEEN 8 AND 18
+    ),
+    fits AS (
+        SELECT side, count(*)::DOUBLE AS n,
+               avg(y) AS my, avg(x) AS mx,
+               covar_pop(x, y) / nullif(var_pop(x), 0) AS slope
+        FROM win GROUP BY side
+    ),
+    wide AS (
+        SELECT max(CASE WHEN side = 1 THEN my - slope * mx END) AS y_above,
+               max(CASE WHEN side = 0 THEN my - slope * mx END) AS y_below,
+               max(CASE WHEN side = 1 THEN n END) AS n_above,
+               max(CASE WHEN side = 0 THEN n END) AS n_below
+        FROM fits
+    )
+    SELECT CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_above AS BIGINT) AS n_above,
+           round(y_below, 6) AS fitted_below,
+           round(y_above, 6) AS fitted_above,
+           round(y_above - y_below, 6) AS rd_jump
+    FROM wide
+    """,
+)
+def q338_regression_discontinuity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Regression-discontinuity estimate at a click-count cutoff of 13
+    (the median, so both sides are populated at every fixture scale)
+    (the shape of "users above the threshold got the feature"): fit a
+    local linear trend of high-value conversion separately on each side
+    within a ±5 bandwidth and report the fitted-value JUMP at the cutoff
+    — the causal effect under the continuity assumption, from pure moment
+    arithmetic (covar/var per side). The third causal design in the
+    plane: randomized (q261/q290), parallel-trends (q328), and now
+    threshold-assignment; no fixture discontinuity exists, so rd_jump ~ 0
+    is the correct placebo readout."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                           .otherwise(0)).alias("r"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).cast("double").alias("y")))
+    win = (per_user.filter(F.col("r").between(8, 18))
+           .select((F.col("r") - 13).alias("x"), "y",
+                   F.when(F.col("r") >= 13, 1).otherwise(0).alias("side")))
+    fits = (win.groupBy("side")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.avg("y").alias("my"), F.avg("x").alias("mx"),
+                 (F.covar_pop("x", "y")
+                  / F.nullif(F.var_pop("x"), F.lit(0.0))).alias("slope")))
+    def pick(side, expr):
+        return F.max(F.when(F.col("side") == side, expr))
+    intercept = F.col("my") - F.col("slope") * F.col("mx")
+    wide = fits.agg(pick(1, intercept).alias("y_above"),
+                    pick(0, intercept).alias("y_below"),
+                    pick(1, F.col("n")).alias("n_above"),
+                    pick(0, F.col("n")).alias("n_below"))
+    return wide.select(
+        F.col("n_below").cast("bigint").alias("n_below"),
+        F.col("n_above").cast("bigint").alias("n_above"),
+        F.round("y_below", 6).alias("fitted_below"),
+        F.round("y_above", 6).alias("fitted_above"),
+        F.round(F.col("y_above") - F.col("y_below"), 6).alias("rd_jump"))
+
+
+@register(
+    "q339_price_index",
+    sql="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(l_shipdate)) + epoch_us(max(l_shipdate))) / 2
+                   AS mid_us
+        FROM lineitem
+    ),
+    period AS (
+        SELECT l_partkey,
+               CASE WHEN epoch_us(l_shipdate) <= b.mid_us
+                    THEN 0 ELSE 1 END AS p,
+               sum(l_quantity) AS q,
+               sum(l_extendedprice) / sum(l_quantity) AS price
+        FROM lineitem CROSS JOIN bounds b
+        GROUP BY l_partkey, 2
+    ),
+    both_periods AS (
+        SELECT a.l_partkey, a.q AS q0, a.price AS p0,
+               b.q AS q1, b.price AS p1
+        FROM period a JOIN period b
+          ON a.l_partkey = b.l_partkey AND a.p = 0 AND b.p = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
+           round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche,
+           round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                      * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher
+    FROM both_periods
+    """,
+)
+def q339_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the first and
+    second half of the shipping history: the canonical basket-weighted
+    answer to "did prices rise, holding the MIX constant?" — the number a
+    naive average-price delta gets wrong whenever the product mix shifts
+    (Simpson again, q262's cousin in economics). Per-(part, period)
+    unit-price residue, inner-joined to parts present in BOTH periods,
+    then three weighted ratios. At 100 TB the period reduction is one
+    map-side-combined shuffle keyed on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(((F.unix_micros(F.min("l_shipdate").cast("timestamp"))
+                      + F.unix_micros(F.max("l_shipdate").cast("timestamp")))
+                     / 2).alias("mid_us"))
+    p = F.when(F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+               <= F.col("mid_us"), 0).otherwise(1)
+    period = (li.crossJoin(F.broadcast(bounds))
+              .groupBy("l_partkey", p.alias("p"))
+              .agg(F.sum("l_quantity").alias("q"),
+                   (F.sum("l_extendedprice") / F.sum("l_quantity"))
+                   .alias("price")))
+    a = period.filter(F.col("p") == 0).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("price").alias("p0"))
+    b = period.filter(F.col("p") == 1).select(
+        "l_partkey", F.col("q").alias("q1"), F.col("price").alias("p1"))
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+    return (a.join(b, "l_partkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                 F.round(lasp, 6).alias("laspeyres"),
+                 F.round(paas, 6).alias("paasche"),
+                 F.round(F.sqrt(lasp * paas), 6).alias("fisher")))

@@ -282,3 +282,99 @@ def q325_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.abs(est - F.min("nd")) / F.min("nd"), 6)
                  .alias("rel_error"))
             .orderBy("event_type"))
+
+
+@register(
+    "q336_kmv_set_ops",
+    sql="""
+    WITH du AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' AND value > 100
+                        THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS in_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+        HAVING max(CASE WHEN event_type = 'click' AND value > 100
+                        THEN 1 ELSE 0 END) = 1
+            OR max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) = 1
+    ),
+    hashed AS (
+        SELECT user_id, in_a, in_b,
+               CAST(('0x' || substr(md5('kmv-' || user_id), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM du
+    ),
+    unioned AS (
+        SELECT *, row_number() OVER (ORDER BY u) AS rnk FROM hashed
+    ),
+    sketch AS (
+        SELECT count(*)::DOUBLE AS k,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS k_both,
+               max(u) AS uk
+        FROM unioned WHERE rnk <= 64
+    ),
+    exact AS (
+        SELECT count(*)::DOUBLE AS n_union,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   ::DOUBLE AS n_inter
+        FROM hashed
+    )
+    SELECT CAST(e.n_union AS BIGINT) AS exact_union,
+           CAST(e.n_inter AS BIGINT) AS exact_intersection,
+           round((s.k - 1) / s.uk, 4) AS kmv_union_est,
+           round(s.k_both / s.k, 6) AS kmv_jaccard_est,
+           round((s.k_both / s.k) * ((s.k - 1) / s.uk), 4)
+               AS kmv_intersection_est,
+           round(e.n_inter / e.n_union, 6) AS exact_jaccard
+    FROM sketch s CROSS JOIN exact e
+    """,
+)
+def q336_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET operations: estimate the union size, Jaccard
+    similarity, and intersection size of the click-users and
+    purchase-users sets from one bottom-64 sketch of the union — the
+    estimator pattern (union from the kth hash, Jaccard from the
+    sketch's tagged fraction, intersection = J * union) that answers
+    audience-overlap questions without ever materializing either set.
+    Extends q325 from single-set counts to the set algebra; exact values
+    computed alongside so the error is visible. Deterministic md5
+    uniforms keep the estimates engine-portable and value-checkable."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase")))
+    hi_a = F.max(F.when((F.col("event_type") == "click")
+                        & (F.col("value") > 100), 1).otherwise(0))
+    hi_b = F.max(F.when((F.col("event_type") == "purchase")
+                        & (F.col("value") > 150), 1).otherwise(0))
+    du = (ev.groupBy("user_id")
+          .agg(hi_a.alias("in_a"), hi_b.alias("in_b"))
+          .filter((F.col("in_a") == 1) | (F.col("in_b") == 1)))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("kmv-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
+    hashed = du.withColumn("u", u)
+    ranked = hashed.withColumn("rnk",
+                               F.row_number().over(Window.orderBy("u")))
+    sketch = (ranked.filter(F.col("rnk") <= 64)
+              .agg(F.count(F.lit(1)).cast("double").alias("k"),
+                   F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1),
+                                1).otherwise(0)).cast("double")
+                   .alias("k_both"),
+                   F.max("u").alias("uk")))
+    exact = hashed.agg(
+        F.count(F.lit(1)).cast("double").alias("n_union"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).cast("double").alias("n_inter"))
+    un_est = (F.col("k") - 1) / F.col("uk")
+    j_est = F.col("k_both") / F.col("k")
+    return (sketch.crossJoin(F.broadcast(exact))
+            .select(F.col("n_union").cast("bigint").alias("exact_union"),
+                    F.col("n_inter").cast("bigint")
+                    .alias("exact_intersection"),
+                    F.round(un_est, 4).alias("kmv_union_est"),
+                    F.round(j_est, 6).alias("kmv_jaccard_est"),
+                    F.round(j_est * un_est, 4).alias("kmv_intersection_est"),
+                    F.round(F.col("n_inter") / F.col("n_union"), 6)
+                    .alias("exact_jaccard")))

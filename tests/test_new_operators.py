@@ -1401,3 +1401,51 @@ def test_burrows_delta_symmetric_bounds(spark, sf_dir):
         assert r["source_a"] < r["source_b"]
         assert r["n_shared_words"] <= 20
         assert r["burrows_delta"] >= 0
+
+
+def test_kmv_set_ops_estimates_sane(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.profiler import (
+        q336_kmv_set_ops,
+    )
+
+    r = q336_kmv_set_ops(spark, sf_dir).collect()[0]
+    assert r["exact_intersection"] <= r["exact_union"]
+    assert 0.0 <= r["kmv_jaccard_est"] <= 1.0
+    # the sketch Jaccard is within 0.25 of truth at k=64
+    assert abs(r["kmv_jaccard_est"] - r["exact_jaccard"]) < 0.25
+    assert r["kmv_intersection_est"] <= r["kmv_union_est"] + 1e-9
+
+
+def test_cluster_robust_se_counts(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q337_cluster_robust_se,
+    )
+
+    r = q337_cluster_robust_se(spark, sf_dir).collect()[0]
+    assert r["n_users"] < r["n_events"]  # clustering is real
+    assert r["naive_event_se"] > 0 and r["cluster_user_se"] > 0
+    assert r["design_effect_ratio"] == pytest.approx(
+        r["cluster_user_se"] / r["naive_event_se"], rel=1e-3)
+
+
+def test_rd_placebo_small_jump(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q338_regression_discontinuity,
+    )
+
+    r = q338_regression_discontinuity(spark, sf_dir).collect()[0]
+    # no discontinuity is planted: the jump must be small relative to 1
+    assert abs(r["rd_jump"]) < 0.5
+    assert r["n_above"] + r["n_below"] > 0
+
+
+def test_price_index_fisher_between_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q339_price_index,
+    )
+
+    r = q339_price_index(spark, sf_dir).collect()[0]
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    # Fisher is the geometric mean: always between the two
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+    assert r["n_parts"] > 0
