@@ -2934,3 +2934,62 @@ def q339_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(lasp, 6).alias("laspeyres"),
                  F.round(paas, 6).alias("paasche"),
                  F.round(F.sqrt(lasp * paas), 6).alias("fisher")))
+
+
+@register(
+    "q343_wilson_ci",
+    sql="""
+    WITH per_user AS (
+        SELECT e.user_id, min(c.c_mktsegment) AS seg,
+               max(CASE WHEN e.event_type = 'purchase' AND e.value > 250
+                        THEN 1 ELSE 0 END) AS y
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id
+    ),
+    cells AS (
+        SELECT seg, count(*)::DOUBLE AS n, avg(y::DOUBLE) AS p
+        FROM per_user GROUP BY seg
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n_users,
+           round(p, 6) AS rate,
+           round((p + 1.9208 / n - 1.96 * sqrt(p * (1 - p) / n
+                  + 0.9604 / (n * n))) / (1 + 3.8416 / n), 6) AS wilson_lo,
+           round((p + 1.9208 / n + 1.96 * sqrt(p * (1 - p) / n
+                  + 0.9604 / (n * n))) / (1 + 3.8416 / n), 6) AS wilson_hi,
+           round(greatest(p - 1.96 * sqrt(p * (1 - p) / n), 0), 6)
+               AS wald_lo
+    FROM cells
+    ORDER BY seg
+    """,
+)
+def q343_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence intervals for per-segment high-value
+    conversion rates — the binomial CI that stays inside [0,1] and keeps
+    coverage at small n and extreme p, where the Wald interval
+    (p ± 1.96*sqrt(pq/n), shown alongside for contrast) collapses to
+    zero width at p=0 and lies. With z=1.96 the closed form uses the
+    exact constants z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604 as literals so
+    both engines agree bit-for-bit. The small-cell companion to q313's
+    large-sample machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    per_user = (ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+                .groupBy("user_id")
+                .agg(F.min("c_mktsegment").alias("seg"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).alias("y")))
+    cells = (per_user.groupBy("seg")
+             .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.avg(F.col("y").cast("double")).alias("p")))
+    n, p = F.col("n"), F.col("p")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return cells.select(
+        "seg", n.cast("bigint").alias("n_users"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+        F.round(F.greatest(p - 1.96 * F.sqrt(p * (1 - p) / n), F.lit(0.0)),
+                6).alias("wald_lo")).orderBy("seg")

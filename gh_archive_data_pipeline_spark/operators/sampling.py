@@ -428,3 +428,57 @@ def q312_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ht, 2).alias("ht_estimate"),
         F.round(F.abs(ht - F.min("true_total")) / F.min("true_total"), 6)
         .alias("rel_error"))
+
+
+@register(
+    "q342_kish_neff",
+    sql="""
+    WITH sizes AS (
+        SELECT o.o_orderkey, count(*)::DOUBLE AS x
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    ),
+    tot AS (SELECT sum(x) AS sx FROM sizes),
+    sampled AS (
+        SELECT 1.0 / least(1.0, 500.0 * s.x / t.sx) AS w
+        FROM sizes s CROSS JOIN tot t
+        WHERE CAST(('0x' || substr(md5('ht-' || s.o_orderkey), 1, 8))
+                   AS BIGINT) / 4294967296.0
+              < least(1.0, 500.0 * s.x / t.sx)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           round(pow(sum(w), 2) / sum(w * w), 4) AS kish_neff,
+           round(pow(sum(w), 2) / sum(w * w) / count(*), 6)
+               AS weighting_efficiency,
+           round(1 + var_pop(w) / pow(avg(w), 2), 6) AS deff_kish
+    FROM sampled
+    """,
+)
+def q342_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of q312's Horvitz-Thompson sample:
+    neff = (sum w)^2 / sum(w^2) for the inverse-probability weights —
+    how many EQUAL-weight observations the weighted sample is worth.
+    Efficiency near 1 means the PPS design wasted nothing; a low value
+    means a few huge weights dominate every estimate (and q312's
+    variance blows up). Identical sampling arithmetic to q312 so the two
+    queries describe the same design; one filtered reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = (orders.join(li, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderkey")
+             .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    tot = sizes.agg(F.sum("x").alias("sx"))
+    pi = F.least(F.lit(1.0), 500.0 * F.col("x") / F.col("sx"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ht-"), F.col("o_orderkey").cast("string"))),
+        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
+    sampled = (sizes.crossJoin(F.broadcast(tot))
+               .filter(u < pi)
+               .select((1.0 / pi).alias("w")))
+    neff = F.pow(F.sum("w"), 2) / F.sum(F.col("w") * F.col("w"))
+    return sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(neff, 4).alias("kish_neff"),
+        F.round(neff / F.count(F.lit(1)), 6).alias("weighting_efficiency"),
+        F.round(1 + F.var_pop("w") / F.pow(F.avg("w"), 2), 6)
+        .alias("deff_kish"))

@@ -2187,3 +2187,132 @@ def q334_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.round(F.corr("clicks", "bp"), 6).alias("ccf"))
             .orderBy("lag"))
+
+
+@register(
+    "q340_seasonal_adjustment",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    dow AS (
+        SELECT d, y, CAST((d + 4) % 7 AS BIGINT) AS dw FROM daily
+    ),
+    factors AS (
+        SELECT dw, avg(y) AS dw_mean FROM dow GROUP BY dw
+    ),
+    grand AS (SELECT avg(y) AS gm FROM dow)
+    SELECT w.d AS day_idx, w.dw AS day_of_week,
+           CAST(w.y AS BIGINT) AS n_events,
+           round(f.dw_mean / g.gm, 6) AS seasonal_factor,
+           round(w.y / (f.dw_mean / g.gm), 4) AS adjusted
+    FROM dow w
+    JOIN factors f USING (dw)
+    CROSS JOIN grand g
+    ORDER BY day_idx
+    """,
+)
+def q340_seasonal_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-average seasonal adjustment of the daily series: each
+    day-of-week's multiplicative factor (its mean over the grand mean)
+    divides out of the raw counts, leaving the deseasonalized series that
+    trend tests (q298/q299) and changepoint detectors (q285) should run
+    on — a Monday dip is not a regression. Day-of-week derives
+    arithmetically from the epoch ((d+4) mod 7, q192's convention) so
+    both engines agree; factors are a 7-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    dow = daily.withColumn("dw", ((F.col("d") + 4) % 7).cast("bigint"))
+    factors = dow.groupBy("dw").agg(F.avg("y").alias("dw_mean"))
+    grand = dow.agg(F.avg("y").alias("gm"))
+    sf_ = F.col("dw_mean") / F.col("gm")
+    return (dow.join(F.broadcast(factors), "dw")
+            .crossJoin(F.broadcast(grand))
+            .select(F.col("d").alias("day_idx"),
+                    F.col("dw").alias("day_of_week"),
+                    F.col("y").cast("bigint").alias("n_events"),
+                    F.round(sf_, 6).alias("seasonal_factor"),
+                    F.round(F.col("y") / sf_, 4).alias("adjusted"))
+            .orderBy("day_idx"))
+
+
+@register(
+    "q341_completeness_audit",
+    sql="""
+    WITH bounds AS (
+        SELECT CAST(epoch_us(date_trunc('hour', min(ts))) / 3600000000
+                    AS BIGINT) AS h0,
+               CAST(epoch_us(date_trunc('hour', max(ts))) / 3600000000
+                    AS BIGINT) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(range(b.h0, b.h1 + 1)) AS h FROM bounds b
+    ),
+    observed AS (
+        SELECT DISTINCT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000
+                             AS BIGINT) AS h
+        FROM events
+    ),
+    missing AS (
+        SELECT s.h FROM spine s
+        WHERE NOT EXISTS (SELECT 1 FROM observed o WHERE o.h = s.h)
+    ),
+    runs AS (
+        SELECT h, h - row_number() OVER (ORDER BY h) AS grp FROM missing
+    ),
+    gaps AS (
+        SELECT count(*) AS run_len FROM runs GROUP BY grp
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM spine) AS expected_hours,
+           (SELECT CAST(count(*) AS BIGINT) FROM observed) AS observed_hours,
+           CAST(coalesce(sum(run_len), 0) AS BIGINT) AS missing_hours,
+           CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_gap_hours,
+           round(1.0 - coalesce(sum(run_len), 0)
+                 / (SELECT count(*) FROM spine)::DOUBLE, 6) AS completeness
+    FROM gaps
+    """,
+)
+def q341_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit: generate the expected hourly spine between
+    the first and last event, anti-join the observed hours, and measure
+    coverage plus the LONGEST contiguous gap (gaps-and-islands on the
+    missing set) — one long outage and many scattered holes need
+    different responses, and a plain count can't tell them apart. This is
+    the ingestion-SLA check the reference's Airflow DAG implies hourly
+    fetches should satisfy. The spine is a range() lazy sequence, never
+    materialized wide; observed hours reduce from the fact once."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / F.lit(3600000000)).cast("bigint")
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    b = bounds.collect()[0]  # two scalars — bounded driver state
+    spine = spark.range(b["h0"], b["h1"] + 1).select(
+        F.col("id").alias("h"))
+    observed = ev.select(hour.alias("h")).distinct()
+    missing = spine.join(observed, "h", "left_anti")
+    runs = missing.withColumn(
+        "grp", F.col("h") - F.row_number().over(Window.orderBy("h")))
+    gaps = runs.groupBy("grp").agg(F.count(F.lit(1)).alias("run_len"))
+    n_exp = spine.agg(F.count(F.lit(1)).alias("expected_hours"))
+    n_obs = observed.agg(F.count(F.lit(1)).alias("observed_hours"))
+    return (gaps.agg(F.coalesce(F.sum("run_len"), F.lit(0)).cast("bigint")
+                     .alias("missing_hours"),
+                     F.coalesce(F.max("run_len"), F.lit(0)).cast("bigint")
+                     .alias("longest_gap_hours"))
+            .crossJoin(F.broadcast(n_exp))
+            .crossJoin(F.broadcast(n_obs))
+            .select(F.col("expected_hours").cast("bigint")
+                    .alias("expected_hours"),
+                    F.col("observed_hours").cast("bigint")
+                    .alias("observed_hours"),
+                    "missing_hours", "longest_gap_hours",
+                    F.round(1.0 - F.col("missing_hours").cast("double")
+                            / F.col("expected_hours"), 6)
+                    .alias("completeness")))

@@ -1449,3 +1449,58 @@ def test_price_index_fisher_between_bounds(spark, sf_dir):
     # Fisher is the geometric mean: always between the two
     assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
     assert r["n_parts"] > 0
+
+
+def test_seasonal_adjustment_factors_average_one(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q340_seasonal_adjustment,
+    )
+
+    out = q340_seasonal_adjustment(spark, sf_dir).collect()
+    assert len(out) >= 7
+    # the adjusted series preserves total volume approximately
+    raw = sum(r["n_events"] for r in out)
+    adj = sum(r["adjusted"] for r in out)
+    assert adj == pytest.approx(raw, rel=0.02)
+    # same weekday -> same factor
+    by_dw = {}
+    for r in out:
+        by_dw.setdefault(r["day_of_week"], set()).add(r["seasonal_factor"])
+    assert all(len(v) == 1 for v in by_dw.values())
+
+
+def test_completeness_audit_dense_fixture(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q341_completeness_audit,
+    )
+
+    r = q341_completeness_audit(spark, sf_dir).collect()[0]
+    assert r["observed_hours"] <= r["expected_hours"]
+    assert r["missing_hours"] == r["expected_hours"] - r["observed_hours"]
+    assert 0.0 <= r["completeness"] <= 1.0
+
+
+def test_kish_neff_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        q342_kish_neff,
+    )
+
+    r = q342_kish_neff(spark, sf_dir).collect()[0]
+    assert 0 < r["kish_neff"] <= r["n_sampled"]
+    assert 0 < r["weighting_efficiency"] <= 1.0
+    # Kish identities: deff = n / neff
+    assert r["deff_kish"] == pytest.approx(
+        r["n_sampled"] / r["kish_neff"], rel=1e-3)
+
+
+def test_wilson_tighter_than_wald_at_zero(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q343_wilson_ci,
+    )
+
+    out = q343_wilson_ci(spark, sf_dir).collect()
+    for r in out:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        # Wilson lower bound is strictly positive whenever rate > 0
+        if r["rate"] > 0:
+            assert r["wilson_lo"] > 0
