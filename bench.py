@@ -76,6 +76,13 @@ HEADLINE = [
     "q189_pagerank_event_graph",
     "q195_stream_upsert",
     "q201_stream_sessions",
+    # third continuation: stats/graph/LM/embedding-eval planes
+    "q286_poisson_bootstrap",
+    "q295_triangle_count",
+    "q315_kneser_ney",
+    # q320 (exact LOO kNN) is deliberately NOT here: its all-pairs baseline
+    # is quadratic by contract (the LSH/IVF variants are the scale path)
+    "q316_scaling_curve",
 ]
 
 
