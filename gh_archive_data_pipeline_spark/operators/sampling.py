@@ -482,3 +482,63 @@ def q342_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(neff / F.count(F.lit(1)), 6).alias("weighting_efficiency"),
         F.round(1 + F.var_pop("w") / F.pow(F.avg("w"), 2), 6)
         .alias("deff_kish"))
+
+
+@register(
+    "q346_cold_start_coverage",
+    sql="""
+    WITH split AS (
+        SELECT user_id, event_type, value,
+               CAST(('0x' || substr(md5('cold-' || event_id), 1, 8))
+                    AS BIGINT) % 5 AS b
+        FROM events
+    ),
+    train_users AS (
+        SELECT DISTINCT user_id FROM split WHERE b < 4
+    ),
+    test AS (
+        SELECT s.user_id, s.value,
+               CASE WHEN t.user_id IS NULL THEN 1 ELSE 0 END AS cold
+        FROM split s LEFT JOIN train_users t USING (user_id)
+        WHERE s.b = 4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_test_users,
+           CAST(sum(cold) AS BIGINT) AS n_cold_events,
+           round(avg(cold::DOUBLE), 6) AS cold_event_rate,
+           round(coalesce(sum(CASE WHEN cold = 1 THEN value END), 0)
+                 / sum(value), 6) AS cold_value_share
+    FROM test
+    """,
+)
+def q346_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start exposure of an 80/20 event-level split: how much of the
+    test fold belongs to users the training fold never saw — the number
+    that bounds any per-user feature's (q211/q267 target encodings,
+    q294's bin model) usefulness at serving time, and the complement of
+    q199's leakage check (leakage = unwanted overlap; cold-start =
+    unwanted NON-overlap). On this fixture every user is dense enough to
+    appear in any 80% fold, so zero cold events is the CORRECT audit
+    finding (the unit test plants a single-event user to prove the
+    detector fires). One distinct + one broadcast anti-tag."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("cold-"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 5)
+    split = ev.select("user_id", "value", b.alias("b"))
+    train_users = (split.filter(F.col("b") < 4)
+                   .select("user_id").distinct()
+                   .withColumn("seen", F.lit(1)))
+    test = (split.filter(F.col("b") == 4)
+            .join(F.broadcast(train_users), "user_id", "left")
+            .withColumn("cold", F.when(F.col("seen").isNull(), 1)
+                        .otherwise(0)))
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_test_users"),
+        F.sum("cold").cast("bigint").alias("n_cold_events"),
+        F.round(F.avg(F.col("cold").cast("double")), 6)
+        .alias("cold_event_rate"),
+        F.round(F.coalesce(F.sum(F.when(F.col("cold") == 1,
+                                        F.col("value"))), F.lit(0.0))
+                / F.sum("value"), 6).alias("cold_value_share"))

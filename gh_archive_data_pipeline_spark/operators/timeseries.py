@@ -2316,3 +2316,185 @@ def q341_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - F.col("missing_hours").cast("double")
                             / F.col("expected_hours"), 6)
                     .alias("completeness")))
+
+
+@register(
+    "q344_growth_accounting",
+    sql="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(d) AS first_d FROM active GROUP BY user_id
+    ),
+    tagged AS (
+        SELECT a.user_id, a.d,
+               CASE WHEN a.d = f.first_d THEN 'new'
+                    WHEN y.user_id IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM active a
+        JOIN firsts f USING (user_id)
+        LEFT JOIN active y ON y.user_id = a.user_id AND y.d = a.d - 1
+    ),
+    churned AS (
+        SELECT y.d + 1 AS d, count(*) AS n_churned
+        FROM active y
+        LEFT JOIN active t ON t.user_id = y.user_id AND t.d = y.d + 1
+        WHERE t.user_id IS NULL
+        GROUP BY y.d + 1
+    ),
+    dau AS (
+        SELECT d,
+               count(*) AS dau,
+               sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+               sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                   AS n_retained,
+               sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                   AS n_resurrected
+        FROM tagged GROUP BY d
+    )
+    SELECT dau.d AS day_idx,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(dau.n_new AS BIGINT) AS n_new,
+           CAST(dau.n_retained AS BIGINT) AS n_retained,
+           CAST(dau.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM dau LEFT JOIN churned c ON c.d = dau.d
+    ORDER BY day_idx
+    """,
+)
+def q344_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every growth team reads
+    daily: each active user-day classified as NEW (first ever day),
+    RETAINED (also active yesterday), or RESURRECTED (returning after a
+    gap), plus the day's CHURN (yesterday's actives who didn't return).
+    The identity DAU(t) = new + retained + resurrected and
+    DAU(t) - DAU(t-1) = new + resurrected - churned makes growth
+    debuggable: flat DAU can hide high churn masked by acquisition. Two
+    self-joins of the (user, day) residue on adjacent days — both keyed
+    shuffles on user_id after one distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    active = (ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .distinct())
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    y = active.select(F.col("user_id").alias("yu"),
+                      (F.col("d") + 1).alias("yd"))
+    tagged = (active.join(firsts, "user_id")
+              .join(y, (F.col("yu") == F.col("user_id"))
+                    & (F.col("yd") == F.col("d")), "left")
+              .select("user_id", "d",
+                      F.when(F.col("d") == F.col("first_d"), "new")
+                      .when(F.col("yu").isNotNull(), "retained")
+                      .otherwise("resurrected").alias("status")))
+    t = active.select(F.col("user_id").alias("tu"),
+                      F.col("d").alias("td"))
+    churned = (active.join(t, (F.col("tu") == F.col("user_id"))
+                           & (F.col("td") == F.col("d") + 1), "left")
+               .filter(F.col("tu").isNull())
+               .groupBy((F.col("d") + 1).alias("cd"))
+               .agg(F.count(F.lit(1)).alias("n_churned")))
+    dau = (tagged.groupBy("d")
+           .agg(F.count(F.lit(1)).alias("dau"),
+                F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+                .alias("n_new"),
+                F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+                .alias("n_retained"),
+                F.sum(F.when(F.col("status") == "resurrected", 1)
+                      .otherwise(0)).alias("n_resurrected")))
+    return (dau.join(churned, dau.d == churned.cd, "left")
+            .select(F.col("d").alias("day_idx"),
+                    F.col("dau").cast("bigint").alias("dau"),
+                    F.col("n_new").cast("bigint").alias("n_new"),
+                    F.col("n_retained").cast("bigint").alias("n_retained"),
+                    F.col("n_resurrected").cast("bigint")
+                    .alias("n_resurrected"),
+                    F.coalesce("n_churned", F.lit(0)).cast("bigint")
+                    .alias("n_churned"))
+            .orderBy("day_idx"))
+
+
+@register(
+    "q345_retention_halflife",
+    sql="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(d) AS d0 FROM active GROUP BY user_id
+    ),
+    cohort_size AS (SELECT count(*)::DOUBLE AS n0 FROM firsts),
+    offsets AS (
+        SELECT a.d - f.d0 AS k, count(DISTINCT a.user_id)::DOUBLE AS n
+        FROM active a JOIN firsts f USING (user_id)
+        WHERE a.d - f.d0 BETWEEN 1 AND 14
+        GROUP BY a.d - f.d0
+    ),
+    rates AS (
+        SELECT k, n / cs.n0 AS r FROM offsets CROSS JOIN cohort_size cs
+    ),
+    centered AS (
+        SELECT k, r,
+               k - avg(k) OVER () AS xc,
+               ln(r) - avg(ln(r)) OVER () AS yc
+        FROM rates
+    )
+    SELECT CAST(k AS BIGINT) AS day_offset,
+           round(r, 6) AS retention_rate,
+           round(-sum(xc * yc) OVER () / sum(xc * xc) OVER (), 6)
+               AS decay_lambda,
+           round(CASE WHEN sum(xc * yc) OVER () < 0
+                      THEN ln(2) / (-(sum(xc * yc) OVER ()
+                                      / sum(xc * xc) OVER ()))
+                 END, 4) AS half_life_days
+    FROM centered
+    ORDER BY day_offset
+    """,
+)
+def q345_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay parameterized: day-k return rates (k = 1..14 after
+    first activity) fitted to r(k) = a*exp(-lambda*k) by log-linear
+    regression — the HALF-LIFE summarizes the whole curve in one number
+    a roadmap can target ("raise retention half-life from 9 to 12 days"),
+    where q216's survival curve gives the shape but no parameter. A
+    non-decaying series (this fixture's users return ~daily) reports
+    half_life_days NULL rather than a nonsense negative number. Offsets
+    reduce from one (user, day) distinct; the fit is the same centered-
+    moment slope as q296/q304 on a 14-row residue."""
+    ev = load_table(spark, sf_dir, "events")
+    active = (ev.select(
+        "user_id",
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .distinct())
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("d0"))
+    n0 = firsts.agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    offsets = (active.join(firsts, "user_id")
+               .withColumn("k", F.col("d") - F.col("d0"))
+               .filter(F.col("k").between(1, 14))
+               .groupBy("k")
+               .agg(F.count_distinct("user_id").cast("double").alias("n")))
+    rates = (offsets.crossJoin(F.broadcast(n0))
+             .select("k", (F.col("n") / F.col("n0")).alias("r")))
+    everything = Window.partitionBy()
+    centered = (rates
+                .withColumn("xc", F.col("k") - F.avg("k").over(everything))
+                .withColumn("yc", F.log("r")
+                            - F.avg(F.log("r")).over(everything)))
+    slope = (F.sum(F.col("xc") * F.col("yc")).over(everything)
+             / F.sum(F.col("xc") * F.col("xc")).over(everything))
+    return (centered.select(
+        F.col("k").cast("bigint").alias("day_offset"),
+        F.round("r", 6).alias("retention_rate"),
+        F.round(-slope, 6).alias("decay_lambda"),
+        F.round(F.when(slope < 0, F.log(F.lit(2.0)) / (-slope)), 4)
+        .alias("half_life_days"))
+        .orderBy("day_offset"))

@@ -1504,3 +1504,89 @@ def test_wilson_tighter_than_wald_at_zero(spark, sf_dir):
         # Wilson lower bound is strictly positive whenever rate > 0
         if r["rate"] > 0:
             assert r["wilson_lo"] > 0
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q344_growth_accounting,
+    )
+
+    out = q344_growth_accounting(spark, sf_dir).collect()
+    assert len(out) > 1
+    by_day = {r["day_idx"]: r for r in out}
+    for r in out:
+        # DAU decomposes exactly
+        assert r["dau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        prev = by_day.get(r["day_idx"] - 1)
+        if prev is not None:
+            # delta identity: DAU(t)-DAU(t-1) = new + resurrected - churned
+            assert r["dau"] - prev["dau"] == \
+                r["n_new"] + r["n_resurrected"] - r["n_churned"]
+    # first day is all-new
+    first = out[0]
+    assert first["n_new"] == first["dau"]
+
+
+def test_retention_halflife_planted_decay(spark):
+    # users drop off by half each day -> lambda ~ ln(2), half-life ~ 1 day
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q345_retention_halflife,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows, eid = [], 0
+    n_users = 256
+    for u in range(n_users):
+        rows.append((eid, dt.datetime(2024, 1, 1, 12), u))
+        eid += 1
+        # user u stays active for ~log2 pattern: active on day k if
+        # u < n/2^k -> retention halves daily
+        for k in range(1, 15):
+            if u < n_users // (2 ** k):
+                rows.append((eid, dt.datetime(2024, 1, 1 + k, 12), u))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q345_retention_halflife(spark, "unused").collect()
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    lam = out[0]["decay_lambda"]
+    assert lam == pytest.approx(0.6931, abs=0.01)
+    assert out[0]["half_life_days"] == pytest.approx(1.0, abs=0.02)
+
+
+def test_cold_start_detects_planted_sparse_user(spark):
+    import gh_archive_data_pipeline_spark.operators.sampling as smod
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        q346_cold_start_coverage,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    # find an event_id that hashes into test bucket 4 for the planted user
+    import hashlib
+    def bucket(eid):
+        return int(hashlib.md5(f"cold-{eid}".encode()).hexdigest()[:8],
+                   16) % 5
+    test_eid = next(e for e in range(100000, 100500) if bucket(e) == 4)
+    rows = [(e, dt.datetime(2024, 1, 1), 1, "click", 1.0)
+            for e in range(400)]  # dense user 1 in every bucket
+    rows.append((test_eid, dt.datetime(2024, 1, 2), 99, "click", 50.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        smod.load_table = lambda sp, d, n: ev
+        r = q346_cold_start_coverage(spark, "unused").collect()[0]
+    finally:
+        readers.load_table = orig
+        smod.load_table = orig
+    assert r["n_cold_events"] == 1  # user 99 only exists in the test fold
+    assert r["cold_value_share"] > 0
