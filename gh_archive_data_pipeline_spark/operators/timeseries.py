@@ -2498,3 +2498,161 @@ def q345_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(slope < 0, F.log(F.lit(2.0)) / (-slope)), 4)
         .alias("half_life_days"))
         .orderBy("day_offset"))
+
+
+@register(
+    "q347_matrix_profile",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    subs AS (
+        SELECT i AS s,
+               list(y) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                             AND 4 FOLLOWING) AS v,
+               count(*) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                              AND 4 FOLLOWING) AS w
+        FROM idx QUALIFY w = 5
+    ),
+    dists AS (
+        SELECT a.s AS i, b.s AS j,
+               sqrt(list_aggregate(list_transform(range(1, 6),
+                    k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])), 'sum'))
+                   AS dist
+        FROM subs a JOIN subs b ON abs(a.s - b.s) >= 3
+    ),
+    mp AS (
+        SELECT i, min(dist) AS mp
+        FROM dists GROUP BY i
+    ),
+    nn AS (
+        SELECT i, j AS nn_idx, dist,
+               row_number() OVER (PARTITION BY i ORDER BY dist, j) AS r
+        FROM dists
+    )
+    SELECT m.i AS start_idx,
+           CAST(n.nn_idx AS BIGINT) AS nn_idx,
+           round(m.mp, 4) AS mp_dist,
+           CAST(CASE WHEN m.mp = min(m.mp) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS is_motif,
+           CAST(CASE WHEN m.mp = max(m.mp) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS is_discord
+    FROM mp m JOIN nn n ON n.i = m.i AND n.r = 1
+    ORDER BY start_idx
+    """,
+)
+def q347_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily series (window 5, raw euclidean, ±2
+    exclusion zone): each subsequence's distance to its nearest
+    NON-TRIVIAL neighbor. The minimum marks the MOTIF (the most repeated
+    weekly shape), the maximum the DISCORD (the most anomalous stretch —
+    subsequence-level anomalies q192's pointwise z can't see). All-pairs
+    on the ~26-subsequence residue; at production length the same plan
+    runs per-partition with overlap or over an LSH-bucketed candidate
+    set, profile semantics unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("i"))
+    wf = Window.orderBy("i").rowsBetween(0, 4)
+    subs = (idx.select(F.col("i").alias("s"),
+                       F.collect_list("y").over(wf).alias("v"),
+                       F.count(F.lit(1)).over(wf).alias("w"))
+            .filter(F.col("w") == 5))
+    a = subs.select(F.col("s").alias("i"), F.col("v").alias("va"))
+    b = subs.select(F.col("s").alias("j"), F.col("v").alias("vb"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    dists = (a.join(b, F.abs(F.col("i") - F.col("j")) >= 3)
+             .select("i", "j", dist.alias("dist")))
+    mp = dists.groupBy("i").agg(F.min("dist").alias("mp"))
+    nn = (dists.withColumn(
+        "r", F.row_number().over(Window.partitionBy("i")
+                                 .orderBy("dist", "j")))
+        .filter(F.col("r") == 1)
+        .select("i", F.col("j").alias("nn_idx")))
+    everything = Window.partitionBy()
+    return (mp.join(nn, "i")
+            .select(F.col("i").alias("start_idx"),
+                    F.col("nn_idx").cast("bigint").alias("nn_idx"),
+                    F.round("mp", 4).alias("mp_dist"),
+                    F.when(F.col("mp") == F.min("mp").over(everything), 1)
+                    .otherwise(0).cast("bigint").alias("is_motif"),
+                    F.when(F.col("mp") == F.max("mp").over(everything), 1)
+                    .otherwise(0).cast("bigint").alias("is_discord"))
+            .orderBy("start_idx"))
+
+
+@register(
+    "q348_sax_encoding",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    z AS (
+        SELECT d, y,
+               (y - avg(y) OVER ()) / stddev_samp(y) OVER () AS zy,
+               CAST(floor((row_number() OVER (ORDER BY d) - 1) / 5.0)
+                    AS BIGINT) AS seg
+        FROM daily
+    ),
+    paa AS (
+        SELECT seg, avg(zy) AS pz, count(*) AS n, min(d) AS d_start
+        FROM z GROUP BY seg HAVING count(*) = 5
+    )
+    SELECT CAST(seg AS BIGINT) AS segment,
+           CAST(d_start AS BIGINT) AS day_start,
+           round(pz, 6) AS paa_value,
+           CASE WHEN pz < -0.6745 THEN 'a'
+                WHEN pz < 0 THEN 'b'
+                WHEN pz < 0.6745 THEN 'c'
+                ELSE 'd' END AS sax_symbol
+    FROM paa
+    ORDER BY segment
+    """,
+)
+def q348_sax_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) encoding of the daily
+    series: z-normalize, piecewise-aggregate into 5-day segments, and map
+    each segment mean to a 4-letter alphabet at the gaussian quartile
+    breakpoints (±0.6745, 0) — the discretization that turns time series
+    into strings so sequence tooling (q204's patterns, q144's n-gram
+    novelty, any suffix index) applies to SHAPES. Lower-bounding distance
+    in symbol space is what makes SAX an index at scale; the encoding
+    here is one window pass + one segment reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    everything = Window.partitionBy()
+    z = (daily.withColumn("zy", (F.col("y") - F.avg("y").over(everything))
+                          / F.stddev_samp("y").over(everything))
+         .withColumn("seg", F.floor(
+             (F.row_number().over(Window.orderBy("d")) - 1) / 5)
+             .cast("bigint")))
+    paa = (z.groupBy("seg")
+           .agg(F.avg("zy").alias("pz"), F.count(F.lit(1)).alias("n"),
+                F.min("d").alias("d_start"))
+           .filter(F.col("n") == 5))
+    sym = (F.when(F.col("pz") < -0.6745, "a")
+           .when(F.col("pz") < 0, "b")
+           .when(F.col("pz") < 0.6745, "c").otherwise("d"))
+    return (paa.select(F.col("seg").cast("bigint").alias("segment"),
+                       F.col("d_start").cast("bigint").alias("day_start"),
+                       F.round("pz", 6).alias("paa_value"),
+                       sym.alias("sax_symbol"))
+            .orderBy("segment"))

@@ -1590,3 +1590,59 @@ def test_cold_start_detects_planted_sparse_user(spark):
         smod.load_table = orig
     assert r["n_cold_events"] == 1  # user 99 only exists in the test fold
     assert r["cold_value_share"] > 0
+
+
+def test_matrix_profile_planted_motif(spark):
+    # two identical 5-day shapes planted far apart in noise-free ramp
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q347_matrix_profile,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    shape = [30, 50, 30, 50, 30]
+    series = ([10, 11, 12, 13] + shape + [14, 15, 16, 17, 18]
+              + shape + [19, 20, 21])
+    rows, eid = [], 0
+    for d, n in enumerate(series):
+        for k in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, k % 24), 1))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = q347_matrix_profile(spark, "unused").collect()
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    motifs = [r for r in out if r["is_motif"] == 1]
+    # the planted twin shapes (starting at idx 5 and 15, 1-based) match
+    starts = sorted(m["start_idx"] for m in motifs)
+    assert 5 in starts
+    assert all(m["mp_dist"] == 0.0 for m in motifs)
+    # and the motif's nearest neighbor is its twin
+    by_idx = {r["start_idx"]: r for r in out}
+    assert by_idx[5]["nn_idx"] == 15
+
+
+def test_sax_symbols_cover_alphabet_consistently(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q348_sax_encoding,
+    )
+
+    out = q348_sax_encoding(spark, sf_dir).collect()
+    assert len(out) >= 2
+    for r in out:
+        sym = r["sax_symbol"]
+        z = r["paa_value"]
+        if z < -0.6745:
+            assert sym == "a"
+        elif z < 0:
+            assert sym == "b"
+        elif z < 0.6745:
+            assert sym == "c"
+        else:
+            assert sym == "d"
