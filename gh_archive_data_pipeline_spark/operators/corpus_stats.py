@@ -1213,3 +1213,110 @@ def q335_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("burrows_delta"))
             .orderBy(F.desc("burrows_delta"), "source_a", "source_b")
             .limit(15))
+
+
+@register(
+    "q352_rank_correlation",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf
+        FROM tok WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))), 9) AS s1,
+               round(sum(tf) / min(dlen), 9) AS s2
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    pairs AS (
+        SELECT sign(a.s1 - b.s1) * sign(a.s2 - b.s2) AS agree,
+               CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END AS tie1,
+               CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END AS tie2
+        FROM scored a JOIN scored b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN agree > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+           CAST(sum(CASE WHEN agree < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+           round((sum(CASE WHEN agree > 0 THEN 1 ELSE 0 END)
+                  - sum(CASE WHEN agree < 0 THEN 1 ELSE 0 END))
+                 / (sqrt(count(*) - sum(tie1))
+                    * sqrt(count(*) - sum(tie2))), 6) AS kendall_tau_b
+    FROM pairs
+    """,
+)
+def q352_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the two retrieval scorers
+    q291 fuses (BM25 vs match density): concordant minus discordant pairs
+    over the tie-corrected geometric denominator. Near +1 means the
+    second scorer adds nothing to the fusion; near 0 means it brings
+    genuinely different evidence — the diagnostic that says whether
+    hybrid search is worth its cost. Pairwise on the bounded matched-doc
+    residue (same contract as q291's rank windows); scores are rounded to
+    9dp BEFORE comparison so tie detection is engine-stable. At
+    production scale tau computes per-query over top-k lists."""
+    terms = ("spark", "join", "window")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+    dl = (tok.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dlen").alias("avgdl"))
+    tf = (tok.filter(F.col("token").isin(*terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(contrib), 9).alias("s1"),
+                   F.round(F.sum("tf") / F.min("dlen"), 9).alias("s2")))
+    a = scored.select(F.col("doc_id").alias("i"),
+                      F.col("s1").alias("a1"), F.col("s2").alias("a2"))
+    b = scored.select(F.col("doc_id").alias("j"),
+                      F.col("s1").alias("b1"), F.col("s2").alias("b2"))
+    agree = (F.signum(F.col("a1") - F.col("b1"))
+             * F.signum(F.col("a2") - F.col("b2")))
+    pairs = (a.join(b, F.col("i") < F.col("j"))
+             .select(agree.alias("agree"),
+                     F.when(F.col("a1") == F.col("b1"), 1).otherwise(0)
+                     .alias("tie1"),
+                     F.when(F.col("a2") == F.col("b2"), 1).otherwise(0)
+                     .alias("tie2")))
+    conc = F.sum(F.when(F.col("agree") > 0, 1).otherwise(0))
+    disc = F.sum(F.when(F.col("agree") < 0, 1).otherwise(0))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        conc.cast("bigint").alias("concordant"),
+        disc.cast("bigint").alias("discordant"),
+        F.round((conc - disc)
+                / (F.sqrt(F.count(F.lit(1)) - F.sum("tie1"))
+                   * F.sqrt(F.count(F.lit(1)) - F.sum("tie2"))), 6)
+        .alias("kendall_tau_b"))

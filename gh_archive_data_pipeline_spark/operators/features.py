@@ -2993,3 +2993,201 @@ def q343_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
         F.round(F.greatest(p - 1.96 * F.sqrt(p * (1 - p) / n), F.lit(0.0)),
                 6).alias("wald_lo")).orderBy("seg")
+
+
+@register(
+    "q349_permutation_test",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0) AS y
+        FROM events GROUP BY user_id
+    ),
+    reps AS (SELECT unnest(range(0, 33)) AS rep),
+    assigned AS (
+        SELECT p.user_id, p.y, r.rep,
+               CAST(('0x' || substr(md5('perm' || r.rep || '-' || p.user_id),
+                                    1, 8)) AS BIGINT) % 2 AS arm
+        FROM per_user p CROSS JOIN reps r
+    ),
+    diffs AS (
+        SELECT rep,
+               avg(CASE WHEN arm = 1 THEN y END)
+               - avg(CASE WHEN arm = 0 THEN y END) AS d
+        FROM assigned GROUP BY rep
+    ),
+    obs AS (
+        SELECT max(CASE WHEN rep = 0 THEN d END) AS od FROM diffs
+    )
+    SELECT round(min(o.od), 4) AS observed_diff,
+           CAST(count(*) - 1 AS BIGINT) AS n_permutations,
+           round(avg(CASE WHEN rep > 0 THEN abs(d) END), 4)
+               AS null_mean_abs,
+           round((sum(CASE WHEN rep > 0 AND abs(d) >= abs(o.od)
+                          THEN 1 ELSE 0 END) + 1.0)
+                 / count(*), 6) AS perm_p_value
+    FROM diffs CROSS JOIN obs o
+    """,
+)
+def q349_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the arm difference, fully deterministic: rep 0
+    is the REAL q261 assignment (salt 'perm0' = 'exp1' semantics differ;
+    rep 0 plays the observed split) and reps 1-32 are re-randomized
+    assignments from fresh hash salts — each an exact exchangeable null
+    draw. The p-value is the add-one-smoothed fraction of null |diffs|
+    at least as large as observed: the distribution-free alternative to
+    q163's normal theory that stays valid for ANY statistic. One
+    per-user reduction, 33 broadcast replicas, one grouped diff each —
+    the same one-pass replica pattern as q286's bootstrap."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), F.lit(0.0)).alias("y")))
+    reps = spark.range(0, 33).select(F.col("id").alias("rep"))
+    arm = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("perm"), F.col("rep").cast("string"),
+                       F.lit("-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    diffs = (per_user.crossJoin(F.broadcast(reps))
+             .withColumn("arm", arm)
+             .groupBy("rep")
+             .agg((F.avg(F.when(F.col("arm") == 1, F.col("y")))
+                   - F.avg(F.when(F.col("arm") == 0, F.col("y"))))
+                  .alias("d")))
+    everything = Window.partitionBy()
+    obs = F.max(F.when(F.col("rep") == 0, F.col("d"))).over(everything)
+    scored = diffs.withColumn("obs", obs)
+    return scored.agg(
+        F.round(F.max(F.when(F.col("rep") == 0, F.col("d"))), 4)
+        .alias("observed_diff"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_permutations"),
+        F.round(F.avg(F.when(F.col("rep") > 0, F.abs(F.col("d")))), 4)
+        .alias("null_mean_abs"),
+        F.round((F.sum(F.when((F.col("rep") > 0)
+                              & (F.abs(F.col("d")) >= F.abs(F.col("obs"))),
+                              1).otherwise(0)) + 1.0)
+                / F.count(F.lit(1)), 6).alias("perm_p_value"))
+
+
+@register(
+    "q350_sprt_trace",
+    sql="""
+    WITH per_user_day AS (
+        SELECT user_id,
+               min(CAST(epoch_us(date_trunc('day', ts)) / 86400000000
+                        AS BIGINT)) AS first_d,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_d AS d, count(*)::DOUBLE AS n, sum(y)::DOUBLE AS k
+        FROM per_user_day GROUP BY first_d
+    ),
+    llr AS (
+        SELECT d, n, k,
+               sum(k * ln(0.12 / 0.08)
+                   + (n - k) * ln(0.88 / 0.92)) OVER (ORDER BY d) AS cum_llr
+        FROM daily
+    )
+    SELECT d AS day_idx,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(k AS BIGINT) AS n_converted,
+           round(cum_llr, 6) AS cum_llr,
+           CAST(CASE WHEN cum_llr >= ln(19.0) THEN 1
+                     WHEN cum_llr <= ln(1.0 / 19.0) THEN -1
+                     ELSE 0 END AS BIGINT) AS decision
+    FROM llr
+    ORDER BY day_idx
+    """,
+)
+def q350_sprt_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test trace: the cumulative
+    log-likelihood ratio of H1 (conversion p = 0.12) against H0
+    (p = 0.08) over daily first-touch cohorts, with Wald's
+    alpha = beta = 0.05 decision bounds (±ln 19). decision = +1 accepts
+    H1, -1 accepts H0, 0 keeps sampling — the always-valid sequential
+    readout that lets an experiment STOP EARLY without the peeking
+    problem fixed-horizon tests (q163) have. Cumulative window over the
+    daily cohort residue; all constants exact literals."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(
+                    (F.unix_micros(F.date_trunc("day", "ts")
+                                   .cast("timestamp"))
+                     / F.lit(86400000000)).cast("bigint")).alias("first_d"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).alias("y")))
+    daily = (per_user.groupBy(F.col("first_d").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.sum("y").cast("double").alias("k")))
+    import math
+    w = Window.orderBy("d")
+    step = (F.col("k") * math.log(0.12 / 0.08)
+            + (F.col("n") - F.col("k")) * math.log(0.88 / 0.92))
+    llr = daily.withColumn("cum_llr", F.sum(step).over(w))
+    hi, lo = math.log(19.0), math.log(1.0 / 19.0)
+    return (llr.select(
+        F.col("d").alias("day_idx"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("k").cast("bigint").alias("n_converted"),
+        F.round("cum_llr", 6).alias("cum_llr"),
+        F.when(F.col("cum_llr") >= hi, 1)
+        .when(F.col("cum_llr") <= lo, -1).otherwise(0)
+        .cast("bigint").alias("decision"))
+        .orderBy("day_idx"))
+
+
+@register(
+    "q351_overdispersion_fit",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id, count(*)::DOUBLE AS c
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT avg(c) AS mean_c, var_samp(c) AS var_c,
+               count(*)::DOUBLE AS n
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mean_c, 4) AS mean_events,
+           round(var_c, 4) AS var_events,
+           round(var_c / mean_c, 6) AS dispersion_index,
+           round(CASE WHEN var_c > mean_c
+                      THEN mean_c * mean_c / (var_c - mean_c) END, 4)
+               AS nb_r,
+           round(CASE WHEN var_c > mean_c THEN mean_c / var_c END, 6)
+               AS nb_p
+    FROM m
+    """,
+)
+def q351_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnosis + negative-binomial fit for per-user event
+    counts: the dispersion index var/mean (1 = Poisson; >1 = clumped
+    traffic, and every Poisson-assuming rate test like q280 understates
+    its error by that factor) and the method-of-moments NB parameters
+    r = m^2/(v-m), p = m/v when overdispersed (NULL when at-or-under
+    dispersed — the fit doesn't exist). One reduction, one moments
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    m = per_user.agg(F.avg("c").alias("mean_c"),
+                     F.var_samp("c").alias("var_c"),
+                     F.count(F.lit(1)).cast("double").alias("n"))
+    over = F.col("var_c") > F.col("mean_c")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("mean_c", 4).alias("mean_events"),
+        F.round("var_c", 4).alias("var_events"),
+        F.round(F.col("var_c") / F.col("mean_c"), 6)
+        .alias("dispersion_index"),
+        F.round(F.when(over, F.col("mean_c") * F.col("mean_c")
+                       / (F.col("var_c") - F.col("mean_c"))), 4)
+        .alias("nb_r"),
+        F.round(F.when(over, F.col("mean_c") / F.col("var_c")), 6)
+        .alias("nb_p"))

@@ -1646,3 +1646,56 @@ def test_sax_symbols_cover_alphabet_consistently(spark, sf_dir):
             assert sym == "c"
         else:
             assert sym == "d"
+
+
+def test_permutation_test_p_value_bounds(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q349_permutation_test,
+    )
+
+    r = q349_permutation_test(spark, sf_dir).collect()[0]
+    assert r["n_permutations"] == 32
+    # add-one smoothing keeps p in (0, 1]
+    assert 1 / 33 <= r["perm_p_value"] <= 1.0
+    assert r["null_mean_abs"] >= 0
+
+
+def test_sprt_decision_is_absorbing_threshold(spark, sf_dir):
+    import math
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q350_sprt_trace,
+    )
+
+    out = q350_sprt_trace(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        if r["cum_llr"] >= math.log(19.0):
+            assert r["decision"] == 1
+        elif r["cum_llr"] <= math.log(1 / 19.0):
+            assert r["decision"] == -1
+        else:
+            assert r["decision"] == 0
+
+
+def test_overdispersion_nb_moments_roundtrip(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q351_overdispersion_fit,
+    )
+
+    r = q351_overdispersion_fit(spark, sf_dir).collect()[0]
+    assert r["dispersion_index"] > 0
+    if r["nb_r"] is not None:
+        # NB mean = r(1-p)/p reproduces the sample mean
+        mean_back = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
+        assert mean_back == pytest.approx(r["mean_events"], rel=0.01)
+
+
+def test_kendall_tau_bounds_and_counts(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q352_rank_correlation,
+    )
+
+    r = q352_rank_correlation(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["kendall_tau_b"] <= 1.0
+    assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+    assert r["kendall_tau_b"] > 0  # both scorers share the tf signal
