@@ -1320,3 +1320,108 @@ def q352_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(F.count(F.lit(1)) - F.sum("tie1"))
                    * F.sqrt(F.count(F.lit(1)) - F.sum("tie2"))), 6)
         .alias("kendall_tau_b"))
+
+
+@register(
+    "q354_ndcg",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS dlen FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf
+        FROM tok WHERE token IN ('spark', 'join', 'window')
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl))), 9)
+                   AS s,
+               sum(tf) AS rel
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    by_score AS (
+        SELECT rel, row_number() OVER (ORDER BY s DESC, doc_id) AS pos
+        FROM scored
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+        FROM scored
+    ),
+    dcg AS (
+        SELECT sum((pow(2, rel) - 1) / ln(2 + pos)) AS v
+        FROM by_score WHERE pos <= 10
+    ),
+    idcg AS (
+        SELECT sum((pow(2, rel) - 1) / ln(2 + pos)) AS v
+        FROM ideal WHERE pos <= 10
+    )
+    SELECT 10 AS k,
+           round(d.v, 6) AS dcg_at_10,
+           round(i.v, 6) AS idcg_at_10,
+           round(d.v / i.v, 6) AS ndcg_at_10
+    FROM dcg d CROSS JOIN idcg i
+    """,
+)
+def q354_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against term-count graded relevance:
+    discounted cumulative gain of the ranking the scorer PRODUCED over
+    the gain of the ideal ordering — the position-weighted ranking
+    metric that q320's flat accuracy and q352's whole-list tau both miss
+    (a ranker that nails the top-3 but shuffles the tail scores high
+    here, exactly matching user experience). Gains 2^rel - 1, discount
+    ln(2+pos); both rankings are top-k windows over the bounded matched
+    set, tie-broken on doc_id."""
+    terms = ("spark", "join", "window")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+    dl = (tok.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dlen").alias("avgdl"))
+    tf = (tok.filter(F.col("token").isin(*terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(df), "token")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(contrib), 9).alias("s"),
+                   F.sum("tf").alias("rel")))
+    gain = (F.pow(2, F.col("rel")) - 1) / F.log(2 + F.col("pos"))
+    by_score = scored.select(
+        "rel", F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
+        .alias("pos"))
+    ideal = scored.select(
+        "rel", F.row_number().over(Window.orderBy(F.desc("rel"), "doc_id"))
+        .alias("pos"))
+    dcg = by_score.filter(F.col("pos") <= 10).agg(F.sum(gain).alias("v"))
+    idcg = ideal.filter(F.col("pos") <= 10).agg(F.sum(gain).alias("iv"))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select(F.lit(10).alias("k"),
+                    F.round("v", 6).alias("dcg_at_10"),
+                    F.round("iv", 6).alias("idcg_at_10"),
+                    F.round(F.col("v") / F.col("iv"), 6)
+                    .alias("ndcg_at_10")))

@@ -2656,3 +2656,76 @@ def q348_sax_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("pz", 6).alias("paa_value"),
                        sym.alias("sax_symbol"))
             .orderBy("segment"))
+
+
+@register(
+    "q353_gumbel_return_level",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT)
+                   AS d,
+               count(*)::DOUBLE AS y
+        FROM events GROUP BY 1
+    ),
+    blocks AS (
+        SELECT CAST(floor((d - (SELECT min(d) FROM daily)) / 7.0) AS BIGINT)
+                   AS wk,
+               max(y) AS block_max,
+               count(*) AS n_days
+        FROM daily GROUP BY 1 HAVING count(*) = 7
+    ),
+    mom AS (
+        SELECT count(*)::DOUBLE AS n, avg(block_max) AS m,
+               stddev_samp(block_max) AS s
+        FROM blocks
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(m, 4) AS mean_weekly_max,
+           round(s * 0.7796968, 4) AS gumbel_beta,
+           round(m - 0.5772157 * s * 0.7796968, 4) AS gumbel_mu,
+           round(m - 0.5772157 * s * 0.7796968
+                 - s * 0.7796968 * ln(-ln(1 - 1.0 / 52)), 4)
+               AS level_1in52w,
+           round(m - 0.5772157 * s * 0.7796968
+                 - s * 0.7796968 * ln(-ln(1 - 1.0 / 520)), 4)
+               AS level_1in520w
+    FROM mom
+    """,
+)
+def q353_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return levels by block maxima: weekly maxima of daily
+    volume fitted to a Gumbel distribution via method of moments
+    (beta = s*sqrt(6)/pi = s*0.7796968, mu = m - gamma*beta with Euler's
+    0.5772157), then the 1-in-52-week and 1-in-520-week levels from the
+    quantile mu - beta*ln(-ln(1-1/T)) — the capacity number "provision
+    for the yearly spike", which no average or P99 of DAILY values gives
+    (those see typical days; EVT extrapolates the maxima process). Only
+    complete 7-day blocks enter. Constants are exact literals on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("bigint").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    d0 = daily.agg(F.min("d").alias("d0"))
+    blocks = (daily.crossJoin(F.broadcast(d0))
+              .groupBy(F.floor((F.col("d") - F.col("d0")) / 7.0)
+                       .cast("bigint").alias("wk"))
+              .agg(F.max("y").alias("block_max"),
+                   F.count(F.lit(1)).alias("n_days"))
+              .filter(F.col("n_days") == 7))
+    mom = blocks.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                     F.avg("block_max").alias("m"),
+                     F.stddev_samp("block_max").alias("s"))
+    beta = F.col("s") * 0.7796968
+    mu = F.col("m") - 0.5772157 * beta
+    def level(t):
+        import math
+        return mu - beta * math.log(-math.log(1 - 1.0 / t))
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_blocks"),
+        F.round("m", 4).alias("mean_weekly_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(level(52), 4).alias("level_1in52w"),
+        F.round(level(520), 4).alias("level_1in520w"))

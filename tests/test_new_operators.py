@@ -1699,3 +1699,25 @@ def test_kendall_tau_bounds_and_counts(spark, sf_dir):
     assert -1.0 <= r["kendall_tau_b"] <= 1.0
     assert r["concordant"] + r["discordant"] <= r["n_pairs"]
     assert r["kendall_tau_b"] > 0  # both scorers share the tf signal
+
+
+def test_gumbel_return_levels_ordered(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q353_gumbel_return_level,
+    )
+
+    r = q353_gumbel_return_level(spark, sf_dir).collect()[0]
+    # longer return periods demand higher levels, above the mean max
+    assert r["mean_weekly_max"] < r["level_1in52w"] < r["level_1in520w"]
+    assert r["gumbel_beta"] > 0
+    assert r["n_blocks"] >= 2
+
+
+def test_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q354_ndcg,
+    )
+
+    r = q354_ndcg(spark, sf_dir).collect()[0]
+    assert 0.0 < r["ndcg_at_10"] <= 1.0
+    assert r["dcg_at_10"] <= r["idcg_at_10"] + 1e-9
