@@ -3191,3 +3191,81 @@ def q351_overdispersion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nb_r"),
         F.round(F.when(over, F.col("mean_c") / F.col("var_c")), 6)
         .alias("nb_p"))
+
+
+@register(
+    "q356_expected_calibration_error",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('cal-' || user_id), 1, 8))
+                    AS BIGINT) % 2 AS half,
+               least(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+                     12) AS score,
+               max(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END)::DOUBLE AS y
+        FROM events GROUP BY user_id
+    ),
+    model AS (
+        SELECT score, avg(y) AS p
+        FROM per_user WHERE half = 0 GROUP BY score
+    ),
+    test AS (
+        SELECT t.score, t.y, m.p
+        FROM per_user t JOIN model m USING (score)
+        WHERE t.half = 1
+    ),
+    bins AS (
+        SELECT score, min(p) AS p, count(*)::DOUBLE AS n_b,
+               avg(y) AS ybar_b
+        FROM test GROUP BY score
+    ),
+    tot AS (SELECT sum(n_b) AS n FROM bins)
+    SELECT CAST(t.n AS BIGINT) AS n_test,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(b.n_b * abs(b.p - b.ybar_b)) / t.n, 6) AS ece,
+           round(max(abs(b.p - b.ybar_b)), 6) AS mce
+    FROM bins b CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def q356_expected_calibration_error(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the score-bin conversion
+    model on the held-out half (same split and model as q294): ECE is
+    the bin-weighted mean |predicted - observed| and MCE the worst bin —
+    the two numbers model cards quote, where q294's Brier mixes
+    calibration with discrimination and q288's isotonic FIXES
+    miscalibration this measures. Same two reductions as q294 with a
+    different residue summary, so the calibration plane reads as probe
+    (here), decomposition (q294), and repair (q288)."""
+    ev = load_table(spark, sf_dir, "events")
+    half = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("cal-"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.least(F.sum(F.when(F.col("event_type") == "click", 1)
+                                   .otherwise(0)), F.lit(12)).alias("score"),
+                     F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 250), 1)
+                           .otherwise(0)).cast("double").alias("y"))
+                .withColumn("half", half))
+    model = (per_user.filter(F.col("half") == 0)
+             .groupBy("score").agg(F.avg("y").alias("p")))
+    test = (per_user.filter(F.col("half") == 1)
+            .join(F.broadcast(model), "score")
+            .select("score", "y", "p"))
+    bins = (test.groupBy("score")
+            .agg(F.min("p").alias("p"),
+                 F.count(F.lit(1)).cast("double").alias("n_b"),
+                 F.avg("y").alias("ybar_b")))
+    tot = bins.agg(F.sum("n_b").alias("n"))
+    gap = F.abs(F.col("p") - F.col("ybar_b"))
+    return (bins.crossJoin(F.broadcast(tot))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                 F.round(F.sum(F.col("n_b") * gap) / F.col("n"), 6)
+                 .alias("ece"),
+                 F.round(F.max(gap), 6).alias("mce"))
+            .select(F.col("n").cast("bigint").alias("n_test"),
+                    "n_bins", "ece", "mce"))

@@ -2729,3 +2729,80 @@ def q353_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 4).alias("gumbel_mu"),
         F.round(level(52), 4).alias("level_1in52w"),
         F.round(level(520), 4).alias("level_1in520w"))
+
+
+@register(
+    "q355_audience_overlap",
+    sql="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((CAST(epoch_us(date_trunc('day', ts))
+                                / 86400000000 AS BIGINT)
+                           - (SELECT CAST(epoch_us(date_trunc('day',
+                                          min(ts))) / 86400000000 AS BIGINT)
+                              FROM events)) / 7.0) AS BIGINT) AS wk
+        FROM events
+    ),
+    sizes AS (
+        SELECT wk, count(*)::DOUBLE AS n FROM active GROUP BY wk
+    ),
+    overlap AS (
+        SELECT a.wk AS wk_from, count(*)::DOUBLE AS n_common
+        FROM active a JOIN active b
+          ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        GROUP BY a.wk
+    )
+    SELECT s1.wk AS week_idx,
+           CAST(s1.n AS BIGINT) AS wau_this,
+           CAST(s2.n AS BIGINT) AS wau_next,
+           CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(o.n_common, 0)
+                 / (s1.n + s2.n - coalesce(o.n_common, 0)), 6)
+               AS jaccard_overlap,
+           round(coalesce(o.n_common, 0) / s1.n, 6) AS retention_ratio
+    FROM sizes s1
+    JOIN sizes s2 ON s2.wk = s1.wk + 1
+    LEFT JOIN overlap o ON o.wk_from = s1.wk
+    ORDER BY week_idx
+    """,
+)
+def q355_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week audience overlap: Jaccard similarity and forward
+    retention ratio between consecutive weekly-active-user sets — the
+    set-level stability number that q344's daily accounting aggregates
+    away (DAU can be flat while the underlying POPULATION rotates
+    completely; Jaccard near 1 vs near 0 distinguishes a loyal base from
+    a churn treadmill). One (user, week) distinct, one adjacent-week
+    self-join keyed on user_id, residue arithmetic against the weekly
+    sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+           / F.lit(86400000000)).cast("bigint")
+    d0 = ev.agg(F.min(day).alias("d0"))
+    active = (ev.crossJoin(F.broadcast(d0))
+              .select("user_id",
+                      F.floor((day - F.col("d0")) / 7.0).cast("bigint")
+                      .alias("wk"))
+              .distinct())
+    sizes = active.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    b = active.select(F.col("user_id").alias("bu"),
+                      (F.col("wk") - 1).alias("bwk"))
+    overlap = (active.join(b, (F.col("bu") == F.col("user_id"))
+                           & (F.col("bwk") == F.col("wk")))
+               .groupBy(F.col("wk").alias("wk_from"))
+               .agg(F.count(F.lit(1)).cast("double").alias("n_common")))
+    s1 = sizes.select(F.col("wk").alias("w1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("wk").alias("w2"), F.col("n").alias("n2"))
+    common = F.coalesce("n_common", F.lit(0.0))
+    return (s1.join(s2, F.col("w2") == F.col("w1") + 1)
+            .join(overlap, F.col("wk_from") == F.col("w1"), "left")
+            .select(F.col("w1").alias("week_idx"),
+                    F.col("n1").cast("bigint").alias("wau_this"),
+                    F.col("n2").cast("bigint").alias("wau_next"),
+                    common.cast("bigint").alias("n_common"),
+                    F.round(common / (F.col("n1") + F.col("n2") - common), 6)
+                    .alias("jaccard_overlap"),
+                    F.round(common / F.col("n1"), 6)
+                    .alias("retention_ratio"))
+            .orderBy("week_idx"))

@@ -1721,3 +1721,43 @@ def test_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
     r = q354_ndcg(spark, sf_dir).collect()[0]
     assert 0.0 < r["ndcg_at_10"] <= 1.0
     assert r["dcg_at_10"] <= r["idcg_at_10"] + 1e-9
+
+
+def test_audience_overlap_rotating_population(spark):
+    # disjoint user sets each week -> jaccard 0; same set -> jaccard 1
+    import gh_archive_data_pipeline_spark.operators.timeseries as tsmod
+    from gh_archive_data_pipeline_spark.operators.timeseries import (
+        q355_audience_overlap,
+    )
+    import gh_archive_data_pipeline_spark.sources.readers as readers
+
+    rows, eid = [], 0
+    # weeks 0-1: users 0-9 both weeks (loyal); week 2: users 100-109 (churn)
+    for wk, users in [(0, range(10)), (1, range(10)), (2, range(100, 110))]:
+        for u in users:
+            rows.append((eid, dt.datetime(2024, 1, 1 + 7 * wk, 12), u))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long")
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda sp, d, n: ev
+        tsmod.load_table = lambda sp, d, n: ev
+        out = {r["week_idx"]: r for r in
+               q355_audience_overlap(spark, "unused").collect()}
+    finally:
+        readers.load_table = orig
+        tsmod.load_table = orig
+    assert out[0]["jaccard_overlap"] == 1.0
+    assert out[1]["jaccard_overlap"] == 0.0
+    assert out[1]["retention_ratio"] == 0.0
+
+
+def test_ece_bounds_and_mce_dominates(spark, sf_dir):
+    from gh_archive_data_pipeline_spark.operators.features import (
+        q356_expected_calibration_error,
+    )
+
+    r = q356_expected_calibration_error(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+    assert r["n_bins"] >= 1
