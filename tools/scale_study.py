@@ -5,7 +5,17 @@ measure headline-query wall time at 1× vs N×.
 The point is the RATIO: a query whose cost grows ~linearly with input
 (ratio ≈ N on a fixed-core machine) has no hidden quadratic term and no
 driver-side bottleneck — the property that survives a 100 TB cluster.
-Run: python tools/scale_study.py [N] (default 10; writes /tmp/spark_scale_N).
+Run: python tools/scale_study.py [N] [q42,q45,...] (default N=10, all
+QUERIES; writes /tmp/spark_scale_N). Query args match by prefix, so "q42"
+selects q42_minhash_near_dup.
+
+Replica semantics: key columns are shifted per replica so cardinalities
+genuinely scale; events.ts is ALSO shifted by the fixture's time span per
+replica, because real 100× event data covers ~100× the wall-clock range —
+without the ts shift every replica would land in the same hours and any
+time-co-occurrence operator (q295's co-purchase pairs) would measure an
+artificial k→100k hour-group densification (a 10^4 pair blowup) instead of
+scale.
 """
 
 from __future__ import annotations
@@ -68,11 +78,23 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
         else:
             shift = {k: int(src.agg(F.max(k)).collect()[0][0]) + 1
                      for k in keys}
+            ts_shift = None  # per-replica shift fn, dtype-aware
+            if table == "events":
+                lo, hi = src.agg(F.min("ts"), F.max("ts")).collect()[0]
+                if dict(src.dtypes).get("ts") == "bigint":  # raw nanos
+                    span = int(hi) - int(lo) + 3_600_000_000_000
+                    ts_shift = lambda i: F.col("ts") + F.lit(i * span)
+                else:
+                    span_s = int((hi - lo).total_seconds()) + 3600
+                    ts_shift = lambda i: F.col("ts") + F.expr(
+                        f"INTERVAL {span_s} SECOND") * F.lit(i)
             reps = []
             for i in range(n):
                 r = src
                 for k in keys:
                     r = r.withColumn(k, F.col(k) + F.lit(i * shift[k]))
+                if ts_shift is not None:
+                    r = r.withColumn("ts", ts_shift(i))
                 reps.append(r)
         out = reps[0]
         for r in reps[1:]:
@@ -93,6 +115,12 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        prefixes = sys.argv[2].split(",")
+        names = sorted(all_queries())
+        global QUERIES
+        QUERIES = [next(q for q in names if q.startswith(p))
+                   for p in prefixes]
     spark = get_spark(app_name="scale-study")
     spark.range(100_000).selectExpr("id % 7 k").groupBy("k").count().count()
     base_dir = f"/tmp/spark_scale_1"
