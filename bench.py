@@ -20,26 +20,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gh_archive_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from gh_archive_data_pipeline_spark.session import get_spark  # noqa: E402
 
-# Clean-run per-query baseline seconds at sf0.1 (BASELINE.md "First-light
-# bench" clean column). bench.py reports each query's ratio vs this so a real
-# regression is distinguishable from ambient CPU contention.
+# Clean-run per-query baseline seconds at sf0.1 (BASELINE.md "Round-3
+# re-snapshot" table: min of two clean runs under the prune-proof
+# hash-reduce action — the r01 count()-based numbers under-timed queries
+# whose computed columns don't affect row count, see BASELINE.md). bench.py
+# reports each query's ratio vs this so a real regression is
+# distinguishable from ambient CPU contention.
 BASELINE_SEC = {
-    "q01_pricing_summary": 1.938,
-    "q03_shipping_priority": 1.433,
-    "q05_region_revenue": 1.056,
-    "q07_customer_order_stats": 0.291,
-    "q12_dedup_first_event": 0.594,
-    "q19_top_parts_per_brand": 0.286,
-    "q31_top_words": 0.331,
-    "q40_dedup_exact": 1.654,
-    "q42_minhash_near_dup": 2.407,
-    "q44_embedding_topk": 0.732,
-    "q45_embedding_lsh_topk": 2.156,
-    "q47_text_stats": 0.176,
-    "q50_tumbling_window": 0.291,
-    "q52_session_windows": 0.546,
-    "q53_asof_last_purchase": 0.228,
-    "q59_stream_tumbling_window": 1.887,
+    "q01_pricing_summary": 1.111,
+    "q03_shipping_priority": 1.539,
+    "q05_region_revenue": 1.136,
+    "q07_customer_order_stats": 0.741,
+    "q12_dedup_first_event": 0.774,
+    "q19_top_parts_per_brand": 0.421,
+    "q31_top_words": 0.411,
+    "q40_dedup_exact": 1.573,
+    "q42_minhash_near_dup": 3.709,
+    "q44_embedding_topk": 0.996,
+    "q45_embedding_lsh_topk": 2.728,
+    "q47_text_stats": 0.49,
+    "q50_tumbling_window": 0.485,
+    "q52_session_windows": 0.835,
+    "q53_asof_last_purchase": 0.779,
+    "q59_stream_tumbling_window": 2.904,
+    "q84_dedup_clusters": 1.313,
+    "q87_reconcile_tables": 0.967,
+    "q89_tfidf_top_terms": 0.742,
+    "q125_repetition_ngrams": 1.102,
+    "q144_ngram_novelty": 1.353,
+    "q129_weighted_sample": 0.421,
+    "q167_market_basket": 2.313,
+    "q178_rolling_distinct_users": 0.869,
+    "q188_bpe_pair_counts": 0.394,
+    "q189_pagerank_event_graph": 1.973,
+    "q195_stream_upsert": 2.348,
+    "q201_stream_sessions": 2.847,
+    "q286_poisson_bootstrap": 1.079,
+    "q295_triangle_count": 4.874,
+    "q315_kneser_ney": 0.922,
+    "q316_scaling_curve": 2.678,
 }
 
 # Headline set: one per operator family — scan/agg, join cascade, semi join,
@@ -86,6 +105,24 @@ HEADLINE = [
 ]
 
 
+def force_execute(df) -> int:
+    """Prune-proof action: one aggregate that hashes EVERY output column and
+    counts rows. A bare ``count()`` lets Catalyst prune computed columns
+    that don't affect cardinality, so a projection-shaped query would be
+    under-timed; xor-reducing xxhash64 over a struct of all columns forces each
+    column's compute without collecting rows to the driver. Map columns are
+    serialized via to_json (maps aren't hashable/orderable in Spark SQL)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType)
+            else F.col(f.name) for f in df.schema.fields]
+    row = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor(F.xxhash64(F.struct(*cols))).alias("h")
+                 ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -96,13 +133,23 @@ def main() -> None:
     # production clusters are long-lived, so steady-state is the honest number.
     warm = spark.range(100_000).selectExpr("id % 7 AS k", "id * 1.5 AS v")
     warm.groupBy("k").sum("v").count()
+    # Source-layout prep: pre-split the streaming fixture into its
+    # time-ordered micro-batch files (a real landing zone / Kafka topic is
+    # already batched). Without this the FIRST streaming query measured —
+    # q59 — absorbs a one-time fixture rewrite that the other five
+    # multi-batch stream queries then get for free, which is a harness
+    # artifact, not query cost.
+    from gh_archive_data_pipeline_spark.streaming.stream_queries import (  # noqa: E402
+        prepare_stream_fixtures,
+    )
+    prepare_stream_fixtures(spark, sf_dir)
     specs = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
         t0 = time.monotonic()
         df = spec.fn(spark, sf_dir)
-        n = df.count()  # force full execution without driver-side collect
+        n = force_execute(df)
         timings[name] = round(time.monotonic() - t0, 3)
         base = BASELINE_SEC.get(name)
         ratio = f" [{timings[name] / base:.2f}x base]" if base and sf == 0.1 else ""

@@ -46,10 +46,10 @@ def _events_stream(spark: SparkSession, sf_dir: str,
     key = f"{sf_dir}#{n_files}"
     if key not in _stream_dir_cache:
         stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+        raw0 = spark.read.parquet(path)
         if n_files <= 1:
             os.symlink(path, os.path.join(stream_dir, "events.parquet"))
         else:
-            raw0 = spark.read.parquet(path)
             (raw0.repartitionByRange(n_files, "ts")
              .sortWithinPartitions("ts")
              .write.mode("overwrite").parquet(stream_dir))
@@ -58,8 +58,7 @@ def _events_stream(spark: SparkSession, sf_dir: str,
             # order is event-time order
             for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/part-*"))):
                 os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
-        schema = spark.read.parquet(path).schema
-        _stream_dir_cache[key] = (stream_dir, schema)
+        _stream_dir_cache[key] = (stream_dir, raw0.schema)
     stream_dir, schema = _stream_dir_cache[key]
     raw = read_file_stream(
         spark, stream_dir, schema,
@@ -69,6 +68,22 @@ def _events_stream(spark: SparkSession, sf_dir: str,
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
     return raw
+
+
+def prepare_stream_fixtures(spark: SparkSession, sf_dir: str,
+                            n_files_list: tuple[int, ...] = (1, 4)) -> None:
+    """Pre-build the time-range-split stream source directories for a
+    fixture dir (idempotent; populates ``_stream_dir_cache``).
+
+    The split is SOURCE-LAYOUT preparation, not query work: it simulates a
+    landing zone that already holds n time-ordered files (a real Kafka topic
+    or ingest directory arrives pre-batched). bench.py calls this during
+    warmup so the first streaming query measured isn't charged the one-time
+    fixture rewrite that every later streaming query then gets for free —
+    the per-query numbers stay comparable to each other and to the
+    single-batch r01 baseline."""
+    for n in n_files_list:
+        _events_stream(spark, sf_dir, n_files=n)
 
 
 @register(
