@@ -87,14 +87,29 @@ def q92_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q100_hll_incremental_distinct", sql=None)
+@register(
+    "q100_hll_incremental_distinct",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+               AS exact_distinct_customers,
+           TRUE AS hll_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q100_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable DISTINCT state (Datasketches HLL): per-priority customer
     sketches built independently on the pre/post-2001 splits, merged with
     hll_union_agg, estimated — incremental distinct-count maintenance, the
     piece plain COUNT(DISTINCT) can't do without re-scanning history.
-    Rows-only driver check (HLL is approximate); the error bound vs exact is
-    pinned in tests/test_new_operators.py."""
+    Tolerance oracle: the hashed columns are the EXACT distinct count plus
+    a boolean asserting the merged-sketch estimate is within 2% of it
+    (lgK=14 → rse ≈ 0.81%, so 2% ≈ 2.5σ; HLL is deterministic given the
+    data, so the check is stable). The oracle emits the exact count and
+    literal TRUE — the hash matches iff the split+merge estimate honours
+    the bound. The tighter unit pin in tests/test_new_operators.py is
+    unchanged."""
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
 
@@ -107,9 +122,15 @@ def q100_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     merged = (base.unionByName(delta)
               .groupBy("o_orderpriority")
               .agg(F.hll_union_agg("sk").alias("sk")))
-    return merged.select(
-        "o_orderpriority",
-        F.hll_sketch_estimate("sk").alias("approx_distinct_customers"))
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct_customers"))
+    return (merged.join(exact, "o_orderpriority")
+            .select(
+                "o_orderpriority", "exact_distinct_customers",
+                (F.abs(F.hll_sketch_estimate("sk")
+                       - F.col("exact_distinct_customers"))
+                 <= 0.02 * F.col("exact_distinct_customers"))
+                .alias("hll_within_2pct")))
 
 
 def apply_cdc(snapshot: DataFrame, changes: DataFrame, key: str,

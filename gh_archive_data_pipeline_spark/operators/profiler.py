@@ -109,34 +109,91 @@ def q33_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q34 — approx distinct (A2): rows-only check (HLL sketches differ by engine)
+# q34 — approx distinct (A2): tolerance oracle (the estimate itself differs
+# by engine, but its error BOUND vs the exact count is SQL-expressible)
 # --------------------------------------------------------------------------
-@register("q34_approx_distinct", sql=None)
+@register(
+    "q34_approx_distinct",
+    sql="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey)  AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey)  AS BIGINT) AS exact_supps,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct,
+           TRUE AS supps_within_5pct
+    FROM lineitem
+    """,
+)
 def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 approx_count_distinct (HyperLogLog++). No SQL oracle: DuckDB's HLL
-    yields different estimates by design; exactness is pinned separately in
-    unit tests via a relative-error bound against exact countDistinct."""
+    """A2 approx_count_distinct (HyperLogLog++). DuckDB's HLL yields
+    different estimates by design, so the hashed columns are the EXACT
+    counts plus booleans encoding the estimate's relative-error bound
+    (rsd 2%, bound 5% ≈ 2.5σ): the oracle emits the exact counts and TRUE,
+    so the hash matches iff Spark's estimate lands inside the bound. The
+    tighter empirical bound is additionally pinned in unit tests."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+
+    def ok(approx, exact):
+        return (F.abs(approx - exact) <= 0.05 * exact)
+
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_o"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_p"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("a_s"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )
+    return agg.select(
+        "exact_orders", "exact_parts", "exact_supps",
+        ok(F.col("a_o"), F.col("exact_orders")).alias("orders_within_5pct"),
+        ok(F.col("a_p"), F.col("exact_parts")).alias("parts_within_5pct"),
+        ok(F.col("a_s"), F.col("exact_supps")).alias("supps_within_5pct"),
     )
 
 
-@register("q111_approx_percentiles", sql=None)
+@register(
+    "q111_approx_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           TRUE AS approx_within_half_pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q111_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna percentile_approx with
     relative-error 1/accuracy): the single-pass mergeable alternative to
     q16's exact percentiles — at 100 TB exact percentile needs a full sort
-    or two passes, the sketch needs one partial-aggregable pass. Rows-only
-    driver check (approximation); the error bound vs exact percentile is
-    pinned in tests/test_new_operators.py."""
+    or two passes, the sketch needs one partial-aggregable pass. Tolerance
+    oracle: the hashed columns are the EXACT interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, same rank-interpolation
+    formula) plus a boolean asserting every GK estimate is within 0.5% of
+    its exact value — the oracle emits the exacts and literal TRUE, so the
+    hash matches iff the sketch's bound holds. The raw estimates remain
+    available via percentile_approx directly; the tighter unit-test pin in
+    tests/test_new_operators.py is unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(*[F.percentile_approx("l_extendedprice", p, 10_000)
-                   .alias(f"p{int(p * 100):02d}")
-                   for p in (0.25, 0.5, 0.75, 0.99)]))
+    ps = (0.25, 0.5, 0.75, 0.99)
+    agg = (li.groupBy("l_returnflag")
+           .agg(*[F.percentile_approx("l_extendedprice", p, 10_000)
+                  .alias(f"a{int(p * 100):02d}") for p in ps],
+                *[F.percentile("l_extendedprice", F.lit(p))
+                  .alias(f"e{int(p * 100):02d}") for p in ps]))
+    ok = [(F.abs(F.col(f"a{int(p*100):02d}") - F.col(f"e{int(p*100):02d}"))
+           <= 0.005 * F.col(f"e{int(p*100):02d}")) for p in ps]
+    bound = ok[0]
+    for o in ok[1:]:
+        bound = bound & o
+    return agg.select(
+        "l_returnflag",
+        *[F.round(F.col(f"e{int(p*100):02d}"), 4)
+          .alias(f"p{int(p*100):02d}_exact") for p in ps],
+        bound.alias("approx_within_half_pct"))
 
 
 @register(

@@ -159,19 +159,50 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     )
 
 
-@register("q132_count_min_sketch", sql=None)
+@register(
+    "q132_count_min_sketch",
+    sql="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           TRUE AS never_underestimates,
+           TRUE AS within_2eps_n
+    FROM events
+    GROUP BY user_id
+    ORDER BY exact_count DESC, user_id
+    LIMIT 100
+    """,
+)
 def q132_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimates for every distinct event user:
-    build the 4×1024 sketch in one pass, then probe it. Rows-only by design
-    (CMS overestimates under collision — no SQL oracle); the unit test pins
-    est ≥ exact and the ε·N expected-overestimate bound against exact counts.
-    """
+    """Count-min sketch frequency estimates for the top-100 event users:
+    build the 4×1024 sketch in one pass, probe every distinct user, then
+    check the sketch's two-sided contract against the exact counts. The
+    estimate itself is geometry/hash-specific (no SQL oracle), but the
+    CONTRACT is SQL-expressible: est ≥ exact always (min over depth rows
+    can only overcount), and est ≤ exact + 2·(e/width)·N (the εN Markov
+    bound with slack for the fixture's small depth; deterministic here
+    because the xxhash64 rows are fixed). Hashed output = exact counts +
+    the two booleans; the oracle emits the exacts with literal TRUE. The
+    unit test pinning the bounds row-by-row is unchanged."""
+    import math
+
     events = load_table(spark, sf_dir, "events")
     sketch = cms_build(events, "user_id")
-    probes = events.select("user_id").distinct()
+    probes = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count"))
+    n_total = events.select(F.count(F.lit(1)).alias("n_total"))
+    eps = math.e / CMS_WIDTH
     return (
-        cms_estimate(sketch, probes, "user_id")
-        .orderBy(F.desc("est_count"), "user_id")
+        cms_estimate(sketch, probes.select("user_id"), "user_id")
+        .join(probes, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") >= F.col("exact_count"))
+            .alias("never_underestimates"),
+            (F.col("est_count") <= F.col("exact_count")
+             + 2 * eps * F.col("n_total")).alias("within_2eps_n"))
+        .orderBy(F.desc("exact_count"), "user_id")
         .limit(100)
     )
 

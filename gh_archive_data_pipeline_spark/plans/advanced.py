@@ -282,19 +282,46 @@ def q101_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("q105_freq_items_sketch", sql=None)
+@register(
+    "q105_freq_items_sketch",
+    sql="""
+    SELECT event_type, TRUE AS in_sketch
+    FROM (
+        SELECT event_type
+        FROM events
+        GROUP BY event_type
+        HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)
+    )
+    ORDER BY event_type
+    """,
+)
 def q105_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass frequent-items sketch (df.stat.freqItems, Karp-style):
-    candidate heavy hitters above 5% support over event_type and a bucketed
-    value column — the streaming-friendly complement to q99's exact
-    two-pass heavy hitters. Sketch guarantee is superset-of-truth (false
-    positives possible, false negatives not), so the driver check is
-    rows-only; the superset property vs exact counts is pinned in
+    candidate heavy hitters above 5% support over event_type — the
+    streaming-friendly complement to q99's exact two-pass heavy hitters.
+    Sketch guarantee is superset-of-truth (false positives possible, false
+    negatives not), so the oracle-checkable statement is exactly that
+    bound: for every TRUE heavy hitter (exact count ≥ 5% support, computed
+    Spark-side AND DuckDB-side) emit whether the sketch surfaced it. The
+    oracle lists the true heavy hitters with literal TRUE — the hash
+    matches iff the sketch missed none (the guarantee the sketch must
+    honour). The superset/ordering details stay pinned in
     tests/test_new_operators.py."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", (F.floor(F.col("value") / 100)).alias("value_bucket"))
     fi = ev.stat.freqItems(["event_type", "value_bucket"], support=0.05)
-    return (fi.select(F.explode("event_type_freqItems").alias("event_type"))
+    candidates = fi.select(
+        F.explode("event_type_freqItems").alias("event_type"))
+    total = ev.select(F.count(F.lit(1)).alias("n_total"))
+    true_hh = (ev.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .crossJoin(F.broadcast(total))
+               .filter(F.col("n") >= 0.05 * F.col("n_total"))
+               .select("event_type"))
+    return (true_hh.join(candidates.withColumn("in_sketch", F.lit(True)),
+                         "event_type", "left")
+            .select("event_type",
+                    F.coalesce("in_sketch", F.lit(False)).alias("in_sketch"))
             .orderBy("event_type"))
 
 

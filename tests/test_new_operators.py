@@ -99,19 +99,38 @@ def test_resample_fills_empty_buckets(spark):
 
 def test_hll_incremental_distinct_error_bound(spark):
     """Merged HLL estimates must sit within ~2% of exact distincts (lgk=14
-    gives ~0.8% standard error; 2% is a comfortable pytest bound)."""
+    gives ~0.8% standard error; 2% is a comfortable pytest bound). The
+    split/merge estimate is recomputed here independently of the registry
+    query (whose output is now the tolerance-oracle form: exact + bound
+    boolean)."""
     from gh_archive_data_pipeline_spark.plans.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
-    got = {r.o_orderpriority: r.approx_distinct_customers
-           for r in all_queries()["q100_hll_incremental_distinct"]
-           .fn(spark, sf).collect()}
     orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
+
+    def sketch(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey", 14).alias("sk"))
+
+    merged = (sketch(orders.filter(F.col("o_orderdate") < cutoff))
+              .unionByName(
+                  sketch(orders.filter(F.col("o_orderdate") >= cutoff)))
+              .groupBy("o_orderpriority")
+              .agg(F.hll_union_agg("sk").alias("sk")))
+    got = {r.o_orderpriority: r.est for r in merged.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est")).collect()}
     exact = {r.o_orderpriority: r.n for r in orders.groupBy("o_orderpriority")
              .agg(F.count_distinct("o_custkey").alias("n")).collect()}
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
+    # and the registry form agrees: exacts match, bound booleans all true
+    reg = all_queries()["q100_hll_incremental_distinct"].fn(spark, sf).collect()
+    assert all(r.hll_within_2pct for r in reg)
+    assert {r.o_orderpriority: r.exact_distinct_customers
+            for r in reg} == exact
 
 
 def test_csv_permissive_corrupt_capture(spark, tmp_path):
@@ -149,13 +168,17 @@ def test_freq_items_superset_of_true_heavy_hitters(spark):
 
 def test_approx_percentiles_within_bound(spark):
     """percentile_approx(accuracy=10000) must land within 0.5% (relative)
-    of the exact percentile for each group."""
+    of the exact percentile for each group — computed here independently of
+    the registry query (whose output is now the tolerance-oracle form)."""
     from gh_archive_data_pipeline_spark.plans.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
-    approx = {r.l_returnflag: r for r in
-              all_queries()["q111_approx_percentiles"].fn(spark, sf).collect()}
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    approx = {r.l_returnflag: r for r in
+              li.groupBy("l_returnflag")
+              .agg(*[F.percentile_approx("l_extendedprice", p, 10_000)
+                     .alias(f"p{int(p*100):02d}")
+                     for p in (0.25, 0.5, 0.75, 0.99)]).collect()}
     exact = {r.l_returnflag: r for r in
              li.groupBy("l_returnflag")
              .agg(*[F.expr(f"percentile(l_extendedprice, {p})")
@@ -165,6 +188,9 @@ def test_approx_percentiles_within_bound(spark):
         for col in ("p25", "p50", "p75", "p99"):
             e = exact[k][col]
             assert abs(a[col] - e) / e < 0.005, (k, col, a[col], e)
+    # registry form: bound booleans all true at the driver SF too
+    reg = all_queries()["q111_approx_percentiles"].fn(spark, sf).collect()
+    assert all(r.approx_within_half_pct for r in reg)
 
 
 def test_cms_overestimates_within_bound(spark):
