@@ -54,11 +54,17 @@ def download_hour(year: int, month: int, day: int, hour: int,
 # silver: schema-enforced scan + normalization
 # ---------------------------------------------------------------------------
 
-def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+def read_bronze(spark: SparkSession, path: str,
+                multi_line: bool = False) -> DataFrame:
     """Schema-enforced JSON scan — no inference pass (reference
-    load_data_task.py:117-121). Reads .json and .json.gz alike."""
+    load_data_task.py:117-121). Reads .json and .json.gz alike.
+    ``multi_line=True`` for pretty-printed sample payloads (the reference's
+    checked-in sample hour is ONE pretty-printed object, which its own
+    line-mode reader cannot actually parse — a latent quirk; real GH
+    Archive hours are JSON-lines and take the default path)."""
     return read_json_with_schema(spark, path, GH_EVENT_SCHEMA,
-                                 timestamp_ntz_format=CREATED_AT_FORMAT)
+                                 timestamp_ntz_format=CREATED_AT_FORMAT,
+                                 multi_line=multi_line)
 
 
 def to_silver(bronze: DataFrame) -> DataFrame:

@@ -68,7 +68,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 
 def read_json_with_schema(spark: SparkSession, path: str, schema: StructType,
-                          timestamp_ntz_format: str | None = None) -> DataFrame:
+                          timestamp_ntz_format: str | None = None,
+                          multi_line: bool = False) -> DataFrame:
     """JSON-lines scan with an explicit schema — no inference pass.
 
     Parity with the reference's silver load
@@ -81,6 +82,12 @@ def read_json_with_schema(spark: SparkSession, path: str, schema: StructType,
     reader = spark.read.schema(schema)
     if timestamp_ntz_format:
         reader = reader.option("timestampNTZFormat", timestamp_ntz_format)
+    if multi_line:
+        # Pretty-printed JSON (one object across many lines — the shape of
+        # the reference's checked-in sample hour) parses only in multiLine
+        # mode; note multiLine makes each FILE one task, so it's for small
+        # sample/config payloads, never the bulk ingest path.
+        reader = reader.option("multiLine", "true")
     return reader.json(path)
 
 

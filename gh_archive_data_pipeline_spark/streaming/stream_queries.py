@@ -272,6 +272,39 @@ def q83_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "batch_duration_ms", "state_rows"))
 
 
+@register("q350_stream_alert_rules", sql=None)
+def q350_stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-rule evaluation over the streaming metrics plane (reference
+    NodeOutOfMemory analog, alert-rules.yml:4-11): drain a real 4-batch
+    windowed stream with the metrics listener attached, then run two rules
+    through evaluate_alerts — NonEmptyBatch (input_rows > 0; fires on every
+    micro-batch, pinning the alert path end-to-end with a deterministic row
+    count) and SlowBatch (batch_duration_ms > 1h; structurally never fires
+    here). Rows-only driver check — batch durations are wall-clock; the
+    planted-slow-batch + sustained-FOR semantics are pinned in
+    tests/test_streaming.py."""
+    import time
+
+    from .metrics import collect_streaming_metrics, evaluate_alerts
+
+    stream = _events_stream(spark, sf_dir, n_files=4)
+    windowed = windowed_counts(stream, watermark="2 hours")
+    name = f"stream_alerts_{next(_counter)}"
+    with collect_streaming_metrics(spark) as m:
+        run_to_memory(windowed, name, spark, output_mode="complete")
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if sum(1 for r in m._rows if r[0] == name) >= 4:
+                break
+            time.sleep(0.2)
+    metrics = m.to_df(spark).filter(F.col("query_name") == name)
+    return (evaluate_alerts(metrics, {
+        "NonEmptyBatch": "input_rows > 0",
+        "SlowBatch": "batch_duration_ms > 3600000",
+    }).select("alert_name", "batch_id", "input_rows")
+        .orderBy("alert_name", "batch_id"))
+
+
 @register(
     "q152_stream_chained_windows",
     sql="""

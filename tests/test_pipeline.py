@@ -104,6 +104,54 @@ def test_silver_write_partitioned_and_idempotent(spark, silver, tmp_path):
     ]
 
 
+REAL_SAMPLE = ("/root/reference/resources/sample_data/"
+               "2015-01-01-15/2015-01-01-15-1.json")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REAL_SAMPLE),
+                    reason="reference sample data not present")
+def test_real_reference_sample_hour_bronze_to_gold(spark, tmp_path):
+    """Parity against the reference's ONLY real data artifact: its
+    checked-in sample hour (one pretty-printed PushEvent — id 2489651112,
+    actor greatfire, repo greatfire/wiki, no org; reference semantics at
+    load_data_task.py:117-145,174-191). Pins the payload/other drop, the
+    created_at parse, the missing-org behaviors (null org_id in the events
+    fact; zero rows in the organizations dim after na.drop), and the gold
+    projections, end-to-end from the real file."""
+    import datetime as dt
+
+    silver = stages.to_silver(
+        stages.read_bronze(spark, REAL_SAMPLE, multi_line=True))
+    assert silver.count() == 1
+    assert "payload" not in silver.columns and "other" not in silver.columns
+    row = silver.collect()[0]
+    assert row.created_at == dt.datetime(2015, 1, 1, 15, 0, 8)
+    assert str(row.event_date) == "2015-01-01"
+
+    users = stages.gold_users(silver).collect()
+    assert len(users) == 1
+    assert users[0].id == 6158630 and users[0].login == "greatfire"
+    repos = stages.gold_repos(silver).collect()
+    assert len(repos) == 1
+    assert repos[0].id == 15100395 and repos[0].name == "greatfire/wiki"
+    # org-less event: the organizations dim is empty (na.drop removes the
+    # all-null struct expansion, reference load_data_task.py:190-191)
+    assert stages.gold_organizations(silver).count() == 0
+    events = stages.gold_events(silver).collect()
+    assert len(events) == 1
+    ev = events[0]
+    assert ev.id == "2489651112" and ev.type == "PushEvent" and ev.public
+    assert ev.actor_id == 6158630 and ev.org_id is None
+    assert ev.repo_id == 15100395 and ev.repo_name == "greatfire/wiki"
+
+    # and the silver lake write round-trips with date partitioning
+    out = str(tmp_path / "silver_real")
+    stages.write_silver(silver, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 1
+    assert str(back.collect()[0].event_date) == "2015-01-01"
+
+
 def test_full_pipeline_runner(spark, bronze_path, tmp_path):
     pipe = gh_archive_pipeline(spark, bronze_path,
                                str(tmp_path / "silver"), str(tmp_path / "gold"))

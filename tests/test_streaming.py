@@ -544,6 +544,52 @@ def test_supervisor_gives_up_after_max_restarts(spark, tmp_path):
     assert len(res.errors) == 3  # initial + 2 restarts, all recorded
 
 
+def test_alert_rules_planted_slow_batch(spark):
+    """evaluate_alerts over a planted metrics table: a slow batch fires
+    SlowBatch; the sustained=2 variant (the Prometheus FOR-clause analog)
+    fires only where the breach holds for two CONSECUTIVE batches of the
+    same query."""
+    from gh_archive_data_pipeline_spark.streaming.metrics import (
+        METRICS_SCHEMA, evaluate_alerts,
+    )
+
+    def row(q, b, dur):
+        return (q, "qid", b, 100, 10.0, 10.0, dur, 5, 1024)
+
+    metrics = spark.createDataFrame(
+        [row("qa", 0, 100), row("qa", 1, 9000), row("qa", 2, 9500),
+         row("qa", 3, 120), row("qb", 0, 9999), row("qb", 1, 80)],
+        METRICS_SCHEMA)
+    fired = evaluate_alerts(
+        metrics, {"SlowBatch": "batch_duration_ms > 5000"}).collect()
+    assert {(r.query_name, r.batch_id) for r in fired} == {
+        ("qa", 1), ("qa", 2), ("qb", 0)}
+    # FOR-style: needs 2 consecutive breaching batches -> only qa batch 2
+    sustained = evaluate_alerts(
+        metrics, {"SlowBatch": "batch_duration_ms > 5000"},
+        sustained=2).collect()
+    assert {(r.query_name, r.batch_id) for r in sustained} == {("qa", 2)}
+    # multiple rules union; impossible rule contributes nothing
+    both = evaluate_alerts(metrics, {
+        "SlowBatch": "batch_duration_ms > 5000",
+        "StateBlowup": "state_rows > 1000000",
+    }).collect()
+    assert {r.alert_name for r in both} == {"SlowBatch"}
+
+
+def test_stream_alert_rules_query_end_to_end(spark):
+    """q350 drains a real 4-batch stream and the NonEmptyBatch rule fires
+    once per micro-batch with the batch's input rows; SlowBatch never."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    out = (all_queries()["q350_stream_alert_rules"]
+           .fn(spark, "/root/testdata/sf0.001").collect())
+    assert [r.alert_name for r in out] == ["NonEmptyBatch"] * 4
+    assert sorted(r.batch_id for r in out) == [0, 1, 2, 3]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert sum(r.input_rows for r in out) == ev.count()
+
+
 def test_rocksdb_state_store_matches_default(spark, tmp_path):
     """Windowed stateful aggregation under the RocksDB state-store provider
     (the production choice for large state: bounded heap, incremental

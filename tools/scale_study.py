@@ -15,7 +15,19 @@ replica, because real 100× event data covers ~100× the wall-clock range —
 without the ts shift every replica would land in the same hours and any
 time-co-occurrence operator (q295's co-purchase pairs) would measure an
 artificial k→100k hour-group densification (a 10^4 pair blowup) instead of
-scale.
+scale. documents.text is likewise word-salted per replica (a bijective
+vocab rename "_rK"): within-replica corpus statistics are preserved
+exactly, but cross-replica shingle/n-gram overlap drops to zero — without
+it every doc has N-1 exact near-duplicates and a near-dup join's OUTPUT
+(not its work) explodes ~N^2 (measured: q42 emitted 27.3M pairs at 100×
+unsalted vs 256 at 1×; real 100× corpora grow content, not copies).
+embeddings get the vector analog: each replica applies one fixed SIGNED
+PERMUTATION (roll by i mod dim + per-replica Rademacher sign flips) — an
+orthogonal transform, so norms and all within-replica cosines are
+preserved exactly while cross-replica cosine drops to ~0; without it every
+vector has N-1 exact duplicates and the LSH near-dup join's in-bucket
+pairs grow ~N^2 (measured: q82 at 100× unperturbed spilled >64 GB of
+shuffle and died on disk).
 """
 
 from __future__ import annotations
@@ -88,6 +100,8 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
                     span_s = int((hi - lo).total_seconds()) + 3600
                     ts_shift = lambda i: F.col("ts") + F.expr(
                         f"INTERVAL {span_s} SECOND") * F.lit(i)
+            emb_dim = (len(src.select("embedding").first()[0])
+                       if table == "embeddings" else 0)
             reps = []
             for i in range(n):
                 r = src
@@ -95,6 +109,30 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
                     r = r.withColumn(k, F.col(k) + F.lit(i * shift[k]))
                 if ts_shift is not None:
                     r = r.withColumn("ts", ts_shift(i))
+                if table == "documents" and i > 0:
+                    salted = F.array_join(
+                        F.transform(F.split("text", " "),
+                                    lambda w: F.concat(w, F.lit(f"_r{i}"))),
+                        " ")
+                    r = r.withColumn("text", salted)
+                    if "n_chars" in r.columns:
+                        r = r.withColumn("n_chars", F.length("text"))
+                if table == "embeddings" and i > 0:
+                    import random
+
+                    dim = emb_dim
+                    rng = random.Random(9000 + i)
+                    signs = F.array(*[
+                        F.lit(1.0 if rng.random() < 0.5 else -1.0)
+                        for _ in range(dim)])
+                    roll = i % dim
+                    rolled = (F.concat(
+                        F.slice("embedding", roll + 1, dim - roll),
+                        F.slice("embedding", 1, roll))
+                        if roll else F.col("embedding"))
+                    r = r.withColumn(
+                        "embedding",
+                        F.zip_with(rolled, signs, lambda x, s: x * s))
                 reps.append(r)
         out = reps[0]
         for r in reps[1:]:
