@@ -272,8 +272,8 @@ def q83_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "batch_duration_ms", "state_rows"))
 
 
-@register("q350_stream_alert_rules", sql=None)
-def q350_stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q357_stream_alert_rules", sql=None)
+def q357_stream_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert-rule evaluation over the streaming metrics plane (reference
     NodeOutOfMemory analog, alert-rules.yml:4-11): drain a real 4-batch
     windowed stream with the metrics listener attached, then run two rules

@@ -578,11 +578,11 @@ def test_alert_rules_planted_slow_batch(spark):
 
 
 def test_stream_alert_rules_query_end_to_end(spark):
-    """q350 drains a real 4-batch stream and the NonEmptyBatch rule fires
+    """q357 drains a real 4-batch stream and the NonEmptyBatch rule fires
     once per micro-batch with the batch's input rows; SlowBatch never."""
     from gh_archive_data_pipeline_spark.plans.registry import all_queries
 
-    out = (all_queries()["q350_stream_alert_rules"]
+    out = (all_queries()["q357_stream_alert_rules"]
            .fn(spark, "/root/testdata/sf0.001").collect())
     assert [r.alert_name for r in out] == ["NonEmptyBatch"] * 4
     assert sorted(r.batch_id for r in out) == [0, 1, 2, 3]
