@@ -7,7 +7,11 @@ The point is the RATIO: a query whose cost grows ~linearly with input
 driver-side bottleneck — the property that survives a 100 TB cluster.
 Run: python tools/scale_study.py [N] [q42,q45,...] (default N=10, all
 QUERIES; writes /tmp/spark_scale_N). Query args match by prefix, so "q42"
-selects q42_minhash_near_dup.
+selects q42_minhash_near_dup. Only the tables the selected queries read
+are replicated (QUERY_TABLES), so a documents-only 100x run does not pay
+for a 60M-row lineitem build. The timed action is bench.py's prune-proof
+force_execute (count + xor of xxhash64 over all columns), so Catalyst
+cannot prune computed columns and under-time projection-shaped queries.
 
 Replica semantics: key columns are shifted per replica so cardinalities
 genuinely scale; events.ts is ALSO shifted by the fixture's time span per
@@ -44,7 +48,34 @@ from pyspark.sql import functions as F  # noqa: E402
 from gh_archive_data_pipeline_spark.plans.registry import all_queries  # noqa: E402
 from gh_archive_data_pipeline_spark.session import get_spark  # noqa: E402
 
+from bench import force_execute  # noqa: E402
+
 SRC = "/root/testdata/sf0.1"
+
+# tables each study query actually reads — replicate only these. Queries
+# not listed fall back to "all tables" (safe, just slower to build).
+QUERY_TABLES = {
+    "q01_pricing_summary": ["lineitem"],
+    "q05_region_revenue": ["lineitem", "orders", "customer", "supplier",
+                           "nation", "region"],
+    "q40_dedup_exact": ["documents"],
+    "q42_minhash_near_dup": ["documents"],
+    "q44_embedding_topk": ["embeddings"],
+    "q45_embedding_lsh_topk": ["embeddings"],
+    "q52_session_windows": ["events"],
+    "q53_asof_last_purchase": ["events", "orders", "customer"],
+    "q71_embedding_ivf_topk": ["embeddings"],
+    "q82_embedding_near_dup_lsh": ["embeddings"],
+    "q85_scd2_intervals": ["events"],
+    "q89_tfidf_top_terms": ["documents"],
+    "q125_repetition_ngrams": ["documents"],
+    "q144_ngram_novelty": ["documents"],
+    "q188_bpe_pair_counts": ["documents"],
+    "q189_pagerank_event_graph": ["events"],
+    "q210_pit_features": ["events", "orders"],
+    "q220_wordpiece_tokenize": ["documents"],
+    "q224_duplicated_spans": ["documents"],
+}
 
 # key columns to shift per replica so cardinalities scale with N
 KEY_SHIFTS = {
@@ -81,9 +112,11 @@ QUERIES = [
 ]
 
 
-def build_scaled(spark, n: int, out_dir: str) -> None:
+def build_scaled(spark, n: int, out_dir: str, tables=None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for table, keys in KEY_SHIFTS.items():
+        if tables is not None and table not in tables:
+            continue
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
         if not keys or n == 1:
             reps = [src] * (1 if not keys else n)
@@ -145,7 +178,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in QUERIES:
         t = time.monotonic()
-        n = qs[name].fn(spark, sf_dir).count()
+        n = force_execute(qs[name].fn(spark, sf_dir))
         out[name] = round(time.monotonic() - t, 3)
         print(f"#   {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     return out
@@ -163,9 +196,13 @@ def main() -> None:
     spark.range(100_000).selectExpr("id % 7 k").groupBy("k").count().count()
     base_dir = f"/tmp/spark_scale_1"
     big_dir = f"/tmp/spark_scale_{n}"
-    print(f"# building 1x and {n}x fixtures...", file=sys.stderr)
-    build_scaled(spark, 1, base_dir)
-    build_scaled(spark, n, big_dir)
+    needed = set()
+    for q in QUERIES:
+        needed.update(QUERY_TABLES.get(q, KEY_SHIFTS))
+    print(f"# building 1x and {n}x fixtures for {sorted(needed)}...",
+          file=sys.stderr)
+    build_scaled(spark, 1, base_dir, needed)
+    build_scaled(spark, n, big_dir, needed)
     print("# timing 1x", file=sys.stderr)
     t1 = time_queries(spark, base_dir)
     print(f"# timing {n}x", file=sys.stderr)
