@@ -342,6 +342,154 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize an IVF index as a cell-PARTITIONED parquet layout: the
+    index IS the physical layout, so probing a cell is reading a directory.
+
+    ``{index_dir}/corpus`` is written ``partitionBy("cell")`` (one shuffle on
+    cell, then directory-per-cell files) and ``{index_dir}/codebook`` holds
+    the ``num_cells`` centroid vectors. ``ivf_search`` then prunes the scan
+    to the probed cells — at 100 TB a search touches nprobe/num_cells of the
+    corpus BYTES, not just rows, because pruning happens at file listing.
+    Codebook seeds are the ``num_cells`` lowest-id corpus vectors
+    (deterministic; at scale you'd k-means a sample offline — layout and
+    search plan are identical either way). Cell assignment is one
+    Arrow-batched matmul map pass (ties: lowest cell wins, matching the SQL
+    oracle's ORDER BY sim DESC, cell ASC)."""
+    from pyspark.sql.types import IntegerType
+
+    seeds = (corpus.orderBy(id_col).limit(num_cells)
+             .select(_as_double(F.col(vec_col)).alias("v")).collect())
+    cb = np.array([r.v for r in seeds])                  # (C, dim) codebook
+    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ cb_unit.T                           # (batch, C)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    spark = corpus.sparkSession
+    (spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(cb)],
+        f"cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook"))
+    (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+     .withColumn("cell", cell_of(F.col("v")))
+     .repartition("cell")   # co-locate each cell's rows -> one file per cell
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/corpus"))
+
+
+def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
+               k: int = 5, nprobe: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Search a ``build_ivf_index`` layout: probe the ``nprobe`` nearest
+    cells per query, score exactly inside probed cells only.
+
+    Probe selection is pure JVM (queries × broadcast 16-row codebook →
+    window top-nprobe — no Python in the loop). The probed-cell set is at
+    most ``num_cells`` distinct ints regardless of query count, so it is
+    collected (bounded driver state) and applied as a STATIC
+    ``cell IN (...)`` partition filter — the parquet scan lists only the
+    probed cell directories; unprobed cells cost zero I/O. Scoring joins the
+    pruned corpus against broadcast (query, cell) pairs and never shuffles
+    corpus rows."""
+    cb = F.broadcast(spark.read.parquet(f"{index_dir}/codebook"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc())
+    probes = (queries
+              .select(F.col(id_col).alias("query_id"),
+                      _as_double(F.col(vec_col)).alias("qv"))
+              .crossJoin(cb)
+              .withColumn("csim", cosine(F.col("qv"), F.col("centroid")))
+              .withColumn("crank", F.row_number().over(probe_w))
+              .filter(F.col("crank") <= nprobe)
+              .select("query_id", "qv", "cell"))
+    # bounded driver state: <= num_cells ints, no matter how many queries
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    corpus = (spark.read.parquet(f"{index_dir}/corpus")
+              .filter(F.col("cell").isin(cells)))   # static partition prune
+    scored = (corpus.join(F.broadcast(probes), "cell")
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine(F.col("qv"), F.col("v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("cosine_sim"), "rank"))
+
+
+# one materialized IVF index per fixture dir — repeated registry/bench
+# invocations reuse it (the build-once/search-many contract is the point)
+_ivf_index_cache: dict[str, str] = {}
+
+
+@register(
+    "q358_ivf_index_search",
+    sql="""
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv))) DESC,
+                        cell ASC) AS rn
+      FROM corpus CROSS JOIN cb
+    ),
+    corpus_cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM assign WHERE vec_id < 10 AND rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS sim
+      FROM probes p JOIN corpus_cells c USING (cell)
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 5
+    """,
+)
+def q358_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2b: IVF as a MATERIALIZED cell-partitioned index —
+    build once (cached per fixture), search many. This is q71's algorithm
+    with the build cost amortized out of the query path and the probed-cell
+    scan turned into genuine partition pruning. The oracle replicates the
+    same deterministic algorithm in SQL (seeds = 16 lowest-id vectors,
+    nprobe=4, exact scoring in probed cells); the independent pins are the
+    unit tests (recall vs brute force, equality with the non-materialized
+    q71 path, and pruned file count)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _ivf_index_cache:
+        d = tempfile.mkdtemp(prefix="ivf_index_")
+        build_ivf_index(emb, d, num_cells=16)
+        _ivf_index_cache[sf_dir] = d
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(spark, _ivf_index_cache[sf_dir], queries,
+                      k=5, nprobe=4)
+
+
 @register(
     "q70_embedding_near_dup",
     sql="""

@@ -151,6 +151,49 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ivf_index_search_matches_inline_ivf(spark, tmp_path):
+    """The materialized cell-partitioned index (build_ivf_index + ivf_search)
+    must return exactly what the inline ivf_topk path returns — same seeds,
+    same nprobe, same scoring — proving the layout changes cost, not
+    semantics. Also asserts recall floor directly (the independent pin for
+    q358's same-algorithm SQL oracle)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, idx, num_cells=16)
+    inline = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+                    for r in similarity.ivf_topk(emb, queries, k=5).collect())
+    indexed = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+                     for r in similarity.ivf_search(
+                         spark, idx, queries, k=5).collect())
+    assert indexed == inline
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(q, n) for q, n, _, _ in indexed}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-cell filter must reach the parquet scan as a PARTITION
+    filter (directory-level pruning), not a post-scan predicate — at 100 TB
+    this is the difference between reading nprobe/num_cells of the bytes and
+    reading everything."""
+    import contextlib
+    import io
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, idx, num_cells=16)
+    out = similarity.ivf_search(spark, idx, emb.filter(F.col("vec_id") < 3),
+                                k=5, nprobe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and " IN " in l for l in part_lines), part_lines
+
+
 def test_embedding_near_dup_lsh_prefilter_subset(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {(r.id_a, r.id_b): r.cosine_sim
