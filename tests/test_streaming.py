@@ -110,6 +110,70 @@ def test_parquet_sink_exactly_once_rerun(spark, stream_dir, tmp_path):
     assert n1 == 6 and n2 == 6
 
 
+def test_windowed_state_survives_restart(spark, tmp_path):
+    """Mid-stream RESTART recovery — a different property from sink
+    idempotence (test_parquet_sink_exactly_once_rerun): the first drain
+    leaves an OPEN window's partial aggregate in the state store; the query
+    is stopped; new files land; the resumed query (same checkpoint) must
+    finalize that window from RECOVERED state — the row that feeds it is
+    never replayed. Lost state would emit the window with a wrong count or
+    not at all. This is the production failure/recovery contract: executors
+    die mid-stream and the restarted query continues from the store."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def land(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(landing / name))
+
+    def drain():
+        stream = sp.read_file_stream(spark, f"{landing}/*/*.parquet", schema,
+                                     max_files_per_trigger=1)
+        agg = (stream
+               .withColumn("ts", F.col("ts").cast("timestamp"))
+               .withWatermark("ts", "0 seconds")
+               .groupBy(F.window("ts", "10 minutes"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("window.start").alias("window_start"), "n"))
+        q = sp.start_parquet_sink(agg, out, ckpt)
+        assert q.awaitTermination(120)
+
+    # run 1: watermark ends at 10:15 -> the 10:00 window finalizes; the
+    # 10:10 window (event 3) stays OPEN in the state store
+    land("f1", [(1, _ts(0), 7, "click", 1.0), (2, _ts(5), 7, "click", 2.0)])
+    land("f2", [(3, _ts(15), 8, "click", 3.0)])
+    drain()
+    got1 = {(r.window_start.minute, r.n)
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {(0, 2)}  # only the closed window; 10:10 still open
+
+    # run 2 (same checkpoint): only NEW files are read; the 10:10 window
+    # must finalize with count 1 purely from recovered state
+    land("f3", [(4, _ts(30), 7, "click", 4.0), (5, _ts(32), 8, "click", 5.0)])
+    land("f4", [(6, _ts(65), 8, "click", 6.0)])
+    drain()
+    got2 = {(r.window_start.hour, r.window_start.minute, r.n)
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {(10, 0, 2), (10, 10, 1), (10, 30, 2)}
+    # the 11:00 window (event 6) is still open: watermark == its start
+    assert os.path.isdir(ckpt)
+
+
 def test_confluent_header_roundtrip(spark):
     header = encode_confluent_header(1234)
     assert header == b"\x00\x00\x00\x04\xd2" and len(header) == 5
