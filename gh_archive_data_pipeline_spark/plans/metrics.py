@@ -41,7 +41,15 @@ def plan_metrics(df: DataFrame, spark: SparkSession) -> DataFrame:
         cit = children.iterator()
         while cit.hasNext():
             walk(cit.next())
-        # AQE wraps subtrees in QueryStageExec whose child is via .plan()
+        # AQE hides its subtree from children(): AdaptiveSparkPlanExec holds
+        # the final plan behind executedPlan(), and each QueryStageExec holds
+        # its stage subtree behind plan(). Without both unwraps, any query
+        # with a shuffle reports ZERO metrics (the root has none).
+        if name == "AdaptiveSparkPlan":
+            try:
+                walk(node.executedPlan())
+            except Exception:
+                pass
         if name.endswith("QueryStageExec") or "QueryStage" in name:
             try:
                 walk(node.plan())
@@ -51,6 +59,57 @@ def plan_metrics(df: DataFrame, spark: SparkSession) -> DataFrame:
     qe = df._jdf.queryExecution()
     walk(qe.executedPlan())
     return spark.createDataFrame(rows, METRIC_SCHEMA)
+
+
+def executed_shuffle_summary(df: DataFrame) -> dict:
+    """Host-noise-immune plan fingerprint of an ALREADY-EXECUTED DataFrame.
+
+    Walks ``df``'s executed physical plan (the AQE-final one) and sums the
+    accumulators that describe what the plan *did* rather than how long the
+    host took to do it:
+
+    - ``shuffle_records`` — rows written across every Exchange. Deterministic
+      for a given plan + data (partition-count independent), so a 2× jump is
+      a plan regression (lost broadcast, lost partial agg), never contention.
+    - ``shuffle_bytes`` — bytes written across every Exchange (post-
+      compression, so jitters a few % run-to-run; secondary signal).
+    - ``rows_read`` — numOutputRows summed over scan nodes: catches lost
+      filter pushdown / partition pruning.
+
+    ``df`` must have been executed via an action on THIS object (its own
+    QueryExecution carries the accumulators); calling this on a never-run
+    DataFrame returns zeros."""
+    totals = {"shuffle_records": 0, "shuffle_bytes": 0, "rows_read": 0}
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            key, val = kv._1(), kv._2().value()
+            if name == "Exchange" and key == "shuffleRecordsWritten":
+                totals["shuffle_records"] += val
+            elif name == "Exchange" and key == "shuffleBytesWritten":
+                totals["shuffle_bytes"] += val
+            elif "Scan" in name and key == "numOutputRows":
+                totals["rows_read"] += val
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+        if name == "AdaptiveSparkPlan":
+            try:
+                walk(node.executedPlan())
+            except Exception:
+                pass
+        if "QueryStage" in name:
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
 
 
 def scan_output_rows(metrics: DataFrame) -> int:

@@ -473,3 +473,57 @@ def test_q318_gap_sweep_single_window_pass(spark):
     plan = plan_of(spark, "q318_session_gap_sweep")
     n_win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
     assert n_win == 1, plan
+
+
+def test_plan_snapshot_gate_trips_on_lost_broadcast(spark):
+    """The bench's host-noise-immune regression gate: a deliberately broken
+    plan (broadcast join demoted to sort-merge) must move shuffle_records
+    enough that check_plan_snapshot flags it, while re-running the GOOD plan
+    against its own snapshot stays clean. This is the property that makes
+    shuffle counters the primary perf signal — contention can inflate wall
+    time 20x but cannot move an accumulator total."""
+    from bench import check_plan_snapshot
+    from gh_archive_data_pipeline_spark.plans.metrics import (
+        executed_shuffle_summary,
+    )
+
+    big = spark.range(50_000).selectExpr("id % 100 AS k", "id AS v")
+    small = spark.range(100).selectExpr("id AS k", "id * 2 AS w")
+
+    def run(hint: str) -> dict:
+        df = big.join(small.hint(hint), "k").groupBy("k").count()
+        df.collect()
+        return executed_shuffle_summary(df)
+
+    good = run("broadcast")
+    bad = run("merge")  # the "regression": big side now shuffles
+
+    snapshot = {"q_demo": {"shuffle_records": good["shuffle_records"],
+                           "rows_read": good["rows_read"]}}
+    # good plan vs its own snapshot: clean
+    assert check_plan_snapshot({"q_demo": good}, snapshot) == {}
+    # broken plan vs snapshot: flagged on shuffle_records
+    flagged = check_plan_snapshot({"q_demo": bad}, snapshot)
+    assert "shuffle_records" in flagged.get("q_demo", {}), (good, bad)
+
+
+def test_executed_shuffle_summary_sees_through_aqe(spark):
+    """plan_metrics/executed_shuffle_summary must unwrap AdaptiveSparkPlan
+    and QueryStage nodes — before the round-4 fix, any shuffling query
+    reported all-zero metrics because AQE hides its subtree from children()."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.plans.metrics import (
+        executed_shuffle_summary,
+        plan_metrics,
+        scan_output_rows,
+    )
+
+    df = (spark.read.parquet(f"{SF}/orders.parquet")
+          .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
+    df.collect()
+    s = executed_shuffle_summary(df)
+    assert s["shuffle_records"] > 0  # the partial-agg exchange
+    assert s["rows_read"] == 1500
+    m = plan_metrics(df, spark)
+    assert scan_output_rows(m) == 1500
