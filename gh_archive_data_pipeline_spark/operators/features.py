@@ -1204,69 +1204,95 @@ def q284_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m1") - F.col("m2")) / pooled, 6).alias("cohens_d"))
 
 
-@register(
-    "q286_poisson_bootstrap",
-    sql="""
-    WITH reps AS (
-        SELECT e.value, t.b,
-               CAST(('0x' || substr(md5('boot-' || t.b || '-' || e.event_id),
-                                    1, 8)) AS BIGINT) / 4294967296.0 AS u
-        FROM events e CROSS JOIN (SELECT range AS b FROM range(32)) t
-        WHERE e.event_type = 'purchase'
-    ),
-    weighted AS (
-        SELECT b, value,
-               CASE WHEN u < 0.3678794412 THEN 0
-                    WHEN u < 0.7357588823 THEN 1
-                    WHEN u < 0.9196986029 THEN 2
-                    WHEN u < 0.9810118431 THEN 3
-                    WHEN u < 0.9963401532 THEN 4
-                    WHEN u < 0.9994058152 THEN 5
-                    ELSE 6 END AS w
-        FROM reps
-    ),
-    rep_means AS (
-        SELECT b, sum(w * value) / sum(w) AS m
-        FROM weighted GROUP BY b
-    ),
-    point AS (
-        SELECT avg(value) AS pm, count(*) AS n
+_Q286_REPLICAS = 32
+# Poisson(1) inverse-CDF thresholds: cumulative e^-1 * sum(1/k!), k=0..5
+_Q286_CDF = ("0.3678794412", "0.7357588823", "0.9196986029",
+             "0.9810118431", "0.9963401532", "0.9994058152")
+
+
+def _q286_u_sql(g: int, lane: int) -> str:
+    """One 32-bit uniform: lane ``lane`` (of 4) of the per-group md5."""
+    off = 1 + 8 * lane
+    return (f"CAST(('0x' || substr(md5('boot-{g}-' || "
+            f"CAST(event_id AS VARCHAR)), {off}, 8)) AS BIGINT)"
+            " / 4294967296.0")
+
+
+def _q286_oracle() -> str:
+    """Generate the DuckDB twin of the single-pass bootstrap below: the
+    same 64 aggregate expressions, means unnested from a list."""
+    ws, aggs, ms = [], [], []
+    for b in range(_Q286_REPLICAS):
+        g, lane = divmod(b, 4)
+        u = _q286_u_sql(g, lane)
+        case = " ".join(f"WHEN {u} < {t} THEN {k}"
+                        for k, t in enumerate(_Q286_CDF))
+        ws.append(f"CASE {case} ELSE 6 END AS w{b}")
+        aggs.append(f"sum(w{b} * value) AS s{b}, sum(w{b}) AS c{b}")
+        ms.append(f"s{b} / c{b}")
+    return f"""
+    WITH f AS (
+        SELECT value, {', '.join(ws)}
         FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT count(*) AS n, avg(value) AS pm, {', '.join(aggs)}
+        FROM f
+    ),
+    m AS (
+        SELECT n, pm, unnest([{', '.join(ms)}]) AS m FROM s
     )
-    SELECT CAST(min(p.n) AS BIGINT) AS n_rows,
-           round(min(p.pm), 4) AS point_mean,
-           round(avg(r.m), 4) AS boot_mean,
-           round(stddev_samp(r.m), 6) AS boot_se,
-           round(min(p.pm) - 1.96 * stddev_samp(r.m), 4) AS ci_lo,
-           round(min(p.pm) + 1.96 * stddev_samp(r.m), 4) AS ci_hi
-    FROM rep_means r CROSS JOIN point p
-    """,
-)
+    SELECT CAST(min(n) AS BIGINT) AS n_rows,
+           round(min(pm), 4) AS point_mean,
+           round(avg(m), 4) AS boot_mean,
+           round(stddev_samp(m), 6) AS boot_se,
+           round(min(pm) - 1.96 * stddev_samp(m), 4) AS ci_lo,
+           round(min(pm) + 1.96 * stddev_samp(m), 4) AS ci_hi
+    FROM m
+    """
+
+
+@register("q286_poisson_bootstrap", sql=_q286_oracle())
 def q286_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap: the distributed-scale resampling method. A true
     bootstrap resamples n rows WITH replacement — impossible to coordinate
     across executors — but each row's multiplicity in a replica is
     asymptotically Poisson(1), so every row independently draws 32 Poisson
     weights (deterministic md5-derived uniforms through the Poisson(1)
-    inverse CDF) and each replica mean is one weighted aggregation. One
-    pass over the fact, no global resample, no driver collect; the replica
-    dimension broadcasts. Standard error and normal-approx CI come from the
-    32 replica means (tiny residue)."""
+    inverse CDF) and each replica mean is one weighted aggregation.
+
+    Round-4 form: each 128-bit md5 yields FOUR 32-bit uniforms, so hashing
+    is 8 md5/row instead of 32 (seeded 'boot-{group}-'), and the 32 weights
+    are built inside array higher-order functions — ONE small lambda tree
+    that Catalyst analyzes once, not 64 named CASE columns (a measured
+    ~6 s of driver-side analysis time at that width). posexplode then fans
+    each row into its 32 (replica, weight) pairs — only (b, w, value)
+    triples widen, never the hashes — and groupBy(b) partial-aggregates
+    map-side, so the shuffle is 32 tiny partial rows per partition
+    regardless of fact size. No driver collect; the replica residue (32
+    means) broadcasts into the final CI aggregate."""
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_type") == "purchase")
           .select("event_id", "value"))
-    reps = spark.range(32).select(F.col("id").alias("b"))
-    u = (F.conv(F.substring(
-        F.md5(F.concat(F.lit("boot-"), F.col("b").cast("string"),
-                       F.lit("-"), F.col("event_id").cast("string"))),
-        1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0))
-    # Poisson(1) inverse CDF: cumulative probabilities e^-1 * sum(1/k!)
-    w = (F.when(u < 0.3678794412, 0).when(u < 0.7357588823, 1)
-         .when(u < 0.9196986029, 2).when(u < 0.9810118431, 3)
-         .when(u < 0.9963401532, 4).when(u < 0.9994058152, 5).otherwise(6))
-    rep_means = (ev.crossJoin(F.broadcast(reps))
-                 .withColumn("w", w)
-                 .groupBy("b")
+    # Small-file parallelism: the local fixture reads as ONE split, which
+    # serializes all hashing on a single core. Repartition ONLY when the
+    # scan has fewer splits than cores — on a cluster reading TBs the scan
+    # already has thousands of splits and this never fires (an unconditional
+    # repartition would shuffle the entire filtered fact).
+    if ev.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    hashes = F.array(*[
+        F.md5(F.concat(F.lit(f"boot-{g}-"), F.col("event_id").cast("string")))
+        for g in range(_Q286_REPLICAS // 4)])
+    u_arr = F.flatten(F.transform(hashes, lambda h: F.array(*[
+        F.conv(F.substring(h, 1 + 8 * lane, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0) for lane in range(4)])))
+    # w = #thresholds below u: branch-free Poisson(1) inverse CDF, u bound
+    # once per element by the lambda (no duplicated conv(substr(md5)) trees)
+    w_arr = F.transform(u_arr, lambda u: sum(
+        (u >= float(t)).cast("int") for t in _Q286_CDF))
+    pairs = ev.select("value", F.posexplode(w_arr).alias("b", "w"))
+    rep_means = (pairs.groupBy("b")
                  .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w"))
                       .alias("m")))
     point = ev.agg(F.avg("value").alias("pm"), F.count(F.lit(1)).alias("n"))
