@@ -107,29 +107,65 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: Mersenne prime 2^31-1 — modulus of the universal-hash MinHash lanes.
+#: Chosen so every intermediate ((p-1)*(p-1) + (p-1)) stays far under
+#: int64, making the arithmetic EXACTLY reproducible in any ANSI SQL
+#: engine — that is what lets the DuckDB oracle replay the whole
+#: MinHash+LSH pipeline bit-for-bit (q42's full-fidelity oracle).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded (a_i, b_i) coefficients of the (a·h + b) mod p lane family."""
+    import random
+
+    rnd = random.Random(seed)
+    return ([rnd.randrange(1, MINHASH_P) for _ in range(num_hashes)],
+            [rnd.randrange(0, MINHASH_P) for _ in range(num_hashes)])
+
+
 def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
                     ngram: int = 3) -> DataFrame:
     """Per-doc distinct shingle set as int64 hashes (``hs`` array column).
 
-    Each shingle string is hashed ONCE (xxhash64); every downstream minhash /
-    band / verify computation works on fixed-width longs instead of
-    re-hashing strings — the difference between O(k·|shingle bytes|) and
-    O(k·8B) per shingle across k hash functions.
+    Each shingle string is hashed ONCE; every downstream minhash / band /
+    verify computation works on fixed-width longs instead of re-hashing
+    strings — the difference between O(k·|shingle bytes|) and O(k·8B) per
+    shingle across k hash functions.
+
+    The hash is the top 60 bits of md5 (15 hex chars through conv), not
+    xxhash64: md5 is the one hash every engine computes identically, and 60
+    bits keeps the value positive and overflow-free in int64 — so the
+    DuckDB oracle can rebuild the identical shingle sets
+    (``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``).
     """
     sh = shingles(docs, n=ngram)
     return sh.select(
         F.col(id_col),
         F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
+            F.transform("shingles", lambda s: F.conv(
+                F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
         ).alias("hs"),
     )
 
 
 def _minhash_array(num_hashes: int):
-    """array<bigint> column of ``num_hashes`` MinHash values over ``hs``."""
+    """array<bigint> column of ``num_hashes`` MinHash values over ``hs``.
+
+    Lane i is the classic universal hash min over the shingle set:
+    min_h (a_i·h + b_i) mod p with p = 2^31-1 and seeded coefficient
+    literals — pure int64 arithmetic that DuckDB replays exactly, unlike
+    the earlier xxhash64(i, h) lanes. Cost per lane is one multiply-add-mod
+    (cheaper than an xxhash64 round)."""
+    a, b = minhash_coeffs(num_hashes)
+    p = MINHASH_P
+    a_lit = ",".join(f"{x}L" for x in a)
+    b_lit = ",".join(f"{x}L" for x in b)
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
-        f"i -> array_min(transform(hs, h -> xxhash64(i, h))))")
+        f"i -> array_min(transform(hs, "
+        f"h -> (element_at(array({a_lit}), i + 1) * (h % {p}L)"
+        f" + element_at(array({b_lit}), i + 1)) % {p}L)))")
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -181,16 +217,24 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
+    spark = docs.sparkSession
+    # Small-file parallelism gate: a one-split local fixture serializes the
+    # md5-shingle + 64-lane signature compute on one core; cluster scans
+    # have many splits so this shuffle never happens at scale.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(docs, id_col, ngram).localCheckpoint()
     # signatures shuffle-free in one nested-HOF pass (see minhash_signatures)
     sigs = sh.select(id_col, _minhash_array(num_hashes).alias("mh"))
+    # the band key is the raw slice of lane values (array<bigint> join key):
+    # exact — no re-hash, no collision between different bands' rows — and
+    # trivially reproducible by the SQL oracle (list slicing)
     stacked = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("mh").getItem(b * rows + r)
-                             for r in range(rows)]).alias("sig"),
+                F.slice("mh", b * rows + 1, rows).alias("sig"),
             )
             for b in range(bands)
         ])).alias("bs"),
@@ -248,6 +292,49 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return voted.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_portable(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash whose every step an ANSI SQL engine replays exactly.
+
+    Same majority-vote algorithm as :func:`simhash`, with two portability
+    substitutions: the token hash is md5 split into two 32-bit halves
+    (both positive in int64 — no engine-specific xxhash, no sign games),
+    and the fingerprint lands as TWO bigint columns (simhash_hi bits
+    32..63, simhash_lo bits 0..31) because packing bit 63 would need
+    two's-complement wraparound that SQL engines disagree on. Hamming
+    distance is bit_count(hi XOR hi') + bit_count(lo XOR lo') — identical
+    dedup power, oracle-checkable values."""
+    toks = F.explode(
+        F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
+    md5 = F.md5("token")
+    tok_df = docs.select(F.col(id_col), toks).select(
+        id_col,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("lo"))
+
+    def votes(col: str) -> list:
+        return [
+            F.sum(F.when(F.shiftright(F.col(col), i)
+                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+            .alias(f"v{col}_{i}")
+            for i in range(32)
+        ]
+
+    voted = tok_df.groupBy(id_col).agg(*votes("hi"), *votes("lo"))
+
+    def pack(col: str):
+        sig = F.lit(0).cast("bigint")
+        for i in range(32):
+            sig = sig + F.when(F.col(f"v{col}_{i}") > 0,
+                               F.lit(1 << i).cast("bigint")
+                               ).otherwise(F.lit(0).cast("bigint"))
+        return sig
+
+    return voted.select(F.col(id_col),
+                        pack("hi").alias("simhash_hi"),
+                        pack("lo").alias("simhash_lo"))
+
+
 # ---------------------------------------------------------------------------
 # Registry queries
 # ---------------------------------------------------------------------------
@@ -300,21 +387,157 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
-@register("q42_minhash_near_dup", sql=None)
+def _minhash_pairs_ctes(threshold: float = 0.3, num_hashes: int = 64,
+                        bands: int = 32, ngram: int = 3) -> str:
+    """CTE block replaying the ENTIRE MinHash+LSH pipeline in DuckDB —
+    same md5-60-bit shingle hashes, same (a·h+b) mod p lanes, same band
+    slices, same exact verify. Ends with ``verified`` (doc_a, doc_b,
+    jaccard >= threshold). Shared by the q42 and q168 oracles."""
+    rows = num_hashes // bands
+    a, b = minhash_coeffs(num_hashes)
+    p = MINHASH_P
+    a_lit = ",".join(map(str, a))
+    b_lit = ",".join(map(str, b))
+    return f"""
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {ngram}
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(s,
+                   x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS hs
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, {num_hashes}),
+                   i -> list_min(list_transform(hs,
+                        h -> ([{a_lit}][i + 1]::BIGINT * (h % {p})
+                              + [{b_lit}][i + 1]::BIGINT) % {p}))) AS mh
+        FROM hs
+    ),
+    stacked AS (
+        SELECT doc_id, unnest(range(0, {bands})) AS band,
+               unnest(list_transform(range(0, {bands}),
+                   b -> mh[b * {rows} + 1 : (b + 1) * {rows}])) AS sig
+        FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM stacked l JOIN stacked r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(ha.hs, hb.hs))::DOUBLE
+                         / (len(ha.hs) + len(hb.hs)
+                            - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+            FROM cand
+            JOIN hs ha ON ha.doc_id = cand.doc_a
+            JOIN hs hb ON hb.doc_id = cand.doc_b
+        ) WHERE jaccard >= {threshold}
+    )"""
+
+
+def _q42_oracle() -> str:
+    return (f"WITH {_minhash_pairs_ctes()}\n"
+            "    SELECT doc_a, doc_b, jaccard FROM verified")
+
+
+def _q168_oracle() -> str:
+    """DuckDB twin of the FULL dedup pipeline: portable MinHash+LSH pairs →
+    transitive closure (recursive CTE — an independent algorithm pinning
+    the label-propagation connected components) → longest-text
+    survivorship. Oracle-able since round 4's portable hashing."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM toks
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(root) AS cluster
+        FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.cluster,
+           (row_number() OVER (PARTITION BY c.cluster
+                               ORDER BY length(d.text) DESC, c.doc_id) = 1)
+             AS is_representative,
+           CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT)
+             AS cluster_size
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    """
+
+
+@register("q42_minhash_near_dup", sql=_q42_oracle())
 def q42_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 scale path: MinHash(64)+LSH(16 bands) candidates verified by exact
-    Jaccard >= 0.3. No SQL oracle (iterative hash pipeline); correctness is
-    pinned in unit tests against brute-force Jaccard ground truth."""
+    """D3 scale path: MinHash(64)+LSH(32 bands) candidates verified by exact
+    Jaccard >= 0.3. Full-fidelity SQL oracle (portable md5/universal-hash
+    lanes replayed in DuckDB, see _q42_oracle); brute-force Jaccard ground
+    truth additionally pinned in unit tests."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup(docs, threshold=0.3)
 
 
-@register("q43_simhash", sql=None)
+def _q43_oracle() -> str:
+    """DuckDB twin of simhash_portable: 64 vote sums over unnested md5-half
+    token hashes, majority bits packed into (hi, lo) 32-bit halves."""
+    def votes(col: str) -> str:
+        return ", ".join(
+            f"sum(CASE WHEN ({col} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS v{col}_{i}" for i in range(32))
+
+    def pack(col: str) -> str:
+        return " + ".join(
+            f"CASE WHEN v{col}_{i} > 0 THEN {1 << i}::BIGINT"
+            f" ELSE 0::BIGINT END" for i in range(32))
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS lo
+        FROM tok
+    ),
+    v AS (
+        SELECT doc_id, {votes('hi')}, {votes('lo')}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({pack('hi')} AS BIGINT) AS simhash_hi,
+           CAST({pack('lo')} AS BIGINT) AS simhash_lo
+    FROM v
+    """
+
+
+@register("q43_simhash", sql=_q43_oracle())
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 SimHash 64-bit fingerprints (rows-only check; bit-exactness is
-    pinned in unit tests against a NumPy reference implementation)."""
+    """D3 SimHash 64-bit fingerprints in oracle-portable (hi, lo) form —
+    every vote and packed bit hash-matched against DuckDB; the xxhash64
+    single-bigint variant (:func:`simhash`) stays pinned by the NumPy
+    reference unit test."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs)
+    return simhash_portable(docs)
 
 
 def survivorship_dedup(df: DataFrame, key, score_cols: list[str],
@@ -494,10 +717,12 @@ def dedup_pipeline(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
                     F.col("cluster_size").cast("bigint").alias("cluster_size")))
 
 
-@register("q168_dedup_pipeline", sql=None)
+@register("q168_dedup_pipeline", sql=_q168_oracle())
 def q168_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full dedup pipeline over documents — rows-only (LSH has no SQL
-    oracle); the unit test pins internal consistency: clusters partition the
+    """The full dedup pipeline over documents, hash-matched end-to-end
+    against a DuckDB twin (portable MinHash+LSH pairs + recursive-CTE
+    transitive closure — an independent clustering algorithm). The unit
+    test additionally pins internal consistency: clusters partition the
     corpus, exactly one representative per cluster, every q42 pair lands in
     one cluster."""
     docs = load_table(spark, sf_dir, "documents")

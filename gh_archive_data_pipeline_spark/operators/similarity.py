@@ -178,14 +178,143 @@ def q44_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("q45_embedding_lsh_topk", sql=None)
+def _rademacher_planes(planes_per_table: int, num_tables: int, dim: int,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Seeded ±1 (Rademacher) hyperplanes — Achlioptas-style random
+    projections. ±1 entries make the projection a signed SUM of vector
+    components: every multiply is exact, so Spark's fold and the SQL
+    oracle's list_dot_product see bit-identical dots."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
+             for _ in range(planes_per_table)]
+            for _ in range(num_tables)]
+
+
+def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    planes_per_table: int = 4, num_tables: int = 16,
+                    dim: int = 64, seed: int = 42) -> DataFrame:
+    """Multi-table SRP-LSH top-k with the hashing JVM-side (no Python hop).
+
+    Same table/bucket/verify architecture as :func:`lsh_bucket_topk`, but
+    the bucket codes are built-in expressions over ±1 plane literals:
+    bucket_t = Σ_j 2^j·[dot(v, plane_tj) > 0]. Whole-stage codegen
+    evaluates the hashing inside the corpus scan stage — no Arrow batch
+    transfer — and the arithmetic is exactly reproducible in ANSI SQL,
+    which is what gives q45 a full-fidelity DuckDB oracle. The candidate
+    join still shuffles only (id, table, bucket) keys, never vectors."""
+    planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
+    spark = corpus.sparkSession
+    # The planes ride as ONE broadcast literal VALUE (a single-row
+    # DataFrame), not 4096 expression-literal nodes — inlining them as
+    # F.lit trees costs ~14 s of Catalyst analysis/codegen at this width.
+    # Buckets come from nested HOFs over the planes column: a constant-size
+    # expression tree whatever L·k·dim is.
+    planes_df = spark.createDataFrame(
+        [(planes, [1 << j for j in range(planes_per_table)])],
+        "planes array<array<array<double>>>, wgt array<bigint>")
+
+    def hashed(df, out_id, out_vec):
+        vec = F.col(out_vec)
+        bucket_of_table = lambda tbl: F.aggregate(  # noqa: E731
+            F.zip_with(tbl, F.col("wgt"), lambda plane, wgt:
+                       F.when(dot(vec, plane) > 0, wgt)
+                       .otherwise(F.lit(0).cast("bigint"))),
+            F.lit(0).cast("bigint"), lambda a, x: a + x)
+        return (df.crossJoin(F.broadcast(planes_df))
+                .select(out_id, out_vec,
+                        F.posexplode(F.transform("planes", bucket_of_table))
+                        .alias("t", "b")))
+
+    cd = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+    # Small-file parallelism gate (same rationale as q286's): the local
+    # fixture reads as one split, serializing the L·k·dim-flop/vector
+    # hashing on a single core; a cluster-scale scan already has many
+    # splits, so this branch never fires (and never shuffles) there.
+    if cd.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        cd = cd.repartition(spark.sparkContext.defaultParallelism)
+    c = hashed(cd, "neighbor_id", "cv")
+    q = hashed(queries.select(F.col(id_col).alias("query_id"),
+                              _as_double(F.col(vec_col)).alias("qv")),
+               "query_id", "qv")
+    candidates = (
+        c.join(F.broadcast(q), ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def _q45_oracle(k: int = 5, planes_per_table: int = 4, num_tables: int = 16,
+                dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of srp_bucket_topk: identical ±1 plane literals, bucket
+    codes, candidate join and exact re-scoring."""
+    planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
+
+    def bucket_sql(tbl) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, [{', '.join(map(str, plane))}])"
+            f" > 0 THEN {1 << j} ELSE 0 END"
+            for j, plane in enumerate(tbl))
+
+    buckets = ", ".join(f"({bucket_sql(t)})" for t in planes)
+    return f"""
+    WITH vec AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    hashed AS (
+        SELECT vec_id, v,
+               unnest(range(0, {num_tables})) AS t,
+               unnest([{buckets}]) AS b
+        FROM vec
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM hashed q JOIN hashed c ON q.t = c.t AND q.b = c.b
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv.v, cv.v)
+                 / (sqrt(list_dot_product(qv.v, qv.v))
+                    * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+        FROM cand
+        JOIN vec qv ON qv.vec_id = cand.query_id
+        JOIN vec cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@register("q45_embedding_lsh_topk", sql=_q45_oracle())
 def q45_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
-    cosine. Rows-only driver check; recall vs brute force is asserted in unit
-    tests (same-bucket probability degrades gracefully, never errors)."""
+    """ANN scale path: multi-table signed-random-projection LSH bucketing +
+    in-bucket exact cosine, hashed JVM-side with seeded ±1 planes so the
+    ENTIRE pipeline (bucketing included) hash-matches the DuckDB oracle.
+    Recall vs brute force additionally asserted in unit tests; the
+    pandas-UDF/BLAS bucketer variant stays exercised via q82."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(emb, queries, k=5)
+    return srp_bucket_topk(emb, queries, k=5)
 
 
 @register(
@@ -429,9 +558,12 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
 _ivf_index_cache: dict[str, str] = {}
 
 
-@register(
-    "q358_ivf_index_search",
-    sql="""
+# Shared DuckDB twin of the deterministic IVF algorithm (seeds = 16
+# lowest-id vectors, nprobe=4, exact scoring in probed cells). q71 (inline
+# ivf_topk) and q358 (materialized index) are the SAME algorithm in two
+# physical layouts — pinned equal by test_ivf_index_search_matches_inline_ivf
+# — so one oracle checks both.
+_IVF_ORACLE = """
     WITH cb AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              embedding::DOUBLE[] AS cv
@@ -467,8 +599,10 @@ _ivf_index_cache: dict[str, str] = {}
                                        ORDER BY sim DESC, neighbor_id) AS rnk
           FROM cand)
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("q358_ivf_index_search", sql=_IVF_ORACLE)
 def q358_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2b: IVF as a MATERIALIZED cell-partitioned index —
     build once (cached per fixture), search many. This is q71's algorithm
@@ -515,10 +649,12 @@ def q70_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, threshold=0.4)
 
 
-@register("q71_embedding_ivf_topk", sql=None)
+@register("q71_embedding_ivf_topk", sql=_IVF_ORACLE)
 def q71_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path #2 (IVF): coarse-quantize + nprobe cell search. Rows-only
-    driver check; recall vs brute force is pinned in unit tests."""
+    """ANN scale path #2 (IVF): coarse-quantize + nprobe cell search.
+    Deterministic (seeds = 16 lowest-id vectors, no iterative training), so
+    it shares q358's same-algorithm SQL oracle; recall vs brute force is
+    additionally pinned in unit tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5)

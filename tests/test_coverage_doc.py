@@ -57,3 +57,21 @@ def test_exemptions_are_not_stale():
     names = set(all_queries())
     stale = sorted(q for q in EXEMPT if q not in names)
     assert not stale, f"EXEMPT entries for unregistered queries: {stale}"
+
+
+def test_readme_counts_match_registry():
+    """Round-3 VERDICT item: README's catalog counts drifted once; derive
+    them from the registry and fail on any future drift."""
+    qs = all_queries()
+    total = len(qs)
+    oracled = sum(1 for s in qs.values() if s.sql)
+    rows_only = total - oracled
+    readme = open("/root/repo/README.md").read()
+    m = re.search(
+        r"(\d+) named queries over the fixtures,\s*\n.*?(\d+) paired\s*\n"
+        r".*?\(the (\d+)\s*\n\s*rows-only",
+        readme)
+    assert m, "README.md no longer states the catalog counts in plans/ blurb"
+    got = tuple(int(x) for x in m.groups())
+    assert got == (total, oracled, rows_only), (
+        f"README counts {got} != registry ({total}, {oracled}, {rows_only})")

@@ -246,3 +246,22 @@ def test_runner_context_upstream():
     assert pipe.run(context={"a": 41})["b"] == 42
     with pytest.raises(KeyError, match="neither a registered task"):
         Pipeline().add("b", lambda a: a + 1, upstream=("a",)).run()
+
+
+def test_simhash_portable_matches_python_reference(spark, docs):
+    """The oracle-portable (hi, lo) SimHash must equal a pure-Python
+    reference over md5-half token hashes — pinning the algorithm
+    independently of both Spark and DuckDB."""
+    import hashlib
+
+    sample = docs.filter(F.col("doc_id") < 10)
+    exp = {}
+    for r in sample.select("doc_id", "text").collect():
+        toks = list(dict.fromkeys(r.text.split(" ")))
+        hexes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        his = [int(h[:8], 16) for h in hexes]
+        los = [int(h[8:16], 16) for h in hexes]
+        exp[r.doc_id] = (_py_simhash(his, bits=32), _py_simhash(los, bits=32))
+    got = {r.doc_id: (r.simhash_hi, r.simhash_lo)
+           for r in dedup.simhash_portable(sample).collect()}
+    assert got == exp
