@@ -524,8 +524,9 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     collected (bounded driver state) and applied as a STATIC
     ``cell IN (...)`` partition filter — the parquet scan lists only the
     probed cell directories; unprobed cells cost zero I/O. Scoring joins the
-    pruned corpus against broadcast (query, cell) pairs and never shuffles
-    corpus rows."""
+    pruned corpus against broadcast (query, cell) pairs; only the
+    per-partition top-k candidate rows reach the final rank window's
+    exchange (WindowGroupLimit), never the full corpus."""
     cb = F.broadcast(spark.read.parquet(f"{index_dir}/codebook"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cell").asc())
@@ -553,9 +554,36 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
                     F.round("sim", 6).alias("cosine_sim"), "rank"))
 
 
-# one materialized IVF index per fixture dir — repeated registry/bench
-# invocations reuse it (the build-once/search-many contract is the point)
-_ivf_index_cache: dict[str, str] = {}
+# one materialized IVF index per fixture STATE — repeated registry/bench
+# invocations reuse it (the build-once/search-many contract is the point).
+# Keyed on (sf_dir, source fingerprint) so a regenerated fixture triggers a
+# rebuild instead of silently serving stale vectors; temp dirs are removed
+# at interpreter exit.
+_ivf_index_cache: dict[tuple[str, float], str] = {}
+
+
+def _ivf_cached_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/embeddings.parquet"
+    # fingerprint = newest mtime under the source path (file or directory)
+    if os.path.isdir(src):
+        stamps = [os.path.getmtime(os.path.join(src, f))
+                  for f in os.listdir(src)] or [os.path.getmtime(src)]
+        stamp = max(stamps)
+    else:
+        stamp = os.path.getmtime(src)
+    key = (sf_dir, stamp)
+    if key not in _ivf_index_cache:
+        d = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), d,
+                        num_cells=16)
+        _ivf_index_cache[key] = d
+    return _ivf_index_cache[key]
 
 
 # Shared DuckDB twin of the deterministic IVF algorithm (seeds = 16
@@ -612,15 +640,9 @@ def q358_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=4, exact scoring in probed cells); the independent pins are the
     unit tests (recall vs brute force, equality with the non-materialized
     q71 path, and pruned file count)."""
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _ivf_index_cache:
-        d = tempfile.mkdtemp(prefix="ivf_index_")
-        build_ivf_index(emb, d, num_cells=16)
-        _ivf_index_cache[sf_dir] = d
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_search(spark, _ivf_index_cache[sf_dir], queries,
+    return ivf_search(spark, _ivf_cached_index(spark, sf_dir), queries,
                       k=5, nprobe=4)
 
 

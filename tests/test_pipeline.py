@@ -361,3 +361,22 @@ def test_versioned_lake_publish_is_atomic(spark, tmp_path):
     V.write_version(spark.range(9), path)
     assert df_old.count() == 4  # unchanged by the concurrent publish
     assert V.read_version(spark, path).count() == 9
+
+
+def test_load_s3a_config_lands_on_hadoop_conf(spark):
+    """Reference parity (spark_context_manager.py:28-48): the s3a/MinIO
+    settings must land on the LIVE JVM hadoopConfiguration — the layer
+    Spark's FileSystem resolution actually consults — including on a
+    session this engine did not build."""
+    from gh_archive_data_pipeline_spark.session import load_s3a_config
+
+    load_s3a_config(spark, endpoint="http://minio.local:9000",
+                    access_key="ak", secret_key="sk",
+                    extra={"fs.s3a.attempts.maximum": "1"})
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio.local:9000"
+    assert hconf.get("fs.s3a.access.key") == "ak"
+    assert hconf.get("fs.s3a.secret.key") == "sk"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"
+    assert hconf.get("fs.s3a.attempts.maximum") == "1"

@@ -137,9 +137,20 @@ def test_windowed_state_survives_restart(spark, tmp_path):
         StructField("value", DoubleType()),
     ])
 
+    landed = [0]
+
     def land(name, rows):
         spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
             str(landing / name))
+        # With maxFilesPerTrigger=1 and a 0-second watermark, batch ORDER is
+        # load-bearing: the file source picks up files by modification time,
+        # and an equal-mtime tie between f1/f2 could deliver them reordered,
+        # dropping the earlier batch's rows as late. Stamp each landing with
+        # a strictly increasing mtime so pickup order is deterministic.
+        landed[0] += 1
+        t = 1_700_000_000 + landed[0] * 10
+        for f in (landing / name).iterdir():
+            os.utime(f, (t, t))
 
     def drain():
         stream = sp.read_file_stream(spark, f"{landing}/*/*.parquet", schema,
@@ -186,6 +197,82 @@ def test_confluent_header_roundtrip(spark):
     ).collect()
     assert [r.schema_id for r in got] == [1234, 0]
     assert bytes(got[0].body) == body and bytes(got[1].body) == b"x"
+
+
+def test_confluent_framed_binary_stream_end_to_end(spark, tmp_path):
+    """SURVEY §5.3 case 5 (round-3 VERDICT item 5): the Kafka-shaped path
+    driven as far as the sandbox allows — a BINARY value column carrying
+    Confluent-framed message bodies through a real multi-batch file stream:
+    schema-id extraction + header strip (the S6 codec), typed from_json
+    body decode (the reference topics carry JSON twins of the Avro bodies;
+    from_avro itself is jar-gated here), watermarked tumbling window,
+    checkpointed parquet sink — asserting parity with a batch scan of the
+    same framed bytes."""
+    import json
+    import os as _os
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    SCHEMA_ID = 7
+
+    def frame(event_id, minute, user_id, event_type, value):
+        body = json.dumps({
+            "event_id": event_id, "ts": f"2024-01-01 {10 + minute // 60:02d}:{minute % 60:02d}:00",
+            "user_id": user_id, "event_type": event_type, "value": value,
+        }).encode()
+        return (encode_confluent_header(SCHEMA_ID) + body,)
+
+    def land(name, rows, mtime):
+        spark.createDataFrame(rows, "value binary").coalesce(1).write.parquet(
+            str(landing / name))
+        for f in (landing / name).iterdir():
+            _os.utime(f, (mtime, mtime))
+
+    land("f1", [frame(1, 0, 7, "click", 1.0),
+                frame(2, 5, 7, "view", 2.0),
+                frame(3, 10, 8, "click", 3.0)], 1_700_000_000)
+    land("f2", [frame(4, 40, 7, "click", 4.0),
+                frame(5, 45, 8, "view", 5.0),
+                frame(6, 125, 8, "click", 6.0)], 1_700_000_010)  # hour 12
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    def decode(df):
+        return (df
+                .select(confluent_schema_id(F.col("value")).alias("schema_id"),
+                        strip_confluent_header(F.col("value"))
+                        .cast("string").alias("body"))
+                .select("schema_id", F.from_json("body", SCHEMA).alias("e"))
+                .select("schema_id", "e.*"))
+
+    stream = sp.read_file_stream(
+        spark, f"{landing}/*/*.parquet",
+        StructType([StructField("value", BinaryType())]),
+        max_files_per_trigger=1)
+    windowed = (decode(stream)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "0 seconds")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("total"))
+                .select(F.col("window.start").alias("window_start"),
+                        "event_type", "n", "total"))
+    q = sp.start_parquet_sink(windowed, out, ckpt)
+    assert q.awaitTermination(120)
+
+    got = {(r.window_start.hour, r.event_type): (r.n, r.total)
+           for r in spark.read.parquet(out).collect()}
+    # hour-10 windows closed by the hour-12 sentinel (still open, absent)
+    batch = decode(spark.read.parquet(f"{landing}/*/*.parquet"))
+    assert [r.schema_id for r in batch.collect()] == [SCHEMA_ID] * 6
+    expected = {
+        (r["w"], r.event_type): (r["n"], r["total"])
+        for r in (batch.filter(F.hour("ts") == 10)
+                  .groupBy(F.hour("ts").alias("w"), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("value").alias("total")).collect())}
+    assert got == expected and len(got) == 2
 
 
 def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):

@@ -71,7 +71,9 @@ QUERY_TABLES = {
     "q125_repetition_ngrams": ["documents"],
     "q144_ngram_novelty": ["documents"],
     "q188_bpe_pair_counts": ["documents"],
+    "q167_market_basket": ["lineitem", "part"],
     "q189_pagerank_event_graph": ["events"],
+    "q295_triangle_count": ["events"],
     "q210_pit_features": ["events", "orders"],
     "q220_wordpiece_tokenize": ["documents"],
     "q224_duplicated_spans": ["documents"],
@@ -178,7 +180,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in QUERIES:
         t = time.monotonic()
-        n = force_execute(qs[name].fn(spark, sf_dir))
+        n, _ = force_execute(qs[name].fn(spark, sf_dir))
         out[name] = round(time.monotonic() - t, 3)
         print(f"#   {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     return out
