@@ -427,3 +427,196 @@ def q324_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
         LIMIT 20
     """)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 optimizer-shape set (round-3 VERDICT item 8): the classic TPC-H
+# planner stressors the registry didn't yet cover, adapted to the fixture
+# schema (which has no partsupp — lineitem stands in as the supply
+# relation, and Q20's correlated availqty threshold becomes a constant,
+# keeping the IN-over-grouped-HAVING shape). Each runs the IDENTICAL SQL
+# text on Spark (temp views) and DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _views(spark, sf_dir: str, *tables: str) -> dict[str, str]:
+    out = {}
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+        out[t] = f"{t}_v"
+    return out
+
+
+_Q2_SQL = """
+SELECT DISTINCT round(s.s_acctbal, 2) AS s_acctbal, s.s_name,
+       p.p_partkey, p.p_name,
+       round(l.l_extendedprice, 2) AS best_price
+FROM {part} p
+JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5 AND p.p_type = 'SMALL'
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                           FROM {lineitem} l2
+                           WHERE l2.l_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, p.p_partkey, s.s_name
+LIMIT 100
+"""
+
+
+@register("q359_q2_shape",
+          sql=_Q2_SQL.format(part="part", lineitem="lineitem",
+                             supplier="supplier"))
+def q359_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (Minimum Cost Supplier): for each part in a
+    size/type slice, the supplier(s) offering the correlated MINIMUM price
+    (lineitem plays partsupp). The planner must decorrelate the scalar
+    min-subquery into an aggregate + join rather than re-running it per
+    part — the defining Q2 stressor — then order/limit on the outer. Exact
+    double equality against the stored value is safe (no arithmetic on
+    either side of the comparison)."""
+    v = _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_Q2_SQL.format(**v))
+
+
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM {lineitem} l
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+JOIN {part} p ON p.p_partkey = l.l_partkey
+JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q360_q9_shape",
+          sql=_Q9_SQL.format(lineitem="lineitem", supplier="supplier",
+                             part="part", orders="orders", nation="nation"))
+def q360_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (Product Type Profit): the five-way multi-fact star —
+    lineitem joined to supplier, part (with a LIKE filter the scan should
+    receive), orders, and nation — aggregated by (nation, order year).
+    Stresses join ORDERING (the part filter must prune before the wide
+    joins) and partial aggregation over a multi-join pipeline; dims
+    broadcast, the fact shuffles once for the final group."""
+    v = _views(spark, sf_dir, "lineitem", "supplier", "part", "orders",
+               "nation")
+    return spark.sql(_Q9_SQL.format(**v))
+
+
+_Q11_SQL = """
+SELECT l.l_partkey AS p_key,
+       round(sum(l.l_extendedprice * l.l_quantity), 2) AS part_value
+FROM {lineitem} l
+JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+WHERE s.s_nationkey < 5
+GROUP BY l.l_partkey
+HAVING sum(l.l_extendedprice * l.l_quantity) >
+       (SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.001
+        FROM {lineitem} l2
+        JOIN {supplier} s2 ON s2.s_suppkey = l2.l_suppkey
+        WHERE s2.s_nationkey < 5)
+ORDER BY part_value DESC, p_key
+"""
+
+
+@register("q361_q11_shape",
+          sql=_Q11_SQL.format(lineitem="lineitem", supplier="supplier"))
+def q361_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (Important Stock): grouped value per part with a
+    HAVING threshold that is itself an uncorrelated scalar subquery over
+    the SAME filtered join (0.1% of total). The planner should evaluate
+    the subquery once (broadcast one row), not per group — and ideally
+    reuse the shared join subplan. The threshold compare is on unrounded
+    sums; rounding only the projected output keeps both engines' hash
+    identical while the 0.1% margin swamps summation-order ULP noise."""
+    v = _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q11_SQL.format(**v))
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM {customer} c
+    LEFT JOIN {orders} o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q362_q13_shape",
+          sql=_Q13_SQL.format(customer="customer", orders="orders"))
+def q362_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (Customer Distribution): LEFT join with the filter
+    in the JOIN CONDITION (not WHERE — pushing it to WHERE would turn the
+    join inner and silently drop zero-order customers), then a two-level
+    aggregation producing the orders-per-customer histogram. The
+    outer-join-preserving filter placement is the classic Q13 trap."""
+    v = _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL.format(**v))
+
+
+_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM {lineitem} l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q363_q17_shape",
+          sql=_Q17_SQL.format(lineitem="lineitem", part="part"))
+def q363_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (Small-Quantity-Order Revenue): a correlated AVG
+    subquery per part — the other decorrelation archetype next to Q2's
+    correlated MIN. The planner must rewrite it as a per-part aggregate
+    joined back to the fact; the naive per-row re-execution is quadratic.
+    Single-row output (global sum / 7)."""
+    v = _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL.format(**v))
+
+
+_Q20_SQL = """
+SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM {supplier} s
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM {lineitem} l
+      JOIN {part} p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND year(l.l_shipdate) >= 1998
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 60)
+ORDER BY s.s_name
+"""
+
+
+@register("q364_q20_shape",
+          sql=_Q20_SQL.format(supplier="supplier", nation="nation",
+                              lineitem="lineitem", part="part"))
+def q364_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (Potential Part Promotion): IN over a GROUPED +
+    HAVING subquery — the planner must compile it to a semi join against
+    the aggregated supply relation, with the part LIKE and the date filter
+    pushed below the aggregate. The fixture has no partsupp, so the
+    original's correlated availqty threshold becomes a constant (60);
+    the semi-join-over-aggregate shape — what Q20 exists to stress —
+    is unchanged."""
+    v = _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_Q20_SQL.format(**v))

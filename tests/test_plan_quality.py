@@ -527,3 +527,33 @@ def test_executed_shuffle_summary_sees_through_aqe(spark):
     assert s["rows_read"] == 1500
     m = plan_metrics(df, spark)
     assert scan_output_rows(m) == 1500
+
+
+def test_q359_correlated_min_decorrelates(spark):
+    """Q2's correlated scalar MIN must become an aggregate + join, never a
+    per-outer-row re-execution (no nested-loop cross product in the plan)."""
+    plan = plan_of(spark, "q359_q2_shape")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 1  # the decorrelated min
+    # part filters push into the scan
+    assert "PushedFilters" in plan and "p_size" in plan
+
+
+def test_q362_left_join_survives_condition_filter(spark):
+    """Q13's orderpriority filter lives in the LEFT join's ON clause; the
+    optimizer must NOT convert the join to inner (zero-order customers
+    would vanish from the histogram)."""
+    plan = plan_of(spark, "q362_q13_shape", mode="simple")
+    assert "LeftOuter" in plan
+
+
+def test_q363_correlated_avg_decorrelates(spark):
+    plan = plan_of(spark, "q363_q17_shape")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # per-part avg + final sum
+
+
+def test_q364_in_over_grouped_having_is_semi_join(spark):
+    plan = plan_of(spark, "q364_q20_shape", mode="simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
