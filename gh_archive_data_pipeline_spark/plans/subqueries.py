@@ -481,8 +481,9 @@ def q359_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_SQL = """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+       round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) * 100)
+                 AS BIGINT)) AS DOUBLE) / 100.0, 2) AS profit
 FROM {lineitem} l
 JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
 JOIN {part} p ON p.p_partkey = l.l_partkey
@@ -503,7 +504,14 @@ def q360_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     receive), orders, and nation — aggregated by (nation, order year).
     Stresses join ORDERING (the part filter must prune before the wide
     joins) and partial aggregation over a multi-join pipeline; dims
-    broadcast, the fact shuffles once for the final group."""
+    broadcast, the fact shuffles once for the final group.
+
+    The profit sum goes through exact integer CENTS (each term rounded to
+    a cent, summed as bigint): the revenue-minus-cost subtraction is
+    near-cancelling, which amplified cross-engine summation-order ULP
+    noise past the 2dp rounding edge (caught by the full rehearsal:
+    417321.13 vs .12). Integer summation is associative, so both engines
+    agree for ANY aggregation order."""
     v = _views(spark, sf_dir, "lineitem", "supplier", "part", "orders",
                "nation")
     return spark.sql(_Q9_SQL.format(**v))

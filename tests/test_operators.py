@@ -113,6 +113,19 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.6
 
 
+def test_srp_topk_recall_vs_bruteforce(spark):
+    """The JVM-expression SRP variant (q45's implementation since round 4)
+    needs the same recall floor as the pandas/BLAS one — Rademacher planes
+    are slightly coarser than gaussian, same guarantee class."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.srp_bucket_topk(emb, queries, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
 def test_approx_count_distinct_error_bound(spark):
     li = load_table(spark, SF, "lineitem")
     row = li.agg(
