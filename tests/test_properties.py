@@ -188,3 +188,44 @@ def test_pagerank_mass_and_positivity(spark, edges):
     assert all(v > 0 for v in ranks.values())
     assert all(v >= 0.15 / n - 1e-12 for v in ranks.values())
     assert sum(ranks.values()) <= 1.0 + 1e-9
+
+
+def test_portable_shingle_hash_matches_hashlib(spark):
+    """The md5-60-bit shingle hash (the primitive under q42's full-fidelity
+    oracle) must equal int(md5(s).hexdigest()[:15], 16) — pinning the
+    Spark conv/substring expression against an independent implementation,
+    including unicode and empty-ish inputs."""
+    import hashlib
+
+    samples = ["", " ", "a", "hello world", "naïve café", "emoji 🚀 text",
+               "tab\tsep", "long " * 50, "0", "Brand#23"] + [
+               f"shingle {i} word" for i in range(40)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select(
+        "s", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+        .cast("bigint").alias("h")).collect()}
+    for s in samples:
+        exp = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == exp, s
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """Full-stack pin of the portable MinHash lanes: shingle -> md5-60bit
+    -> min (a_i*h + b_i) mod p per lane, recomputed in pure Python from
+    the same seeded coefficients."""
+    import hashlib
+
+    texts = [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "pack my box with five dozen liquor jugs right now")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    k, p = 8, dedup.MINHASH_P
+    a, b = dedup.minhash_coeffs(k)
+    got = {r.doc_id: [r[f"mh_{i}"] for i in range(k)]
+           for r in dedup.minhash_signatures(df, num_hashes=k).collect()}
+    for doc_id, text in texts:
+        w = text.split(" ")
+        sh = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        hs = {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh}
+        exp = [min((a[i] * (h % p) + b[i]) % p for h in hs)
+               for i in range(k)]
+        assert got[doc_id] == exp, doc_id

@@ -4,16 +4,25 @@ driver's harness does it), compare rows/columns/values, and report per-query
 wall time. This is the end-to-end dress rehearsal for CORRECTNESS_r{N}.
 
 Usage: python tools/driver_rehearsal.py [sf_dir] (default /root/testdata/sf0.01)
+
+SPARK_REHEARSAL_EXACT=1 switches the float compare from 1e-9 relative to
+BIT-EXACT equality — the driver hashes exact values, so 1e-9 is a blind
+spot for large-magnitude floats whose rounding-edge flips are relatively
+tiny (q360's 417321.13-vs-.12 was only caught because 1 cent > 1e-9 of
+the value; at 1e12 magnitudes it would not be).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+EXACT = os.environ.get("SPARK_REHEARSAL_EXACT") == "1"
 
 
 def compare(spdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
@@ -30,7 +39,10 @@ def compare(spdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                if abs(x - y) > 1e-9 * max(1.0, abs(y)):
+                if EXACT:
+                    if x != y:
+                        return f"{c}[{i}]: {x!r} != {y!r} (exact)"
+                elif abs(x - y) > 1e-9 * max(1.0, abs(y)):
                     return f"{c}[{i}]: {x!r} != {y!r}"
             else:
                 xn = x is None or x is pd.NaT or (isinstance(x, float) and math.isnan(x))
