@@ -192,6 +192,34 @@ def _rademacher_planes(planes_per_table: int, num_tables: int, dim: int,
             for _ in range(num_tables)]
 
 
+def _srp_planes_df(spark: SparkSession, planes_per_table: int,
+                   num_tables: int, dim: int, seed: int) -> DataFrame:
+    """The planes as ONE broadcast literal VALUE (a single-row DataFrame),
+    not L·k·dim expression-literal nodes — inlining them as F.lit trees
+    costs ~14 s of Catalyst analysis/codegen at the default width."""
+    planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
+    return spark.createDataFrame(
+        [(planes, [1 << j for j in range(planes_per_table)])],
+        "planes array<array<array<double>>>, wgt array<bigint>")
+
+
+def _srp_hash(df: DataFrame, out_id: str, out_vec: str,
+              planes_df: DataFrame) -> DataFrame:
+    """(id, vec) -> one row per LSH table: (id, vec, t, b). Buckets come
+    from nested HOFs over the broadcast planes column — a constant-size
+    expression tree whatever L·k·dim is."""
+    vec = F.col(out_vec)
+    bucket_of_table = lambda tbl: F.aggregate(  # noqa: E731
+        F.zip_with(tbl, F.col("wgt"), lambda plane, wgt:
+                   F.when(dot(vec, plane) > 0, wgt)
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return (df.crossJoin(F.broadcast(planes_df))
+            .select(out_id, out_vec,
+                    F.posexplode(F.transform("planes", bucket_of_table))
+                    .alias("t", "b")))
+
+
 def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     planes_per_table: int = 4, num_tables: int = 16,
@@ -205,28 +233,12 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     transfer — and the arithmetic is exactly reproducible in ANSI SQL,
     which is what gives q45 a full-fidelity DuckDB oracle. The candidate
     join still shuffles only (id, table, bucket) keys, never vectors."""
-    planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
     spark = corpus.sparkSession
-    # The planes ride as ONE broadcast literal VALUE (a single-row
-    # DataFrame), not 4096 expression-literal nodes — inlining them as
-    # F.lit trees costs ~14 s of Catalyst analysis/codegen at this width.
-    # Buckets come from nested HOFs over the planes column: a constant-size
-    # expression tree whatever L·k·dim is.
-    planes_df = spark.createDataFrame(
-        [(planes, [1 << j for j in range(planes_per_table)])],
-        "planes array<array<array<double>>>, wgt array<bigint>")
+    planes_df = _srp_planes_df(spark, planes_per_table, num_tables, dim,
+                               seed)
 
     def hashed(df, out_id, out_vec):
-        vec = F.col(out_vec)
-        bucket_of_table = lambda tbl: F.aggregate(  # noqa: E731
-            F.zip_with(tbl, F.col("wgt"), lambda plane, wgt:
-                       F.when(dot(vec, plane) > 0, wgt)
-                       .otherwise(F.lit(0).cast("bigint"))),
-            F.lit(0).cast("bigint"), lambda a, x: a + x)
-        return (df.crossJoin(F.broadcast(planes_df))
-                .select(out_id, out_vec,
-                        F.posexplode(F.transform("planes", bucket_of_table))
-                        .alias("t", "b")))
+        return _srp_hash(df, out_id, out_vec, planes_df)
 
     cd = corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("cv"))
@@ -644,6 +656,118 @@ def q358_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(spark, _ivf_cached_index(spark, sf_dir), queries,
                       k=5, nprobe=4)
+
+
+def build_srp_index(corpus: DataFrame, index_dir: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    planes_per_table: int = 4, num_tables: int = 16,
+                    dim: int = 64, seed: int = 42) -> None:
+    """Materialize the multi-table SRP-LSH index as a bucket-PARTITIONED
+    parquet layout — the LSH sibling of :func:`build_ivf_index`: the index
+    IS the physical layout, so probing a bucket is reading a directory.
+
+    Each vector lands once per table under partition key
+    ``tb = t·2^planes + b`` (one combined column so pruning is a single
+    IN-set). That is the standard multi-table LSH storage trade —
+    ``num_tables``× the corpus bytes — bought back at search time: a query
+    batch reads ONLY its probed bucket directories. ``{index_dir}/params``
+    records the plane-generation parameters so search re-derives the same
+    seeded planes."""
+    spark = corpus.sparkSession
+    (spark.createDataFrame(
+        [(planes_per_table, num_tables, dim, seed)],
+        "planes_per_table int, num_tables int, dim int, seed int")
+     .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params"))
+    planes_df = _srp_planes_df(spark, planes_per_table, num_tables, dim,
+                               seed)
+    cd = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+    if cd.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        cd = cd.repartition(spark.sparkContext.defaultParallelism)
+    (_srp_hash(cd, "neighbor_id", "cv", planes_df)
+     .withColumn("tb", F.col("t") * (1 << planes_per_table) + F.col("b"))
+     .repartition("tb")     # co-locate each bucket's rows -> one file each
+     .write.mode("overwrite").partitionBy("tb")
+     .parquet(f"{index_dir}/buckets"))
+
+
+def srp_search(spark: SparkSession, index_dir: str, queries: DataFrame,
+               k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Search a ``build_srp_index`` layout: hash the query batch with the
+    SAME seeded planes, read ONLY the probed bucket directories (static
+    ``tb IN (...)`` partition prune — at most num_tables·|queries| ints of
+    driver state, capped by the total bucket count), then exact-cosine
+    verify + per-query top-k. Returns exactly what the non-materialized
+    :func:`srp_bucket_topk` returns — the layout changes cost, not
+    semantics (pinned by unit test)."""
+    p = spark.read.parquet(f"{index_dir}/params").collect()[0]
+    planes_df = _srp_planes_df(spark, p.planes_per_table, p.num_tables,
+                               p.dim, p.seed)
+    probes = (_srp_hash(queries.select(F.col(id_col).alias("query_id"),
+                                       _as_double(F.col(vec_col))
+                                       .alias("qv")),
+                        "query_id", "qv", planes_df)
+              .withColumn("tb", F.col("t") * (1 << p.planes_per_table)
+                          + F.col("b")))
+    keys = [r.tb for r in probes.select("tb").distinct().collect()]
+    bucket_rows = (spark.read.parquet(f"{index_dir}/buckets")
+                   .filter(F.col("tb").isin(keys)))  # static partition prune
+    candidates = (bucket_rows
+                  .join(F.broadcast(probes.select("query_id", "qv", "tb",
+                                                  "t", "b")),
+                        ["tb", "t", "b"])
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "qv", "neighbor_id", "cv")
+                  .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("cosine_sim"), "rank"))
+
+
+_srp_index_cache: dict[tuple[str, float], str] = {}
+
+
+def _srp_cached_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(src):
+        stamps = [os.path.getmtime(os.path.join(src, f))
+                  for f in os.listdir(src)] or [os.path.getmtime(src)]
+        stamp = max(stamps)
+    else:
+        stamp = os.path.getmtime(src)
+    key = (sf_dir, stamp)
+    if key not in _srp_index_cache:
+        d = tempfile.mkdtemp(prefix="srp_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        build_srp_index(load_table(spark, sf_dir, "embeddings"), d)
+        _srp_index_cache[key] = d
+    return _srp_index_cache[key]
+
+
+@register("q365_srp_index_search", sql=_q45_oracle())
+def q365_srp_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #1b: SRP-LSH as a MATERIALIZED bucket-partitioned
+    index — build once (cached per fixture), search many; q45's algorithm
+    with hashing amortized out of the query path and the probed-bucket
+    scan turned into genuine partition pruning (the LSH sibling of q358's
+    IVF index). Shares q45's full-fidelity oracle because the candidate
+    union and verify are identical; equality with srp_bucket_topk and the
+    pruned scan are pinned in unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return srp_search(spark, _srp_cached_index(spark, sf_dir), queries, k=5)
 
 
 @register(

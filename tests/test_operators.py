@@ -207,6 +207,45 @@ def test_ivf_index_scan_is_partition_pruned(spark, tmp_path):
     assert any("cell" in l and " IN " in l for l in part_lines), part_lines
 
 
+def test_srp_index_search_matches_inline_srp(spark, tmp_path):
+    """The materialized bucket-partitioned LSH index (build_srp_index +
+    srp_search) must return exactly what the inline srp_bucket_topk path
+    returns — same planes, same candidate union, same scoring — proving
+    the layout changes cost, not semantics (the independent pin for q365
+    sharing q45's oracle)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "srp_idx")
+    similarity.build_srp_index(emb, idx)
+    inline = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+                    for r in similarity.srp_bucket_topk(
+                        emb, queries, k=5).collect())
+    indexed = sorted((r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+                     for r in similarity.srp_search(
+                         spark, idx, queries, k=5).collect())
+    assert indexed == inline and len(indexed) > 0
+
+
+def test_srp_index_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-bucket filter must reach the parquet scan as a PARTITION
+    filter (directory-level pruning) — at 100 TB a query batch reads only
+    its probed buckets' bytes out of the num_tables× corpus layout."""
+    import contextlib
+    import io
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "srp_idx")
+    similarity.build_srp_index(emb, idx)
+    out = similarity.srp_search(spark, idx,
+                                emb.filter(F.col("vec_id") < 3), k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("tb" in l and " IN " in l for l in part_lines), part_lines
+
+
 def test_embedding_near_dup_lsh_prefilter_subset(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {(r.id_a, r.id_b): r.cosine_sim
