@@ -842,11 +842,17 @@ def q266_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q267_expanding_target_encoding",
     sql="""
     SELECT o_orderkey, o_orderpriority,
-           round(avg(o_totalprice) OVER (
-               PARTITION BY o_orderpriority
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4)
-               AS past_priority_mean
+           floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS DOUBLE)
+                 / count(*) OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 / 100.0 * 10000 + 0.5) / 10000 AS past_priority_mean
     FROM orders
     """,
 )
@@ -857,15 +863,25 @@ def q267_expanding_target_encoding(spark: SparkSession,
     STRICTLY EARLIER orders in its priority class (expanding window,
     1 PRECEDING), so the feature at time t is computable at time t. First
     order per class encodes NULL (no history), exactly as a live scorer
-    would. One window on the category partitioning."""
+    would. One window on the category partitioning.
+
+    The expanding mean runs over exact integer CENTS (sum bigint / count),
+    and BOTH roundings use floor(x·scale + 0.5) — pure IEEE ops,
+    bit-identical across engines — instead of round(): engines accumulate
+    running double sums in different orders AND implement round()
+    differently near ties (BigDecimal half-up vs float math), and a 4dp
+    edge flip at sf0.01 (251250.6733 vs .6732) is invisible to a 1e-9
+    tolerance but fatal to an exact value hash."""
     orders = load_table(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_orderpriority")
          .orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, -1))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    mean = (F.sum(cents).over(w).cast("double")
+            / F.count(F.lit(1)).over(w) / 100.0)
     return orders.select(
         "o_orderkey", "o_orderpriority",
-        F.round(F.avg("o_totalprice").over(w), 4)
-        .alias("past_priority_mean"))
+        (F.floor(mean * 10000 + 0.5) / 10000).alias("past_priority_mean"))
 
 
 @register(

@@ -673,8 +673,9 @@ def q148_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2)
-               AS discounted_revenue
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                     + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS discounted_revenue
     FROM lineitem
     WHERE l_quantity >= 30
     GROUP BY l_returnflag
@@ -685,18 +686,27 @@ def q154_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ... RETURN <expr>, Spark 4) applied through a parameterized query
     (spark.sql named args). SQL UDFs inline into the plan at analysis time —
     unlike Python UDFs they cost nothing at run time and stay inside
-    whole-stage codegen; the oracle simply inlines the same expression."""
+    whole-stage codegen; the oracle simply inlines the same expression.
+
+    The per-row cents come from floor(x·100 + 0.5) — pure IEEE ops that
+    are bit-identical across engines — NOT round(x, 2): Spark's round is
+    BigDecimal half-up on the double's exact expansion while DuckDB's is
+    float-math, and they disagree on rows within an ULP of a tie (measured
+    1-cent flips on this fixture). Exact integer summation then makes the
+    aggregate order-independent."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
     spark.sql("""
-        CREATE OR REPLACE TEMPORARY FUNCTION discounted(price DOUBLE, disc DOUBLE)
-        RETURNS DOUBLE RETURN round(price * (1 - disc), 2)
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted_cents(
+            price DOUBLE, disc DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(price * (1 - disc) * 100 + 0.5)
+                                   AS BIGINT)
     """)
     return spark.sql(
         """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(discounted(l_extendedprice, l_discount)), 2)
-                   AS discounted_revenue
+               round(CAST(sum(discounted_cents(l_extendedprice, l_discount))
+                          AS DOUBLE) / 100.0, 2) AS discounted_revenue
         FROM lineitem_udf_v
         WHERE l_quantity >= :min_qty
         GROUP BY l_returnflag

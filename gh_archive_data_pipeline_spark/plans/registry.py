@@ -10,6 +10,14 @@ Conventions that keep the driver's order-insensitive value-hash compare green
 - alias every computed column identically on both sides;
 - round every floating-point output (sums 2dp, ratios/avgs 4-6dp) on both
   sides so summation-order ULP noise can't flip the hash;
+- for SUMS of monetary-style doubles (and anything near-cancelling or
+  large-magnitude), aggregate exact integer cents instead: per-row
+  ``floor(x*100 + 0.5)`` cast to bigint, summed, divided back. Two
+  reasons, both measured (round 4, SPARK_REHEARSAL_EXACT=1): double
+  summation order differs between engines (417657971.58 vs .60 at 4.2e8),
+  and round() itself disagrees within an ULP of a tie (Spark BigDecimal
+  half-up vs DuckDB float math) while floor/*/+ are pure IEEE ops with
+  bit-identical results on identical inputs;
 - make every ORDER BY a total order (tie-break on a key column) — row order
   doesn't matter to the hash but LIMIT/window-rank cutoffs do;
 - cast computed integers to bigint on both sides (DuckDB widens, Spark doesn't).

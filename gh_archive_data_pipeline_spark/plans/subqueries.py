@@ -481,8 +481,8 @@ def q359_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_SQL = """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity) * 100)
+       round(CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) * 100 + 0.5)
                  AS BIGINT)) AS DOUBLE) / 100.0, 2) AS profit
 FROM {lineitem} l
 JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
@@ -506,8 +506,10 @@ def q360_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins) and partial aggregation over a multi-join pipeline; dims
     broadcast, the fact shuffles once for the final group.
 
-    The profit sum goes through exact integer CENTS (each term rounded to
-    a cent, summed as bigint): the revenue-minus-cost subtraction is
+    The profit sum goes through exact integer CENTS — floor(x·100 + 0.5),
+    pure IEEE ops that are bit-identical across engines (round() is not:
+    BigDecimal half-up vs float math disagree within an ULP of ties) —
+    summed as bigint: the revenue-minus-cost subtraction is
     near-cancelling, which amplified cross-engine summation-order ULP
     noise past the 2dp rounding edge (caught by the full rehearsal:
     417321.13 vs .12). Integer summation is associative, so both engines
