@@ -630,3 +630,264 @@ def q364_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged."""
     v = _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(_Q20_SQL.format(**v))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: the remaining classic TPC-H planner shapes the
+# fixture schema can express (Q7/Q8/Q10/Q14/Q15/Q18/Q19 + a Q12
+# adaptation; Q16/Q21/Q22 shapes landed earlier as q324/q322/q323).
+# Money sums go through exact integer cents — floor(x*100+0.5) —
+# per the registry's bit-exactness convention.
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+WITH flows AS (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT) AS cents
+    FROM {lineitem} l
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+    JOIN {customer} c ON c.c_custkey = o.o_custkey
+    JOIN {nation} ns ON ns.n_nationkey = s.s_nationkey
+    JOIN {nation} nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND year(l.l_shipdate) IN (1996, 1997)
+)
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM flows
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q366_q7_shape",
+          sql=_Q7_SQL.format(lineitem="lineitem", supplier="supplier",
+                             orders="orders", customer="customer",
+                             nation="nation"))
+def q366_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (Volume Shipping): the six-way join with a
+    DISJUNCTIVE nation-PAIR predicate — (A,B) OR (B,A) — that the planner
+    must keep above the nation joins (it references both sides) while
+    still pushing the year filter into the fact scan, then revenue by
+    (supp_nation, cust_nation, year). The same dimension table joins
+    twice under different roles."""
+    v = _views(spark, sf_dir, "lineitem", "supplier", "orders", "customer",
+               "nation")
+    return spark.sql(_Q7_SQL.format(**v))
+
+
+_Q8_SQL = """
+WITH vol AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT) AS cents,
+           ns.n_name AS supp_nation
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+    JOIN {nation} ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q367_q8_shape",
+          sql=_Q8_SQL.format(lineitem="lineitem", part="part",
+                             supplier="supplier", orders="orders",
+                             nation="nation"))
+def q367_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (National Market Share): one nation's share of a
+    filtered product market per year — conditional-sum over total-sum in
+    a single aggregation pass (never two scans), over a five-way star.
+    The share ratio divides two EXACT cent sums, so both engines divide
+    identical bigints — no accumulated-double noise under the 6dp round."""
+    v = _views(spark, sf_dir, "lineitem", "part", "supplier", "orders",
+               "nation")
+    return spark.sql(_Q8_SQL.format(**v))
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM {customer} c
+JOIN {orders} o ON o.o_custkey = c.c_custkey
+JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1997
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT)) DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q368_q10_shape",
+          sql=_Q10_SQL.format(customer="customer", orders="orders",
+                              lineitem="lineitem", nation="nation"))
+def q368_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (Returned Item Reporting): top-20 customers by
+    returned-merchandise revenue in one year — grouped agg over a
+    four-way join with ORDER BY the aggregate + LIMIT (the planner should
+    produce TakeOrderedAndProject over the final agg, never a global
+    sort). The LIMIT cutoff orders by the EXACT cent sum (bigint) with a
+    custkey tiebreak, so the cut is engine-independent."""
+    v = _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL.format(**v))
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+       CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS other_orders
+FROM {orders} o
+JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = 1997
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register("q369_q12_shape",
+          sql=_Q12_SQL.format(orders="orders", lineitem="lineitem"))
+def q369_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (Shipping Modes / Order Priority): CASE-bucketed
+    conditional counts over a fact-to-fact join with a year filter — the
+    pivot-by-CASE aggregation pattern. The fixture has no l_shipmode /
+    commit/receipt dates, so returnflag stands in for shipmode; the
+    planner shape (join + conditional aggregation in ONE pass) is
+    identical."""
+    v = _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_SQL.format(**v))
+
+
+_Q14_SQL = """
+SELECT round(100.0
+             * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                        * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS DOUBLE),
+             6) AS promo_revenue_pct
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE year(l.l_shipdate) = 1998
+"""
+
+
+@register("q370_q14_shape",
+          sql=_Q14_SQL.format(lineitem="lineitem", part="part"))
+def q370_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (Promotion Effect): single-row promo revenue share
+    — conditional sum over total sum in one aggregation, dim broadcast,
+    month→year filter on the fact scan. Both sums are exact cents, so the
+    ratio divides identical bigints in both engines."""
+    v = _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL.format(**v))
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS total_cents
+    FROM {lineitem}
+    WHERE year(l_shipdate) = 1998
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_cents AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM {supplier} s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q371_q15_shape",
+          sql=_Q15_SQL.format(lineitem="lineitem", supplier="supplier"))
+def q371_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (Top Supplier): a derived revenue view compared
+    against ITS OWN scalar max — the planner should evaluate the view
+    once and reuse it (or at worst twice), never per-supplier. Equality
+    is on exact cent BIGINTS, so "the max" is the same supplier set in
+    any engine — the classic Q15 tie hazard eliminated by construction."""
+    v = _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL.format(**v))
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM {customer} c
+JOIN {orders} o ON o.o_custkey = c.c_custkey
+JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM {lineitem}
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, year(o.o_orderdate),
+         o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q372_q18_shape",
+          sql=_Q18_SQL.format(customer="customer", orders="orders",
+                              lineitem="lineitem"))
+def q372_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (Large Volume Customer): IN over a grouped-HAVING
+    subquery on the SAME fact being joined — the planner must semi-join
+    the pre-aggregated order quantities back onto the detail rows (two
+    uses of lineitem, one aggregated), then top-100 by order value.
+    total_qty sums l_quantity doubles that are exact small integers in
+    the fixture, so 2dp rounding is noise-free."""
+    v = _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL.format(**v))
+
+
+_Q19_SQL = """
+SELECT round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q373_q19_shape",
+          sql=_Q19_SQL.format(lineitem="lineitem", part="part"))
+def q373_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (Discounted Revenue): the canonical DISJUNCTIVE
+    predicate — OR of three (brand AND size AND quantity) conjunctions
+    mixing columns from BOTH join sides. The planner must derive the
+    single-table residuals (brand IN (...) on part, quantity range on
+    lineitem) and push them into the scans while keeping the cross-side
+    disjunction as the join filter — the optimization Q19 exists to
+    test."""
+    v = _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL.format(**v))

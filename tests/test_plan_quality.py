@@ -557,3 +557,29 @@ def test_q364_in_over_grouped_having_is_semi_join(spark):
     plan = plan_of(spark, "q364_q20_shape", mode="simple")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q373_disjunctive_residuals_push_to_scans(spark):
+    """Q19's OR-of-conjunctions mixes columns from both join sides; the
+    planner must still derive single-table residuals and push them: the
+    part scan gets a brand/size disjunction, the join stays hash-based."""
+    plan = plan_of(spark, "q373_q19_shape")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+    # the derived part-side residual reaches a scan as a pushed Or filter
+    assert "Or(" in plan and "p_brand" in plan, plan
+
+
+def test_q368_top20_is_take_ordered(spark):
+    """Q10's ORDER BY agg DESC LIMIT 20 must plan as TakeOrderedAndProject
+    (partial per-partition top-k), never a global sort of all groups."""
+    plan = plan_of(spark, "q368_q10_shape", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q371_revenue_view_not_reexecuted_per_row(spark):
+    """Q15's scalar max over the revenue view must be a one-row subquery
+    reuse, not a correlated re-execution: no nested-loop product, and at
+    most two aggregations of lineitem appear (view + max)."""
+    plan = plan_of(spark, "q371_q15_shape")
+    assert "CartesianProduct" not in plan
