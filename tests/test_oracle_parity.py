@@ -53,9 +53,12 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                assert x == pytest.approx(y, rel=1e-9, abs=1e-9), (
-                    f"{name}.{col}[{i}]: {x!r} != {y!r}"
-                )
+                # BIT-EXACT: the driver hashes exact values, and a relative
+                # tolerance hides large-magnitude rounding-edge flips
+                # (round 4: 2 cents at 4.2e8 = 5e-11 relative). The whole
+                # registry is exact under the floor-cents convention
+                # (plans/registry.py module docstring).
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r} (exact)"
             else:
                 xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT
                 yn = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NaT

@@ -5,11 +5,13 @@ wall time. This is the end-to-end dress rehearsal for CORRECTNESS_r{N}.
 
 Usage: python tools/driver_rehearsal.py [sf_dir] (default /root/testdata/sf0.01)
 
-SPARK_REHEARSAL_EXACT=1 switches the float compare from 1e-9 relative to
-BIT-EXACT equality — the driver hashes exact values, so 1e-9 is a blind
-spot for large-magnitude floats whose rounding-edge flips are relatively
-tiny (q360's 417321.13-vs-.12 was only caught because 1 cent > 1e-9 of
-the value; at 1e12 magnitudes it would not be).
+Floats compare BIT-EXACT by default — the driver hashes exact values, so
+a relative tolerance is a blind spot for large-magnitude floats whose
+rounding-edge flips are relatively tiny (round 4 found 417657971.58 vs
+.60: 2 cents at 4.2e8 = 5e-11 relative, invisible at 1e-9 — fatal to the
+hash). The whole registry is bit-exact at sf0.001 and sf0.01 since round
+4 (floor-cents convention); SPARK_REHEARSAL_TOLERANT=1 restores the old
+1e-9 compare for debugging a new query's drift.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import time
 import duckdb
 import pandas as pd
 
-EXACT = os.environ.get("SPARK_REHEARSAL_EXACT") == "1"
+EXACT = os.environ.get("SPARK_REHEARSAL_TOLERANT") != "1"
 
 
 def compare(spdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
