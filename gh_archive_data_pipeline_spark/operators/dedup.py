@@ -388,11 +388,13 @@ def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_ctes(threshold: float = 0.3, num_hashes: int = 64,
-                        bands: int = 32, ngram: int = 3) -> str:
+                        bands: int = 32, ngram: int = 3,
+                        source: str = "documents") -> str:
     """CTE block replaying the ENTIRE MinHash+LSH pipeline in DuckDB —
     same md5-60-bit shingle hashes, same (a·h+b) mod p lanes, same band
     slices, same exact verify. Ends with ``verified`` (doc_a, doc_b,
-    jaccard >= threshold). Shared by the q42 and q168 oracles."""
+    jaccard >= threshold). ``source`` is the relation (table or earlier
+    CTE) providing (doc_id, text). Shared by the q42/q168/q374 oracles."""
     rows = num_hashes // bands
     a, b = minhash_coeffs(num_hashes)
     p = MINHASH_P
@@ -400,7 +402,7 @@ def _minhash_pairs_ctes(threshold: float = 0.3, num_hashes: int = 64,
     b_lit = ",".join(map(str, b))
     return f"""
     toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        SELECT doc_id, string_split(text, ' ') AS w FROM {source}
     ),
     sh AS (
         SELECT doc_id,
@@ -1194,3 +1196,114 @@ def q311_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("n_docs", F.lit(0)) / 500.0, 6)
                     .alias("frac_affected"))
             .orderBy("threshold"))
+
+
+def _q374_oracle() -> str:
+    """DuckDB twin of the END-TO-END curation pipeline below: the same
+    quality gate, exact-dedup keeper selection, portable MinHash+LSH
+    pairs over the curated survivors, recursive-CTE clustering, and
+    longest-text survivorship — composed in one WITH block."""
+    reason = """CASE WHEN NOT q.q_ok THEN 'quality'
+                WHEN cu.doc_id IS NULL THEN 'exact_dup'
+                WHEN NOT rep.is_rep THEN 'near_dup' END"""
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               (n_chars >= 200
+                AND len(list_distinct(w))::DOUBLE / len(w) > 0.3) AS q_ok
+        FROM base
+    ),
+    passing AS (
+        SELECT b.doc_id, b.text
+        FROM base b JOIN quality q ON q.doc_id = b.doc_id
+        WHERE q.q_ok
+    ),
+    fp AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM passing
+    ),
+    keepers AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
+    curated AS (
+        SELECT fp.doc_id, fp.text
+        FROM fp JOIN keepers k ON fp.f = k.f AND fp.doc_id = k.keeper
+    ),
+    {_minhash_pairs_ctes(source="curated")},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM curated
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node
+    ),
+    rep AS (
+        SELECT c.doc_id,
+               (row_number() OVER (PARTITION BY c.cluster
+                                   ORDER BY length(d.text) DESC, c.doc_id)
+                = 1) AS is_rep
+        FROM comp c JOIN curated d ON d.doc_id = c.doc_id
+    )
+    SELECT q.doc_id, q.n_tokens,
+           {reason} AS drop_reason,
+           ({reason} IS NULL) AS keep
+    FROM quality q
+    LEFT JOIN curated cu ON cu.doc_id = q.doc_id
+    LEFT JOIN rep ON rep.doc_id = q.doc_id
+    """
+
+
+@register("q374_corpus_curation", sql=_q374_oracle())
+def q374_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the disposition table a training-data
+    build materializes, composing the dedup family in pipeline order:
+
+    1. quality gate (>=200 chars AND type-token ratio > 0.3);
+    2. exact dedup over quality survivors (normalized-md5, keep lowest id);
+    3. near-dup clustering over the exact-unique set (portable MinHash+LSH
+       -> connected components -> longest-text representative).
+
+    Output: every document with its token count, drop_reason
+    ('quality' | 'exact_dup' | 'near_dup' | NULL) and keep flag — stage
+    ordering matters (a quality-failing copy never shields its duplicate)
+    and is what the oracle replays end-to-end in one WITH block. Every
+    stage is the documented-scalable variant: the only all-pairs work is
+    inside LSH candidate buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id", "text",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        ((F.length("text") >= 200)
+         & (F.size(F.array_distinct(w)) / F.size(w) > 0.3)).alias("q_ok"))
+    passing = quality.filter("q_ok").select("doc_id", "text")
+    fp = passing.withColumn("f", F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    curated = (fp.join(keepers.withColumnRenamed("f", "kf"),
+                       (F.col("f") == F.col("kf"))
+                       & (F.col("doc_id") == F.col("keeper")))
+               .select("doc_id", "text"))
+    reps = dedup_pipeline(curated, threshold=0.3).select(
+        "doc_id", F.col("is_representative").alias("is_rep"))
+    disp = (quality.select("doc_id", "n_tokens", "q_ok")
+            .join(curated.select("doc_id",
+                                 F.lit(True).alias("is_curated")),
+                  "doc_id", "left")
+            .join(reps, "doc_id", "left"))
+    reason = (F.when(~F.col("q_ok"), "quality")
+              .when(F.col("is_curated").isNull(), "exact_dup")
+              .when(~F.col("is_rep"), "near_dup"))
+    return disp.select("doc_id", "n_tokens",
+                       reason.alias("drop_reason"),
+                       reason.isNull().alias("keep"))
