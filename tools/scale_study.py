@@ -60,6 +60,7 @@ QUERY_TABLES = {
                            "nation", "region"],
     "q40_dedup_exact": ["documents"],
     "q42_minhash_near_dup": ["documents"],
+    "q374_corpus_curation": ["documents"],
     "q44_embedding_topk": ["embeddings"],
     "q45_embedding_lsh_topk": ["embeddings"],
     "q52_session_windows": ["events"],
