@@ -125,7 +125,7 @@ def minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int
 
 
 def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
-                    ngram: int = 3) -> DataFrame:
+                    ngram: int = 3, hash_fn: str = "md5_60") -> DataFrame:
     """Per-doc distinct shingle set as int64 hashes (``hs`` array column).
 
     Each shingle string is hashed ONCE; every downstream minhash / band /
@@ -133,19 +133,33 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
     strings — the difference between O(k·|shingle bytes|) and O(k·8B) per
     shingle across k hash functions.
 
-    The hash is the top 60 bits of md5 (15 hex chars through conv), not
-    xxhash64: md5 is the one hash every engine computes identically, and 60
-    bits keeps the value positive and overflow-free in int64 — so the
-    DuckDB oracle can rebuild the identical shingle sets
-    (``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``).
+    ``hash_fn``:
+
+    - ``"md5_60"`` (default): top 60 bits of md5 (15 hex chars through
+      conv) — md5 is the one hash every engine computes identically, and
+      60 bits stays positive and overflow-free in int64, so an ANSI SQL
+      oracle rebuilds the identical shingle sets
+      (``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``). This is what
+      q42/q168/q374's full-fidelity oracles require.
+    - ``"xxhash64"``: Spark's native 64-bit hash — measured ~1.8× faster
+      end-to-end at 100× corpus (BASELINE.md round-4 note) but not
+      reproducible outside Spark. The PAIRS produced are identical either
+      way (both hashes are injective at corpus scale, and the verify stage
+      compares set sizes) — pinned by unit test — so production runs that
+      don't need cross-engine replay should pick this.
     """
+    if hash_fn == "xxhash64":
+        hash1 = F.xxhash64
+    elif hash_fn == "md5_60":
+        hash1 = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"hash_fn={hash_fn!r}: use 'md5_60' or 'xxhash64'")
     sh = shingles(docs, n=ngram)
     return sh.select(
         F.col(id_col),
         F.array_distinct(
-            F.transform("shingles", lambda s: F.conv(
-                F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
-        ).alias("hs"),
+            F.transform("shingles", lambda s: hash1(s))).alias("hs"),
     )
 
 
@@ -193,7 +207,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
                      threshold: float = 0.3, num_hashes: int = 64,
-                     bands: int = 32, ngram: int = 3) -> DataFrame:
+                     bands: int = 32, ngram: int = 3,
+                     hash_fn: str = "md5_60") -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
     Pipeline: hashed shingle sets (persisted — three downstream branches
@@ -223,7 +238,7 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     # have many splits so this shuffle never happens at scale.
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = hashed_shingles(docs, id_col, ngram).localCheckpoint()
+    sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
     # signatures shuffle-free in one nested-HOF pass (see minhash_signatures)
     sigs = sh.select(id_col, _minhash_array(num_hashes).alias("mh"))
     # the band key is the raw slice of lane values (array<bigint> join key):
