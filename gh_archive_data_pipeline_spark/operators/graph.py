@@ -224,17 +224,37 @@ def q189_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pagerank"), "event_type"))
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_edges(spark: SparkSession, sf_dir: str,
+                     max_group_size: int | None = None) -> DataFrame:
     """Undirected co-purchase edges oriented low-id -> high-id: users who
     purchased within the same hour. Shared by the graph-statistics queries
     (q295/q309/q310); the per-hour pair blowup is bounded by hour-group
-    size (k users -> k^2/2 pairs)."""
+    size (k users -> k^2/2 pairs).
+
+    The 100× scale study (BASELINE.md round 4) measured this sub-linear
+    because real event data grows hour COUNT, not hour-group size. The
+    documented hazard is a FLASH event — one hour whose group genuinely
+    densifies to k users and would emit k²/2 pairs on a single join key.
+    ``max_group_size`` is that mitigation: each hour group keeps its k
+    lowest user_ids (deterministic, rank via one window on the already-
+    shuffled group key), capping any key's join fan-out at k²/2 while
+    leaving every group under the cap EXACTLY intact. A capped flash hour
+    yields a uniform subsample of its clique — acceptable for the graph
+    STATISTICS these edges feed (triangle counts / degree distributions),
+    which is why the cap is an explicit opt-in, not a default."""
     from ..sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
     pur = (ev.filter(F.col("event_type") == "purchase")
            .select("user_id", F.date_trunc("hour", "ts").alias("h"))
            .distinct())
+    if max_group_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h").orderBy("user_id")
+        pur = (pur.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= max_group_size)
+               .drop("__rn"))
     a, b = pur.alias("a"), pur.alias("b")
     return (a.join(b, (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.user_id") < F.col("b.user_id")))

@@ -1819,3 +1819,41 @@ def test_ece_bounds_and_mce_dominates(spark, sf_dir):
     r = q356_expected_calibration_error(spark, sf_dir).collect()[0]
     assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
     assert r["n_bins"] >= 1
+
+
+def test_copurchase_group_cap_bounds_flash_hour(spark, tmp_path):
+    """The flash-crowd mitigation documented in BASELINE.md: a single hour
+    whose group densifies to k users must emit at most cap*(cap-1)/2 pairs
+    under max_group_size=cap (the cap keeps the k lowest user_ids,
+    deterministically), while hours under the cap stay EXACTLY intact."""
+    import datetime as dt
+
+    from gh_archive_data_pipeline_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    flash = [(i, dt.datetime(2024, 1, 1, 10, 0, 0), i % 100 + 1000,
+              "purchase", 1.0) for i in range(100)]          # 100-user hour
+    quiet = [(200 + i, dt.datetime(2024, 1, 1, 12, 0, 0), 2000 + i,
+              "purchase", 1.0) for i in range(3)]            # 3-user hour
+    df = spark.createDataFrame(
+        flash + quiet,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double")
+    d = str(tmp_path / "flash_fixture")
+    import os
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    capped = copurchase_edges(spark, d, max_group_size=10).collect()
+    # flash hour contributes <= 45 pairs; quiet hour keeps all 3 pairs
+    flash_pairs = [r for r in capped if r.u < 2000]
+    quiet_pairs = [r for r in capped if r.u >= 2000]
+    assert len(flash_pairs) == 10 * 9 // 2
+    assert len(quiet_pairs) == 3
+    # deterministic: the kept users are the 10 LOWEST ids of the flash hour
+    kept = {r.u for r in flash_pairs} | {r.v for r in flash_pairs}
+    assert kept == set(range(1000, 1010))
+    # uncapped baseline: the quadratic count the cap is protecting against
+    full = copurchase_edges(spark, d).collect()
+    assert len([r for r in full if r.u < 2000]) == 100 * 99 // 2
