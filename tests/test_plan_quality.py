@@ -583,3 +583,12 @@ def test_q371_revenue_view_not_reexecuted_per_row(spark):
     most two aggregations of lineitem appear (view + max)."""
     plan = plan_of(spark, "q371_q15_shape")
     assert "CartesianProduct" not in plan
+
+
+def test_q374_curation_pipeline_plan_is_sane(spark):
+    """The end-to-end curation composition must stay join/agg-shaped:
+    no cartesian products anywhere, and the near-dup stage's band join
+    present (the only quadratic work is inside LSH candidate buckets)."""
+    plan = plan_of(spark, "q374_corpus_curation", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
