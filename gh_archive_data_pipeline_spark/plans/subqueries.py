@@ -634,8 +634,8 @@ def q364_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Round-4 continuation: the remaining classic TPC-H planner shapes the
-# fixture schema can express (Q7/Q8/Q10/Q14/Q15/Q18/Q19 + a Q12
-# adaptation; Q16/Q21/Q22 shapes landed earlier as q324/q322/q323).
+# fixture schema can express (Q7/Q8/Q10/Q14/Q15/Q18/Q19/Q21 + a Q12
+# adaptation; Q16/Q22 shapes landed earlier as q324/q323).
 # Money sums go through exact integer cents — floor(x*100+0.5) —
 # per the registry's bit-exactness convention.
 # ---------------------------------------------------------------------------
@@ -891,3 +891,42 @@ def q373_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     test."""
     v = _views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_Q19_SQL.format(**v))
+
+
+_Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM {supplier} s
+JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+  AND EXISTS (SELECT 1 FROM {lineitem} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 75 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("q375_q21_shape",
+          sql=_Q21_SQL.format(supplier="supplier", lineitem="lineitem",
+                              orders="orders"))
+def q375_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (Suppliers Who Kept Orders Waiting): the hardest
+    decorrelation archetype — the SAME fact referenced three times, once
+    as the outer and twice in correlated EXISTS / NOT EXISTS subqueries
+    with a suppkey INEQUALITY in the correlation. The planner must compile
+    these to a left-semi and a left-ANTI join on l_orderkey (null-aware is
+    not needed: correlation is via predicates, not IN), keeping the
+    orderstatus and lateness filters pushed below. The fixture has no
+    l_receiptdate/l_commitdate, so "late" is adapted to shipping >75 days
+    after the order date — the triple-self-reference shape Q21 exists to
+    stress is unchanged. Ties in numwait are broken by the unique s_name,
+    so the LIMIT is deterministic."""
+    v = _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL.format(**v))

@@ -592,3 +592,16 @@ def test_q374_curation_pipeline_plan_is_sane(spark):
     plan = plan_of(spark, "q374_corpus_curation", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q375_exists_pair_compiles_to_semi_and_anti(spark):
+    """Q21's correlated EXISTS / NOT EXISTS pair over the same fact must
+    decorrelate to one left-semi and one left-anti join on l_orderkey —
+    never a per-row re-execution (no nested-loop product) — and the
+    LIMIT 100 must plan as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q375_q21_shape", mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
