@@ -1322,3 +1322,173 @@ def q374_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disp.select("doc_id", "n_tokens",
                        reason.alias("drop_reason"),
                        reason.isNull().alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a materialized signature index (q376)
+# ---------------------------------------------------------------------------
+
+def _band_rows(sh: DataFrame, id_col: str, num_hashes: int,
+               bands: int) -> DataFrame:
+    """(id, band, sig) rows from a hashed-shingle frame — the same
+    signature/band expressions as :func:`minhash_near_dup` (one nested-HOF
+    signature pass, band key = raw lane-value slice), factored so the
+    materialized index and the delta probe compute byte-identical keys."""
+    rows = num_hashes // bands
+    sigs = sh.select(id_col, _minhash_array(num_hashes).alias("mh"))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.slice("mh", b * rows + 1, rows).alias("sig"),
+            )
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+
+
+def build_minhash_index(docs: DataFrame, index_dir: str,
+                        id_col: str = "doc_id", num_hashes: int = 64,
+                        bands: int = 32, ngram: int = 3,
+                        hash_fn: str = "md5_60") -> None:
+    """Materialize the corpus side of MinHash+LSH dedup as parquet:
+    ``{index_dir}/shingles`` (id, hs) for exact-Jaccard verification and
+    ``{index_dir}/bands`` (id, band, sig) for candidate probing.
+
+    This is the cross-run contract a 100 TB corpus needs: the corpus is
+    shingled/signed ONCE, and every future ingest batch dedups against the
+    index by reading it — never by re-hashing the corpus. Build cost is the
+    same linear, shuffle-free signature pass as :func:`minhash_near_dup`;
+    the layout is plain columnar parquet because the probe side broadcasts
+    (see :func:`incremental_near_dup`), so no bucketing/partitioning of the
+    index is needed for the join to stay shuffle-free on the index side.
+    """
+    _check_hash_fan(num_hashes, "num_hashes")
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    spark = docs.sparkSession
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
+    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    _band_rows(sh, id_col, num_hashes, bands).write.mode(
+        "overwrite").parquet(f"{index_dir}/bands")
+
+
+def incremental_near_dup(spark: SparkSession, index_dir: str,
+                         delta: DataFrame, id_col: str = "doc_id",
+                         threshold: float = 0.3, num_hashes: int = 64,
+                         bands: int = 32, ngram: int = 3,
+                         hash_fn: str = "md5_60") -> DataFrame:
+    """Near-dup pairs TOUCHING an ingest delta, probed against a
+    :func:`build_minhash_index` layout — corpus-internal pairs are never
+    recomputed, which is the entire point of incremental dedup.
+
+    Scale shape (|delta| << |corpus|): the delta's band rows BROADCAST into
+    a single streamed scan of the index's ``bands`` table — zero shuffle of
+    corpus data, cost one linear index read per ingest batch. Delta-internal
+    pairs come from a self-join of the (tiny) delta band rows. Verification
+    re-attaches shingle sets by broadcasting the candidate ids into streamed
+    scans of ``shingles`` ∪ delta shingles. Emitted pairs are normalized to
+    doc_a < doc_b and carry the same exact round-6 Jaccard as
+    :func:`minhash_near_dup` — the result is bit-identical to running the
+    full-corpus pipeline and keeping only pairs with a delta member (pinned
+    by unit test and by the q376 oracle).
+    """
+    _check_hash_fan(num_hashes, "num_hashes")
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        delta = delta.repartition(spark.sparkContext.defaultParallelism)
+    delta_sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
+    delta_bands = _band_rows(delta_sh, id_col, num_hashes,
+                             bands).localCheckpoint()
+    corpus_bands = spark.read.parquet(f"{index_dir}/bands")
+    # corpus x delta: broadcast the delta side; the index scan streams.
+    cross = (
+        corpus_bands.withColumnRenamed(id_col, "doc_x")
+        .join(F.broadcast(delta_bands.withColumnRenamed(id_col, "doc_y")),
+              ["band", "sig"])
+        .select(F.least("doc_x", "doc_y").alias("doc_a"),
+                F.greatest("doc_x", "doc_y").alias("doc_b"))
+    )
+    # delta x delta: both sides tiny.
+    internal = (
+        delta_bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+        .join(delta_bands.select(F.col(id_col).alias("doc_b"), "band", "sig"),
+              ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    candidates = cross.unionByName(internal).distinct()
+    all_sh = spark.read.parquet(f"{index_dir}/shingles").unionByName(delta_sh)
+    # verify: candidates broadcast twice; the shingle scans never shuffle.
+    with_a = (all_sh.select(F.col(id_col).alias("doc_a"),
+                            F.col("hs").alias("hs_a"))
+              .join(F.broadcast(candidates), "doc_a"))
+    verified = (all_sh.select(F.col(id_col).alias("doc_b"),
+                              F.col("hs").alias("hs_b"))
+                .join(F.broadcast(with_a), "doc_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# One materialized signature index per fixture STATE (same contract as the
+# IVF/SRP vector indexes in operators/similarity.py): keyed on the source
+# fingerprint so a regenerated fixture rebuilds; temp dirs removed at exit.
+_minhash_index_cache: dict[tuple[str, float], str] = {}
+
+
+def _cached_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        stamps = [os.path.getmtime(os.path.join(src, f))
+                  for f in os.listdir(src)] or [os.path.getmtime(src)]
+        stamp = max(stamps)
+    else:
+        stamp = os.path.getmtime(src)
+    key = (sf_dir, stamp)
+    if key not in _minhash_index_cache:
+        d = tempfile.mkdtemp(prefix="minhash_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        build_minhash_index(docs.filter(F.col("doc_id") % 10 != 0), d)
+        _minhash_index_cache[key] = d
+    return _minhash_index_cache[key]
+
+
+def _q376_oracle() -> str:
+    """The oracle replays the FULL-corpus portable pipeline and keeps pairs
+    with a delta member — by construction the same set the incremental probe
+    emits, since a pair's candidacy depends only on its two signatures."""
+    return (f"WITH {_minhash_pairs_ctes()}\n"
+            "    SELECT doc_a, doc_b, jaccard FROM verified\n"
+            "    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0")
+
+
+@register("q376_incremental_near_dup", sql=_q376_oracle())
+def q376_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 operational path: INCREMENTAL near-dup — dedup an ingest delta
+    (doc_id % 10 == 0, ~10% of documents) against a materialized MinHash
+    signature index of the standing corpus (build once per fixture, cached)
+    plus within the delta itself. Same portable md5-60/universal-hash
+    pipeline as q42; the index is never re-hashed and never shuffles —
+    the delta broadcasts into streamed index scans. Reference corollary:
+    the reference's hourly GH Archive ingest (dags/gh_archive_dag.py)
+    appends each hour's events to standing gold tables; this is the dedup
+    analog of that append-only contract."""
+    delta = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    return incremental_near_dup(
+        spark, _cached_minhash_index(spark, sf_dir), delta, threshold=0.3)

@@ -1277,3 +1277,101 @@ def q322_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.round(F.avg("mu"), 6).alias("mean_mu"),
         F.round(F.count(F.lit(1)) / F.sum(F.log("mu")), 4).alias("id_twonn"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-pruned semantic near-duplicate pairs (q377)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
+                         threshold: float = 0.35, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): coarse
+    cluster assignment first, exact cosine scoring ONLY within clusters.
+    This is the embedding sibling of MinHash banding — the cluster is the
+    candidate bucket, so the quadratic verify is bounded per cluster and
+    the pipeline never goes all-pairs.
+
+    Deterministic for oracle replay: centroids are the ``num_clusters``
+    lowest-id vectors (the same seeded-codebook convention as ivf_topk;
+    at 100 TB you'd train a k-means codebook on a sample — q149 — and
+    broadcast it, leaving this plan unchanged), shipped as ONE broadcast
+    literal-value row (not k·dim expression literals). Assignment is
+    argmax cosine with first-index (lowest cell) tie-break, computed
+    shuffle-free per row by JVM higher-order functions — bit-identical to
+    the SQL oracle's window formulation. The within-cluster self-join
+    shuffles rows keyed on cluster; cluster count scales with corpus size
+    in production (|corpus|/1000-ish), so groups stay bounded and AQE's
+    skew split covers stragglers.
+
+    Output: (cluster, id_a < id_b, cosine_sim >= threshold), round-6.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(F.col(id_col).alias("id"),
+                         _as_double(F.col(vec_col)).alias("v"))
+    seeds = (corpus.orderBy(id_col).limit(num_clusters)
+             .select(_as_double(F.col(vec_col)).alias("cv")).collect())
+    cb_df = spark.createDataFrame(
+        [([list(r.cv) for r in seeds],)], "cells array<array<double>>")
+    scores = F.transform("cells", lambda c: cosine(F.col("v"), c))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cb_df))
+        .withColumn("sc", scores)
+        .select("id", "v",
+                (F.array_position(F.col("sc"), F.array_max("sc")) - 1)
+                .cast("int").alias("cluster"))
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6)
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+@register(
+    "q377_semantic_dedup",
+    sql="""
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv))) DESC,
+                        cell ASC) AS rn
+      FROM corpus CROSS JOIN cb
+    ),
+    members AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)
+    SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM members a JOIN members b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """,
+)
+def q377_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: 16 deterministic seed clusters,
+    exact within-cluster cosine pairs >= 0.35. Complements q42 (lexical
+    MinHash) and q82 (SRP-LSH): the cluster prune is the scale device —
+    candidate generation is one shuffle-free assignment pass + a join keyed
+    on cluster, never all-pairs. Full-fidelity SQL oracle (assignment
+    replayed as a window argmax with identical float ops and tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, num_clusters=16, threshold=0.35)

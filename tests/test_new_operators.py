@@ -1857,3 +1857,90 @@ def test_copurchase_group_cap_bounds_flash_hour(spark, tmp_path):
     # uncapped baseline: the quadratic count the cap is protecting against
     full = copurchase_edges(spark, d).collect()
     assert len([r for r in full if r.u < 2000]) == 100 * 99 // 2
+
+
+# ---------------------------------------------------------------------------
+# Round 4: incremental dedup index (q376) + SemDeDup (q377)
+# ---------------------------------------------------------------------------
+
+def test_incremental_near_dup_equals_filtered_full_pipeline(spark, sf_dir,
+                                                            tmp_path):
+    """The incremental probe against a materialized index must emit exactly
+    the full-corpus pipeline's pairs that touch the delta — same pairs, same
+    round-6 jaccard."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dup, minhash_near_dup)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, idx)
+    inc = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in incremental_near_dup(spark, idx, delta).collect()}
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_near_dup(docs).collect()
+            if r.doc_a % 10 == 0 or r.doc_b % 10 == 0}
+    assert inc == full
+    assert inc, "fixture should produce at least one delta-touching pair"
+
+
+def test_incremental_index_is_not_rehashed_on_probe(spark, sf_dir, tmp_path):
+    """Probing must read the materialized signatures, not recompute them:
+    corrupt the index's band signatures after build and assert the probe
+    believes the index (no candidates -> no cross pairs)."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dup)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+    idx = str(tmp_path / "mh_idx2")
+    build_minhash_index(corpus, idx)
+    # shift every stored band id out of the probe's band range
+    shifted = (spark.read.parquet(f"{idx}/bands")
+               .withColumn("band", F.col("band") + 1000))
+    shifted.write.mode("overwrite").parquet(f"{idx}/bands_tmp")
+    spark.read.parquet(f"{idx}/bands_tmp").write.mode("overwrite").parquet(
+        f"{idx}/bands")
+    pairs = incremental_near_dup(spark, idx, delta).collect()
+    assert all(r.doc_a % 10 == 0 and r.doc_b % 10 == 0 for r in pairs), (
+        "with a corrupted index only delta-internal pairs may survive")
+
+
+def test_semantic_dedup_matches_numpy_ground_truth(spark, sf_dir):
+    """Cluster assignment and within-cluster pair emission pinned against a
+    brute-force NumPy replay (argmax cosine to the 16 lowest-id seed
+    centroids; pairs >= threshold). Boundary rows within 1e-6 of the
+    threshold are excluded from the two-sided check to keep the pin
+    ULP-robust."""
+    import numpy as np
+
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(x) for x in r.embedding] for r in rows])
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = U[:16]
+    cl = (U @ C.T).argmax(axis=1)
+    tau = 0.35
+    got = semantic_dedup_pairs(emb, num_clusters=16, threshold=tau).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    by_id = {int(i): k for i, k in zip(ids, cl)}
+    # every emitted pair: same numpy cluster, cosine above (tau - eps)
+    for r in got:
+        assert by_id[r.id_a] == by_id[r.id_b] == r.cluster
+        assert float(U[ids == r.id_a] @ U[ids == r.id_b].T) >= tau - 1e-6
+    # every clearly-above-threshold same-cluster numpy pair is emitted
+    sims = U @ U.T
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cl[a] == cl[b] and sims[a, b] >= tau + 1e-6:
+                assert (int(ids[a]), int(ids[b])) in got_pairs

@@ -605,3 +605,20 @@ def test_q375_exists_pair_compiles_to_semi_and_anti(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q376_incremental_probe_all_broadcast_no_smj(spark):
+    """Incremental dedup's scale contract: the delta (and candidate set)
+    broadcasts; every join against index data is a BroadcastHashJoin —
+    the materialized corpus index is never shuffled or sort-merged."""
+    plan = plan_of(spark, "q376_incremental_near_dup")
+    assert plan.count("BroadcastHashJoin") >= 3  # band probe + 2 verifies
+    assert "SortMergeJoin" not in plan
+
+
+def test_q377_codebook_broadcasts_assignment_shuffle_free(spark):
+    """SemDeDup's assignment pass must not shuffle the corpus: the 1-row
+    codebook rides a broadcast nested-loop crossJoin and cluster ids are
+    computed per-row by HOFs."""
+    plan = plan_of(spark, "q377_semantic_dedup")
+    assert "BroadcastNestedLoopJoin" in plan
