@@ -78,6 +78,8 @@ QUERY_TABLES = {
     "q210_pit_features": ["events", "orders"],
     "q220_wordpiece_tokenize": ["documents"],
     "q224_duplicated_spans": ["documents"],
+    "q376_incremental_near_dup": ["documents"],
+    "q377_semantic_dedup": ["embeddings"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
