@@ -1285,7 +1285,8 @@ def q322_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
                          threshold: float = 0.35, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         assign: str = "hof") -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): coarse
     cluster assignment first, exact cosine scoring ONLY within clusters.
     This is the embedding sibling of MinHash banding — the cluster is the
@@ -1304,6 +1305,17 @@ def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
     in production (|corpus|/1000-ish), so groups stay bounded and AQE's
     skew split covers stragglers.
 
+    ``assign``: ``"hof"`` (default) scores every centroid with JVM
+    higher-order expressions — bit-identical to the SQL oracle, the right
+    choice while num_clusters is small. ``"blas"`` is the large-codebook
+    fast path (the portable-vs-fast convention of minhash's ``hash_fn``):
+    one Arrow-batched numpy matmul assigns a whole vector batch against
+    all centroids at once — O(batch·k·dim) in BLAS instead of interpreted
+    HOF evaluation, mandatory when k is in the thousands. Same argmax /
+    lowest-index tie-break; assignments agree except at float ties
+    (pinned equal on the fixture by unit test), but the scores are not
+    replayable in ANSI SQL, so oracle-backed q377 stays on "hof".
+
     Output: (cluster, id_a < id_b, cosine_sim >= threshold), round-6.
     """
     spark = corpus.sparkSession
@@ -1311,16 +1323,33 @@ def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
                          _as_double(F.col(vec_col)).alias("v"))
     seeds = (corpus.orderBy(id_col).limit(num_clusters)
              .select(_as_double(F.col(vec_col)).alias("cv")).collect())
-    cb_df = spark.createDataFrame(
-        [([list(r.cv) for r in seeds],)], "cells array<array<double>>")
-    scores = F.transform("cells", lambda c: cosine(F.col("v"), c))
-    assigned = (
-        vecs.crossJoin(F.broadcast(cb_df))
-        .withColumn("sc", scores)
-        .select("id", "v",
-                (F.array_position(F.col("sc"), F.array_max("sc")) - 1)
-                .cast("int").alias("cluster"))
-    )
+    if assign == "blas":
+        from pyspark.sql.types import IntegerType
+
+        cb = np.array([list(r.cv) for r in seeds])
+        cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+        @F.pandas_udf(IntegerType())
+        def cluster_of(batch: pd.Series) -> pd.Series:
+            mat = np.stack(batch.to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            return pd.Series(
+                np.argmax(mat @ cb_unit.T, axis=1).astype("int32"))
+
+        assigned = vecs.select("id", "v", cluster_of("v").alias("cluster"))
+    elif assign == "hof":
+        cb_df = spark.createDataFrame(
+            [([list(r.cv) for r in seeds],)], "cells array<array<double>>")
+        scores = F.transform("cells", lambda c: cosine(F.col("v"), c))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cb_df))
+            .withColumn("sc", scores)
+            .select("id", "v",
+                    (F.array_position(F.col("sc"), F.array_max("sc")) - 1)
+                    .cast("int").alias("cluster"))
+        )
+    else:
+        raise ValueError(f"assign={assign!r}: use 'hof' or 'blas'")
     a = assigned.select("cluster", F.col("id").alias("id_a"),
                         F.col("v").alias("va"))
     b = assigned.select("cluster", F.col("id").alias("id_b"),

@@ -1944,3 +1944,20 @@ def test_semantic_dedup_matches_numpy_ground_truth(spark, sf_dir):
         for b in range(a + 1, len(ids)):
             if cl[a] == cl[b] and sims[a, b] >= tau + 1e-6:
                 assert (int(ids[a]), int(ids[b])) in got_pairs
+
+
+def test_semantic_dedup_blas_assignment_matches_hof(spark, sf_dir):
+    """The BLAS fast path (Arrow matmul argmax) and the oracle-portable HOF
+    path must agree on this fixture: same cluster per vector, same emitted
+    pair set with identical round-6 cosines."""
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hof = {(r.cluster, r.id_a, r.id_b, r.cosine_sim)
+           for r in semantic_dedup_pairs(emb, assign="hof").collect()}
+    blas = {(r.cluster, r.id_a, r.id_b, r.cosine_sim)
+            for r in semantic_dedup_pairs(emb, assign="blas").collect()}
+    assert hof == blas
+    assert hof
