@@ -1404,3 +1404,130 @@ def q377_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed as a window argmax with identical float ops and tie-break)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, num_clusters=16, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF ingest: append a delta batch to a materialized index (q378)
+# ---------------------------------------------------------------------------
+
+def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Append an ingest delta to a :func:`build_ivf_index` layout WITHOUT
+    rebuilding: re-read the frozen codebook, assign only the delta rows
+    (one Arrow matmul batch per partition), and write them into the
+    existing cell directories with parquet append — standing cell files
+    are untouched (pinned by unit test on file mtimes), so ingest cost is
+    O(|delta|) regardless of index size. This is the vector sibling of the
+    MinHash index's incremental probe (q376): the corpus is quantized once,
+    every later batch only pays for itself. The codebook staying frozen is
+    the standard IVF ingest trade — cell balance drifts as the data
+    distribution moves, and the remedy is an offline re-train + rebuild,
+    not per-batch retraining."""
+    from pyspark.sql.types import IntegerType
+
+    cb_rows = (spark.read.parquet(f"{index_dir}/codebook")
+               .orderBy("cell").collect())
+    cb = np.array([list(map(float, r.centroid)) for r in cb_rows])
+    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cb_unit.T, axis=1).astype("int32"))
+
+    (delta.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+     .withColumn("cell", cell_of(F.col("v")))
+     .repartition("cell")
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{index_dir}/corpus"))
+
+
+_ivf_appended_cache: dict[tuple[str, float], str] = {}
+
+
+def _ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built from the standing corpus (vec_id % 10 != 0) then
+    incrementally appended with the delta (vec_id % 10 == 0) — cached per
+    fixture state like the other materialized indexes."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(src):
+        stamps = [os.path.getmtime(os.path.join(src, f))
+                  for f in os.listdir(src)] or [os.path.getmtime(src)]
+        stamp = max(stamps)
+    else:
+        stamp = os.path.getmtime(src)
+    key = (sf_dir, stamp)
+    if key not in _ivf_appended_cache:
+        d = tempfile.mkdtemp(prefix="ivf_append_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), d,
+                        num_cells=16)
+        ivf_index_append(spark, d, emb.filter(F.col("vec_id") % 10 == 0))
+        _ivf_appended_cache[key] = d
+    return _ivf_appended_cache[key]
+
+
+# q378's oracle is the IVF algorithm with the codebook seeded from the
+# STANDING corpus only (lowest 16 ids with vec_id % 10 != 0) while the
+# searched corpus includes the appended delta — exactly what the
+# build-then-append layout contains.
+_IVF_APPEND_ORACLE = """
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0
+            ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv))) DESC,
+                        cell ASC) AS rn
+      FROM corpus CROSS JOIN cb
+    ),
+    corpus_cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM assign WHERE vec_id < 10 AND rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS sim
+      FROM probes p JOIN corpus_cells c USING (cell)
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 5
+    """
+
+
+@register("q378_ivf_append_search", sql=_IVF_APPEND_ORACLE)
+def q378_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN operational path: search an IVF index built from the standing
+    corpus (vec_id % 10 != 0) and INCREMENTALLY APPENDED with an ingest
+    delta (vec_id % 10 == 0) — no rebuild, standing cell files untouched.
+    Same pruned-probe search plan as q358; the oracle replays the
+    frozen-codebook semantics (seeds from the standing corpus, search over
+    corpus + delta). The vector sibling of q376's incremental dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(spark, _ivf_appended_index(spark, sf_dir), queries,
+                      k=5, nprobe=4)

@@ -1961,3 +1961,41 @@ def test_semantic_dedup_blas_assignment_matches_hof(spark, sf_dir):
             for r in semantic_dedup_pairs(emb, assign="blas").collect()}
     assert hof == blas
     assert hof
+
+
+def test_ivf_append_preserves_standing_files_and_serves_delta(spark, sf_dir,
+                                                              tmp_path):
+    """Incremental IVF ingest contract: appending a delta must not rewrite
+    any standing cell file (O(|delta|) ingest regardless of index size),
+    and the appended rows must be searchable."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_index_append, ivf_search)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 10 != 0")
+    delta = emb.filter("vec_id % 10 = 0")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, num_cells=16)
+
+    def data_files(root):
+        out = {}
+        for dirpath, _, files in os.walk(f"{root}/corpus"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = data_files(idx)
+    ivf_index_append(spark, idx, delta)
+    after = data_files(idx)
+    assert set(before) <= set(after), "append must not delete standing files"
+    for p, m in before.items():
+        assert after[p] == m, f"standing file rewritten: {p}"
+    assert len(after) > len(before), "append must add delta files"
+    # every indexed row is now searchable: nprobe = all cells -> exact
+    res = ivf_search(spark, idx, emb.filter("vec_id < 10"), k=5, nprobe=16)
+    assert {r.neighbor_id % 10 == 0 for r in res.collect()} == {True, False}
