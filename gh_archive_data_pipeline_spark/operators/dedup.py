@@ -1492,3 +1492,24 @@ def q376_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0)
     return incremental_near_dup(
         spark, _cached_minhash_index(spark, sf_dir), delta, threshold=0.3)
+
+
+def minhash_index_append(spark: SparkSession, index_dir: str,
+                         delta: DataFrame, id_col: str = "doc_id",
+                         num_hashes: int = 64, bands: int = 32,
+                         ngram: int = 3, hash_fn: str = "md5_60") -> None:
+    """Append an ingest delta's shingle sets and band signatures to a
+    :func:`build_minhash_index` layout — the dedup sibling of
+    ``ivf_index_append``: standing index files are untouched, ingest cost
+    is O(|delta|) whatever the index size. Probe-then-append (see
+    q379) is the continuous-ingest dedup loop: each batch dedups against
+    everything before it, then becomes part of the standing corpus."""
+    _check_hash_fan(num_hashes, "num_hashes")
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        delta = delta.repartition(spark.sparkContext.defaultParallelism)
+    sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
+    sh.write.mode("append").parquet(f"{index_dir}/shingles")
+    _band_rows(sh, id_col, num_hashes, bands).write.mode(
+        "append").parquet(f"{index_dir}/bands")

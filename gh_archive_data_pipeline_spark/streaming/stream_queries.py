@@ -488,3 +488,72 @@ def q258_stream_stateful_multibatch(spark: SparkSession,
             .select("user_id", "n_events",
                     F.round("total_value", 2).alias("total_value"),
                     F.round("max_value", 2).alias("max_value")))
+
+
+def _q379_oracle() -> str:
+    from ..operators.dedup import _minhash_pairs_ctes
+
+    return (f"WITH {_minhash_pairs_ctes()}\n"
+            "    SELECT doc_a, doc_b, jaccard FROM verified\n"
+            "    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0")
+
+
+@register("q379_stream_incremental_dedup", sql=_q379_oracle())
+def q379_stream_incremental_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """CONTINUOUS-INGEST dedup: the delta (doc_id % 10 == 0) arrives as a
+    real file-source stream in 4 micro-batches; each batch runs
+    ``incremental_near_dup`` against the standing MinHash index inside
+    ``foreachBatch``, then APPENDS itself to the index
+    (``minhash_index_append``) — probe-then-append, so every batch dedups
+    against the corpus AND all earlier batches, and the index it leaves
+    behind is the up-to-date standing corpus. The union of emitted pairs is
+    order-independent (a delta-delta pair is emitted exactly once, by
+    whichever side streams in later) and equals q376's one-shot incremental
+    result — hence the SAME full-fidelity portable-hash oracle. This is the
+    operational loop a 100 TB ingest pipeline runs on every landing batch;
+    checkpoint + parquet-append sink make the recipe restartable."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (_cached_minhash_index,
+                                   incremental_near_dup,
+                                   minhash_index_append)
+    from ..sources.readers import load_table
+
+    ensure_runtime_confs(spark)
+    # per-call private copy of the standing-corpus index: the run MUTATES
+    # its index (that's the point), so repeated invocations each start from
+    # the pristine corpus-only state
+    idx = tempfile.mkdtemp(prefix="mh_stream_idx_")
+    shutil.rmtree(idx)
+    shutil.copytree(_cached_minhash_index(spark, sf_dir), idx)
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    # landing zone: 4 doc_id-range files with increasing mtimes -> 4 real
+    # micro-batches in a deterministic order (order only affects WHICH batch
+    # emits a cross-batch pair, not the final set)
+    land = tempfile.mkdtemp(prefix="mh_stream_land_")
+    (delta.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(land))
+    for i, f in enumerate(sorted(glob.glob(f"{land}/part-*"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    out = tempfile.mkdtemp(prefix="mh_stream_pairs_")
+    ckpt = tempfile.mkdtemp(prefix="mh_stream_ckpt_")
+    stream = read_file_stream(spark, land, docs.schema,
+                              max_files_per_trigger=1)
+
+    def probe_then_append(batch: DataFrame, _batch_id: int) -> None:
+        pairs = incremental_near_dup(spark, idx, batch)
+        pairs.write.mode("append").parquet(out)
+        minhash_index_append(spark, idx, batch)
+
+    q = (stream.writeStream.foreachBatch(probe_then_append)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(out).select("doc_a", "doc_b", "jaccard")

@@ -1999,3 +1999,35 @@ def test_ivf_append_preserves_standing_files_and_serves_delta(spark, sf_dir,
     # every indexed row is now searchable: nprobe = all cells -> exact
     res = ivf_search(spark, idx, emb.filter("vec_id < 10"), k=5, nprobe=16)
     assert {r.neighbor_id % 10 == 0 for r in res.collect()} == {True, False}
+
+
+def test_probe_then_append_emits_cross_batch_pairs(spark, tmp_path):
+    """The continuous-ingest loop (q379's foreachBatch body): a batch must
+    see duplicates in the corpus AND in earlier batches, and after append it
+    must be visible to later batches — each unordered pair emitted exactly
+    once, by the later-arriving side."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dup, minhash_index_append)
+
+    dup_a = "the quick brown fox jumps over the lazy dog every single day"
+    dup_b = "rainy mornings in the harbor smell of salt diesel and old rope"
+    uniq = ["galaxies spin silently beyond the reach of any telescope here",
+            "seven clockmakers argued about the weight of a second at noon"]
+    corpus = spark.createDataFrame(
+        [(1, uniq[0]), (2, dup_a), (3, uniq[1])], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx)
+
+    batch1 = spark.createDataFrame(
+        [(10, dup_b), (20, dup_a)], "doc_id long, text string")
+    pairs1 = {(r.doc_a, r.doc_b)
+              for r in incremental_near_dup(spark, idx, batch1).collect()}
+    minhash_index_append(spark, idx, batch1)
+
+    batch2 = spark.createDataFrame(
+        [(30, dup_b)], "doc_id long, text string")
+    pairs2 = {(r.doc_a, r.doc_b)
+              for r in incremental_near_dup(spark, idx, batch2).collect()}
+
+    assert pairs1 == {(2, 20)}          # corpus dup seen by its batch
+    assert pairs2 == {(10, 30)}         # EARLIER BATCH dup seen after append
