@@ -231,7 +231,6 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    rows = num_hashes // bands
     spark = docs.sparkSession
     # Small-file parallelism gate: a one-split local fixture serializes the
     # md5-shingle + 64-lane signature compute on one core; cluster scans
@@ -239,21 +238,12 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
-    # signatures shuffle-free in one nested-HOF pass (see minhash_signatures)
-    sigs = sh.select(id_col, _minhash_array(num_hashes).alias("mh"))
-    # the band key is the raw slice of lane values (array<bigint> join key):
-    # exact — no re-hash, no collision between different bands' rows — and
-    # trivially reproducible by the SQL oracle (list slicing)
-    stacked = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.slice("mh", b * rows + 1, rows).alias("sig"),
-            )
-            for b in range(bands)
-        ])).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig").localCheckpoint()
+    # band rows (signatures shuffle-free in one nested-HOF pass, band key =
+    # raw lane-value slice: exact, no re-hash, SQL-replayable) come from the
+    # SHARED _band_rows helper — the same expressions the materialized index
+    # and the delta probe use, so every consumer computes byte-identical
+    # (band, sig) keys
+    stacked = _band_rows(sh, id_col, num_hashes, bands).localCheckpoint()
     left = stacked.select(F.col(id_col).alias("doc_a"), "band", "sig")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band", "sig")
     candidates = (
@@ -1368,12 +1358,36 @@ def build_minhash_index(docs: DataFrame, index_dir: str,
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     spark = docs.sparkSession
+    # Layout: every write (the build included) lands in its own
+    # ``ingest=<id>`` partition directory, so incremental appends are
+    # per-ingest OVERWRITES — retry-idempotent — and readers see ``ingest``
+    # as a partition column they simply don't select. Params persist
+    # alongside so probe/append can refuse a mismatched configuration
+    # instead of silently missing every corpus duplicate.
+    (spark.createDataFrame(
+        [(num_hashes, bands, ngram, hash_fn)],
+        "num_hashes int, bands int, ngram int, hash_fn string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params"))
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
-    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles/ingest=base")
     _band_rows(sh, id_col, num_hashes, bands).write.mode(
-        "overwrite").parquet(f"{index_dir}/bands")
+        "overwrite").parquet(f"{index_dir}/bands/ingest=base")
+
+
+def _check_index_params(spark: SparkSession, index_dir: str, num_hashes: int,
+                        bands: int, ngram: int, hash_fn: str) -> None:
+    """Refuse to probe/append with parameters that differ from the build's:
+    a bands/ngram/hash_fn mismatch would make the band join match nothing
+    and silently return only delta-internal pairs (zero corpus recall)."""
+    p = spark.read.parquet(f"{index_dir}/params").collect()[0]
+    got = (num_hashes, bands, ngram, hash_fn)
+    built = (p.num_hashes, p.bands, p.ngram, p.hash_fn)
+    if got != built:
+        raise ValueError(
+            f"index at {index_dir} was built with (num_hashes, bands, "
+            f"ngram, hash_fn)={built}, called with {got}")
 
 
 def incremental_near_dup(spark: SparkSession, index_dir: str,
@@ -1399,12 +1413,15 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    _check_index_params(spark, index_dir, num_hashes, bands, ngram, hash_fn)
     if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         delta = delta.repartition(spark.sparkContext.defaultParallelism)
     delta_sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
     delta_bands = _band_rows(delta_sh, id_col, num_hashes,
                              bands).localCheckpoint()
-    corpus_bands = spark.read.parquet(f"{index_dir}/bands")
+    # explicit column select drops the layout's ``ingest`` partition column
+    corpus_bands = spark.read.parquet(f"{index_dir}/bands").select(
+        id_col, "band", "sig")
     # corpus x delta: broadcast the delta side; the index scan streams.
     cross = (
         corpus_bands.withColumnRenamed(id_col, "doc_x")
@@ -1422,7 +1439,8 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
         .select("doc_a", "doc_b")
     )
     candidates = cross.unionByName(internal).distinct()
-    all_sh = spark.read.parquet(f"{index_dir}/shingles").unionByName(delta_sh)
+    all_sh = (spark.read.parquet(f"{index_dir}/shingles")
+              .select(id_col, "hs").unionByName(delta_sh))
     # verify: candidates broadcast twice; the shingle scans never shuffle.
     with_a = (all_sh.select(F.col(id_col).alias("doc_a"),
                             F.col("hs").alias("hs_a"))
@@ -1447,18 +1465,12 @@ _minhash_index_cache: dict[tuple[str, float], str] = {}
 
 def _cached_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     import atexit
-    import os
     import shutil
     import tempfile
 
-    src = f"{sf_dir}/documents.parquet"
-    if os.path.isdir(src):
-        stamps = [os.path.getmtime(os.path.join(src, f))
-                  for f in os.listdir(src)] or [os.path.getmtime(src)]
-        stamp = max(stamps)
-    else:
-        stamp = os.path.getmtime(src)
-    key = (sf_dir, stamp)
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/documents.parquet"))
     if key not in _minhash_index_cache:
         d = tempfile.mkdtemp(prefix="minhash_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -1495,7 +1507,8 @@ def q376_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_index_append(spark: SparkSession, index_dir: str,
-                         delta: DataFrame, id_col: str = "doc_id",
+                         delta: DataFrame, ingest_id: str,
+                         id_col: str = "doc_id",
                          num_hashes: int = 64, bands: int = 32,
                          ngram: int = 3, hash_fn: str = "md5_60") -> None:
     """Append an ingest delta's shingle sets and band signatures to a
@@ -1503,13 +1516,23 @@ def minhash_index_append(spark: SparkSession, index_dir: str,
     ``ivf_index_append``: standing index files are untouched, ingest cost
     is O(|delta|) whatever the index size. Probe-then-append (see
     q379) is the continuous-ingest dedup loop: each batch dedups against
-    everything before it, then becomes part of the standing corpus."""
+    everything before it, then becomes part of the standing corpus.
+
+    ``ingest_id`` names the batch's ``ingest=<id>`` partition directory and
+    the write OVERWRITES that directory only — so a retried batch (at-least-
+    once foreachBatch delivery) replaces its own rows instead of duplicating
+    them. Callers must pass a stable id per logical batch (q379 uses the
+    streaming batch id)."""
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
+        raise ValueError(f"invalid ingest_id: {ingest_id!r}")
+    _check_index_params(spark, index_dir, num_hashes, bands, ngram, hash_fn)
     if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         delta = delta.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
-    sh.write.mode("append").parquet(f"{index_dir}/shingles")
+    sh.write.mode("overwrite").parquet(
+        f"{index_dir}/shingles/ingest={ingest_id}")
     _band_rows(sh, id_col, num_hashes, bands).write.mode(
-        "append").parquet(f"{index_dir}/bands")
+        "overwrite").parquet(f"{index_dir}/bands/ingest={ingest_id}")

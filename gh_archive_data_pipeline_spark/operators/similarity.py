@@ -483,6 +483,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _unit_argmax_udf(cb: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment shared by every
+    coarse-quantizing operator (IVF build, IVF append, SemDeDup's BLAS
+    path): row-normalize the batch, one matmul against the unit codebook,
+    argmax with numpy's first-index (= lowest cell) tie-break — the
+    tie-break every SQL oracle replays as ORDER BY sim DESC, cell ASC.
+    One definition so a semantics fix (dtype pin, zero-norm guard) cannot
+    drift between call sites."""
+    from pyspark.sql.types import IntegerType
+
+    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cb_unit.T, axis=1).astype("int32"))
+
+    return cell_of
+
+
 def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Materialize an IVF index as a cell-PARTITIONED parquet layout: the
@@ -498,20 +519,10 @@ def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
     search plan are identical either way). Cell assignment is one
     Arrow-batched matmul map pass (ties: lowest cell wins, matching the SQL
     oracle's ORDER BY sim DESC, cell ASC)."""
-    from pyspark.sql.types import IntegerType
-
     seeds = (corpus.orderBy(id_col).limit(num_cells)
              .select(_as_double(F.col(vec_col)).alias("v")).collect())
     cb = np.array([r.v for r in seeds])                  # (C, dim) codebook
-    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
-
-    @F.pandas_udf(IntegerType())
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ cb_unit.T                           # (batch, C)
-        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
-
+    cell_of = _unit_argmax_udf(cb)
     spark = corpus.sparkSession
     (spark.createDataFrame(
         [(i, list(map(float, v))) for i, v in enumerate(cb)],
@@ -576,19 +587,12 @@ _ivf_index_cache: dict[tuple[str, float], str] = {}
 
 def _ivf_cached_index(spark: SparkSession, sf_dir: str) -> str:
     import atexit
-    import os
     import shutil
     import tempfile
 
-    src = f"{sf_dir}/embeddings.parquet"
-    # fingerprint = newest mtime under the source path (file or directory)
-    if os.path.isdir(src):
-        stamps = [os.path.getmtime(os.path.join(src, f))
-                  for f in os.listdir(src)] or [os.path.getmtime(src)]
-        stamp = max(stamps)
-    else:
-        stamp = os.path.getmtime(src)
-    key = (sf_dir, stamp)
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/embeddings.parquet"))
     if key not in _ivf_index_cache:
         d = tempfile.mkdtemp(prefix="ivf_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -736,18 +740,12 @@ _srp_index_cache: dict[tuple[str, float], str] = {}
 
 def _srp_cached_index(spark: SparkSession, sf_dir: str) -> str:
     import atexit
-    import os
     import shutil
     import tempfile
 
-    src = f"{sf_dir}/embeddings.parquet"
-    if os.path.isdir(src):
-        stamps = [os.path.getmtime(os.path.join(src, f))
-                  for f in os.listdir(src)] or [os.path.getmtime(src)]
-        stamp = max(stamps)
-    else:
-        stamp = os.path.getmtime(src)
-    key = (sf_dir, stamp)
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/embeddings.parquet"))
     if key not in _srp_index_cache:
         d = tempfile.mkdtemp(prefix="srp_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -1324,18 +1322,7 @@ def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
     seeds = (corpus.orderBy(id_col).limit(num_clusters)
              .select(_as_double(F.col(vec_col)).alias("cv")).collect())
     if assign == "blas":
-        from pyspark.sql.types import IntegerType
-
-        cb = np.array([list(r.cv) for r in seeds])
-        cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
-
-        @F.pandas_udf(IntegerType())
-        def cluster_of(batch: pd.Series) -> pd.Series:
-            mat = np.stack(batch.to_numpy())
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            return pd.Series(
-                np.argmax(mat @ cb_unit.T, axis=1).astype("int32"))
-
+        cluster_of = _unit_argmax_udf(np.array([list(r.cv) for r in seeds]))
         assigned = vecs.select("id", "v", cluster_of("v").alias("cluster"))
     elif assign == "hof":
         cb_df = spark.createDataFrame(
@@ -1424,19 +1411,10 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     the standard IVF ingest trade — cell balance drifts as the data
     distribution moves, and the remedy is an offline re-train + rebuild,
     not per-batch retraining."""
-    from pyspark.sql.types import IntegerType
-
     cb_rows = (spark.read.parquet(f"{index_dir}/codebook")
                .orderBy("cell").collect())
-    cb = np.array([list(map(float, r.centroid)) for r in cb_rows])
-    cb_unit = cb / np.linalg.norm(cb, axis=1, keepdims=True)
-
-    @F.pandas_udf(IntegerType())
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(mat @ cb_unit.T, axis=1).astype("int32"))
-
+    cell_of = _unit_argmax_udf(
+        np.array([list(map(float, r.centroid)) for r in cb_rows]))
     (delta.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
      .withColumn("cell", cell_of(F.col("v")))
      .repartition("cell")
@@ -1452,18 +1430,12 @@ def _ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
     incrementally appended with the delta (vec_id % 10 == 0) — cached per
     fixture state like the other materialized indexes."""
     import atexit
-    import os
     import shutil
     import tempfile
 
-    src = f"{sf_dir}/embeddings.parquet"
-    if os.path.isdir(src):
-        stamps = [os.path.getmtime(os.path.join(src, f))
-                  for f in os.listdir(src)] or [os.path.getmtime(src)]
-        stamp = max(stamps)
-    else:
-        stamp = os.path.getmtime(src)
-    key = (sf_dir, stamp)
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/embeddings.parquet"))
     if key not in _ivf_appended_cache:
         d = tempfile.mkdtemp(prefix="ivf_append_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)

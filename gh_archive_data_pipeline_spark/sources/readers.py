@@ -27,6 +27,19 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 
+def source_stamp(src: str) -> float:
+    """Freshness fingerprint of a fixture source path (file or directory):
+    the newest mtime underneath. Shared by every materialized-index cache
+    (_ivf_cached_index / _srp_cached_index / _cached_minhash_index /
+    _ivf_appended_index) so a regenerated fixture triggers a rebuild
+    instead of silently serving stale data."""
+    if os.path.isdir(src):
+        stamps = [os.path.getmtime(os.path.join(src, f))
+                  for f in os.listdir(src)] or [os.path.getmtime(src)]
+        return max(stamps)
+    return os.path.getmtime(src)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-encoding quirks.
 

@@ -491,11 +491,11 @@ def q258_stream_stateful_multibatch(spark: SparkSession,
 
 
 def _q379_oracle() -> str:
-    from ..operators.dedup import _minhash_pairs_ctes
+    # literally the SAME oracle as q376 — the streaming loop's contract is
+    # that it converges to the one-shot incremental result
+    from ..operators.dedup import _q376_oracle
 
-    return (f"WITH {_minhash_pairs_ctes()}\n"
-            "    SELECT doc_a, doc_b, jaccard FROM verified\n"
-            "    WHERE doc_a % 10 = 0 OR doc_b % 10 = 0")
+    return _q376_oracle()
 
 
 @register("q379_stream_incremental_dedup", sql=_q379_oracle())
@@ -512,7 +512,11 @@ def q379_stream_incremental_dedup(spark: SparkSession,
     whichever side streams in later) and equals q376's one-shot incremental
     result — hence the SAME full-fidelity portable-hash oracle. This is the
     operational loop a 100 TB ingest pipeline runs on every landing batch;
-    checkpoint + parquet-append sink make the recipe restartable."""
+    checkpoint + per-batch-keyed overwrites make the recipe restartable
+    (foreachBatch is at-least-once, so a retried batch REPLACES its own
+    pairs partition and its own ``ingest=<batch>`` index partition instead
+    of duplicating rows)."""
+    import atexit
     import glob
     import os
     import shutil
@@ -530,6 +534,7 @@ def q379_stream_incremental_dedup(spark: SparkSession,
     idx = tempfile.mkdtemp(prefix="mh_stream_idx_")
     shutil.rmtree(idx)
     shutil.copytree(_cached_minhash_index(spark, sf_dir), idx)
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
 
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -537,6 +542,7 @@ def q379_stream_incremental_dedup(spark: SparkSession,
     # micro-batches in a deterministic order (order only affects WHICH batch
     # emits a cross-batch pair, not the final set)
     land = tempfile.mkdtemp(prefix="mh_stream_land_")
+    atexit.register(shutil.rmtree, land, ignore_errors=True)
     (delta.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
      .write.mode("overwrite").parquet(land))
     for i, f in enumerate(sorted(glob.glob(f"{land}/part-*"))):
@@ -544,16 +550,21 @@ def q379_stream_incremental_dedup(spark: SparkSession,
 
     out = tempfile.mkdtemp(prefix="mh_stream_pairs_")
     ckpt = tempfile.mkdtemp(prefix="mh_stream_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     stream = read_file_stream(spark, land, docs.schema,
                               max_files_per_trigger=1)
 
-    def probe_then_append(batch: DataFrame, _batch_id: int) -> None:
+    def probe_then_append(batch: DataFrame, batch_id: int) -> None:
         pairs = incremental_near_dup(spark, idx, batch)
-        pairs.write.mode("append").parquet(out)
-        minhash_index_append(spark, idx, batch)
+        pairs.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        minhash_index_append(spark, idx, batch, ingest_id=f"b{batch_id}")
 
     q = (stream.writeStream.foreachBatch(probe_then_append)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("q379_stream_incremental_dedup drain exceeded "
+                           "180s")
     return spark.read.parquet(out).select("doc_a", "doc_b", "jaccard")

@@ -2022,7 +2022,9 @@ def test_probe_then_append_emits_cross_batch_pairs(spark, tmp_path):
         [(10, dup_b), (20, dup_a)], "doc_id long, text string")
     pairs1 = {(r.doc_a, r.doc_b)
               for r in incremental_near_dup(spark, idx, batch1).collect()}
-    minhash_index_append(spark, idx, batch1)
+    minhash_index_append(spark, idx, batch1, ingest_id="b1")
+    # retry idempotence: an at-least-once redelivery must not duplicate rows
+    minhash_index_append(spark, idx, batch1, ingest_id="b1")
 
     batch2 = spark.createDataFrame(
         [(30, dup_b)], "doc_id long, text string")
