@@ -1536,3 +1536,25 @@ def minhash_index_append(spark: SparkSession, index_dir: str,
         f"{index_dir}/shingles/ingest={ingest_id}")
     _band_rows(sh, id_col, num_hashes, bands).write.mode(
         "overwrite").parquet(f"{index_dir}/bands/ingest={ingest_id}")
+
+
+def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
+    """Merge an index's accumulated ``ingest=*`` partitions back into a
+    single ``ingest=base`` generation — the maintenance pass a long-running
+    probe-then-append loop (q379) schedules offline: every streamed batch
+    adds a small-file partition, and a probe's scan cost is file count as
+    much as bytes. Params and contents are unchanged (probe results are
+    byte-identical before and after — pinned by unit test); only the file
+    layout is rewritten. The swap is rename-based and assumes the offline
+    maintenance window every compaction strategy needs without a
+    transactional table format (Delta/Iceberg would make it atomic)."""
+    import shutil
+
+    for part in ("shingles", "bands"):
+        cur = f"{index_dir}/{part}"
+        tmp = f"{index_dir}/{part}_compacting"
+        df = spark.read.parquet(cur).drop("ingest")
+        (df.repartition(spark.sparkContext.defaultParallelism)
+         .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
+        shutil.rmtree(cur)
+        shutil.move(tmp, cur)

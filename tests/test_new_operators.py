@@ -2033,3 +2033,34 @@ def test_probe_then_append_emits_cross_batch_pairs(spark, tmp_path):
 
     assert pairs1 == {(2, 20)}          # corpus dup seen by its batch
     assert pairs2 == {(10, 30)}         # EARLIER BATCH dup seen after append
+
+
+def test_compact_minhash_index_preserves_probe_results(spark, sf_dir,
+                                                       tmp_path):
+    """Compaction is layout-only: after several streamed appends, merging
+    the ingest partitions must shrink the file count and leave probe
+    results byte-identical."""
+    import glob
+
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, compact_minhash_index, incremental_near_dup,
+        minhash_index_append)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(docs.filter("doc_id % 10 > 4"), idx)
+    for i, sel in enumerate(("doc_id % 10 = 1", "doc_id % 10 = 2")):
+        minhash_index_append(spark, idx, docs.filter(sel), ingest_id=f"b{i}")
+    probe = docs.filter("doc_id % 10 = 0")
+    before = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in incremental_near_dup(spark, idx, probe).collect()}
+    n_files_before = len(glob.glob(f"{idx}/bands/**/*.parquet",
+                                   recursive=True))
+    compact_minhash_index(spark, idx)
+    n_files_after = len(glob.glob(f"{idx}/bands/**/*.parquet",
+                                  recursive=True))
+    after = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in incremental_near_dup(spark, idx, probe).collect()}
+    assert after == before and before
+    assert n_files_after < n_files_before

@@ -229,3 +229,37 @@ def test_minhash_signature_matches_python_reference(spark):
         exp = [min((a[i] * (h % p) + b[i]) % p for h in hs)
                for i in range(k)]
         assert got[doc_id] == exp, doc_id
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(
+        ["red", "blue", "fox", "jump", "lazy", "dog", "sun", "moon"]),
+        min_size=3, max_size=8),
+    min_size=2, max_size=8),
+    flags=st.lists(st.booleans(), min_size=8, max_size=8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_probe_equals_filtered_full(spark, docs, flags):
+    """For ANY corpus/delta split, probing the materialized index with the
+    delta emits exactly the full pipeline's delta-touching pairs — the
+    q376 contract as an algebraic law, not just on the fixture."""
+    import tempfile
+
+    from hypothesis import assume
+
+    texts = [" ".join(w) for w in docs]
+    split = flags[:len(texts)]
+    assume(any(split))                 # at least one delta doc
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    delta_ids = {i for i, f in enumerate(split) if f}
+    corpus = df.filter(~F.col("doc_id").isin(list(delta_ids)))
+    delta = df.filter(F.col("doc_id").isin(list(delta_ids)))
+    idx = tempfile.mkdtemp(prefix="prop_mh_idx_")
+    dedup.build_minhash_index(corpus, idx)
+    inc = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.incremental_near_dup(spark, idx, delta).collect()}
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.minhash_near_dup(df).collect()
+            if r.doc_a in delta_ids or r.doc_b in delta_ids}
+    assert inc == full
