@@ -380,3 +380,27 @@ def test_load_s3a_config_lands_on_hadoop_conf(spark):
     assert hconf.get("fs.s3a.path.style.access") == "true"
     assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"
     assert hconf.get("fs.s3a.attempts.maximum") == "1"
+
+
+def test_appended_generations_with_evolved_schema_read_as_union(spark,
+                                                               tmp_path):
+    """Schema evolution across append generations — the reference's hourly
+    GH Archive ingest (dags/gh_archive_dag.py) appends every hour forever,
+    and the event payload schema drifts across GitHub API versions. The
+    lakehouse recipe: later generations may ADD nullable columns; readers
+    pass mergeSchema to see the union, with nulls where a generation
+    predates a column. (Column REMOVAL is the same read path — the old
+    column survives as nullable — and type CHANGES are a rebuild, not an
+    append.)"""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "alice")], "id long, login string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "bob", "org1")],
+        "id long, login string, org string").write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "login", "org"}
+    rows = {r.id: r.org for r in merged.collect()}
+    assert rows == {1: None, 2: "org1"}
+    # without mergeSchema the footer-sampled schema may miss the new column
+    # -> the option is load-bearing, not a default
