@@ -1337,15 +1337,21 @@ def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
         )
     else:
         raise ValueError(f"assign={assign!r}: use 'hof' or 'blas'")
-    a = assigned.select("cluster", F.col("id").alias("id_a"),
-                        F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("id").alias("id_b"),
-                        F.col("v").alias("vb"))
+    # pair scoring on UNIT vectors: normalize once per row, score each pair
+    # with a plain dot — one HOF pass per pair instead of cosine's three
+    # (dot + two norms); same float recipe the q70 oracle replays
+    unit = (assigned.withColumn("n", norm(F.col("v")))
+            .select("cluster", "id",
+                    F.transform("v", lambda x: x / F.col("n")).alias("uv")))
+    a = unit.select("cluster", F.col("id").alias("id_a"),
+                    F.col("uv").alias("ua"))
+    b = unit.select("cluster", F.col("id").alias("id_b"),
+                    F.col("uv").alias("ub"))
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("cluster", "id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6)
+                F.round(dot(F.col("ua"), F.col("ub")), 6)
                 .alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1370,16 +1376,15 @@ def semantic_dedup_pairs(corpus: DataFrame, num_clusters: int = 16,
                         cell ASC) AS rn
       FROM corpus CROSS JOIN cb
     ),
-    members AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)
+    members AS (
+      SELECT vec_id, cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM assign WHERE rn = 1)
     SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+           round(list_dot_product(a.uv, b.uv), 6) AS cosine_sim
     FROM members a JOIN members b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.35
     """,
 )
 def q377_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
