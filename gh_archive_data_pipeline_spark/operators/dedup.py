@@ -143,10 +143,12 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id",
       q42/q168/q374's full-fidelity oracles require.
     - ``"xxhash64"``: Spark's native 64-bit hash — measured ~1.8× faster
       end-to-end at 100× corpus (BASELINE.md round-4 note) but not
-      reproducible outside Spark. The PAIRS produced are identical either
-      way (both hashes are injective at corpus scale, and the verify stage
-      compares set sizes) — pinned by unit test — so production runs that
-      don't need cross-engine replay should pick this.
+      reproducible outside Spark. VERIFIED pairs agree with md5_60 on the
+      test fixture (pinned by unit test), but LSH banding recall depends on
+      the hash values themselves, so near-threshold true pairs can be
+      caught by one hash_fn and missed by the other at scale — pick one
+      hash_fn per corpus and stick with it; production runs that don't
+      need cross-engine replay should pick this.
     """
     if hash_fn == "xxhash64":
         hash1 = F.xxhash64
@@ -405,6 +407,10 @@ def _minhash_pairs_ctes(threshold: float = 0.3, num_hashes: int = 64,
     p = MINHASH_P
     a_lit = ",".join(map(str, a))
     b_lit = ",".join(map(str, b))
+    # shingle concat generated FROM ngram so an oracle built with ngram != 3
+    # matches the Spark side instead of silently diverging (w[i] .. w[i+n-1])
+    concat = " || ' ' || ".join(
+        f"w[i+{k}]" if k else "w[i]" for k in range(ngram))
     return f"""
     toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM {source}
@@ -412,8 +418,9 @@ def _minhash_pairs_ctes(threshold: float = 0.3, num_hashes: int = 64,
     sh AS (
         SELECT doc_id,
                CASE WHEN len(w) >= {ngram}
-                    THEN list_distinct(list_transform(range(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    THEN list_distinct(list_transform(
+                         range(1, len(w) - {ngram} + 2),
+                         i -> {concat}))
                     ELSE [array_to_string(w, ' ')] END AS s
         FROM toks
     ),
@@ -1423,10 +1430,15 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
     corpus_bands = spark.read.parquet(f"{index_dir}/bands").select(
         id_col, "band", "sig")
     # corpus x delta: broadcast the delta side; the index scan streams.
+    # doc_x != doc_y guard: in an at-least-once retry the batch's own rows
+    # may already sit in the index (appended before the checkpoint commit),
+    # so the probe would otherwise emit self-pairs (jaccard 1.0) and break
+    # the retry idempotence the incremental contract promises.
     cross = (
         corpus_bands.withColumnRenamed(id_col, "doc_x")
         .join(F.broadcast(delta_bands.withColumnRenamed(id_col, "doc_y")),
               ["band", "sig"])
+        .filter(F.col("doc_x") != F.col("doc_y"))
         .select(F.least("doc_x", "doc_y").alias("doc_a"),
                 F.greatest("doc_x", "doc_y").alias("doc_b"))
     )

@@ -528,11 +528,15 @@ def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
         [(i, list(map(float, v))) for i, v in enumerate(cb)],
         f"cell int, centroid array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook"))
+    # Same generation layout as the MinHash index: every write (the build
+    # included) lands under its own ``ingest=<id>`` directory, so appends
+    # are per-ingest OVERWRITES (retry-idempotent) and ``cell`` stays a
+    # discovered partition column that ivf_search prunes on.
     (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
      .withColumn("cell", cell_of(F.col("v")))
      .repartition("cell")   # co-locate each cell's rows -> one file per cell
      .write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{index_dir}/corpus"))
+     .parquet(f"{index_dir}/corpus/ingest=base"))
 
 
 def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
@@ -1403,19 +1407,23 @@ def q377_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
-                     id_col: str = "vec_id",
+                     ingest_id: str, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> None:
     """Append an ingest delta to a :func:`build_ivf_index` layout WITHOUT
     rebuilding: re-read the frozen codebook, assign only the delta rows
     (one Arrow matmul batch per partition), and write them into the
-    existing cell directories with parquet append — standing cell files
-    are untouched (pinned by unit test on file mtimes), so ingest cost is
-    O(|delta|) regardless of index size. This is the vector sibling of the
-    MinHash index's incremental probe (q376): the corpus is quantized once,
-    every later batch only pays for itself. The codebook staying frozen is
-    the standard IVF ingest trade — cell balance drifts as the data
-    distribution moves, and the remedy is an offline re-train + rebuild,
-    not per-batch retraining."""
+    batch's own ``ingest=<ingest_id>`` generation directory — standing
+    files (the build's ``ingest=base`` and earlier ingests) are untouched
+    (pinned by unit test on file mtimes), so ingest cost is O(|delta|)
+    regardless of index size. The per-ingest OVERWRITE makes a retried
+    batch (at-least-once delivery) replace its own rows instead of
+    duplicating them — the same convention as ``minhash_index_append``;
+    callers pass a stable id per logical batch. This is the vector sibling
+    of the MinHash index's incremental probe (q376): the corpus is
+    quantized once, every later batch only pays for itself. The codebook
+    staying frozen is the standard IVF ingest trade — cell balance drifts
+    as the data distribution moves, and the remedy is an offline re-train
+    + rebuild, not per-batch retraining."""
     cb_rows = (spark.read.parquet(f"{index_dir}/codebook")
                .orderBy("cell").collect())
     cell_of = _unit_argmax_udf(
@@ -1423,8 +1431,8 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     (delta.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
      .withColumn("cell", cell_of(F.col("v")))
      .repartition("cell")
-     .write.mode("append").partitionBy("cell")
-     .parquet(f"{index_dir}/corpus"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/corpus/ingest={ingest_id}"))
 
 
 _ivf_appended_cache: dict[tuple[str, float], str] = {}
@@ -1447,7 +1455,8 @@ def _ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
         emb = load_table(spark, sf_dir, "embeddings")
         build_ivf_index(emb.filter(F.col("vec_id") % 10 != 0), d,
                         num_cells=16)
-        ivf_index_append(spark, d, emb.filter(F.col("vec_id") % 10 == 0))
+        ivf_index_append(spark, d, emb.filter(F.col("vec_id") % 10 == 0),
+                         ingest_id="delta")
         _ivf_appended_cache[key] = d
     return _ivf_appended_cache[key]
 

@@ -1990,12 +1990,17 @@ def test_ivf_append_preserves_standing_files_and_serves_delta(spark, sf_dir,
         return out
 
     before = data_files(idx)
-    ivf_index_append(spark, idx, delta)
+    ivf_index_append(spark, idx, delta, ingest_id="d1")
+    # retry idempotence: an at-least-once redelivery overwrites its own
+    # ingest partition instead of duplicating the delta's vectors
+    ivf_index_append(spark, idx, delta, ingest_id="d1")
     after = data_files(idx)
     assert set(before) <= set(after), "append must not delete standing files"
     for p, m in before.items():
         assert after[p] == m, f"standing file rewritten: {p}"
     assert len(after) > len(before), "append must add delta files"
+    n_rows = spark.read.parquet(f"{idx}/corpus").count()
+    assert n_rows == emb.count(), "retried append must not duplicate rows"
     # every indexed row is now searchable: nprobe = all cells -> exact
     res = ivf_search(spark, idx, emb.filter("vec_id < 10"), k=5, nprobe=16)
     assert {r.neighbor_id % 10 == 0 for r in res.collect()} == {True, False}
