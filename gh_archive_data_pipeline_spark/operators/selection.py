@@ -1,0 +1,467 @@
+"""Data-selection plane: distributed order statistics + published
+training-data selection methods (DSIR importance weights, perplexity
+filtering, token-budget shard packing) and the Arrow-native eval path.
+
+The common obstacle for selection ops is a GLOBAL order statistic — a
+running token total, a corpus-wide rank, a tertile cutoff. The naive
+``Window.orderBy(...)`` with no partition key collapses to ONE partition
+(q22's documented limit), which is fine for a 25-row driver choice and
+fatal for a per-document table at 100 TB. :func:`global_running_sum`
+implements the classic two-pass distributed prefix sum instead:
+
+1. range-partition on the order key (each partition holds a contiguous,
+   non-overlapping key range, partition i entirely before partition i+1);
+2. collect ONE scalar per partition (the partition's value total —
+   bounded driver state, like the IVF probe set or PCA sums);
+3. broadcast the exclusive per-partition offsets back and add them to a
+   WITHIN-partition window cumsum.
+
+Every stage is JVM-side, no partition ever needs another partition's
+rows, and the result is bit-identical to the single-partition window
+(pinned by tests/test_selection.py property law) while scaling as two
+linear shuffles.
+
+Reference parity note: the reference pipeline (lapis2002/
+gh-archive-data-pipeline) delegates all analytics to Trino/Postgres and
+has no selection stage; these operators are the forward-looking
+training-data-pipeline surface SURVEY.md §2.4 tracks beyond the
+reference's own queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# distributed global order statistics
+# ---------------------------------------------------------------------------
+
+
+def global_running_sum(df: DataFrame, order_cols: list[str], value_col: str,
+                       out_col: str, num_partitions: int | None = None
+                       ) -> DataFrame:
+    """Inclusive prefix sum of ``value_col`` under the total order given by
+    ``order_cols`` — WITHOUT a single-partition window.
+
+    Two-pass distributed scan (see module docstring): range partition →
+    per-partition totals (collected: one scalar per partition, bounded
+    driver state) → broadcast exclusive offsets + within-partition window.
+    The result is invariant to partition boundaries, so the sampled range
+    split points never affect values. ``order_cols`` must be a total order
+    (include a unique key) for a deterministic result.
+
+    The materialized localCheckpoint pins ONE physical partitioning for
+    both passes, so the offsets collected in pass 1 describe exactly the
+    partitions pass 2 reads.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    offsets = []
+    running = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += row["__t"] or 0
+    all_int = all(isinstance(o, int) for _, o in offsets)
+    off_schema = f"__pid int, __off {'bigint' if all_int else 'double'}"
+    off_df = spark.createDataFrame(offsets, off_schema)
+    w = (Window.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (part.join(F.broadcast(off_df), "__pid")
+            .withColumn(out_col, F.sum(value_col).over(w) + F.col("__off"))
+            .drop("__pid", "__off"))
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                out_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """row_number() over a GLOBAL order, distributed: a prefix sum of ones.
+    ``order_cols`` must be a total order (unique tie-break column last)."""
+    ranked = global_running_sum(
+        df.withColumn("__one", F.lit(1).cast("bigint")),
+        order_cols, "__one", out_col, num_partitions)
+    return ranked.drop("__one")
+
+
+# ---------------------------------------------------------------------------
+# q380 — DSIR importance weights (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128          # hashed feature buckets
+_DSIR_TOP_K = 50       # selected-set size
+_DSIR_TARGET = "src0"  # the "domain I want more of"
+
+# portable bucket hash (md5 top-32-bits mod B) — identical in Spark + DuckDB
+_DSIR_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5('dsir-' || gram), 1, 8)) AS BIGINT) % 128"
+)
+
+
+def _dsir_bucket(gram):
+    return (F.conv(F.substring(F.md5(F.concat(F.lit("dsir-"), gram)), 1, 8),
+                   16, 10).cast("bigint") % _DSIR_B)
+
+
+_UNI_BI_GRAMS = (
+    "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+    " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+    " ELSE CAST(array() AS array<string>) END)"
+)
+
+
+@register(
+    "q380_dsir_weights",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_concat(w,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1])
+                        ELSE []::VARCHAR[] END)) AS gram
+        FROM toks
+    ),
+    b AS (SELECT doc_id, source, {_DSIR_SQL_BUCKET} AS bucket FROM grams),
+    raw_c AS (SELECT bucket, count(*)::DOUBLE AS cr FROM b GROUP BY bucket),
+    tgt_c AS (SELECT bucket, count(*)::DOUBLE AS ct FROM b
+              WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+    tot AS (SELECT count(*)::DOUBLE AS tr,
+                   sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0
+                       END)::DOUBLE AS tt
+            FROM b),
+    llr AS (
+        SELECT r.bucket,
+               ln((coalesce(t.ct, 0) + 1) / (tot.tt + {_DSIR_B}))
+                   - ln((r.cr + 1) / (tot.tr + {_DSIR_B})) AS llr_b
+        FROM raw_c r LEFT JOIN tgt_c t USING (bucket) CROSS JOIN tot
+    ),
+    weights AS (
+        SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+               round(sum(l.llr_b), 6) AS log_w
+        FROM b JOIN llr l USING (bucket)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_grams, log_w,
+           row_number() OVER (ORDER BY log_w DESC, doc_id)
+               <= {_DSIR_TOP_K} AS selected
+    FROM weights ORDER BY doc_id
+    """,
+)
+def q380_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights under hashed bag-of-ngrams LMs: every document's
+    unigrams+bigrams hash into 128 buckets; the target distribution is
+    estimated from the '{src0}' slice, the raw distribution from the whole
+    corpus (both Laplace-smoothed); a document's log importance weight is
+    the sum of per-gram log-likelihood ratios. The top-k selection flag is
+    the deterministic variant of the paper's Gumbel-top-k resample (rank on
+    the rounded weight so both engines cut identically).
+
+    Plan: grams explode → 128-row bucket-count aggregates (map-side
+    partial combine does nearly all the work) → broadcast 128-row LLR
+    table joined back to the gram stream → per-doc sum. The selection
+    rank uses :func:`global_rank` (two-pass distributed prefix sum), not
+    a single-partition window — the per-doc table is corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+             .select("doc_id", "source",
+                     F.explode(F.expr(_UNI_BI_GRAMS)).alias("gram")))
+    b = grams.select("doc_id", "source",
+                     _dsir_bucket(F.col("gram")).alias("bucket"))
+    raw_c = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    tgt_c = (b.filter(F.col("source") == _DSIR_TARGET)
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("double").alias("ct")))
+    tot = b.agg(
+        F.count(F.lit(1)).cast("double").alias("tr"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("double").alias("tt"))
+    llr = (raw_c.join(tgt_c, "bucket", "left")
+           .crossJoin(F.broadcast(tot))
+           .select("bucket",
+                   (F.log((F.coalesce("ct", F.lit(0.0)) + 1)
+                          / (F.col("tt") + _DSIR_B))
+                    - F.log((F.col("cr") + 1) / (F.col("tr") + _DSIR_B)))
+                   .alias("llr_b")))
+    weights = (b.join(F.broadcast(llr), "bucket")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.round(F.sum("llr_b"), 6).alias("log_w")))
+    ranked = global_rank(
+        weights.withColumn("__neg_w", -F.col("log_w")),
+        ["__neg_w", "doc_id"], "__r")
+    return (ranked.select("doc_id", "n_grams", "log_w",
+                          (F.col("__r") <= _DSIR_TOP_K).alias("selected"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q381 — token-budget shard packing (bounded-overflow sequential bins)
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2048  # tokens per training shard
+
+
+@register(
+    "q381_shard_binpack",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               ((cum_tokens - n_tokens) // {_SHARD_BUDGET})::BIGINT AS shard_id
+        FROM cum
+    )
+    SELECT shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           greatest(sum(n_tokens) - {_SHARD_BUDGET}, 0)::BIGINT AS overflow
+    FROM assigned GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def q381_shard_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-shard assignment: documents are packed in
+    doc_id order into sequential shards of ~{budget} tokens — a document
+    opens in the shard where its running total starts, so every shard
+    overflows by strictly less than one document (bounded-overflow
+    sequential packing, the deterministic one-pass variant of next-fit
+    that a cluster can compute without a serial scan).
+
+    The running token total comes from :func:`global_running_sum` — the
+    two-pass distributed prefix sum — because this is exactly the op where
+    the naive global window dies at scale: the input is every document in
+    the corpus. All arithmetic is exact bigints (no float hazards) and the
+    oracle's single window cumsum pins the distributed scan bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    cum = global_running_sum(sized, ["doc_id"], "n_tokens", "cum_tokens")
+    assigned = cum.select(
+        "doc_id", "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _SHARD_BUDGET)
+        .cast("bigint").alias("shard_id"))
+    return (assigned.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"),
+                 F.greatest(F.sum("n_tokens") - _SHARD_BUDGET, F.lit(0))
+                 .cast("bigint").alias("overflow"))
+            .orderBy("shard_id"))
+
+
+q381_shard_binpack.__doc__ = q381_shard_binpack.__doc__.format(
+    budget=_SHARD_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# q382 — perplexity filtering (CCNet-style, Kneser-Ney bigram LM)
+# ---------------------------------------------------------------------------
+
+_PPL_TRAIN = "src0"  # in-domain reference slice the LM trains on
+
+
+@register(
+    "q382_perplexity_filter",
+    sql=f"""
+    WITH tr AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE source = '{_PPL_TRAIN}' AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM tr
+    ),
+    bgc AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               count(*)::DOUBLE AS c12
+        FROM bg GROUP BY 1, 2
+    ),
+    pref AS (SELECT w1, sum(c12) AS c1, count(*)::DOUBLE AS n1p_fwd
+             FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, count(*)::DOUBLE AS n1p_bwd FROM bgc GROUP BY w2),
+    sc AS (SELECT (SELECT count(*)::DOUBLE FROM bgc) AS n_types,
+                  (SELECT count(DISTINCT w)::DOUBLE
+                   FROM (SELECT unnest(t) AS w FROM tr)) AS v),
+    db AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE len(string_split(text, ' ')) >= 2)
+    ),
+    dbp AS (
+        SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM db
+    ),
+    probs AS (
+        SELECT doc_id,
+               CASE WHEN b.c12 IS NOT NULL THEN
+                        greatest(b.c12 - 0.75, 0) / p.c1
+                        + (0.75 * p.n1p_fwd / p.c1)
+                          * ((coalesce(c.n1p_bwd, 0) + 0.5)
+                             / (s.n_types + 0.5 * s.v))
+                    WHEN p.c1 IS NOT NULL THEN
+                        (0.75 * p.n1p_fwd / p.c1)
+                        * ((coalesce(c.n1p_bwd, 0) + 0.5)
+                           / (s.n_types + 0.5 * s.v))
+                    ELSE 1.0 / s.v END AS pr
+        FROM dbp
+        LEFT JOIN bgc b USING (w1, w2)
+        LEFT JOIN pref p USING (w1)
+        LEFT JOIN cont c USING (w2)
+        CROSS JOIN sc s
+    ),
+    scored AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(exp(avg(-ln(pr))), 4) AS ppl
+        FROM probs GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY ppl, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, ppl,
+           CAST(1 + floor((3.0 * (r - 1)) / n) AS BIGINT) AS tertile,
+           (1 + floor((3.0 * (r - 1)) / n)) <= 2 AS keep
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q382_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: an interpolated Kneser–Ney bigram
+    LM (q315's model, d = 0.75) trains on the in-domain '{train}' slice,
+    scores every document's perplexity, and the corpus splits into
+    head/middle/tail tertiles — keep = head+middle, the CCNet cut. Unseen
+    events back off: seen-prefix bigrams take the continuation mass
+    (+0.5-smoothed), unseen prefixes fall to the uniform 1/|V|.
+
+    Plan: the LM is three count aggregates over the train slice; scoring
+    is the doc-bigram stream LEFT JOINed against them (AQE broadcasts the
+    model tables while they fit; at web scale the (w1,w2) join keys are
+    the standard LM-sharding layout). Tertile cutoffs come from
+    :func:`global_rank`'s distributed prefix rank — no single-partition
+    window over the per-document score table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_expr = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    tr = (docs.filter(F.col("source") == _PPL_TRAIN)
+          .select(F.split("text", " ").alias("t"))
+          .where(F.size("t") >= 2))
+    bg = tr.select(F.explode(bigram_expr).alias("bigram"))
+    bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
+                     F.split("bigram", " ").getItem(1).alias("w2"))
+           .groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("double").alias("c12")))
+    pref = (bgc.groupBy("w1")
+            .agg(F.sum("c12").alias("c1"),
+                 F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
+    cont = (bgc.groupBy("w2")
+            .agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd")))
+    sc = (bgc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+          .crossJoin(tr.select(F.explode("t").alias("w"))
+                     .agg(F.countDistinct("w").cast("double").alias("v"))))
+    dbp = (docs.select("doc_id", F.split("text", " ").alias("t"))
+           .where(F.size("t") >= 2)
+           .select("doc_id", F.explode(bigram_expr).alias("bigram"))
+           .select("doc_id",
+                   F.split("bigram", " ").getItem(0).alias("w1"),
+                   F.split("bigram", " ").getItem(1).alias("w2")))
+    pc = ((F.coalesce("n1p_bwd", F.lit(0.0)) + 0.5)
+          / (F.col("n_types") + 0.5 * F.col("v")))
+    pr = (F.when(F.col("c12").isNotNull(),
+                 F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+                 + (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
+          .when(F.col("c1").isNotNull(),
+                (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
+          .otherwise(1.0 / F.col("v")))
+    probs = (dbp.join(bgc, ["w1", "w2"], "left")
+             .join(pref, "w1", "left")
+             .join(cont, "w2", "left")
+             .crossJoin(F.broadcast(sc))
+             .select("doc_id", pr.alias("pr")))
+    scored = (probs.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.exp(F.avg(-F.log("pr"))), 4).alias("ppl")))
+    ranked = global_rank(scored, ["ppl", "doc_id"], "__r")
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    tertile = (1 + F.floor((3.0 * (F.col("__r") - 1)) / F.col("__n")))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("doc_id", "n_bigrams", "ppl",
+                    tertile.cast("bigint").alias("tertile"),
+                    (tertile <= 2).alias("keep"))
+            .orderBy("doc_id"))
+
+
+q382_perplexity_filter.__doc__ = q382_perplexity_filter.__doc__.format(
+    train=_PPL_TRAIN)
+
+
+# ---------------------------------------------------------------------------
+# q383 — Arrow-native batch eval (mapInArrow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q383_arrow_token_stats",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS text_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q383_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts computed in ``mapInArrow`` — the
+    lowest-overhead Python eval path (zero-copy Arrow RecordBatches, no
+    pandas conversion), completing the UDF surface next to row-Python
+    (q170), pandas_udf (q65), applyInPandas (q169) and mapInPandas
+    (multimodal ops). The kernels are pyarrow.compute calls, so the Python
+    side stays vectorized C++; the oracle (and the q48 built-in twin) pin
+    the arithmetic. Built-ins remain the production path for anything
+    expressible — this query exists to exercise and measure the API."""
+    import pyarrow as pa
+
+    def batches(it):
+        import pyarrow.compute as pc
+        for rb in it:
+            toks = pc.split_pattern(rb.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("doc_id"),
+                 pc.cast(pc.list_value_length(toks), pa.int64()),
+                 pc.cast(pc.utf8_length(rb.column("text")), pa.int64())],
+                ["doc_id", "n_tokens", "text_chars"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (docs.mapInArrow(
+        batches, "doc_id bigint, n_tokens bigint, text_chars bigint")
+        .orderBy("doc_id"))

@@ -83,6 +83,7 @@ def _load_all() -> None:
         quality,
         reconcile,
         sampling,
+        selection,
         similarity,
         skew,
         text_queries,
