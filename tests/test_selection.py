@@ -1,0 +1,199 @@
+"""Selection-plane invariants (operators/selection.py) — the property law
+the module docstring promises, plus per-query semantic pins.
+
+The central law: :func:`global_running_sum` (range-partition → per-partition
+offsets → local window) is bit-identical to the single-partition
+``Window.orderBy`` cumsum, whatever the partition count — the distributed
+scan never changes values, only the shuffle shape. Alongside it: DSIR weight
+parity against a pandas replay, bin-pack capacity/ordering invariants, and
+the perplexity filter's tertile boundary arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gh_archive_data_pipeline_spark.operators import selection
+
+SF0001 = "/root/testdata/sf0.001"
+
+PROP_SETTINGS = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+FRAMES = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(-50, 50)),
+    min_size=1, max_size=40)
+
+
+# ---------------------------------------------------------------------------
+# the property law: distributed prefix sum == single-partition window
+# ---------------------------------------------------------------------------
+
+
+@given(rows=FRAMES, n_parts=st.integers(1, 7))
+@PROP_SETTINGS
+def test_global_running_sum_matches_single_partition_window(
+        spark, rows, n_parts):
+    # unique key: (k, idx) is a total order even when k collides
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)],
+        "k bigint, idx bigint, v bigint")
+    got = selection.global_running_sum(
+        df, ["k", "idx"], "v", "cum", num_partitions=n_parts)
+    w = (Window.orderBy("k", "idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = df.withColumn("cum", F.sum("v").over(w))
+    got_rows = sorted((r.k, r.idx, r.v, r.cum) for r in got.collect())
+    want_rows = sorted((r.k, r.idx, r.v, r.cum) for r in want.collect())
+    assert got_rows == want_rows
+
+
+@given(rows=FRAMES)
+@PROP_SETTINGS
+def test_global_running_sum_invariant_to_partition_count(spark, rows):
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)],
+        "k bigint, idx bigint, v bigint")
+    results = []
+    for n in (1, 3, 6):
+        out = selection.global_running_sum(
+            df, ["k", "idx"], "v", "cum", num_partitions=n)
+        results.append(sorted((r.k, r.idx, r.cum) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+
+
+def test_global_rank_is_dense_sequential(spark):
+    df = spark.createDataFrame(
+        [(i % 5, i) for i in range(57)], "k bigint, idx bigint")
+    out = selection.global_rank(df, ["k", "idx"], "r", num_partitions=4)
+    ranks = [r.r for r in out.orderBy("k", "idx").collect()]
+    assert ranks == list(range(1, 58))
+
+
+def test_global_running_sum_bounded_driver_state(spark):
+    # the only .collect() is the per-partition totals: len == num_partitions
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(200)], "idx bigint, v bigint")
+    n = 4
+    part = df.repartitionByRange(n, F.col("idx")).withColumn(
+        "__pid", F.spark_partition_id())
+    totals = part.groupBy("__pid").count().collect()
+    assert len(totals) <= n
+
+
+# ---------------------------------------------------------------------------
+# q380 DSIR — weight parity vs a pandas replay of the same model
+# ---------------------------------------------------------------------------
+
+
+def _bucket(gram: str) -> int:
+    return int(hashlib.md5(f"dsir-{gram}".encode()).hexdigest()[:8], 16) % 128
+
+
+def _grams(text: str) -> list[str]:
+    w = text.split(" ")
+    return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+
+def test_dsir_weights_match_pandas_replay(spark):
+    out = selection.q380_dsir_weights(spark, SF0001).toPandas()
+    docs = pd.read_parquet(f"{SF0001}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    rows = []
+    for _, r in docs.iterrows():
+        for g in _grams(r.text):
+            rows.append((r.doc_id, r.source, _bucket(g)))
+    b = pd.DataFrame(rows, columns=["doc_id", "source", "bucket"])
+    cr = b.groupby("bucket").size().astype(float)
+    ct = (b[b.source == "src0"].groupby("bucket").size()
+          .reindex(cr.index, fill_value=0).astype(float))
+    tr, tt = float(len(b)), float((b.source == "src0").sum())
+    llr = ((ct + 1) / (tt + 128)).apply(math.log) \
+        - ((cr + 1) / (tr + 128)).apply(math.log)
+    want = (b.assign(llr=b.bucket.map(llr)).groupby("doc_id")
+            .agg(n_grams=("bucket", "size"), log_w=("llr", "sum")))
+    want["log_w"] = want.log_w.round(6)
+    merged = out.set_index("doc_id").join(want, rsuffix="_pd")
+    assert (merged.n_grams == merged.n_grams_pd).all()
+    assert (merged.log_w - merged.log_w_pd).abs().max() < 1e-9
+    # selection flag: exactly top-50 by (log_w desc, doc_id)
+    top = merged.sort_values(["log_w", "doc_id"],
+                             ascending=[False, True]).head(50).index
+    assert set(merged[merged.selected].index) == set(top)
+
+
+# ---------------------------------------------------------------------------
+# q381 bin-pack — capacity / ordering / conservation invariants
+# ---------------------------------------------------------------------------
+
+
+def test_shard_binpack_invariants(spark):
+    shards = (selection.q381_shard_binpack(spark, SF0001)
+              .orderBy("shard_id").toPandas())
+    docs = pd.read_parquet(f"{SF0001}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_tokens = docs.text.str.split(" ").str.len()
+    budget = 2048
+    # conservation: every doc lands in exactly one shard
+    assert shards.n_docs.sum() == len(docs)
+    assert shards.total_tokens.sum() == n_tokens.sum()
+    # bounded overflow: a shard exceeds budget by < its last doc's size,
+    # so total < budget + max single doc; and overflow column is consistent
+    assert (shards.overflow ==
+            (shards.total_tokens - budget).clip(lower=0)).all()
+    assert (shards.total_tokens < budget + n_tokens.max()).all()
+    # every shard except the last reaches the budget (next-fit: a new shard
+    # opens only once the running total crosses the boundary)
+    assert (shards.total_tokens.iloc[:-1] >= budget - n_tokens.max() + 1).all()
+    # doc_id ordering: shard ranges are contiguous and non-overlapping
+    assert (shards.first_doc.iloc[1:].values
+            > shards.last_doc.iloc[:-1].values).all()
+    assert shards.shard_id.tolist() == sorted(shards.shard_id.tolist())
+
+
+# ---------------------------------------------------------------------------
+# q382 perplexity filter — tertile boundary arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_tertile_boundaries(spark):
+    out = (selection.q382_perplexity_filter(spark, SF0001)
+           .orderBy("doc_id").toPandas())
+    n = len(out)
+    counts = out.tertile.value_counts().sort_index()
+    assert set(counts.index) <= {1, 2, 3}
+    # floor(3*(r-1)/n) splits n rows into parts differing by <= 1
+    assert counts.max() - counts.min() <= 1
+    assert counts.sum() == n
+    # keep == tertile in {1, 2} everywhere
+    assert (out.keep == (out.tertile <= 2)).all()
+    # tertile is monotone in ppl: sort by (ppl, doc_id) -> tertiles ascend
+    s = out.sort_values(["ppl", "doc_id"])
+    assert s.tertile.is_monotonic_increasing
+    # ppl is a positive finite perplexity
+    assert (out.ppl > 0).all() and out.ppl.map(math.isfinite).all()
+
+
+# ---------------------------------------------------------------------------
+# q383 mapInArrow — pinned to the built-in twin
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_token_stats_match_builtins(spark):
+    got = selection.q383_arrow_token_stats(spark, SF0001)
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    want = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("text_chars"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
