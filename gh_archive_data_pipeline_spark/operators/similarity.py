@@ -14,6 +14,8 @@ BEFORE any arithmetic so Spark and the DuckDB oracle see identical inputs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -531,7 +533,16 @@ def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
     # Same generation layout as the MinHash index: every write (the build
     # included) lands under its own ``ingest=<id>`` directory, so appends
     # are per-ingest OVERWRITES (retry-idempotent) and ``cell`` stays a
-    # discovered partition column that ivf_search prunes on.
+    # discovered partition column that ivf_search prunes on. A REBUILD
+    # must clear the whole corpus/ tree first: mode("overwrite") below
+    # only replaces ingest=base, and stale prior ingest generations would
+    # otherwise survive into the new index (same non-transactional-swap
+    # caveat as compact_minhash_index — Delta/Iceberg would make it atomic).
+    import shutil
+
+    corpus_dir = f"{index_dir}/corpus"
+    if os.path.isdir(corpus_dir):
+        shutil.rmtree(corpus_dir)
     (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
      .withColumn("cell", cell_of(F.col("v")))
      .repartition("cell")   # co-locate each cell's rows -> one file per cell
@@ -1424,6 +1435,21 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     staying frozen is the standard IVF ingest trade — cell balance drifts
     as the data distribution moves, and the remedy is an offline re-train
     + rebuild, not per-batch retraining."""
+    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
+        # 'base' would silently OVERWRITE the build's own generation;
+        # '/' or '=' would produce broken partition paths — same contract
+        # as minhash_index_append.
+        raise ValueError(f"invalid ingest_id: {ingest_id!r}")
+    corpus_dir = f"{index_dir}/corpus"
+    if os.path.isdir(corpus_dir) and any(
+            e.startswith("cell=") for e in os.listdir(corpus_dir)):
+        # pre-generation layout (corpus/cell=N directly): appending an
+        # ingest=<id> level would mix partition-directory depths, which
+        # Spark partition discovery rejects. No silent migration — the
+        # index predates the generation contract, so rebuild it.
+        raise ValueError(
+            f"{corpus_dir} uses the old corpus/cell=N layout; rebuild the "
+            "index with build_ivf_index before appending ingests")
     cb_rows = (spark.read.parquet(f"{index_dir}/codebook")
                .orderBy("cell").collect())
     cell_of = _unit_argmax_udf(

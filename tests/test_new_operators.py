@@ -2006,6 +2006,43 @@ def test_ivf_append_preserves_standing_files_and_serves_delta(spark, sf_dir,
     assert {r.neighbor_id % 10 == 0 for r in res.collect()} == {True, False}
 
 
+def test_ivf_append_guards(spark, sf_dir, tmp_path):
+    """ivf_index_append's safety contract (same as minhash_index_append):
+    ingest_id must not be 'base' (would overwrite the build's generation)
+    or contain path/partition metacharacters; appending into an index laid
+    out before the generation contract (corpus/cell=N directly) fails with
+    a rebuild message instead of writing mixed-depth partitions; and a
+    REBUILD into an existing index_dir clears stale prior generations."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_index_append)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 10 != 0")
+    delta = emb.filter("vec_id % 10 = 0")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, num_cells=16)
+    for bad in ("base", "a/b", "a=b"):
+        with pytest.raises(ValueError, match="invalid ingest_id"):
+            ivf_index_append(spark, idx, delta, ingest_id=bad)
+    # rebuild clears stale generations: append one, rebuild, gone
+    ivf_index_append(spark, idx, delta, ingest_id="d1")
+    assert os.path.isdir(f"{idx}/corpus/ingest=d1")
+    build_ivf_index(corpus, idx, num_cells=16)
+    assert not os.path.isdir(f"{idx}/corpus/ingest=d1")
+    assert spark.read.parquet(f"{idx}/corpus").count() == corpus.count()
+    # old pre-generation layout is detected, not silently mixed
+    old = str(tmp_path / "old_ivf")
+    build_ivf_index(corpus, old, num_cells=16)
+    os.rename(f"{old}/corpus/ingest=base", f"{old}/corpus_flat")
+    os.rmdir(f"{old}/corpus")
+    os.rename(f"{old}/corpus_flat", f"{old}/corpus")
+    with pytest.raises(ValueError, match="old corpus/cell=N layout"):
+        ivf_index_append(spark, old, delta, ingest_id="d1")
+
+
 def test_probe_then_append_emits_cross_batch_pairs(spark, tmp_path):
     """The continuous-ingest loop (q379's foreachBatch body): a batch must
     see duplicates in the corpus AND in earlier batches, and after append it
