@@ -1345,25 +1345,46 @@ def _band_rows(sh: DataFrame, id_col: str, num_hashes: int,
     ).select(id_col, "bs.band", "bs.sig")
 
 
+def _band_bucket(num_buckets: int):
+    """Partition-directory key for a band row: xxhash64 of the (band, sig)
+    join key, folded into ``num_buckets``. A pair can only band-match if
+    both rows carry the SAME (band, sig), hence the same bucket — so a
+    probe that reads only its own buckets' directories provably sees every
+    candidate. xxhash64 is the engine-internal fast hash (the portable
+    md5-60 question doesn't arise: buckets never leave the index layout or
+    touch result values)."""
+    return F.pmod(F.xxhash64("band", "sig"), F.lit(num_buckets)).cast("int")
+
+
 def build_minhash_index(docs: DataFrame, index_dir: str,
                         id_col: str = "doc_id", num_hashes: int = 64,
                         bands: int = 32, ngram: int = 3,
-                        hash_fn: str = "md5_60") -> None:
+                        hash_fn: str = "md5_60",
+                        num_buckets: int = 64) -> None:
     """Materialize the corpus side of MinHash+LSH dedup as parquet:
     ``{index_dir}/shingles`` (id, hs) for exact-Jaccard verification and
-    ``{index_dir}/bands`` (id, band, sig) for candidate probing.
+    ``{index_dir}/bands`` (id, band, sig) for candidate probing, the
+    latter PARTITIONED into ``bkt=<hash(band,sig) % num_buckets>``
+    directories.
 
     This is the cross-run contract a 100 TB corpus needs: the corpus is
     shingled/signed ONCE, and every future ingest batch dedups against the
-    index by reading it — never by re-hashing the corpus. Build cost is the
-    same linear, shuffle-free signature pass as :func:`minhash_near_dup`;
-    the layout is plain columnar parquet because the probe side broadcasts
-    (see :func:`incremental_near_dup`), so no bucketing/partitioning of the
-    index is needed for the join to stay shuffle-free on the index side.
-    """
+    index by reading it — never by re-hashing the corpus. The bucket
+    layout is what keeps that read sub-corpus: a probe computes its
+    delta's bucket set (bounded by ``num_buckets``) and prunes the bands
+    scan to matching directories at file listing, so a small delta reads
+    |its buckets|/num_buckets of the index instead of all of it. Build
+    pays ONE extra shuffle on the bucket key (repartition before
+    partitionBy, so the layout is exactly ``num_buckets`` files per
+    generation, not tasks×buckets small files) — build-once cost amortized
+    over every probe. Size ``num_buckets`` so one bucket's band rows fit a
+    scan task comfortably (thousands at 100 TB; the default 64 suits
+    fixture scale)."""
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets={num_buckets} must be >= 1")
     spark = docs.sparkSession
     # Layout: every write (the build included) lands in its own
     # ``ingest=<id>`` partition directory, so incremental appends are
@@ -1372,22 +1393,30 @@ def build_minhash_index(docs: DataFrame, index_dir: str,
     # alongside so probe/append can refuse a mismatched configuration
     # instead of silently missing every corpus duplicate.
     (spark.createDataFrame(
-        [(num_hashes, bands, ngram, hash_fn)],
-        "num_hashes int, bands int, ngram int, hash_fn string")
+        [(num_hashes, bands, ngram, hash_fn, num_buckets)],
+        "num_hashes int, bands int, ngram int, hash_fn string, "
+        "num_buckets int")
      .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/params"))
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
     sh.write.mode("overwrite").parquet(f"{index_dir}/shingles/ingest=base")
-    _band_rows(sh, id_col, num_hashes, bands).write.mode(
-        "overwrite").parquet(f"{index_dir}/bands/ingest=base")
+    (_band_rows(sh, id_col, num_hashes, bands)
+     .withColumn("bkt", _band_bucket(num_buckets))
+     .repartition(num_buckets, F.col("bkt"))
+     .write.mode("overwrite").partitionBy("bkt")
+     .parquet(f"{index_dir}/bands/ingest=base"))
 
 
 def _check_index_params(spark: SparkSession, index_dir: str, num_hashes: int,
-                        bands: int, ngram: int, hash_fn: str) -> None:
+                        bands: int, ngram: int, hash_fn: str) -> int | None:
     """Refuse to probe/append with parameters that differ from the build's:
     a bands/ngram/hash_fn mismatch would make the band join match nothing
-    and silently return only delta-internal pairs (zero corpus recall)."""
+    and silently return only delta-internal pairs (zero corpus recall).
+    Returns the build's ``num_buckets`` (None for a pre-bucket-layout
+    index, whose bands table has no ``bkt`` partition column — probes fall
+    back to the full scan and appends keep the flat layout, so old indexes
+    stay correct, just unpruned)."""
     p = spark.read.parquet(f"{index_dir}/params").collect()[0]
     got = (num_hashes, bands, ngram, hash_fn)
     built = (p.num_hashes, p.bands, p.ngram, p.hash_fn)
@@ -1395,6 +1424,7 @@ def _check_index_params(spark: SparkSession, index_dir: str, num_hashes: int,
         raise ValueError(
             f"index at {index_dir} was built with (num_hashes, bands, "
             f"ngram, hash_fn)={built}, called with {got}")
+    return getattr(p, "num_buckets", None)
 
 
 def incremental_near_dup(spark: SparkSession, index_dir: str,
@@ -1420,15 +1450,28 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    _check_index_params(spark, index_dir, num_hashes, bands, ngram, hash_fn)
+    num_buckets = _check_index_params(
+        spark, index_dir, num_hashes, bands, ngram, hash_fn)
     if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         delta = delta.repartition(spark.sparkContext.defaultParallelism)
     delta_sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
     delta_bands = _band_rows(delta_sh, id_col, num_hashes,
                              bands).localCheckpoint()
-    # explicit column select drops the layout's ``ingest`` partition column
-    corpus_bands = spark.read.parquet(f"{index_dir}/bands").select(
-        id_col, "band", "sig")
+    corpus_bands = spark.read.parquet(f"{index_dir}/bands")
+    if num_buckets is not None:
+        # Prune the index scan to the delta's bucket directories: a
+        # band-match requires equal (band, sig), hence an equal bucket, so
+        # unprobed buckets cannot hold candidates and cost zero I/O. The
+        # collect is bounded driver state (<= num_buckets distinct ints,
+        # whatever the delta size); when the delta covers every bucket the
+        # filter is skipped — same degeneracy contract as IVF nprobe=all.
+        bkts = [r.b for r in delta_bands
+                .select(_band_bucket(num_buckets).alias("b"))
+                .distinct().collect()]
+        if len(bkts) < num_buckets:
+            corpus_bands = corpus_bands.filter(F.col("bkt").isin(bkts))
+    # explicit column select drops the layout's partition columns
+    corpus_bands = corpus_bands.select(id_col, "band", "sig")
     # corpus x delta: broadcast the delta side; the index scan streams.
     # doc_x != doc_y guard: in an at-least-once retry the batch's own rows
     # may already sit in the index (appended before the checkpoint commit),
@@ -1540,14 +1583,24 @@ def minhash_index_append(spark: SparkSession, index_dir: str,
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
         raise ValueError(f"invalid ingest_id: {ingest_id!r}")
-    _check_index_params(spark, index_dir, num_hashes, bands, ngram, hash_fn)
+    num_buckets = _check_index_params(
+        spark, index_dir, num_hashes, bands, ngram, hash_fn)
     if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         delta = delta.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
     sh.write.mode("overwrite").parquet(
         f"{index_dir}/shingles/ingest={ingest_id}")
-    _band_rows(sh, id_col, num_hashes, bands).write.mode(
-        "overwrite").parquet(f"{index_dir}/bands/ingest={ingest_id}")
+    br = _band_rows(sh, id_col, num_hashes, bands)
+    if num_buckets is None:  # pre-bucket index: keep its flat layout
+        br.write.mode("overwrite").parquet(
+            f"{index_dir}/bands/ingest={ingest_id}")
+    else:
+        # same directory scheme as the build so partition discovery sees
+        # one consistent depth and probes prune appended generations too
+        (br.withColumn("bkt", _band_bucket(num_buckets))
+         .repartition(num_buckets, F.col("bkt"))
+         .write.mode("overwrite").partitionBy("bkt")
+         .parquet(f"{index_dir}/bands/ingest={ingest_id}"))
 
 
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
@@ -1566,7 +1619,17 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         cur = f"{index_dir}/{part}"
         tmp = f"{index_dir}/{part}_compacting"
         df = spark.read.parquet(cur).drop("ingest")
-        (df.repartition(spark.sparkContext.defaultParallelism)
-         .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
+        if part == "bands" and "bkt" in df.columns:
+            # preserve the bucket layout probes prune on: re-cluster into
+            # one file per bucket (bkt values are unchanged — they're a
+            # pure function of (band, sig))
+            n_bkt = spark.read.parquet(
+                f"{index_dir}/params").collect()[0].num_buckets
+            (df.repartition(n_bkt, F.col("bkt"))
+             .write.mode("overwrite").partitionBy("bkt")
+             .parquet(f"{tmp}/ingest=base"))
+        else:
+            (df.repartition(spark.sparkContext.defaultParallelism)
+             .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
         shutil.rmtree(cur)
         shutil.move(tmp, cur)

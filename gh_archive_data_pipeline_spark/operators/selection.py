@@ -179,19 +179,22 @@ def q380_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(F.expr(_UNI_BI_GRAMS)).alias("gram")))
     b = grams.select("doc_id", "source",
                      _dsir_bucket(F.col("gram")).alias("bucket"))
-    raw_c = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("double").alias("cr"))
-    tgt_c = (b.filter(F.col("source") == _DSIR_TARGET)
-             .groupBy("bucket")
-             .agg(F.count(F.lit(1)).cast("double").alias("ct")))
-    tot = b.agg(
-        F.count(F.lit(1)).cast("double").alias("tr"),
+    # ONE aggregation pass builds both LMs: raw and target counts per
+    # bucket (map-side partial combine collapses the gram stream to 128
+    # rows per task), and the totals fold from the 128-row result instead
+    # of re-scanning the grams. The gram stream is thus computed twice in
+    # the whole query (here + the weights join below), not four times —
+    # at corpus scale each avoided pass is a full explode+md5 of the data.
+    bc = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("cr"),
         F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
-        .cast("double").alias("tt"))
-    llr = (raw_c.join(tgt_c, "bucket", "left")
-           .crossJoin(F.broadcast(tot))
+        .cast("double").alias("ct"))
+    bc = bc.localCheckpoint()  # 128 rows, materialized: the gram stream
+    # is scanned exactly twice in the whole query (bc + the join below)
+    tot = bc.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    llr = (bc.crossJoin(F.broadcast(tot))
            .select("bucket",
-                   (F.log((F.coalesce("ct", F.lit(0.0)) + 1)
-                          / (F.col("tt") + _DSIR_B))
+                   (F.log((F.col("ct") + 1) / (F.col("tt") + _DSIR_B))
                     - F.log((F.col("cr") + 1) / (F.col("tr") + _DSIR_B)))
                    .alias("llr_b")))
     weights = (b.join(F.broadcast(llr), "bucket")

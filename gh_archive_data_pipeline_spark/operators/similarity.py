@@ -376,7 +376,8 @@ def q46_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       lsh_prefilter: bool = False, **lsh_kwargs) -> DataFrame:
+                       lsh_prefilter: bool = False, hashing: str = "blas",
+                       **lsh_kwargs) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
 
     Exact path (default): unit-normalize each vector ONCE in a projection,
@@ -384,9 +385,16 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
     of computing full cosine per pair, and the broadcast self-join never
     shuffles the corpus.  O(n²) pair scoring is the *oracle-checkable
     baseline*; at 100 TB set ``lsh_prefilter=True`` to score only LSH
-    candidate pairs (same hashing as lsh_bucket_topk — one linear bucketing
-    pass, near-linear candidate join; recall <1 is the documented tradeoff,
-    precision stays 1 because every candidate is exactly verified).
+    candidate pairs (one linear bucketing pass, near-linear candidate join;
+    recall <1 is the documented tradeoff, precision stays 1 because every
+    candidate is exactly verified).
+
+    ``hashing`` picks the prefilter's bucketer: ``"blas"`` (default) is the
+    Gaussian-plane Arrow matmul (:func:`_srp_bucketer` — fastest per
+    vector); ``"portable"`` is the seeded ±1-plane JVM-HOF hashing
+    (:func:`_srp_hash`, same machinery as q45/q365) whose arithmetic an
+    ANSI-SQL engine reproduces bit-exactly — the knob that buys q82 its
+    full-fidelity oracle, same trade as the MinHash md5-60/xxhash64 pair.
     """
     vecs = (corpus.select(F.col(id_col).alias("id"),
                           _as_double(F.col(vec_col)).alias("v"))
@@ -397,13 +405,23 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
         # self-join — vectors re-attach at verify time. Shipping two
         # 128-dim arrays per candidate row through the join + distinct was
         # measured 20× slower at sf0.1 than this id-only plan.
-        buckets_of = _srp_bucketer(
-            lsh_kwargs.get("planes_per_table", 4),
-            lsh_kwargs.get("num_tables", 16),
-            lsh_kwargs.get("dim", 64),
-            lsh_kwargs.get("seed", 42))
-        hashed = vecs.select(
-            "id", F.posexplode(buckets_of(F.col("uv"))).alias("t", "b"))
+        if hashing == "portable":
+            hashed = _srp_hash(
+                vecs, "id", "uv",
+                _srp_planes_df(corpus.sparkSession,
+                               lsh_kwargs.get("planes_per_table", 4),
+                               lsh_kwargs.get("num_tables", 16),
+                               lsh_kwargs.get("dim", 64),
+                               lsh_kwargs.get("seed", 42))
+            ).select("id", "t", "b")
+        else:
+            buckets_of = _srp_bucketer(
+                lsh_kwargs.get("planes_per_table", 4),
+                lsh_kwargs.get("num_tables", 16),
+                lsh_kwargs.get("dim", 64),
+                lsh_kwargs.get("seed", 42))
+            hashed = vecs.select(
+                "id", F.posexplode(buckets_of(F.col("uv"))).alias("t", "b"))
         a_ids = hashed.select(F.col("id").alias("id_a"), "t", "b")
         b_ids = hashed.select(F.col("id").alias("id_b"), "t", "b")
         pairs = (a_ids.join(b_ids, ["t", "b"])
@@ -819,14 +837,62 @@ def q71_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5)
 
 
-@register("q82_embedding_near_dup_lsh", sql=None)
+def _q82_oracle(threshold: float = 0.4, planes_per_table: int = 4,
+                num_tables: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of the portable LSH near-dup path: identical ±1 plane
+    literals hashed over the SAME unit-normalized vectors (sign of
+    dot(uv, plane) — normalization can't flip a sign, but the replay
+    matches the engine's expression exactly anyway), the same
+    id_a < id_b candidate join, the same round-6 unit-dot verification."""
+    planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
+
+    def bucket_sql(tbl) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(uv, [{', '.join(map(str, plane))}])"
+            f" > 0 THEN {1 << j} ELSE 0 END"
+            for j, plane in enumerate(tbl))
+
+    buckets = ", ".join(f"({bucket_sql(t)})" for t in planes)
+    return f"""
+    WITH vec AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    unit AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM vec
+    ),
+    hashed AS (
+        SELECT vec_id, uv,
+               unnest(range(0, {num_tables})) AS t,
+               unnest([{buckets}]) AS b
+        FROM unit
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM hashed a JOIN hashed c ON a.t = c.t AND a.b = c.b
+        WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(ua.uv, ub.uv), 6) AS cosine_sim
+    FROM cand
+    JOIN unit ua ON ua.vec_id = cand.id_a
+    JOIN unit ub ON ub.vec_id = cand.id_b
+    WHERE round(list_dot_product(ua.uv, ub.uv), 6) >= {threshold}
+    """
+
+
+@register("q82_embedding_near_dup_lsh", sql=_q82_oracle())
 def q82_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path of q70 executed every round: LSH-bucketed candidate
-    generation + exact cosine verify (lsh_prefilter=True). Rows-only driver
-    check (LSH recall <1 precludes a SQL oracle); candidate ⊆ exact and
-    recall are pinned in tests/test_operators.py."""
+    generation + exact cosine verify (lsh_prefilter=True), on the PORTABLE
+    ±1-plane hashing so the full pipeline — bucketing, candidate join,
+    verification — replays in the DuckDB oracle (upgraded from rows-only
+    in round 6; the production Gaussian/BLAS bucketer keeps its
+    candidate-⊆-exact and recall pins in tests/test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.4, lsh_prefilter=True)
+    return embedding_near_dup(emb, threshold=0.4, lsh_prefilter=True,
+                              hashing="portable")
 
 
 @register(

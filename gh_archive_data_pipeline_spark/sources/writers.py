@@ -43,6 +43,59 @@ def write_delta(df: DataFrame, path: str, mode: str = "overwrite",
         ) from exc
 
 
+def jdbc_write_options(url: str, table: str,
+                       isolation_level: str = "NONE",
+                       batchsize: int = 10_000,
+                       properties: dict[str, str] | None = None
+                       ) -> dict[str, str]:
+    """The exact option dict :func:`write_jdbc` hands the JDBC data source —
+    factored pure so the warehouse-load contract is unit-testable in a
+    sandbox with no database (the writer itself needs a live server; the
+    options it would send do not). Caller ``properties`` layer on top but
+    may not silently override the bulk-load keys — a property that changes
+    ``isolationLevel``/``batchsize`` semantics must be passed through the
+    named parameters where it's visible."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        # reference parity: isolationLevel=NONE bulk-load tuning
+        # (load_data_task.py:199)
+        "isolationLevel": isolation_level,
+        "batchsize": str(batchsize),
+    }
+    for k, v in (properties or {}).items():
+        if k in ("url", "dbtable", "isolationLevel", "batchsize"):
+            raise ValueError(
+                f"pass {k!r} via the named parameter, not properties")
+        opts[k] = str(v)
+    return opts
+
+
+def jdbc_ddl_types(spark, url: str, schema) -> dict[str, str]:
+    """Database column type per field — the CREATE TABLE DDL the JDBC
+    writer would issue for ``schema`` against ``url``'s dialect, resolved
+    through Spark's own JdbcDialect (dialect override first, common JDBC
+    fallback second — the same lookup JdbcUtils.schemaString performs).
+    Lets a deployment review/pin the warehouse DDL without a server:
+    e.g. Postgres maps string→TEXT, double→FLOAT8,
+    timestamp→TIMESTAMP WITH TIME ZONE."""
+    jvm = spark._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    jdbc_utils = jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    out = {}
+    for field in schema.fields:
+        jdt = jvm.org.apache.spark.sql.types.DataType.fromJson(
+            field.dataType.json())
+        opt = dialect.getJDBCType(jdt)
+        if not opt.isDefined():
+            opt = jdbc_utils.getCommonJDBCType(jdt)
+        if not opt.isDefined():
+            raise ValueError(
+                f"no JDBC type for column {field.name}: {field.dataType}")
+        out[field.name] = opt.get().databaseTypeDefinition()
+    return out
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                properties: dict[str, str] | None = None,
                isolation_level: str = "NONE",
@@ -51,16 +104,13 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     """Warehouse write (reference load_data_task.py:193-236). Keeps the
     reference's isolationLevel=NONE bulk-load tuning; numPartitions bounds
     concurrent connections — mandatory when 1000 executors each hold a
-    JDBC connection."""
+    JDBC connection. Options are built by :func:`jdbc_write_options` (the
+    unit-tested contract); only the final ``save()`` needs a live server."""
     if num_partitions:
         df = df.coalesce(num_partitions)
-    writer = (df.write.format("jdbc")
-              .option("url", url)
-              .option("dbtable", table)
-              .option("isolationLevel", isolation_level)
-              .option("batchsize", batchsize)
-              .mode(mode))
-    for k, v in (properties or {}).items():
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_write_options(url, table, isolation_level,
+                                   batchsize, properties).items():
         writer = writer.option(k, v)
     writer.save()
 

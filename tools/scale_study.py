@@ -80,6 +80,10 @@ QUERY_TABLES = {
     "q224_duplicated_spans": ["documents"],
     "q376_incremental_near_dup": ["documents"],
     "q377_semantic_dedup": ["embeddings"],
+    "q380_dsir_weights": ["documents"],
+    "q381_shard_binpack": ["documents"],
+    "q382_perplexity_filter": ["documents"],
+    "q383_arrow_token_stats": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
