@@ -1609,3 +1609,136 @@ def q378_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(spark, _ivf_appended_index(spark, sf_dir), queries,
                       k=5, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# q385 — hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q385_hard_negative_mining",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, c.label AS neg_label,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv))) AS sim
+           FROM q JOIN c
+             ON query_id <> neighbor_id AND q.label <> c.label),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, neg_label,
+           round(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q385_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (vec_id <
+    10), the top-5 most-cosine-similar vectors with a DIFFERENT label —
+    the negatives closest to the decision boundary, the standard recipe
+    for dense-retriever / embedding-model training batches (ANCE-style
+    mining, deterministic exact-scoring variant). Plan: the label filter
+    rides INSIDE the broadcast join condition, so disqualified pairs are
+    dropped before scoring; the corpus never shuffles (queries broadcast,
+    same shape as q44) and the rank filter compiles to WindowGroupLimit.
+    At 100 TB the mining runs against the IVF/SRP indexes instead (probe
+    then label-filter candidates) — exact scoring is the oracle-checkable
+    baseline, same contract as q44 vs q45."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 _as_double(F.col("embedding")).alias("qv"),
+                 F.col("label").alias("q_label")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   _as_double(F.col("embedding")).alias("cv"),
+                   F.col("label").alias("neg_label"))
+    scored = (c.join(F.broadcast(q),
+                     (F.col("query_id") != F.col("neighbor_id"))
+                     & (F.col("q_label") != F.col("neg_label")))
+              .select("query_id", "neighbor_id", "neg_label",
+                      cosine(F.col("qv"), F.col("cv")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "neg_label",
+                    F.round("sim", 6).alias("cosine_sim"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# q386 — IVF cell-balance drift audit (rebuild trigger for frozen codebooks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q386_ivf_balance_audit",
+    sql="""
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0
+            ORDER BY vec_id LIMIT 16)
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv))) DESC,
+                        cell ASC) AS rn
+      FROM corpus CROSS JOIN cb
+    ),
+    cells AS (
+      SELECT cell,
+             count(*)::BIGINT AS n_vectors,
+             sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_base,
+             sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_appended
+      FROM assign WHERE rn = 1 GROUP BY cell
+    ),
+    tot AS (SELECT sum(n_vectors)::DOUBLE AS n FROM cells)
+    SELECT cell, n_vectors, n_base, n_appended,
+           round(n_vectors * 16 / tot.n, 6) AS occupancy_ratio,
+           n_vectors * 16 / tot.n > 2.0 AS overfull
+    FROM cells CROSS JOIN tot ORDER BY cell
+    """,
+)
+def q386_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational audit of the frozen-codebook trade ivf_index_append
+    documents: as ingests accumulate, cell occupancy drifts away from the
+    build's balance, and an overfull cell degrades every probe that hits
+    it (its exact-scoring candidate set grows). This query reads the
+    MATERIALIZED appended index (base + ingest generations — q378's
+    fixture) and reports per-cell occupancy split by generation plus an
+    ``overfull`` flag (>2× the uniform share) — the signal a maintenance
+    scheduler turns into an offline re-train + rebuild. Pure metadata-
+    shape work: one groupBy over the index's (cell, ingest) partition
+    columns — column-pruned to zero vector bytes read — and a broadcast
+    one-row total; the oracle replays the frozen-codebook assignment
+    semantics in SQL."""
+    idx = _ivf_appended_index(spark, sf_dir)
+    num_cells = 16
+    cells = (spark.read.parquet(f"{idx}/corpus")
+             .groupBy("cell")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                  F.sum(F.when(F.col("ingest") == "base", 1).otherwise(0))
+                  .cast("bigint").alias("n_base"),
+                  F.sum(F.when(F.col("ingest") != "base", 1).otherwise(0))
+                  .cast("bigint").alias("n_appended")))
+    tot = cells.agg(F.sum("n_vectors").cast("double").alias("n"))
+    share = F.col("n_vectors") * num_cells / F.col("n")
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vectors", "n_base", "n_appended",
+                    F.round(share, 6).alias("occupancy_ratio"),
+                    (share > 2.0).alias("overfull"))
+            .orderBy("cell"))

@@ -821,3 +821,77 @@ def q235_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("after_quality"),
                  F.sum(F.when(F.col("kept_quality"), F.col("n_tokens"))
                        .otherwise(0)).cast("bigint").alias("final_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# q384 — Gopher quality rules (Rae et al. 2021, composite rule filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q384_gopher_rules",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' '))::BIGINT AS n_words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             length(replace(text, ' ', ''))::DOUBLE / n_words AS mean_wl,
+             len(list_distinct(w))::DOUBLE / n_words AS distinct_ratio,
+             len(list_filter(list_distinct(w),
+                             x -> x IN {_STOP_SQL}))::BIGINT AS n_stop,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / n_words AS alpha_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000       AS r_word_count,
+           mean_wl BETWEEN 3 AND 10            AS r_mean_word_len,
+           n_stop >= 2                         AS r_stopwords,
+           distinct_ratio > 0.2                AS r_distinct_words,
+           alpha_ratio >= 0.8                  AS r_alpha_words,
+           (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+             AND n_stop >= 2 AND distinct_ratio > 0.2 AND alpha_ratio >= 0.8
+                                               AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def q384_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021 §A1.1) as a composite
+    per-document rule filter — the rule-based sibling of the model-based
+    q382 perplexity cut: word count in [50, 100k], mean word length in
+    [3, 10], ≥2 distinct stopwords present, >20% distinct words (the
+    repetition guard), ≥80% words containing an alphabetic character
+    (symbol-density guard). Per-rule booleans are emitted so a curation
+    run can audit WHICH rule rejects (the composition q374 consumes only
+    the final keep). All single-pass scan-side expressions — no joins, no
+    shuffle except the output sort; mean word length is computed as
+    char-sum/word-count (length(replace(text,' ',''))), identical
+    arithmetic in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_words = F.size(toks).cast("bigint")
+    mean_wl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+               .cast("double") / n_words)
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / n_words)
+    n_stop = F.size(F.filter(F.array_distinct(toks),
+                             lambda t: F.array_contains(stop_arr, t))
+                    ).cast("bigint")
+    alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+                   .cast("double") / n_words)
+    r_wc = n_words.between(50, 100000)
+    r_mwl = mean_wl.between(3.0, 10.0)
+    r_stop = n_stop >= 2
+    r_dist = distinct_ratio > 0.2
+    r_alpha = alpha_ratio >= 0.8
+    return (docs.select(
+        "doc_id", n_words.alias("n_words"),
+        r_wc.alias("r_word_count"), r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"), r_dist.alias("r_distinct_words"),
+        r_alpha.alias("r_alpha_words"),
+        (r_wc & r_mwl & r_stop & r_dist & r_alpha).alias("keep"))
+        .orderBy("doc_id"))

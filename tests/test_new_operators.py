@@ -2106,3 +2106,61 @@ def test_compact_minhash_index_preserves_probe_results(spark, sf_dir,
              for r in incremental_near_dup(spark, idx, probe).collect()}
     assert after == before and before
     assert n_files_after < n_files_before
+
+
+def test_hard_negative_mining_semantics(spark, sf_dir):
+    """q385: every mined negative has a label different from its anchor's,
+    ranks are 1..5 per anchor, and each negative is the hardest available —
+    no different-label vector scores higher than the rank-1 negative."""
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q385_hard_negative_mining)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    out = q385_hard_negative_mining(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    labels = dict(zip(emb.vec_id, emb.label))
+    assert (out.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+    for r in out.itertuples():
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neg_label == labels[r.neighbor_id]
+    import numpy as np
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float)
+            for r in emb.itertuples()}
+    for qid in out.query_id.unique():
+        top = out[(out.query_id == qid) & (out["rank"] == 1)].iloc[0]
+        qv = vecs[qid]
+        best = max(
+            float(qv @ vecs[n] / (np.linalg.norm(qv) * np.linalg.norm(vecs[n])))
+            for n in vecs if n != qid and labels[n] != labels[qid])
+        assert abs(best - top.cosine_sim) < 1e-6
+
+
+def test_ivf_balance_audit_semantics(spark, sf_dir):
+    """q386: occupancy ratios average to 1 (they're shares of uniform),
+    generation split sums to the total, and the overfull flag fires iff
+    the ratio exceeds 2."""
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        q386_ivf_balance_audit)
+
+    out = q386_ivf_balance_audit(spark, sf_dir).toPandas()
+    assert len(out) <= 16
+    assert (out.n_base + out.n_appended == out.n_vectors).all()
+    total = out.n_vectors.sum()
+    assert abs((out.n_vectors * 16 / total).mean() - 16 / len(out)) < 1e-9
+    assert (out.overfull == (out.n_vectors * 16 / total > 2.0)).all()
+
+
+def test_gopher_rules_keep_iff_all_rules(spark, sf_dir):
+    """q384: keep is exactly the conjunction of the five rule columns, and
+    the fixture exercises both outcomes of every data-dependent rule."""
+    from gh_archive_data_pipeline_spark.operators.text_queries import (
+        q384_gopher_rules)
+
+    out = q384_gopher_rules(spark, sf_dir).toPandas()
+    rules = ["r_word_count", "r_mean_word_len", "r_stopwords",
+             "r_distinct_words", "r_alpha_words"]
+    assert (out.keep == out[rules].all(axis=1)).all()
+    for r in ("r_word_count", "r_stopwords"):
+        assert out[r].nunique() == 2, f"{r} has no negative examples"
