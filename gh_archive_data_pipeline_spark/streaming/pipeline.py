@@ -135,6 +135,23 @@ def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def start_console_sink(df: DataFrame, output_mode: str = "append",
+                       num_rows: int = 20, truncate: bool = True,
+                       available_now: bool = True) -> StreamingQuery:
+    """K6: console debugging sink (reference
+    spark_structured_datastream.py:74, there commented out) — prints each
+    micro-batch to the driver's stdout. Strictly a development tap: the
+    driver materializes ``num_rows`` per batch, so it is never a
+    production drain (the checkpointed parquet/upsert sinks are)."""
+    writer = (df.writeStream.format("console")
+              .outputMode(output_mode)
+              .option("numRows", str(num_rows))
+              .option("truncate", str(truncate).lower()))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(df: DataFrame, name: str, spark: SparkSession,
                   output_mode: str = "complete",
                   timeout_sec: int = 120,

@@ -790,3 +790,16 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     default = drain(None, "default_drain")
     assert rocks == default
     assert len(rocks) > 0
+
+
+def test_console_sink_drains_all_rows(spark, stream_dir):
+    """K6: the console sink runs to completion under availableNow, routes
+    to the console provider, and processes every input row (the print
+    itself lands on the JVM's stdout, outside pytest's capture — the
+    query's progress telemetry is the assertable surface)."""
+    q = sp.start_console_sink(_read(spark, stream_dir), num_rows=10)
+    assert q.awaitTermination(120)
+    progresses = q.recentProgress
+    assert progresses, "no micro-batch ran"
+    assert sum(p["numInputRows"] for p in progresses) == 6
+    assert "console" in progresses[-1]["sink"]["description"].lower()
