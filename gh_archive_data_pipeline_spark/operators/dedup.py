@@ -1401,11 +1401,19 @@ def build_minhash_index(docs: DataFrame, index_dir: str,
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingles(docs, id_col, ngram, hash_fn).localCheckpoint()
     sh.write.mode("overwrite").parquet(f"{index_dir}/shingles/ingest=base")
-    (_band_rows(sh, id_col, num_hashes, bands)
-     .withColumn("bkt", _band_bucket(num_buckets))
-     .repartition(num_buckets, F.col("bkt"))
-     .write.mode("overwrite").partitionBy("bkt")
-     .parquet(f"{index_dir}/bands/ingest=base"))
+    br = _band_rows(sh, id_col, num_hashes, bands)
+    if sh.isEmpty():
+        # empty corpus: partitionBy writes NO files at all, leaving a
+        # schema-less (unreadable) bands table; write one empty file into
+        # an explicit bkt=0 directory so probes/appends still see the
+        # schema and the partition layout.
+        br.write.mode("overwrite").parquet(
+            f"{index_dir}/bands/ingest=base/bkt=0")
+    else:
+        (br.withColumn("bkt", _band_bucket(num_buckets))
+         .repartition(num_buckets, F.col("bkt"))
+         .write.mode("overwrite").partitionBy("bkt")
+         .parquet(f"{index_dir}/bands/ingest=base"))
 
 
 def _check_index_params(spark: SparkSession, index_dir: str, num_hashes: int,
