@@ -384,7 +384,13 @@ def q382_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
                      F.split("bigram", " ").getItem(1).alias("w2"))
            .groupBy("w1", "w2")
-           .agg(F.count(F.lit(1)).cast("double").alias("c12")))
+           .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+           # the trained LM is consumed four times (pref/cont/type-count
+           # derivations + the scoring join); materialize it once instead
+           # of re-exploding the train slice per consumer — the same
+           # model-is-an-artifact discipline as the MinHash/IVF indexes,
+           # here kept in executor storage for the single-query lifetime
+           .localCheckpoint())
     pref = (bgc.groupBy("w1")
             .agg(F.sum("c12").alias("c1"),
                  F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
