@@ -2164,3 +2164,39 @@ def test_gopher_rules_keep_iff_all_rules(spark, sf_dir):
     assert (out.keep == out[rules].all(axis=1)).all()
     for r in ("r_word_count", "r_stopwords"):
         assert out[r].nunique() == 2, f"{r} has no negative examples"
+
+
+def test_bucket_pruned_probe_reads_less_and_matches_flat(spark, sf_dir,
+                                                         tmp_path):
+    """The bands bucket layout: a small delta's probe scans strictly fewer
+    band rows than the table holds (partition pruning at file listing) and
+    emits exactly the pairs an effectively-unpartitioned index emits."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, incremental_near_dup)
+    from gh_archive_data_pipeline_spark.plans.metrics import (
+        executed_shuffle_summary)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 100 = 0")   # ~1% of docs
+    pruned_idx, flat_idx = str(tmp_path / "p"), str(tmp_path / "f")
+    build_minhash_index(corpus, pruned_idx, num_buckets=512)
+    build_minhash_index(corpus, flat_idx, num_buckets=1)
+    total_bands = spark.read.parquet(f"{pruned_idx}/bands").count()
+
+    def run(idx):
+        out = incremental_near_dup(spark, idx, delta, threshold=0.3)
+        rows = out.collect()
+        pairs = {(r.doc_a, r.doc_b, r.jaccard) for r in rows}
+        # re-execute through an aggregating action that carries metrics
+        df = incremental_near_dup(spark, idx, delta, threshold=0.3)
+        df.collect()
+        return pairs, executed_shuffle_summary(df)
+
+    pruned_pairs, pruned_s = run(pruned_idx)
+    flat_pairs, flat_s = run(flat_idx)
+    assert pruned_pairs == flat_pairs
+    assert pruned_s["rows_read"] < flat_s["rows_read"]
+    # the pruned scan must skip a nontrivial share of the bands table
+    assert pruned_s["rows_read"] < flat_s["rows_read"] - 0.1 * total_bands
