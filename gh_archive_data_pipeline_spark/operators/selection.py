@@ -54,6 +54,13 @@ def global_running_sum(df: DataFrame, order_cols: list[str], value_col: str,
     split points never affect values. ``order_cols`` must be a total order
     (include a unique key) for a deterministic result.
 
+    Bit-exactness scope: for INTEGRAL ``value_col`` the result is
+    bit-identical to the single-partition window whatever the partition
+    count (addition is associative — the property law in
+    tests/test_selection.py). For floats the regrouped summation is only
+    approximately equal (float + is not associative); the selection
+    queries deliberately feed bigint token counts / ones.
+
     The materialized localCheckpoint pins ONE physical partitioning for
     both passes, so the offsets collected in pass 1 describe exactly the
     partitions pass 2 reads.

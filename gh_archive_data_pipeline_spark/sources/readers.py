@@ -139,3 +139,38 @@ def read_csv_with_schema(spark: SparkSession, path: str, schema: str,
             .option("mode", mode)
             .option("columnNameOfCorruptRecord", "_corrupt_record")
             .csv(path))
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None,
+                      max_bytes_per_partition: int = 128 * 1024 * 1024
+                      ) -> DataFrame:
+    """Raw-asset ingest (images/audio/video files → the lake's binary
+    columns): Spark's ``binaryFile`` source yields one row per file —
+    (path, modificationTime, length, content) — with directory-partition
+    discovery, so a date-partitioned asset drop reads with partition
+    pruning like any table. ``glob`` filters at FILE LISTING time
+    (pathGlobFilter — unmatched files cost zero I/O, not a post-filter);
+    ``maxPartitionBytes`` keeps one task from swallowing multiple
+    half-GB assets. The multimodal operators (operators/multimodal.py)
+    consume exactly this shape: content stays an opaque binary column and
+    never crosses a shuffle — extract features first, then aggregate."""
+    reader = (spark.read.format("binaryFile")
+              .option("maxPartitionBytes", str(max_bytes_per_partition)))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_lines(spark: SparkSession, path: str,
+                    whole_file: bool = False,
+                    line_sep: str | None = None) -> DataFrame:
+    """Plain-text corpus ingest: one row per line (``value`` string), or
+    one row per FILE with ``whole_file=True`` (wholetext — the shape a
+    document-level pipeline wants before its own chunking, q115). A
+    custom ``line_sep`` handles corpora delimited by e.g. NUL or double
+    newline. Text is the rawest LLM-corpus format; everything downstream
+    (language ID, quality rules, dedup) starts from this scan."""
+    # NB: text() takes these as parameters, not .option()s — the method's
+    # own defaults overwrite reader options of the same name (verified).
+    return spark.read.text(path, wholetext=whole_file, lineSep=line_sep)

@@ -404,3 +404,40 @@ def test_appended_generations_with_evolved_schema_read_as_union(spark,
     assert rows == {1: None, 2: "org1"}
     # without mergeSchema the footer-sampled schema may miss the new column
     # -> the option is load-bearing, not a default
+
+
+def test_read_binary_files_globs_and_loads_content(spark, tmp_path):
+    """S-surface: binaryFile ingest — one row per file with content bytes,
+    pathGlobFilter pruning at listing time, partition-directory discovery."""
+    from gh_archive_data_pipeline_spark.sources.readers import (
+        read_binary_files)
+
+    root = tmp_path / "assets"
+    (root / "dt=2024-01-01").mkdir(parents=True)
+    (root / "dt=2024-01-02").mkdir(parents=True)
+    (root / "dt=2024-01-01" / "a.img").write_bytes(b"\x89IMG" + b"a" * 10)
+    (root / "dt=2024-01-02" / "b.img").write_bytes(b"\x89IMG" + b"b" * 20)
+    (root / "dt=2024-01-02" / "skip.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(root), glob="*.img")
+    rows = {r.length: bytes(r.content) for r in df.collect()}
+    assert set(rows) == {14, 24}
+    assert rows[14].startswith(b"\x89IMG")
+    assert "dt" in df.columns  # partition discovery
+    one_day = df.filter("dt = '2024-01-02'")
+    assert one_day.count() == 1
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from gh_archive_data_pipeline_spark.sources.readers import (
+        read_text_lines)
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "d1.txt").write_text("line one\nline two\n")
+    (p / "d2.txt").write_text("solo\n")
+    lines = read_text_lines(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "solo"]
+    docs = read_text_lines(spark, str(p), whole_file=True)
+    texts = sorted(r.value for r in docs.collect())
+    assert texts == ["line one\nline two\n", "solo\n"]
