@@ -434,3 +434,72 @@ def q236_binary_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.substring(F.md5(F.concat_ws(",", F.transform(
                      F.array_sort(F.collect_list(F.struct("doc_id", "digest"))),
                      lambda s: s["digest"]))), 1, 16).alias("content_digest")))
+
+
+# ---------------------------------------------------------------------------
+# q387 — binaryFile ingest audit (raw files -> lake, driver-checked e2e)
+# ---------------------------------------------------------------------------
+
+_asset_dir_cache: dict[tuple[str, float], str] = {}
+
+
+def _materialized_asset_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write each fixture document's utf-8 bytes as one ``doc_<id>.txt``
+    file (cached per fixture state, same convention as the signature/IVF
+    indexes) — the raw-file drop zone a binaryFile ingest starts from."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _asset_dir_cache:
+        d = tempfile.mkdtemp(prefix="assets_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # foreachPartition writes files executor-side (local[..] shares the
+        # filesystem); at cluster scale the drop zone is object storage and
+        # this materialization IS the upstream system's job.
+        def write_part(rows):
+            for r in rows:
+                p = os.path.join(d, f"doc_{r.doc_id}.txt")
+                with open(p, "wb") as f:
+                    f.write(r.text.encode("utf-8"))
+        docs.foreachPartition(write_part)
+        _asset_dir_cache[key] = d
+    return _asset_dir_cache[key]
+
+
+@register(
+    "q387_binary_ingest_audit",
+    sql="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q387_binary_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end raw-file ingest through the ``binaryFile`` source: the
+    fixture corpus is materialized as one file per document (cached drop
+    zone), read back as (path, length, content) rows via
+    :func:`read_binary_files` with a ``*.txt`` listing-time glob, and
+    audited — id recovered from the filename, byte length and content md5
+    computed from the binary payload. The oracle recomputes all three
+    from the documents table, closing the loop: what landed as files is
+    byte-identical to the table (the ingest-integrity check a 100 TB
+    asset pipeline runs per drop). The content column stays opaque binary
+    through a narrow map — no shuffle touches payload bytes (the ORDER BY
+    ships only id/length/md5)."""
+    from ..sources.readers import read_binary_files
+
+    assets = _materialized_asset_dir(spark, sf_dir)
+    files = read_binary_files(spark, assets, glob="*.txt")
+    return (files.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
+        .orderBy("doc_id"))
