@@ -118,6 +118,11 @@ QUERIES = [
     "q210_pit_features",
     "q220_wordpiece_tokenize",
     "q224_duplicated_spans",
+    # round 6: selection plane (measured 2.7x/1.4x/6.5x/20x at 100x)
+    "q380_dsir_weights",
+    "q381_shard_binpack",
+    "q382_perplexity_filter",
+    "q383_arrow_token_stats",
 ]
 
 
