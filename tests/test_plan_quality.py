@@ -622,3 +622,25 @@ def test_q377_codebook_broadcasts_assignment_shuffle_free(spark):
     computed per-row by HOFs."""
     plan = plan_of(spark, "q377_semantic_dedup")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q385_mining_broadcasts_queries_and_limits_window(spark):
+    """Hard-negative mining's scale contract: anchors broadcast into a
+    streamed corpus scan (BNLJ carries the id+label disqualifiers — the
+    corpus never shuffles pre-score), and the per-anchor top-5 compiles to
+    WindowGroupLimit so only partial top-k rows reach the rank exchange."""
+    plan = plan_of(spark, "q385_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q386_balance_audit_reads_only_partition_columns(spark):
+    """The IVF balance audit is metadata-shape work: its scans must read
+    ZERO data columns — cell and ingest are partition-directory values, so
+    ReadSchema is the empty struct and no vector bytes are touched."""
+    plan = plan_of(spark, "q386_ivf_balance_audit")
+    import re
+
+    schemas = re.findall(r"ReadSchema: ([^\s,]+)", plan)
+    assert schemas and all(s == "struct<>" for s in schemas), schemas

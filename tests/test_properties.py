@@ -236,13 +236,16 @@ def test_minhash_signature_matches_python_reference(spark):
         ["red", "blue", "fox", "jump", "lazy", "dog", "sun", "moon"]),
         min_size=3, max_size=8),
     min_size=2, max_size=8),
-    flags=st.lists(st.booleans(), min_size=8, max_size=8))
+    flags=st.lists(st.booleans(), min_size=8, max_size=8),
+    num_buckets=st.sampled_from([1, 2, 7, 64]))
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_incremental_probe_equals_filtered_full(spark, docs, flags):
-    """For ANY corpus/delta split, probing the materialized index with the
-    delta emits exactly the full pipeline's delta-touching pairs — the
-    q376 contract as an algebraic law, not just on the fixture."""
+def test_incremental_probe_equals_filtered_full(spark, docs, flags,
+                                                num_buckets):
+    """For ANY corpus/delta split AND any bands bucket count, probing the
+    materialized index with the delta emits exactly the full pipeline's
+    delta-touching pairs — the q376 contract as an algebraic law (the
+    bucket layout must be pure pruning, never dropping a candidate)."""
     import tempfile
 
     from hypothesis import assume
@@ -256,7 +259,7 @@ def test_incremental_probe_equals_filtered_full(spark, docs, flags):
     corpus = df.filter(~F.col("doc_id").isin(list(delta_ids)))
     delta = df.filter(F.col("doc_id").isin(list(delta_ids)))
     idx = tempfile.mkdtemp(prefix="prop_mh_idx_")
-    dedup.build_minhash_index(corpus, idx)
+    dedup.build_minhash_index(corpus, idx, num_buckets=num_buckets)
     inc = {(r.doc_a, r.doc_b, r.jaccard)
            for r in dedup.incremental_near_dup(spark, idx, delta).collect()}
     full = {(r.doc_a, r.doc_b, r.jaccard)
