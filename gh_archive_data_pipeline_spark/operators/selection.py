@@ -481,3 +481,85 @@ def q383_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.mapInArrow(
         batches, "doc_id bigint, n_tokens bigint, text_chars bigint")
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q388 — UniMax budget allocation (epoch-capped water-filling over sources)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 0.55  # max fraction of any source consumed
+
+
+@register(
+    "q388_unimax_allocation",
+    sql=f"""
+    WITH RECURSIVE src AS (
+        SELECT source,
+               sum(len(string_split(text, ' ')))::DOUBLE AS tokens
+        FROM documents GROUP BY source
+    ),
+    ordered AS (
+        SELECT source, tokens,
+               row_number() OVER (ORDER BY tokens, source) AS i,
+               count(*) OVER ()::BIGINT AS n
+        FROM src
+    ),
+    fill AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS DOUBLE) AS tokens, CAST(NULL AS DOUBLE) AS alloc,
+               (SELECT sum(tokens) / 2 FROM src) AS rem
+        UNION ALL
+        SELECT o.i, o.source, o.tokens,
+               least({_UNIMAX_EPOCH_CAP} * o.tokens,
+                     f.rem / (o.n - f.i)) AS alloc,
+               f.rem - least({_UNIMAX_EPOCH_CAP} * o.tokens,
+                             f.rem / (o.n - f.i)) AS rem
+        FROM fill f JOIN ordered o ON o.i = f.i + 1
+    )
+    SELECT source,
+           CAST(tokens AS BIGINT) AS tokens,
+           round(alloc, 6) AS alloc_tokens,
+           round(alloc / tokens, 6) AS epochs,
+           alloc >= {_UNIMAX_EPOCH_CAP} * tokens - 1e-9 AS capped
+    FROM fill WHERE i > 0 ORDER BY source
+    """,
+)
+def q388_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., ICLR 2023): distribute a
+    training token budget (half the corpus here) as uniformly as possible
+    across sources, capping any source at {cap} epochs — the principled
+    alternative to temperature sampling (q130) that never over-repeats a
+    small source. The algorithm is sequential water-filling over sources
+    ASCENDING by size: each source takes min(cap·tokens, remaining/
+    remaining_sources); whatever a small capped source can't absorb
+    rolls forward to the larger ones.
+
+    Scale shape: the per-source token table is one distributed aggregation
+    (map-side combine over the corpus); the water-filling loop runs on the
+    collected per-source rows — bounded driver state (one row per SOURCE,
+    like the IVF codebook), never per-document. The float sequence
+    (divide, min, subtract in size order) is replayed exactly by the
+    oracle's recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = (docs.groupBy("source")
+           .agg(F.sum(F.size(F.split("text", " "))).cast("double")
+                .alias("tokens"))
+           .collect())
+    rows = sorted(src, key=lambda r: (r.tokens, r.source))
+    rem = sum(r.tokens for r in rows) / 2
+    n = len(rows)
+    out = []
+    for i, r in enumerate(rows):
+        alloc = min(_UNIMAX_EPOCH_CAP * r.tokens, rem / (n - i))
+        rem -= alloc
+        out.append((r.source, int(r.tokens), round(alloc, 6),
+                    round(alloc / r.tokens, 6),
+                    alloc >= _UNIMAX_EPOCH_CAP * r.tokens - 1e-9))
+    return (spark.createDataFrame(
+        out, "source string, tokens bigint, alloc_tokens double, "
+             "epochs double, capped boolean")
+        .orderBy("source"))
+
+
+q388_unimax_allocation.__doc__ = q388_unimax_allocation.__doc__.format(
+    cap=_UNIMAX_EPOCH_CAP)

@@ -197,3 +197,27 @@ def test_arrow_token_stats_match_builtins(spark):
         F.length("text").cast("bigint").alias("text_chars"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q388 UniMax — allocation invariants
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_allocation_invariants(spark):
+    out = (selection.q388_unimax_allocation(spark, SF0001)
+           .orderBy("source").toPandas())
+    budget = out.tokens.sum() / 2
+    # budget conserved (up to the output's round-6 per-row truncation)
+    assert abs(out.alloc_tokens.sum() - budget) < 5e-7 * len(out) + 1e-9
+    # the cap is never exceeded
+    assert (out.alloc_tokens <= 0.55 * out.tokens + 1e-6).all()
+    assert (out.capped == (out.alloc_tokens
+                           >= 0.55 * out.tokens - 1e-9)).all()
+    # uncapped sources all receive the SAME water level (uniform share)
+    uncapped = out[~out.capped].alloc_tokens
+    if len(uncapped) > 1:
+        assert uncapped.max() - uncapped.min() < 1e-6
+    # capped sources are the smallest ones
+    if out.capped.any() and (~out.capped).any():
+        assert out[out.capped].tokens.max() <= out[~out.capped].tokens.min()
