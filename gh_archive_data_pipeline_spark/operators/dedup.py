@@ -1345,6 +1345,15 @@ def _band_rows(sh: DataFrame, id_col: str, num_hashes: int,
     ).select(id_col, "bs.band", "bs.sig")
 
 
+def check_ingest_id(ingest_id: str) -> None:
+    """Shared ingest-id contract for every materialized-index append
+    (MinHash bands/shingles, IVF corpus): 'base' would silently OVERWRITE
+    the build's own generation; '/' or '=' produce broken partition
+    paths. One helper so the rule can never drift between indexes."""
+    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
+        raise ValueError(f"invalid ingest_id: {ingest_id!r}")
+
+
 def _band_bucket(num_buckets: int):
     """Partition-directory key for a band row: xxhash64 of the (band, sig)
     join key, folded into ``num_buckets``. A pair can only band-match if
@@ -1589,8 +1598,7 @@ def minhash_index_append(spark: SparkSession, index_dir: str,
     _check_hash_fan(num_hashes, "num_hashes")
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
-        raise ValueError(f"invalid ingest_id: {ingest_id!r}")
+    check_ingest_id(ingest_id)
     num_buckets = _check_index_params(
         spark, index_dir, num_hashes, bands, ngram, hash_fn)
     if delta.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
@@ -1628,6 +1636,15 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         tmp = f"{index_dir}/{part}_compacting"
         df = spark.read.parquet(cur).drop("ingest")
         if part == "bands" and "bkt" in df.columns:
+            if df.isEmpty():
+                # same guard as the build: partitionBy on zero rows writes
+                # NO files, leaving the table schema-less — keep one empty
+                # schema'd file in an explicit bkt=0 directory instead
+                (df.drop("bkt").write.mode("overwrite")
+                 .parquet(f"{tmp}/ingest=base/bkt=0"))
+                shutil.rmtree(cur)
+                shutil.move(tmp, cur)
+                continue
             # preserve the bucket layout probes prune on: re-cluster into
             # one file per bucket (bkt values are unchanged — they're a
             # pure function of (band, sig))

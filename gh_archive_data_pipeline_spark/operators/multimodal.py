@@ -476,7 +476,7 @@ def _materialized_asset_dir(spark: SparkSession, sf_dir: str) -> str:
     "q387_binary_ingest_audit",
     sql="""
     SELECT doc_id,
-           length(text)::BIGINT AS n_bytes,
+           strlen(text)::BIGINT AS n_bytes,
            md5(text) AS content_md5
     FROM documents ORDER BY doc_id
     """,

@@ -1501,11 +1501,9 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     staying frozen is the standard IVF ingest trade — cell balance drifts
     as the data distribution moves, and the remedy is an offline re-train
     + rebuild, not per-batch retraining."""
-    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
-        # 'base' would silently OVERWRITE the build's own generation;
-        # '/' or '=' would produce broken partition paths — same contract
-        # as minhash_index_append.
-        raise ValueError(f"invalid ingest_id: {ingest_id!r}")
+    from .dedup import check_ingest_id
+
+    check_ingest_id(ingest_id)
     corpus_dir = f"{index_dir}/corpus"
     if os.path.isdir(corpus_dir) and any(
             e.startswith("cell=") for e in os.listdir(corpus_dir)):

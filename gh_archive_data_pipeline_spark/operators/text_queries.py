@@ -842,7 +842,7 @@ def q235_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(w))::DOUBLE / n_words AS distinct_ratio,
              len(list_filter(list_distinct(w),
                              x -> x IN {_STOP_SQL}))::BIGINT AS n_stop,
-             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+             len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
                / n_words AS alpha_ratio
       FROM t
     )
@@ -881,7 +881,7 @@ def q384_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(F.array_distinct(toks),
                              lambda t: F.array_contains(stop_arr, t))
                     ).cast("bigint")
-    alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
                    .cast("double") / n_words)
     r_wc = n_words.between(50, 100000)
     r_mwl = mean_wl.between(3.0, 10.0)

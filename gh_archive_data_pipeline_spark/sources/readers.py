@@ -142,21 +142,21 @@ def read_csv_with_schema(spark: SparkSession, path: str, schema: str,
 
 
 def read_binary_files(spark: SparkSession, path: str,
-                      glob: str | None = None,
-                      max_bytes_per_partition: int = 128 * 1024 * 1024
-                      ) -> DataFrame:
+                      glob: str | None = None) -> DataFrame:
     """Raw-asset ingest (images/audio/video files → the lake's binary
     columns): Spark's ``binaryFile`` source yields one row per file —
     (path, modificationTime, length, content) — with directory-partition
     discovery, so a date-partitioned asset drop reads with partition
     pruning like any table. ``glob`` filters at FILE LISTING time
-    (pathGlobFilter — unmatched files cost zero I/O, not a post-filter);
-    ``maxPartitionBytes`` keeps one task from swallowing multiple
-    half-GB assets. The multimodal operators (operators/multimodal.py)
-    consume exactly this shape: content stays an opaque binary column and
-    never crosses a shuffle — extract features first, then aggregate."""
-    reader = (spark.read.format("binaryFile")
-              .option("maxPartitionBytes", str(max_bytes_per_partition)))
+    (pathGlobFilter — unmatched files cost zero I/O, not a post-filter).
+    Task sizing: file-to-partition packing is governed by the SESSION
+    conf ``spark.sql.files.maxPartitionBytes`` (a reader .option of that
+    name is silently ignored — verified), so size that conf for the asset
+    mix before the action. The multimodal operators
+    (operators/multimodal.py) consume exactly this shape: content stays
+    an opaque binary column and never crosses a shuffle — extract
+    features first, then aggregate."""
+    reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)

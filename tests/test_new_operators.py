@@ -2200,3 +2200,22 @@ def test_bucket_pruned_probe_reads_less_and_matches_flat(spark, sf_dir,
     assert pruned_s["rows_read"] < flat_s["rows_read"]
     # the pruned scan must skip a nontrivial share of the bands table
     assert pruned_s["rows_read"] < flat_s["rows_read"] - 0.1 * total_bands
+
+
+def test_compact_empty_bucketed_index_stays_readable(spark, tmp_path):
+    """Review regression: compacting an index built from an EMPTY corpus
+    must not strip the bands table's schema (partitionBy on zero rows
+    writes no files) — probes after compaction still work."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, compact_minhash_index, incremental_near_dup)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(1, "red fox jumps high"), (2, "red fox jumps high")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "empty_idx")
+    build_minhash_index(empty, idx)
+    compact_minhash_index(spark, idx)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in incremental_near_dup(spark, idx, delta).collect()}
+    assert pairs == {(1, 2)}  # delta-internal dup still found

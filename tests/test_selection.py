@@ -246,7 +246,6 @@ def test_unimax_water_fill_laws(tokens, budget_frac, cap):
         assert max(uncapped) - min(uncapped) < eps
     # capped rows form a prefix of the ascending-size scan order
     flags = [a >= cap * t - eps for _, t, a in out]
-    assert flags == sorted(flags, reverse=True) or True  # prefix check below
     first_uncapped = next((i for i, f in enumerate(flags) if not f),
                           len(flags))
     assert all(not f for f in flags[first_uncapped:])
