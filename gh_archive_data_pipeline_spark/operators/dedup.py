@@ -1349,8 +1349,12 @@ def check_ingest_id(ingest_id: str) -> None:
     """Shared ingest-id contract for every materialized-index append
     (MinHash bands/shingles, IVF corpus): 'base' would silently OVERWRITE
     the build's own generation; '/' or '=' produce broken partition
-    paths. One helper so the rule can never drift between indexes."""
-    if ingest_id == "base" or "/" in ingest_id or "=" in ingest_id:
+    paths; empty/whitespace-only ids write a bare ``ingest=`` directory —
+    an ambiguous partition value some readers surface as empty-string,
+    which corrupts ingest=='base' generation splits (q386). One helper so
+    the rule can never drift between indexes."""
+    if (not ingest_id.strip() or ingest_id == "base"
+            or "/" in ingest_id or "=" in ingest_id):
         raise ValueError(f"invalid ingest_id: {ingest_id!r}")
 
 
@@ -1628,8 +1632,16 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     byte-identical before and after — pinned by unit test); only the file
     layout is rewritten. The swap is rename-based and assumes the offline
     maintenance window every compaction strategy needs without a
-    transactional table format (Delta/Iceberg would make it atomic)."""
-    import shutil
+    transactional table format (Delta/Iceberg would make it atomic).
+    The delete+rename goes through the Hadoop FS API (not shutil) so the
+    swap also works when index_dir is an hdfs://-s3a:// URI."""
+    from ..sources.readers import hadoop_fs
+
+    def swap(cur: str, tmp: str) -> None:
+        fs, cur_path = hadoop_fs(spark, cur)
+        _, tmp_path = hadoop_fs(spark, tmp)
+        fs.delete(cur_path, True)
+        fs.rename(tmp_path, cur_path)
 
     for part in ("shingles", "bands"):
         cur = f"{index_dir}/{part}"
@@ -1642,8 +1654,7 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
                 # schema'd file in an explicit bkt=0 directory instead
                 (df.drop("bkt").write.mode("overwrite")
                  .parquet(f"{tmp}/ingest=base/bkt=0"))
-                shutil.rmtree(cur)
-                shutil.move(tmp, cur)
+                swap(cur, tmp)
                 continue
             # preserve the bucket layout probes prune on: re-cluster into
             # one file per bucket (bkt values are unchanged — they're a
@@ -1656,5 +1667,4 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
         else:
             (df.repartition(spark.sparkContext.defaultParallelism)
              .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
-        shutil.rmtree(cur)
-        shutil.move(tmp, cur)
+        swap(cur, tmp)

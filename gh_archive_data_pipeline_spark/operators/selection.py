@@ -567,14 +567,21 @@ def q388_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("tokens"))
            .collect())
     budget = sum(r.tokens for r in src) / 2
-    out = [(s, int(t), round(a, 6), round(a / t, 6),
-            a >= _UNIMAX_EPOCH_CAP * t - 1e-9)
-           for s, t, a in unimax_water_fill(
-               [(r.source, r.tokens) for r in src],
-               budget, _UNIMAX_EPOCH_CAP)]
+    # ship the water-fill's raw floats and round/cast in SPARK (F.round,
+    # cast) — Python round() is half-even and int() truncates, which only
+    # coincided with the oracle because tokens are integral; one repo-wide
+    # rounding convention instead of a fragile coincidence
+    raw = unimax_water_fill([(r.source, r.tokens) for r in src],
+                            budget, _UNIMAX_EPOCH_CAP)
     return (spark.createDataFrame(
-        out, "source string, tokens bigint, alloc_tokens double, "
-             "epochs double, capped boolean")
+        raw, "source string, tokens double, alloc double")
+        .select("source",
+                F.col("tokens").cast("bigint").alias("tokens"),
+                F.round("alloc", 6).alias("alloc_tokens"),
+                F.round(F.col("alloc") / F.col("tokens"), 6).alias("epochs"),
+                (F.col("alloc")
+                 >= F.lit(_UNIMAX_EPOCH_CAP) * F.col("tokens") - F.lit(1e-9))
+                .alias("capped"))
         .orderBy("source"))
 
 

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import hadoop_fs, load_table
 from ..plans.registry import register
 
 
@@ -396,6 +396,9 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.4,
     ANSI-SQL engine reproduces bit-exactly — the knob that buys q82 its
     full-fidelity oracle, same trade as the MinHash md5-60/xxhash64 pair.
     """
+    if hashing not in ("blas", "portable"):
+        raise ValueError(f"hashing must be 'blas' or 'portable', "
+                         f"got {hashing!r}")
     vecs = (corpus.select(F.col(id_col).alias("id"),
                           _as_double(F.col(vec_col)).alias("v"))
             .withColumn("n", norm(F.col("v")))
@@ -556,11 +559,10 @@ def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
     # only replaces ingest=base, and stale prior ingest generations would
     # otherwise survive into the new index (same non-transactional-swap
     # caveat as compact_minhash_index — Delta/Iceberg would make it atomic).
-    import shutil
-
-    corpus_dir = f"{index_dir}/corpus"
-    if os.path.isdir(corpus_dir):
-        shutil.rmtree(corpus_dir)
+    # Hadoop FS, not shutil: index_dir may be an hdfs://-s3a:// URI.
+    fs, corpus_path = hadoop_fs(spark, f"{index_dir}/corpus")
+    if fs.exists(corpus_path):
+        fs.delete(corpus_path, True)
     (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
      .withColumn("cell", cell_of(F.col("v")))
      .repartition("cell")   # co-locate each cell's rows -> one file per cell
@@ -1504,16 +1506,19 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     from .dedup import check_ingest_id
 
     check_ingest_id(ingest_id)
-    corpus_dir = f"{index_dir}/corpus"
-    if os.path.isdir(corpus_dir) and any(
-            e.startswith("cell=") for e in os.listdir(corpus_dir)):
+    # Hadoop FS, not os.listdir: index_dir may be an hdfs://-s3a:// URI,
+    # where os.path would silently skip this guard.
+    fs, corpus_path = hadoop_fs(spark, f"{index_dir}/corpus")
+    if fs.exists(corpus_path) and any(
+            st.getPath().getName().startswith("cell=")
+            for st in fs.listStatus(corpus_path)):
         # pre-generation layout (corpus/cell=N directly): appending an
         # ingest=<id> level would mix partition-directory depths, which
         # Spark partition discovery rejects. No silent migration — the
         # index predates the generation contract, so rebuild it.
         raise ValueError(
-            f"{corpus_dir} uses the old corpus/cell=N layout; rebuild the "
-            "index with build_ivf_index before appending ingests")
+            f"{index_dir}/corpus uses the old corpus/cell=N layout; rebuild "
+            "the index with build_ivf_index before appending ingests")
     cb_rows = (spark.read.parquet(f"{index_dir}/codebook")
                .orderBy("cell").collect())
     cell_of = _unit_argmax_udf(
@@ -1725,7 +1730,10 @@ def q386_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row total; the oracle replays the frozen-codebook assignment
     semantics in SQL."""
     idx = _ivf_appended_index(spark, sf_dir)
-    num_cells = 16
+    # num_cells follows the index it measures (a ≤num_cells-row count of
+    # the codebook), so a layout with a different cell count can't silently
+    # mis-scale occupancy_ratio / overfull
+    num_cells = spark.read.parquet(f"{idx}/codebook").count()
     cells = (spark.read.parquet(f"{idx}/corpus")
              .groupBy("cell")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),

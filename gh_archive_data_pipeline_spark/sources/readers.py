@@ -40,6 +40,19 @@ def source_stamp(src: str) -> float:
     return os.path.getmtime(src)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the JVM Hadoop API.
+
+    ``os.path``/``shutil`` silently no-op on ``hdfs://`` / ``s3a://`` URIs —
+    the deployments the materialized-index docstrings advertise — which
+    would leave exactly the stale generations a rebuild claims to clear.
+    Every existence check / recursive delete / rename on an index directory
+    goes through this instead; for a plain local path the resolved FS is
+    the local filesystem, so fixture behavior is unchanged."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-encoding quirks.
 

@@ -2024,7 +2024,9 @@ def test_ivf_append_guards(spark, sf_dir, tmp_path):
     delta = emb.filter("vec_id % 10 = 0")
     idx = str(tmp_path / "ivf")
     build_ivf_index(corpus, idx, num_cells=16)
-    for bad in ("base", "a/b", "a=b"):
+    # empty/whitespace ids would write a bare 'ingest=' partition directory
+    # (ambiguous value, corrupts q386-style generation splits) — rejected
+    for bad in ("base", "a/b", "a=b", "", "  "):
         with pytest.raises(ValueError, match="invalid ingest_id"):
             ivf_index_append(spark, idx, delta, ingest_id=bad)
     # rebuild clears stale generations: append one, rebuild, gone
@@ -2041,6 +2043,19 @@ def test_ivf_append_guards(spark, sf_dir, tmp_path):
     os.rename(f"{old}/corpus_flat", f"{old}/corpus")
     with pytest.raises(ValueError, match="old corpus/cell=N layout"):
         ivf_index_append(spark, old, delta, ingest_id="d1")
+
+
+def test_embedding_near_dup_rejects_unknown_hashing(spark, sf_dir):
+    """A typo'd hashing knob ('portabel') must fail loudly, not silently
+    fall through to the BLAS bucketer and lose the oracle-exact hashing
+    the caller asked for."""
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="hashing must be"):
+        embedding_near_dup(emb, lsh_prefilter=True, hashing="portabel")
 
 
 def test_probe_then_append_emits_cross_batch_pairs(spark, tmp_path):

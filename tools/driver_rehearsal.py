@@ -3,7 +3,9 @@ side-by-side from a plain SparkSession (no engine confs — exactly how the
 driver's harness does it), compare rows/columns/values, and report per-query
 wall time. This is the end-to-end dress rehearsal for CORRECTNESS_r{N}.
 
-Usage: python tools/driver_rehearsal.py [sf_dir] (default /root/testdata/sf0.01)
+Usage: python tools/driver_rehearsal.py [sf_dir] [name_filter]
+(sf_dir default /root/testdata/sf0.01; name_filter = comma-separated
+substrings — run only queries whose name contains one, e.g. "q386,q388")
 
 Floats compare BIT-EXACT by default — the driver hashes exact values, so
 a relative tolerance is a blind spot for large-magnitude floats whose
@@ -66,6 +68,9 @@ def main() -> None:
     sys.path.insert(0, ".")
     import __spark_entry__ as mod
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if len(sys.argv) > 2:
+        subs = sys.argv[2].split(",")
+        qs = {n: f for n, f in qs.items() if any(s in n for s in subs)}
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
