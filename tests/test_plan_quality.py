@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -505,6 +506,62 @@ def test_plan_snapshot_gate_trips_on_lost_broadcast(spark):
     # broken plan vs snapshot: flagged on shuffle_records
     flagged = check_plan_snapshot({"q_demo": bad}, snapshot)
     assert "shuffle_records" in flagged.get("q_demo", {}), (good, bad)
+
+
+def test_normalized_vs_baseline_clamps_and_scales():
+    """The canary normalization contract: a contended run (host_ratio > 1)
+    scales reported ratios down by exactly the measured contention; a fast
+    host (ratio < 1) is clamped to 1.0 so normalization can excuse slowness
+    but never flatter the numbers; queries missing a baseline entry are
+    excluded from both per-query and total."""
+    from bench import normalized_vs_baseline
+
+    timings = {"qa": 3.0, "qb": 1.0, "q_new": 9.9}
+    baseline = {"qa": 1.0, "qb": 1.0}
+    # contended run measured 2x slow: raw 3.0x/1.0x -> normalized 1.5x/0.5x
+    per, total = normalized_vs_baseline(timings, baseline, 2.0)
+    assert per == {"qa": 1.5, "qb": 0.5}
+    assert total == 1.0  # (3+1)/(2*2)
+    # fast host clamps: identical to raw
+    per_fast, total_fast = normalized_vs_baseline(timings, baseline, 0.8)
+    per_raw, total_raw = normalized_vs_baseline(timings, baseline, 1.0)
+    assert (per_fast, total_fast) == (per_raw, total_raw) == (
+        {"qa": 3.0, "qb": 1.0}, 2.0)
+    # empty intersection -> no total
+    assert normalized_vs_baseline({"x": 1.0}, baseline, 1.0) == ({}, None)
+
+
+def test_host_speed_canary_detects_planted_load(spark):
+    """The canary must move with host contention: its median under planted
+    CPU load (multiprocessing busy-spinners on every core) reads measurably
+    slower than an unloaded median taken by the same session moments
+    apart. This is the property that lets a driver-run BENCH adjudicate
+    its own contention instead of needing an idle re-run."""
+    import multiprocessing as mp
+
+    from bench import host_speed_canary
+
+    quiet = host_speed_canary(spark, samples=3)
+
+    stop = mp.Event()
+
+    def burn(ev):
+        while not ev.is_set():
+            sum(i * i for i in range(10_000))
+
+    procs = [mp.Process(target=burn, args=(stop,), daemon=True)
+             for _ in range(os.cpu_count() or 8)]
+    for p in procs:
+        p.start()
+    try:
+        loaded = host_speed_canary(spark, samples=3)
+    finally:
+        stop.set()
+        for p in procs:
+            p.join(timeout=10)
+    # full-core spinners roughly halve the JVM's share; 1.3x is a wide
+    # margin that still proves the signal direction
+    assert loaded > quiet * 1.3, (quiet, loaded)
 
 
 def test_executed_shuffle_summary_sees_through_aqe(spark):
