@@ -570,6 +570,142 @@ def build_ivf_index(corpus: DataFrame, index_dir: str, num_cells: int = 16,
      .parquet(f"{index_dir}/corpus/ingest=base"))
 
 
+def _ivf_current_version(spark: SparkSession, index_dir: str) -> int | None:
+    """Highest PUBLISHED rebuild version, or None for a fresh (flat)
+    build_ivf_index layout. Publication is a ``_v_<N>.ready`` marker file —
+    an atomic CREATE, the one primitive object stores and HDFS both give us
+    (FileSystem.rename won't overwrite, so versioned.py's manifest-replace
+    can't be expressed through the Hadoop API). A crashed rebuild leaves an
+    unmarked v=N directory that is never read and is skipped forward by the
+    next rebuild."""
+    fs, root = hadoop_fs(spark, index_dir)
+    if not fs.exists(root):
+        return None
+    versions = [int(name[3:-6]) for st in fs.listStatus(root)
+                for name in (st.getPath().getName(),)
+                if name.startswith("_v_") and name.endswith(".ready")]
+    return max(versions) if versions else None
+
+
+def ivf_active_root(spark: SparkSession, index_dir: str) -> str:
+    """Directory holding the ACTIVE index generation: ``{index_dir}/v=N``
+    once :func:`ivf_rebuild` has published a version, else ``index_dir``
+    itself (the fresh :func:`build_ivf_index` layout). Every reader and
+    appender resolves through this, so a rebuild atomically redirects
+    searches and future ingests without touching standing files."""
+    v = _ivf_current_version(spark, index_dir)
+    return index_dir if v is None else f"{index_dir}/v={v}"
+
+
+def ivf_balance(spark: SparkSession, index_dir: str,
+                overfull_factor: float = 2.0) -> DataFrame:
+    """Per-cell occupancy of the active index generation, split by ingest
+    generation, with an ``overfull`` flag (> ``overfull_factor`` × the
+    uniform share) — the drift signal of the frozen-codebook append trade.
+    Reads ONLY partition columns (cell, ingest): zero vector bytes, pure
+    metadata shape, safe to run on every ingest cycle at 100 TB."""
+    root = ivf_active_root(spark, index_dir)
+    num_cells = spark.read.parquet(f"{root}/codebook").count()
+    cells = (spark.read.parquet(f"{root}/corpus")
+             .groupBy("cell")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                  F.sum(F.when(F.col("ingest") == "base", 1).otherwise(0))
+                  .cast("bigint").alias("n_base"),
+                  F.sum(F.when(F.col("ingest") != "base", 1).otherwise(0))
+                  .cast("bigint").alias("n_appended")))
+    tot = cells.agg(F.sum("n_vectors").cast("double").alias("n"))
+    share = F.col("n_vectors") * num_cells / F.col("n")
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vectors", "n_base", "n_appended",
+                    F.round(share, 6).alias("occupancy_ratio"),
+                    (share > overfull_factor).alias("overfull"))
+            .orderBy("cell"))
+
+
+def ivf_rebuild(spark: SparkSession, index_dir: str,
+                num_cells: int | None = None,
+                id_col: str = "vec_id") -> int:
+    """Fold every ingest generation back into a freshly-trained index and
+    publish it ATOMICALLY as ``{index_dir}/v=<next>`` — the offline
+    maintenance pass that closes the frozen-codebook loop: ivf_index_append
+    keeps ingest cost O(|delta|) by never retraining, cell balance drifts,
+    :func:`ivf_balance` reports the drift, and THIS operator repairs it.
+
+    The codebook is re-trained over the FULL standing corpus (base + all
+    ingests) with the same deterministic seeding discipline as
+    build_ivf_index (``num_cells`` lowest-id vectors; at 100 TB you'd
+    k-means a sample offline — the rebuild/publish machinery is identical),
+    so a rebuilt index is bit-equal to a fresh build over the same rows
+    (pinned by unit test). Publish is versioned.py's immutable-dir pattern
+    through the Hadoop FS API: write everything under an unpublished v=N,
+    then one atomic marker create — concurrent searches keep reading the
+    old generation until the marker lands, and a crash mid-write leaves
+    the active index untouched. Old generations stay for rollback until
+    :func:`ivf_vacuum`. Returns the published version number."""
+    root = ivf_active_root(spark, index_dir)
+    if num_cells is None:
+        num_cells = spark.read.parquet(f"{root}/codebook").count()
+    full = (spark.read.parquet(f"{root}/corpus")
+            .select(F.col(id_col), F.col("v")))
+    fs, idx_path = hadoop_fs(spark, index_dir)
+    listed = [st.getPath().getName() for st in fs.listStatus(idx_path)]
+    next_v = 1 + max(
+        [int(n[2:]) for n in listed if n.startswith("v=")]
+        + [int(n[3:-6]) for n in listed
+           if n.startswith("_v_") and n.endswith(".ready")]
+        + [-1])
+    build_ivf_index(full, f"{index_dir}/v={next_v}", num_cells=num_cells,
+                    id_col=id_col, vec_col="v")
+    _, marker = hadoop_fs(spark, f"{index_dir}/_v_{next_v}.ready")
+    fs.createNewFile(marker)  # atomic publish
+    return next_v
+
+
+def ivf_maintain(spark: SparkSession, index_dir: str,
+                 overfull_factor: float = 2.0,
+                 id_col: str = "vec_id") -> bool:
+    """The maintenance scheduler's body: rebuild IFF :func:`ivf_balance`
+    flags any overfull cell (the q386 signal), else leave the index
+    untouched. Returns whether a rebuild was published. The trigger read
+    is partition-column metadata only, so the no-op path costs no vector
+    I/O — cheap enough to run after every ingest batch."""
+    drifted = (ivf_balance(spark, index_dir, overfull_factor)
+               .filter("overfull").limit(1).count() > 0)
+    if drifted:
+        ivf_rebuild(spark, index_dir, id_col=id_col)
+    return drifted
+
+
+def ivf_vacuum(spark: SparkSession, index_dir: str,
+               keep_last: int = 1) -> list[str]:
+    """Drop all index generations except the newest ``keep_last`` published
+    versions (never the active one). The pre-rebuild flat layout counts as
+    the oldest generation. Returns the paths removed."""
+    fs, idx_path = hadoop_fs(spark, index_dir)
+    cur = _ivf_current_version(spark, index_dir)
+    if cur is None:
+        return []   # nothing published -> flat layout is the active index
+    published = sorted(
+        int(st.getPath().getName()[3:-6]) for st in fs.listStatus(idx_path)
+        if st.getPath().getName().startswith("_v_")
+        and st.getPath().getName().endswith(".ready"))
+    drop = [v for v in published[:-keep_last] if v != cur]
+    removed = []
+    for v in drop:
+        for name in (f"v={v}", f"_v_{v}.ready"):
+            _, p = hadoop_fs(spark, f"{index_dir}/{name}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        removed.append(f"{index_dir}/v={v}")
+    # the flat pre-rebuild layout is superseded by any published version
+    for name in ("corpus", "codebook"):
+        _, p = hadoop_fs(spark, f"{index_dir}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(f"{index_dir}/{name}")
+    return removed
+
+
 def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
                k: int = 5, nprobe: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -585,6 +721,7 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     pruned corpus against broadcast (query, cell) pairs; only the
     per-partition top-k candidate rows reach the final rank window's
     exchange (WindowGroupLimit), never the full corpus."""
+    index_dir = ivf_active_root(spark, index_dir)
     cb = F.broadcast(spark.read.parquet(f"{index_dir}/codebook"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cell").asc())
@@ -1506,6 +1643,9 @@ def ivf_index_append(spark: SparkSession, index_dir: str, delta: DataFrame,
     from .dedup import check_ingest_id
 
     check_ingest_id(ingest_id)
+    # appends land in the ACTIVE generation, so a rebuild redirects future
+    # ingests along with searches
+    index_dir = ivf_active_root(spark, index_dir)
     # Hadoop FS, not os.listdir: index_dir may be an hdfs://-s3a:// URI,
     # where os.path would silently skip this guard.
     fs, corpus_path = hadoop_fs(spark, f"{index_dir}/corpus")
@@ -1728,23 +1868,8 @@ def q386_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape work: one groupBy over the index's (cell, ingest) partition
     columns — column-pruned to zero vector bytes read — and a broadcast
     one-row total; the oracle replays the frozen-codebook assignment
-    semantics in SQL."""
-    idx = _ivf_appended_index(spark, sf_dir)
-    # num_cells follows the index it measures (a ≤num_cells-row count of
-    # the codebook), so a layout with a different cell count can't silently
-    # mis-scale occupancy_ratio / overfull
-    num_cells = spark.read.parquet(f"{idx}/codebook").count()
-    cells = (spark.read.parquet(f"{idx}/corpus")
-             .groupBy("cell")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-                  F.sum(F.when(F.col("ingest") == "base", 1).otherwise(0))
-                  .cast("bigint").alias("n_base"),
-                  F.sum(F.when(F.col("ingest") != "base", 1).otherwise(0))
-                  .cast("bigint").alias("n_appended")))
-    tot = cells.agg(F.sum("n_vectors").cast("double").alias("n"))
-    share = F.col("n_vectors") * num_cells / F.col("n")
-    return (cells.crossJoin(F.broadcast(tot))
-            .select("cell", "n_vectors", "n_base", "n_appended",
-                    F.round(share, 6).alias("occupancy_ratio"),
-                    (share > 2.0).alias("overfull"))
-            .orderBy("cell"))
+    semantics in SQL. The same computation, generalized over any index
+    via :func:`ivf_balance` (num_cells read from the codebook it audits),
+    is what :func:`ivf_maintain` consumes as its rebuild trigger."""
+    return ivf_balance(spark, _ivf_appended_index(spark, sf_dir),
+                       overfull_factor=2.0)

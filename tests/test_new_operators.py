@@ -2045,6 +2045,75 @@ def test_ivf_append_guards(spark, sf_dir, tmp_path):
         ivf_index_append(spark, old, delta, ingest_id="d1")
 
 
+def test_ivf_rebuild_equals_fresh_build_and_folds_generations(
+        spark, sf_dir, tmp_path):
+    """The frozen-codebook maintenance loop's repair step: after build +
+    append + rebuild, (a) search results are identical to a FRESH build
+    over the same rows (the rebuild is a real re-train, not a merge), (b)
+    the appended generations are folded into a single ingest=base, (c) the
+    publish is versioned — searches and future appends resolve to v=0
+    while the pre-rebuild flat layout survives until vacuum."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_index_append, ivf_rebuild, ivf_search,
+        ivf_vacuum)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id % 10 != 0"), idx, num_cells=16)
+    ivf_index_append(spark, idx, emb.filter("vec_id % 10 = 0"),
+                     ingest_id="d1")
+    assert ivf_rebuild(spark, idx) == 0
+
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb, fresh, num_cells=16)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = sorted(ivf_search(spark, idx, queries).collect(), key=key)
+    want = sorted(ivf_search(spark, fresh, queries).collect(), key=key)
+    assert got == want
+
+    gens = {r.ingest for r in spark.read.parquet(f"{idx}/v=0/corpus")
+            .select("ingest").distinct().collect()}
+    assert gens == {"base"}, "rebuild must fold ingest generations"
+    # vacuum drops the superseded flat layout; search is byte-identical
+    removed = ivf_vacuum(spark, idx)
+    assert f"{idx}/corpus" in removed and not os.path.isdir(f"{idx}/corpus")
+    assert sorted(ivf_search(spark, idx, queries).collect(), key=key) == want
+    # post-rebuild appends land in the ACTIVE generation
+    ivf_index_append(spark, idx, emb.filter("vec_id % 10 = 0"),
+                     ingest_id="d2")
+    assert os.path.isdir(f"{idx}/v=0/corpus/ingest=d2")
+    assert not os.path.isdir(f"{idx}/corpus")
+
+
+def test_ivf_maintain_fires_exactly_on_overfull(spark, sf_dir, tmp_path):
+    """ivf_maintain's trigger contract: it rebuilds IFF ivf_balance flags
+    an overfull cell at the given factor — no rebuild (and no published
+    version) above the worst cell's occupancy, exactly one published
+    rebuild below it."""
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        _ivf_current_version, build_ivf_index, ivf_balance,
+        ivf_index_append, ivf_maintain)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id % 10 != 0"), idx, num_cells=16)
+    ivf_index_append(spark, idx, emb.filter("vec_id % 10 = 0"),
+                     ingest_id="d1")
+    worst = max(r.occupancy_ratio
+                for r in ivf_balance(spark, idx).collect())
+    # factor above the worst cell: no flag -> no rebuild, nothing published
+    assert ivf_maintain(spark, idx, overfull_factor=worst + 0.1) is False
+    assert _ivf_current_version(spark, idx) is None
+    # factor below it: flag -> rebuild published as v=0
+    assert ivf_maintain(spark, idx, overfull_factor=worst - 0.01) is True
+    assert _ivf_current_version(spark, idx) == 0
+
+
 def test_embedding_near_dup_rejects_unknown_hashing(spark, sf_dir):
     """A typo'd hashing knob ('portabel') must fail loudly, not silently
     fall through to the BLAS bucketer and lose the oracle-exact hashing
