@@ -142,3 +142,146 @@ def q220_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pieces_per_word"),
         F.substring(F.md5(F.concat_ws(" | ", "word_pieces")), 1, 16)
         .alias("digest"))
+
+
+# ---------------------------------------------------------------------------
+# q390 — full BPE training loop (iterative merges over the vocab table)
+# ---------------------------------------------------------------------------
+
+
+def _apply_merge(col, lhs: str, rhs: str):
+    """Left-to-right non-overlapping merge of the adjacent symbol pair
+    (lhs, rhs) in a symbol array — pure JVM fold (F.aggregate), no Python
+    in the distributed pass. The fold is provably equal to the classic
+    scan-from-i+2 rule: after emitting lhs||rhs the accumulator tail can
+    never equal lhs again for the SAME occurrence (that would need
+    rhs=''), so no re-merge chains — pinned against a pure-Python
+    reference by hypothesis in tests/test_properties.py."""
+    merged = lhs + rhs
+    return F.aggregate(
+        col, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5,
+              text_col: str = "text") -> list[tuple[int, str, str, str, int]]:
+    """BPE tokenizer TRAINING (Sennrich et al.) — the iterative loop q188's
+    single pair-count pass documents: per round, count adjacent symbol
+    pairs over the (distinct word, freq) vocabulary, take the most frequent
+    pair (ties: lexicographic, deterministic in both engines), merge it
+    left-to-right non-overlapping in every word, repeat. Returns the merge
+    table [(step, lhs, rhs, merged, pair_count)].
+
+    Scale shape (the q189-unrolled-PageRank discipline): driver state is
+    ONE row per round (the argmax pair) — the merge table a tokenizer
+    ships; each round is one distributed aggregation over the vocab (which
+    q188's trick keeps corpus-size-independent) plus one JVM-HOF map. The
+    per-round localCheckpoint is the q382 lesson: without it round k's
+    action re-derives every earlier round's merge lineage, turning N rounds
+    into O(N²) plan work."""
+    vocab = (docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+             .withColumn("syms", F.split("token", ""))
+             .localCheckpoint())
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_seq = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(F.element_at("syms", i).alias("lhs"),
+                               F.element_at("syms", i + 1).alias("rhs")))
+        top = (vocab.filter(F.size("syms") >= 2)
+               .select("freq", F.explode(pair_seq).alias("p"))
+               .groupBy("p.lhs", "p.rhs")
+               .agg(F.sum("freq").cast("bigint").alias("cnt"))
+               .orderBy(F.desc("cnt"), "lhs", "rhs")
+               .limit(1).collect())
+        if not top:
+            break
+        lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].cnt
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        vocab = (vocab.withColumn("syms", _apply_merge(F.col("syms"),
+                                                       lhs, rhs))
+                 .localCheckpoint())
+    return merges
+
+
+_BPE_MERGES = 5
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replay of the training loop: per round, a pair-count
+    CTE + 1-row argmax CTE + a RECURSIVE per-word merge CTE implementing
+    the scan-from-i+2 rule exactly. Programmatically generated so the round
+    count can't drift from the Spark side."""
+    stages = []
+    for k in range(1, n_merges + 1):
+        stages.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM s{k - 1}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) t
+        GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{k}
+             ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    m{k}(token, freq, i, out) AS (
+        SELECT token, freq, 1, CAST([] AS VARCHAR[]) FROM s{k - 1}
+        UNION ALL
+        SELECT m.token, m.freq,
+               m.i + CASE WHEN m.i < len(s.syms) AND s.syms[m.i] = b.lhs
+                               AND s.syms[m.i + 1] = b.rhs
+                          THEN 2 ELSE 1 END,
+               list_append(m.out,
+                           CASE WHEN m.i < len(s.syms)
+                                     AND s.syms[m.i] = b.lhs
+                                     AND s.syms[m.i + 1] = b.rhs
+                                THEN b.lhs || b.rhs ELSE s.syms[m.i] END)
+        FROM m{k} m JOIN s{k - 1} s USING (token) CROSS JOIN b{k} b
+        WHERE m.i <= len(s.syms)
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT m.token, m.freq, m.out AS syms
+        FROM m{k} m JOIN s{k - 1} s USING (token)
+        WHERE m.i > len(s.syms)
+    ),""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"cnt AS pair_count FROM b{k}" for k in range(1, n_merges + 1))
+    return f"""
+    WITH RECURSIVE
+    w0 AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+    ),
+    s0 AS MATERIALIZED (SELECT token, freq,
+                        string_split(token, '') AS syms FROM w0),
+    {''.join(stages)}
+    dummy AS (SELECT 1)
+    SELECT CAST(step AS INTEGER) AS step, lhs, rhs, merged, pair_count
+    FROM ({selects}) ORDER BY step
+    """
+
+
+@register("q390_bpe_training", sql=_bpe_oracle(_BPE_MERGES))
+def q390_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop over the corpus — 5 merge rounds
+    of :func:`bpe_train`, output = the merge table a tokenizer ships. The
+    oracle replays every round (pair counts, deterministic argmax, the
+    exact left-to-right non-overlapping merge as a recursive CTE), so one
+    wrong merge anywhere cascades into every later round's counts and
+    fails the hash. Prefix stability (round k's merge is independent of
+    how many MORE rounds run) and fold-vs-reference equivalence are
+    hypothesis-pinned in tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bpe_train(docs, n_merges=_BPE_MERGES)
+    return (spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, merged string, "
+              "pair_count bigint")
+        .orderBy("step"))

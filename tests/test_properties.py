@@ -266,3 +266,53 @@ def test_incremental_probe_equals_filtered_full(spark, docs, flags,
             for r in dedup.minhash_near_dup(df).collect()
             if r.doc_a in delta_ids or r.doc_b in delta_ids}
     assert inc == full
+
+
+def _bpe_reference(freqs: dict[str, int], n_merges: int):
+    """Pure-Python BPE trainer implementing the textbook scan-from-i+2
+    merge rule — the independent ground truth bpe_train's JVM fold must
+    match."""
+    syms = {w: list(w) for w in freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=8),
+                      min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_reference_and_is_prefix_stable(spark, words):
+    """bpe_train's distributed fold-merge equals the textbook scan-from-i+2
+    reference on random corpora (same merge table, counts included), and
+    merges are PREFIX-STABLE: training for 2 rounds yields exactly the
+    first 2 rows of training for 4 — the law that makes a merge table
+    extensible without retraining from scratch."""
+    from gh_archive_data_pipeline_spark.operators.tokenize import bpe_train
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    got4 = bpe_train(docs, n_merges=4)
+    assert got4 == _bpe_reference(freqs, 4)
+    assert bpe_train(docs, n_merges=2) == got4[:2]
