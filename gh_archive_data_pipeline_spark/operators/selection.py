@@ -294,6 +294,70 @@ q381_shard_binpack.__doc__ = q381_shard_binpack.__doc__.format(
 
 _PPL_TRAIN = "src0"  # in-domain reference slice the LM trains on
 
+def _bigram_expr():
+    # built lazily — F.expr needs an active SparkContext, and this module
+    # is imported (registry load, test collection) before any session is up
+    return F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+
+
+def _kn_bigram_lm(docs: DataFrame, train_source: str):
+    """Interpolated Kneser–Ney bigram LM (q315's model, d = 0.75) trained
+    on one source slice — the four model tables (bigram counts, prefix
+    stats, continuation counts, scalar type/vocab counts) shared by q382's
+    perplexity filter and q391's DoReMi reweighting. The bigram-count
+    table is localCheckpointed because every consumer derives from it (the
+    q382 round-6 scale-study lesson: lazy LM lineage re-derives the gram
+    aggregation per consumer)."""
+    tr = (docs.filter(F.col("source") == train_source)
+          .select(F.split("text", " ").alias("t"))
+          .where(F.size("t") >= 2))
+    bg = tr.select(F.explode(_bigram_expr()).alias("bigram"))
+    bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
+                     F.split("bigram", " ").getItem(1).alias("w2"))
+           .groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+           .localCheckpoint())
+    pref = (bgc.groupBy("w1")
+            .agg(F.sum("c12").alias("c1"),
+                 F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
+    cont = (bgc.groupBy("w2")
+            .agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd")))
+    sc = (bgc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+          .crossJoin(tr.select(F.explode("t").alias("w"))
+                     .agg(F.countDistinct("w").cast("double").alias("v"))))
+    return bgc, pref, cont, sc
+
+
+def _kn_prob() -> F.Column:
+    """Per-bigram KN probability over the joined model columns."""
+    pc = ((F.coalesce("n1p_bwd", F.lit(0.0)) + 0.5)
+          / (F.col("n_types") + 0.5 * F.col("v")))
+    return (F.when(F.col("c12").isNotNull(),
+                   F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+                   + (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
+            .when(F.col("c1").isNotNull(),
+                  (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
+            .otherwise(1.0 / F.col("v")))
+
+
+def _kn_score(docs: DataFrame, bgc, pref, cont, sc,
+              extra_cols: list[str]) -> DataFrame:
+    """(extra_cols..., pr) for every document bigram LEFT JOINed against
+    the LM tables — the scoring stream both consumers aggregate."""
+    dbp = (docs.select(*extra_cols, F.split("text", " ").alias("t"))
+           .where(F.size("t") >= 2)
+           .select(*extra_cols, F.explode(_bigram_expr()).alias("bigram"))
+           .select(*extra_cols,
+                   F.split("bigram", " ").getItem(0).alias("w1"),
+                   F.split("bigram", " ").getItem(1).alias("w2")))
+    return (dbp.join(bgc, ["w1", "w2"], "left")
+            .join(pref, "w1", "left")
+            .join(cont, "w2", "left")
+            .crossJoin(F.broadcast(sc))
+            .select(*extra_cols, _kn_prob().alias("pr")))
+
 
 @register(
     "q382_perplexity_filter",
@@ -381,50 +445,13 @@ def q382_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the per-document score table.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bigram_expr = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
-    tr = (docs.filter(F.col("source") == _PPL_TRAIN)
-          .select(F.split("text", " ").alias("t"))
-          .where(F.size("t") >= 2))
-    bg = tr.select(F.explode(bigram_expr).alias("bigram"))
-    bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
-                     F.split("bigram", " ").getItem(1).alias("w2"))
-           .groupBy("w1", "w2")
-           .agg(F.count(F.lit(1)).cast("double").alias("c12"))
-           # the trained LM is consumed four times (pref/cont/type-count
-           # derivations + the scoring join); materialize it once instead
-           # of re-exploding the train slice per consumer — the same
-           # model-is-an-artifact discipline as the MinHash/IVF indexes,
-           # here kept in executor storage for the single-query lifetime
-           .localCheckpoint())
-    pref = (bgc.groupBy("w1")
-            .agg(F.sum("c12").alias("c1"),
-                 F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
-    cont = (bgc.groupBy("w2")
-            .agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd")))
-    sc = (bgc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
-          .crossJoin(tr.select(F.explode("t").alias("w"))
-                     .agg(F.countDistinct("w").cast("double").alias("v"))))
-    dbp = (docs.select("doc_id", F.split("text", " ").alias("t"))
-           .where(F.size("t") >= 2)
-           .select("doc_id", F.explode(bigram_expr).alias("bigram"))
-           .select("doc_id",
-                   F.split("bigram", " ").getItem(0).alias("w1"),
-                   F.split("bigram", " ").getItem(1).alias("w2")))
-    pc = ((F.coalesce("n1p_bwd", F.lit(0.0)) + 0.5)
-          / (F.col("n_types") + 0.5 * F.col("v")))
-    pr = (F.when(F.col("c12").isNotNull(),
-                 F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
-                 + (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
-          .when(F.col("c1").isNotNull(),
-                (0.75 * F.col("n1p_fwd") / F.col("c1")) * pc)
-          .otherwise(1.0 / F.col("v")))
-    probs = (dbp.join(bgc, ["w1", "w2"], "left")
-             .join(pref, "w1", "left")
-             .join(cont, "w2", "left")
-             .crossJoin(F.broadcast(sc))
-             .select("doc_id", pr.alias("pr")))
+    # the trained LM is consumed four times (pref/cont/type-count
+    # derivations + the scoring join); _kn_bigram_lm materializes it once
+    # instead of re-exploding the train slice per consumer — the same
+    # model-is-an-artifact discipline as the MinHash/IVF indexes,
+    # here kept in executor storage for the single-query lifetime
+    bgc, pref, cont, sc = _kn_bigram_lm(docs, _PPL_TRAIN)
+    probs = _kn_score(docs, bgc, pref, cont, sc, ["doc_id"])
     scored = (probs.groupBy("doc_id")
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.round(F.exp(F.avg(-F.log("pr"))), 4).alias("ppl")))
@@ -587,3 +614,175 @@ def q388_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q388_unimax_allocation.__doc__ = q388_unimax_allocation.__doc__.format(
     cap=_UNIMAX_EPOCH_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q391 — DoReMi-style iterative domain reweighting (multiplicative weights)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ROUNDS = 5
+_DOREMI_ETA = 0.5       # multiplicative-weights step size
+_DOREMI_SMOOTH = 0.01   # uniform mixing (the paper's smoothing term)
+_DOREMI_KEEP = 0.99     # 1 - smoothing, as a LITERAL so both engines parse
+#                         the identical double (computing 1 - 0.01 at
+#                         runtime happens to land on the same double, but a
+#                         shared literal removes the question)
+
+
+def doremi_reweight(losses: list[float], rounds: int = _DOREMI_ROUNDS,
+                    eta: float = _DOREMI_ETA,
+                    smooth: float = _DOREMI_SMOOTH,
+                    keep: float = _DOREMI_KEEP) -> list[float]:
+    """DoReMi's multiplicative-weights domain update (Xie et al. 2023) as a
+    pure driver-side function over per-DOMAIN rows — the UniMax/IVF-
+    codebook bounded-state discipline. Per round: excess loss of each
+    domain over the CURRENT mixture's weighted average loss, exponentiated
+    into the weights, renormalized, then smoothed toward uniform. Domains
+    harder than the mixture average gain weight; smoothing keeps every
+    domain sampled. The float sequence (dot product, exp, normalize, mix —
+    in list order) is replayed exactly by the oracle's recursive CTE.
+    Invariants (hypothesis-pinned): weights sum to 1, the smoothing floor
+    smooth/d is never crossed, and weight order follows loss order."""
+    import math
+
+    d = len(losses)
+    alpha = [1.0 / d] * d
+    for _ in range(rounds):
+        avg = 0.0
+        for a, x in zip(alpha, losses):
+            avg += a * x
+        raw = [a * math.exp(eta * (x - avg)) for a, x in zip(alpha, losses)]
+        s = 0.0
+        for r in raw:
+            s += r
+        alpha = [keep * r / s + smooth / d for r in raw]
+    return alpha
+
+
+@register(
+    "q391_doremi_reweight",
+    sql=f"""
+    WITH RECURSIVE
+    tr AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE source = '{_PPL_TRAIN}' AND len(string_split(text, ' ')) >= 2
+    ),
+    bgc AS MATERIALIZED (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               count(*)::DOUBLE AS c12
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+              FROM tr)
+        GROUP BY 1, 2
+    ),
+    pref AS (SELECT w1, sum(c12) AS c1, count(*)::DOUBLE AS n1p_fwd
+             FROM bgc GROUP BY w1),
+    cont AS (SELECT w2, count(*)::DOUBLE AS n1p_bwd FROM bgc GROUP BY w2),
+    sc AS (SELECT (SELECT count(*)::DOUBLE FROM bgc) AS n_types,
+                  (SELECT count(DISTINCT w)::DOUBLE
+                   FROM (SELECT unnest(t) AS w FROM tr)) AS v),
+    dbp AS (
+        SELECT source, split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2
+        FROM (SELECT source,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])) AS bigram
+              FROM (SELECT source, string_split(text, ' ') AS t
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2))
+    ),
+    probs AS (
+        SELECT source,
+               CASE WHEN b.c12 IS NOT NULL THEN
+                        greatest(b.c12 - 0.75, 0) / p.c1
+                        + (0.75 * p.n1p_fwd / p.c1)
+                          * ((coalesce(c.n1p_bwd, 0) + 0.5)
+                             / (s.n_types + 0.5 * s.v))
+                    WHEN p.c1 IS NOT NULL THEN
+                        (0.75 * p.n1p_fwd / p.c1)
+                        * ((coalesce(c.n1p_bwd, 0) + 0.5)
+                           / (s.n_types + 0.5 * s.v))
+                    ELSE 1.0 / s.v END AS pr
+        FROM dbp
+        LEFT JOIN bgc b USING (w1, w2)
+        LEFT JOIN pref p USING (w1)
+        LEFT JOIN cont c USING (w2)
+        CROSS JOIN sc s
+    ),
+    src_loss AS MATERIALIZED (
+        SELECT source, count(*)::BIGINT AS n_bigrams,
+               round(avg(-ln(pr)), 6) AS loss
+        FROM probs GROUP BY source
+    ),
+    lvec AS MATERIALIZED (
+        SELECT list(source ORDER BY source) AS ss,
+               list(loss ORDER BY source) AS ls,
+               list(n_bigrams ORDER BY source) AS nb
+        FROM src_loss
+    ),
+    rec(t, alphas) AS (
+        SELECT 0, list_transform(ls, x -> 1.0 / len(ls)) FROM lvec
+        UNION ALL
+        SELECT t + 1,
+               list_transform(r.raw,
+                              x -> {_DOREMI_KEEP} * x / list_sum(r.raw)
+                                   + {_DOREMI_SMOOTH} / len(v.ls))
+        FROM rec, lvec v,
+             LATERAL (SELECT list_sum(list_transform(
+                          range(1, len(v.ls) + 1),
+                          j -> rec.alphas[j] * v.ls[j])) AS avg) a,
+             LATERAL (SELECT list_transform(
+                          range(1, len(v.ls) + 1),
+                          i -> rec.alphas[i]
+                               * exp({_DOREMI_ETA} * (v.ls[i] - a.avg)))
+                      AS raw) r
+        WHERE t < {_DOREMI_ROUNDS}
+    )
+    SELECT v.ss[i] AS source,
+           v.nb[i] AS n_bigrams,
+           v.ls[i] AS loss,
+           round(f.alphas[i], 6) AS weight,
+           f.alphas[i] * len(v.ls) > 1.0 AS boosted
+    FROM (SELECT alphas FROM rec WHERE t = {_DOREMI_ROUNDS}) f, lvec v,
+         LATERAL (SELECT unnest(range(1, len(v.ls) + 1)) AS i) t
+    ORDER BY source
+    """,
+)
+def q391_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style iterative domain reweighting — the missing member of
+    the selection plane next to static DSIR importance (q380) and static
+    UniMax water-filling (q388): per-source excess loss against the q382
+    Kneser–Ney reference LM drives {rounds} rounds of multiplicative-
+    weights updates with uniform smoothing, yielding the training mixture
+    weights. Sources harder than the current mixture's average gain
+    weight each round.
+
+    Scale shape: the expensive part — scoring every corpus bigram against
+    the LM — is ONE distributed pass reusing q382's exact join plan
+    (shared :func:`_kn_bigram_lm`/:func:`_kn_score` helpers), aggregated
+    to one row per SOURCE; the reweighting loop runs on those bounded
+    driver rows (the UniMax discipline), and its float sequence is
+    replayed exactly by the oracle's recursive CTE over loss lists. The
+    per-source loss is rounded to 6dp BEFORE the loop on both sides, so
+    the loop arithmetic starts from identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bgc, pref, cont, sc = _kn_bigram_lm(docs, _PPL_TRAIN)
+    probs = _kn_score(docs, bgc, pref, cont, sc, ["source"])
+    rows = (probs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg(-F.log("pr")), 6).alias("loss"))
+            .orderBy("source").collect())
+    alphas = doremi_reweight([r.loss for r in rows])
+    d = len(rows)
+    out = [(r.source, r.n_bigrams, r.loss, a) for r, a in zip(rows, alphas)]
+    return (spark.createDataFrame(
+        out, "source string, n_bigrams bigint, loss double, alpha double")
+        .select("source", "n_bigrams", "loss",
+                F.round("alpha", 6).alias("weight"),
+                (F.col("alpha") * F.lit(float(d)) > 1.0).alias("boosted"))
+        .orderBy("source"))
+
+
+q391_doremi_reweight.__doc__ = q391_doremi_reweight.__doc__.format(
+    rounds=_DOREMI_ROUNDS)

@@ -249,3 +249,35 @@ def test_unimax_water_fill_laws(tokens, budget_frac, cap):
     first_uncapped = next((i for i, f in enumerate(flags) if not f),
                           len(flags))
     assert all(not f for f in flags[first_uncapped:])
+
+
+def test_doremi_reweight_invariants():
+    """The multiplicative-weights law set: weights always sum to 1, the
+    smoothing floor smooth/d is never crossed, equal losses stay uniform,
+    and weight order follows loss order (harder domains gain weight)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        doremi_reweight)
+
+    @given(losses=st.lists(st.floats(0.5, 20.0, allow_nan=False),
+                           min_size=2, max_size=8),
+           rounds=st.integers(1, 6))
+    @settings(max_examples=200, deadline=None)
+    def law(losses, rounds):
+        d = len(losses)
+        w = doremi_reweight(losses, rounds=rounds)
+        assert abs(sum(w) - 1.0) < 1e-9
+        assert all(x >= 0.01 / d - 1e-12 for x in w)
+        order = sorted(range(d), key=lambda i: losses[i])
+        for a, b in zip(order, order[1:]):
+            if losses[a] == losses[b]:
+                assert abs(w[a] - w[b]) < 1e-12
+            else:
+                assert w[a] <= w[b] + 1e-12
+    law()
+
+    # equal losses -> exactly uniform at every round count
+    assert doremi_reweight([3.0, 3.0, 3.0], rounds=4) == pytest.approx(
+        [1 / 3] * 3)
