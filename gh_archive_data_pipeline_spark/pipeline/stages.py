@@ -139,3 +139,119 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
         "organizations": gold_organizations(silver),
         "events": gold_events(silver),
     }
+
+
+# ---------------------------------------------------------------------------
+# q392 — real-sample parity as an oracle query (reference's flagship path)
+# ---------------------------------------------------------------------------
+
+REAL_SAMPLE = ("/root/reference/resources/sample_data/"
+               "2015-01-01-15/2015-01-01-15-1.json")
+
+_SAMPLE_JSON_COLS = (
+    "{id: 'VARCHAR', type: 'VARCHAR', public: 'BOOLEAN', "
+    "created_at: 'VARCHAR', "
+    "actor: 'STRUCT(id BIGINT, login VARCHAR)', "
+    "repo: 'STRUCT(id BIGINT, name VARCHAR)', "
+    "org: 'STRUCT(id BIGINT, login VARCHAR)'}")
+
+
+def _register_sample_parity() -> None:
+    from ..plans.registry import register
+
+    @register(
+        "q392_gharchive_sample_parity",
+        sql=f"""
+        WITH silver AS (
+            SELECT id, type, public,
+                   strptime(created_at, '%Y-%m-%dT%H:%M:%SZ') AS created_at,
+                   actor, repo, org
+            FROM read_json('{REAL_SAMPLE}', columns={_SAMPLE_JSON_COLS})
+        ),
+        u AS (SELECT DISTINCT actor FROM silver),
+        r AS (SELECT DISTINCT repo FROM silver),
+        o AS (SELECT DISTINCT org FROM silver
+              WHERE org.id IS NOT NULL AND org.login IS NOT NULL),
+        e AS (SELECT * FROM silver
+              QUALIFY row_number() OVER (PARTITION BY id
+                                         ORDER BY created_at, actor.id) = 1),
+        e2 AS (SELECT CAST(id AS BIGINT) AS id_num,
+                      id || '|' || type || '|'
+                      || strftime(created_at, '%Y-%m-%d %H:%M:%S') || '|'
+                      || CAST(actor.id AS VARCHAR) || '|' || repo.name || '|'
+                      || CAST(public AS VARCHAR) AS d
+               FROM e)
+        SELECT 'events' AS gold_table,
+               count(*)::BIGINT AS n_rows,
+               coalesce(sum(id_num), 0)::BIGINT AS id_sum,
+               md5(coalesce(string_agg(d, '|' ORDER BY d), '')) AS detail
+        FROM e2
+        UNION ALL
+        SELECT 'organizations', count(*)::BIGINT,
+               coalesce(sum(org.id), 0)::BIGINT,
+               md5(coalesce(string_agg(org.login, '|' ORDER BY org.login),
+                            ''))
+        FROM o
+        UNION ALL
+        SELECT 'repos', count(*)::BIGINT,
+               coalesce(sum(repo.id), 0)::BIGINT,
+               md5(coalesce(string_agg(repo.name, '|' ORDER BY repo.name),
+                            ''))
+        FROM r
+        UNION ALL
+        SELECT 'users', count(*)::BIGINT,
+               coalesce(sum(actor.id), 0)::BIGINT,
+               md5(coalesce(string_agg(actor.login, '|'
+                                       ORDER BY actor.login), ''))
+        FROM u
+        ORDER BY gold_table
+        """,
+    )
+    def q392_gharchive_sample_parity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+        """The reference's FLAGSHIP path over its ONLY real data artifact,
+        hash-checked like every other query (previously unit-test-only,
+        test_pipeline.py): the checked-in GH Archive sample hour runs
+        bronze (schema-enforced JSON scan, multiLine for the
+        pretty-printed sample) -> silver (payload/other drop, created_at
+        parse) -> all four gold dims, and each dim reports (row count, key
+        sum, md5 of its sorted descriptive values). The oracle re-reads
+        the SAME file with DuckDB read_json and replays the dim
+        projections — org-less events leave the organizations dim empty
+        (the na.drop semantics) and the events fact dedups by id. sf_dir
+        is deliberately unused: the input is the reference's sample file
+        (reference load_data_task.py:117-191)."""
+        # four gold branches consume silver; materialize the (tiny) parsed
+        # sample once instead of re-running the multiLine JSON scan per dim
+        silver = to_silver(read_bronze(spark, REAL_SAMPLE,
+                                       multi_line=True)).localCheckpoint()
+        gold = build_gold(silver)
+
+        def summarize(name: str, df: DataFrame, id_col, detail_col):
+            return (df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum(id_col), F.lit(0)).cast("bigint")
+                .alias("id_sum"),
+                F.md5(F.concat_ws("|", F.sort_array(
+                    F.collect_list(detail_col)))).alias("detail"))
+                .select(F.lit(name).alias("gold_table"),
+                        "n_rows", "id_sum", "detail"))
+
+        ev = gold["events"]
+        ev_detail = F.concat_ws(
+            "|", "id", "type",
+            F.date_format("created_at", "yyyy-MM-dd HH:mm:ss"),
+            F.col("actor_id").cast("string"), "repo_name",
+            F.col("public").cast("string"))
+        return (summarize("events", ev.withColumn("__d", ev_detail),
+                          F.col("id").cast("bigint"), F.col("__d"))
+                .unionAll(summarize("organizations", gold["organizations"],
+                                    F.col("id"), F.col("login")))
+                .unionAll(summarize("repos", gold["repos"],
+                                    F.col("id"), F.col("name")))
+                .unionAll(summarize("users", gold["users"],
+                                    F.col("id"), F.col("login")))
+                .orderBy("gold_table"))
+
+
+_register_sample_parity()

@@ -90,6 +90,7 @@ def _load_all() -> None:
         timeseries,
         tokenize,
     )
+    from ..pipeline import stages  # noqa: F401
     from ..sources import versioned  # noqa: F401
     from ..streaming import batch_equivalents, stream_queries  # noqa: F401
 
