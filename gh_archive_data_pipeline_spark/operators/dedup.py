@@ -909,6 +909,91 @@ def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q393_span_dedup_clean",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i,
+               md5(array_to_string(w[i:i+7], ' ')) AS span_key
+        FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) t
+        WHERE len(w) >= 8
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY span_key
+                                  ORDER BY doc_id, i) AS rn
+        FROM spans
+    ),
+    rm AS (
+        SELECT DISTINCT doc_id, j
+        FROM occ, LATERAL (SELECT unnest(range(i, i + 8)) AS j) u
+        WHERE rn > 1
+    ),
+    rmset AS (SELECT doc_id, list(j) AS rm FROM rm GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(w)::BIGINT AS n_tokens,
+           coalesce(len(r.rm), 0)::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(list_transform(
+               list_filter(range(1, len(w) + 1),
+                           j -> r.rm IS NULL OR NOT list_contains(r.rm, j)),
+               j -> w[j]), ' '), '')) AS cleaned_md5
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — fully-removed docs must agree
+    FROM toks t LEFT JOIN rmset r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q393_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup with REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") — the operator a curation
+    run needs beyond q224's audit: every non-first occurrence of a
+    duplicated 8-token span is cut from its document (first owner = global
+    smallest (doc_id, position); overlapping duplicate spans union their
+    token ranges) and the kept tokens reassemble in order. Output is the
+    per-doc token count, removed-position count, and the md5 of the
+    CLEANED text — the oracle replays ownership, interval union, and
+    reassembly, so a single mis-kept token anywhere fails the hash.
+
+    Scale shape: the ownership window shuffles md5(span) keys (32 chars,
+    never the 8-token text — q224's narrow-shuffle rule, here collision-
+    safe in practice and deterministic per fixture); removal positions
+    shuffle as (doc_id, int) pairs; reassembly is one broadcast-size HOF
+    pass (filter positions -> transform to tokens -> join) inside the doc
+    scan, no Python anywhere. At 100 TB the paper's suffix-array batch
+    job becomes this same plan with span length as the knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    spans = (toks.where(F.size("w") >= 8)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(w) - 7),"
+                 " i -> struct(i AS i,"
+                 "            md5(array_join(slice(w, i, 8), ' '))"
+                 "            AS span_key))")).alias("s"))
+             .select("doc_id", "s.i", "s.span_key"))
+    w_own = Window.partitionBy("span_key").orderBy("doc_id", "i")
+    rm_pos = (spans.withColumn("rn", F.row_number().over(w_own))
+              .filter(F.col("rn") > 1)
+              .select("doc_id",
+                      F.explode(F.sequence("i", F.col("i") + 7)).alias("j"))
+              .distinct())
+    rmset = rm_pos.groupBy("doc_id").agg(F.collect_set("j").alias("rm"))
+    kept = F.expr(
+        "transform(filter(sequence(1, size(w)),"
+        " j -> rm IS NULL OR NOT array_contains(rm, j)),"
+        " j -> element_at(w, j))")
+    return (toks.join(rmset, "doc_id", "left")
+            .select("doc_id",
+                    F.size("w").cast("bigint").alias("n_tokens"),
+                    F.when(F.col("rm").isNull(), 0)
+                    .otherwise(F.size("rm")).cast("bigint")
+                    .alias("n_removed"),
+                    F.md5(F.array_join(kept, " ")).alias("cleaned_md5"))
+            .orderBy("doc_id"))
+
+
+@register(
     "q269_dedup_timeline",
     sql="""
     WITH digests AS (
