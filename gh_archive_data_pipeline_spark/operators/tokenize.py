@@ -213,11 +213,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 5,
 _BPE_MERGES = 5
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB replay of the training loop: per round, a pair-count
-    CTE + 1-row argmax CTE + a RECURSIVE per-word merge CTE implementing
-    the scan-from-i+2 rule exactly. Programmatically generated so the round
-    count can't drift from the Spark side."""
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """The WITH RECURSIVE body replaying the training loop: per round, a
+    pair-count CTE + 1-row argmax CTE + a RECURSIVE per-word merge CTE
+    implementing the scan-from-i+2 rule exactly. Programmatically
+    generated so the round count can't drift from the Spark side. Stage
+    CTEs are MATERIALIZED: without the hint each recursive merge step
+    re-evaluates its whole upstream stage chain (measured 164 s -> 0.12 s
+    at sf0.001). Shared by q390 (merge table) and q394 (encode: the final
+    stage state IS the learned segmentation of every corpus word)."""
     stages = []
     for k in range(1, n_merges + 1):
         stages.append(f"""
@@ -249,9 +253,6 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM m{k} m JOIN s{k - 1} s USING (token)
         WHERE m.i > len(s.syms)
     ),""")
-    selects = " UNION ALL ".join(
-        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
-        f"cnt AS pair_count FROM b{k}" for k in range(1, n_merges + 1))
     return f"""
     WITH RECURSIVE
     w0 AS (
@@ -264,9 +265,57 @@ def _bpe_oracle(n_merges: int) -> str:
                         string_split(token, '') AS syms FROM w0),
     {''.join(stages)}
     dummy AS (SELECT 1)
+    """
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """q390 oracle: the training replay's per-round merge table."""
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"cnt AS pair_count FROM b{k}" for k in range(1, n_merges + 1))
+    return f"""
+    {_bpe_oracle_ctes(n_merges)}
     SELECT CAST(step AS INTEGER) AS step, lhs, rhs, merged, pair_count
     FROM ({selects}) ORDER BY step
     """
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """q394 oracle: the training replay's FINAL vocab state (s{n}) joined
+    back onto every document's word stream — per-doc piece counts and the
+    md5 digest of the full piece sequence (q220's digest idiom)."""
+    return f"""
+    {_bpe_oracle_ctes(n_merges)}
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(seg.syms)) AS BIGINT) AS n_pieces,
+           round(sum(len(seg.syms))::DOUBLE / count(*), 6) AS pieces_per_word,
+           substr(md5(string_agg(array_to_string(seg.syms, ' '), ' | '
+                                 ORDER BY d.wpos)), 1, 16) AS digest
+    FROM (SELECT doc_id, w.wpos, w.word
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) x,
+               LATERAL (SELECT unnest(generate_series(1, len(ws))) AS wpos,
+                               unnest(ws) AS word) w) d
+    JOIN s{n_merges} seg ON d.word = seg.token
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+# trained merge table per fixture state — q390 (train) and q394 (encode)
+# share one training run per session, same convention as the index caches
+_bpe_merges_cache: dict[tuple[str, float], list] = {}
+
+
+def _cached_merges(spark: SparkSession, sf_dir: str) -> list:
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _bpe_merges_cache:
+        _bpe_merges_cache[key] = bpe_train(
+            load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+    return _bpe_merges_cache[key]
 
 
 @register("q390_bpe_training", sql=_bpe_oracle(_BPE_MERGES))
@@ -279,9 +328,46 @@ def q390_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash. Prefix stability (round k's merge is independent of
     how many MORE rounds run) and fold-vs-reference equivalence are
     hypothesis-pinned in tests/test_properties.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    rows = bpe_train(docs, n_merges=_BPE_MERGES)
+    rows = _cached_merges(spark, sf_dir)
     return (spark.createDataFrame(
         rows, "step int, lhs string, rhs string, merged string, "
               "pair_count bigint")
         .orderBy("step"))
+
+
+@register("q394_bpe_encode", sql=_bpe_encode_oracle(_BPE_MERGES))
+def q394_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED BPE merge table (q390's output, one cached
+    training run per fixture) to the whole corpus — the encode half that
+    makes the trainer a usable tokenizer: segment the distinct-word vocab
+    by replaying the merges in training order (five chained JVM fold
+    passes over one vocab scan — encode cost is vocabulary-sized, the
+    q188 trick again), then join the word stream against the segmented
+    vocab and emit per-doc piece counts plus the md5 digest of the full
+    piece sequence. The oracle reuses the training replay's FINAL vocab
+    state, so Spark's fold chain and the recursive-CTE segmentation must
+    agree on every piece boundary of every word (q220's digest idiom).
+    At 100 TB the segmented vocab is the standard tokenizer artifact:
+    built once, hash-joined (or broadcast) against the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .distinct()
+             .withColumn("syms", F.split("token", "")))
+    for _, lhs, rhs, _, _ in _cached_merges(spark, sf_dir):
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"),
+                                                      lhs, rhs))
+    seg = vocab.select("token", F.size("syms").alias("n_syms"),
+                       F.array_join("syms", " ").alias("pieces"))
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "word"))
+    return (words.join(seg, words.word == seg.token)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("n_syms").cast("bigint").alias("n_pieces"),
+                 F.round(F.sum("n_syms").cast("double") / F.count(F.lit(1)),
+                         6).alias("pieces_per_word"),
+                 F.substring(F.md5(F.concat_ws(" | ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("wpos", "pieces"))),
+                     lambda s: s["pieces"]))), 1, 16).alias("digest"))
+            .orderBy("doc_id"))

@@ -271,7 +271,8 @@ def test_incremental_probe_equals_filtered_full(spark, docs, flags,
 def _bpe_reference(freqs: dict[str, int], n_merges: int):
     """Pure-Python BPE trainer implementing the textbook scan-from-i+2
     merge rule — the independent ground truth bpe_train's JVM fold must
-    match."""
+    match. Returns (merge table, final per-word segmentation) so the
+    encode path (q394's fold chain) is pinned too."""
     syms = {w: list(w) for w in freqs}
     merges = []
     for step in range(1, n_merges + 1):
@@ -294,7 +295,7 @@ def _bpe_reference(freqs: dict[str, int], n_merges: int):
                     out.append(s[i])
                     i += 1
             syms[w] = out
-    return merges
+    return merges, syms
 
 
 @given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=8),
@@ -313,6 +314,22 @@ def test_bpe_train_matches_reference_and_is_prefix_stable(spark, words):
     freqs: dict[str, int] = {}
     for w in words:
         freqs[w] = freqs.get(w, 0) + 1
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.operators.tokenize import (
+        _apply_merge)
+
+    ref_merges, ref_syms = _bpe_reference(freqs, 4)
     got4 = bpe_train(docs, n_merges=4)
-    assert got4 == _bpe_reference(freqs, 4)
+    assert got4 == ref_merges
     assert bpe_train(docs, n_merges=2) == got4[:2]
+    # encode path (q394's fold chain): applying the learned merges in
+    # training order segments every word exactly as the reference trainer
+    # left it
+    vocab = (spark.createDataFrame([(w,) for w in freqs], "token string")
+             .withColumn("syms", F.split("token", "")))
+    for _, lhs, rhs, _, _ in got4:
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"),
+                                                      lhs, rhs))
+    got_syms = {r.token: r.syms for r in vocab.collect()}
+    assert got_syms == ref_syms

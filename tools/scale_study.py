@@ -84,6 +84,10 @@ QUERY_TABLES = {
     "q381_shard_binpack": ["documents"],
     "q382_perplexity_filter": ["documents"],
     "q383_arrow_token_stats": ["documents"],
+    "q389_media_header_audit": ["documents"],
+    "q390_bpe_training": ["documents"],
+    "q391_doremi_reweight": ["documents"],
+    "q393_span_dedup_clean": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -123,6 +127,11 @@ QUERIES = [
     "q381_shard_binpack",
     "q382_perplexity_filter",
     "q383_arrow_token_stats",
+    # round 7: media headers, BPE training, DoReMi, span-dedup removal
+    "q389_media_header_audit",
+    "q390_bpe_training",
+    "q391_doremi_reweight",
+    "q393_span_dedup_clean",
 ]
 
 
