@@ -541,6 +541,11 @@ def test_host_speed_canary_detects_planted_load(spark):
 
     from bench import host_speed_canary
 
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    if load1 > 8.0:
+        pytest.skip(f"ambient host load {load1} — the 'quiet' sample would "
+                    "already be contended and the planted-load contrast "
+                    "meaningless (this shared VM sees 20x neighbor windows)")
     quiet = host_speed_canary(spark, samples=3)
 
     stop = mp.Event()
