@@ -328,7 +328,10 @@ def q390_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the hash. Prefix stability (round k's merge is independent of
     how many MORE rounds run) and fold-vs-reference equivalence are
     hypothesis-pinned in tests/test_properties.py."""
-    rows = _cached_merges(spark, sf_dir)
+    # trains FRESH on every invocation — this query IS the training
+    # benchmark; only the encode query (q394) amortizes the merge table
+    rows = bpe_train(load_table(spark, sf_dir, "documents"),
+                     n_merges=_BPE_MERGES)
     return (spark.createDataFrame(
         rows, "step int, lhs string, rhs string, merged string, "
               "pair_count bigint")
