@@ -976,8 +976,11 @@ def q393_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm_pos = (spans.withColumn("rn", F.row_number().over(w_own))
               .filter(F.col("rn") > 1)
               .select("doc_id",
-                      F.explode(F.sequence("i", F.col("i") + 7)).alias("j"))
-              .distinct())
+                      F.explode(F.sequence("i", F.col("i") + 7)).alias("j")))
+    # collect_SET dedups overlapping spans' positions itself, so a
+    # distinct() here is redundant (Catalyst plans both versions to the
+    # SAME 4 exchanges — verified; removed for clarity, and so a future
+    # optimizer change can't resurrect the extra shuffle)
     rmset = rm_pos.groupBy("doc_id").agg(F.collect_set("j").alias("rm"))
     kept = F.expr(
         "transform(filter(sequence(1, size(w)),"
@@ -1723,10 +1726,19 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     from ..sources.readers import hadoop_fs
 
     def swap(cur: str, tmp: str) -> None:
+        # Hadoop FS signals failure by RETURN VALUE, not exception (S3A
+        # renames are copy+delete and fail non-exceptionally): an ignored
+        # false here after a successful delete would silently destroy the
+        # live index — fail loudly instead, the rewritten data is intact
+        # in the _compacting directory for manual recovery.
         fs, cur_path = hadoop_fs(spark, cur)
         _, tmp_path = hadoop_fs(spark, tmp)
-        fs.delete(cur_path, True)
-        fs.rename(tmp_path, cur_path)
+        if fs.exists(cur_path) and not fs.delete(cur_path, True):
+            raise IOError(f"compaction: could not delete {cur}")
+        if not fs.rename(tmp_path, cur_path):
+            raise IOError(
+                f"compaction: rename {tmp} -> {cur} failed; compacted "
+                f"data preserved at {tmp}")
 
     for part in ("shingles", "bands"):
         cur = f"{index_dir}/{part}"

@@ -523,6 +523,9 @@ def parse_media_header(payload: bytes) -> dict:
             i = 2
             while i + 4 <= len(payload) and payload[i] == 0xFF:
                 marker = payload[i + 1]
+                if marker == 0xFF:
+                    i += 1          # spec-legal fill byte before a marker
+                    continue
                 if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                     i += 2          # standalone markers carry no length
                     continue

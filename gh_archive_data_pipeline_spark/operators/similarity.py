@@ -657,7 +657,12 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
     build_ivf_index(full, f"{index_dir}/v={next_v}", num_cells=num_cells,
                     id_col=id_col, vec_col="v")
     _, marker = hadoop_fs(spark, f"{index_dir}/_v_{next_v}.ready")
-    fs.createNewFile(marker)  # atomic publish
+    # createNewFile reports failure by returning false (e.g. a concurrent
+    # publisher raced the same version number) — returning next_v anyway
+    # would claim a publish that never happened
+    if not fs.createNewFile(marker):  # atomic publish
+        raise IOError(f"publish marker already exists: {marker} — "
+                      "a concurrent rebuild raced this version")
     return next_v
 
 
@@ -689,7 +694,10 @@ def ivf_vacuum(spark: SparkSession, index_dir: str,
         int(st.getPath().getName()[3:-6]) for st in fs.listStatus(idx_path)
         if st.getPath().getName().startswith("_v_")
         and st.getPath().getName().endswith(".ready"))
-    drop = [v for v in published[:-keep_last] if v != cur]
+    # keep_last=0 means "only the active version survives" — [:-0] would
+    # slice to [] and silently keep everything
+    keep = published[-keep_last:] if keep_last > 0 else []
+    drop = [v for v in published if v not in keep and v != cur]
     removed = []
     for v in drop:
         for name in (f"v={v}", f"_v_{v}.ready"):

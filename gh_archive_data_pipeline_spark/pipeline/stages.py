@@ -148,12 +148,18 @@ def build_gold(silver: DataFrame) -> dict[str, DataFrame]:
 REAL_SAMPLE = ("/root/reference/resources/sample_data/"
                "2015-01-01-15/2015-01-01-15-1.json")
 
+# full entity shapes (matching schema.py's _entity / repo structs), so the
+# oracle's DISTINCT and null-filters range over the SAME fields Spark's
+# gold projections do — parity must hold for multi-event inputs too, not
+# just because the sample holds one event
+_ENTITY_COLS = ("STRUCT(id BIGINT, login VARCHAR, gravatar_id VARCHAR, "
+                "avatar_url VARCHAR, url VARCHAR)")
 _SAMPLE_JSON_COLS = (
     "{id: 'VARCHAR', type: 'VARCHAR', public: 'BOOLEAN', "
     "created_at: 'VARCHAR', "
-    "actor: 'STRUCT(id BIGINT, login VARCHAR)', "
-    "repo: 'STRUCT(id BIGINT, name VARCHAR)', "
-    "org: 'STRUCT(id BIGINT, login VARCHAR)'}")
+    f"actor: '{_ENTITY_COLS}', "
+    "repo: 'STRUCT(id BIGINT, name VARCHAR, url VARCHAR)', "
+    f"org: '{_ENTITY_COLS}'}}")
 
 
 def _register_sample_parity() -> None:
@@ -171,7 +177,9 @@ def _register_sample_parity() -> None:
         u AS (SELECT DISTINCT actor FROM silver),
         r AS (SELECT DISTINCT repo FROM silver),
         o AS (SELECT DISTINCT org FROM silver
-              WHERE org.id IS NOT NULL AND org.login IS NOT NULL),
+              WHERE org.id IS NOT NULL AND org.login IS NOT NULL
+                AND org.gravatar_id IS NOT NULL
+                AND org.avatar_url IS NOT NULL AND org.url IS NOT NULL),
         e AS (SELECT * FROM silver
               QUALIFY row_number() OVER (PARTITION BY id
                                          ORDER BY created_at, actor.id) = 1),

@@ -2064,6 +2064,12 @@ def test_parse_media_header_golden_vectors():
     j = parse_media_header(make_jpeg(123, 45))
     assert (j["container"], j["width"], j["height"], j["bit_depth"],
             j["channels"], j["header_ok"]) == ("jpeg", 123, 45, 8, 3, True)
+    # spec-legal 0xFF fill bytes before a marker (real encoders emit them)
+    # must be skipped, not parsed as a length-bearing marker
+    raw = make_jpeg(123, 45)
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    jp = parse_media_header(padded)
+    assert (jp["width"], jp["height"], jp["header_ok"]) == (123, 45, True)
 
     w = parse_media_header(make_wav(22050, 2, bits=24))
     assert (w["container"], w["sample_rate"], w["channels"],

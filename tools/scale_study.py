@@ -88,6 +88,7 @@ QUERY_TABLES = {
     "q390_bpe_training": ["documents"],
     "q391_doremi_reweight": ["documents"],
     "q393_span_dedup_clean": ["documents"],
+    "q394_bpe_encode": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -132,6 +133,7 @@ QUERIES = [
     "q390_bpe_training",
     "q391_doremi_reweight",
     "q393_span_dedup_clean",
+    "q394_bpe_encode",
 ]
 
 
