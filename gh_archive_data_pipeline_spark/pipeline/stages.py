@@ -162,17 +162,17 @@ _SAMPLE_JSON_COLS = (
     f"org: '{_ENTITY_COLS}'}}")
 
 
-def _register_sample_parity() -> None:
-    from ..plans.registry import register
-
-    @register(
-        "q392_gharchive_sample_parity",
-        sql=f"""
+def dim_summary_oracle(path: str) -> str:
+    """DuckDB replay of :func:`gold_dim_summary` over any GH-archive JSON
+    file — parameterized by path so the multi-event parity test can run
+    the SAME SQL against a crafted fixture (the registered q392 binds it
+    to the reference sample)."""
+    return f"""
         WITH silver AS (
             SELECT id, type, public,
                    strptime(created_at, '%Y-%m-%dT%H:%M:%SZ') AS created_at,
                    actor, repo, org
-            FROM read_json('{REAL_SAMPLE}', columns={_SAMPLE_JSON_COLS})
+            FROM read_json('{path}', columns={_SAMPLE_JSON_COLS})
         ),
         u AS (SELECT DISTINCT actor FROM silver),
         r AS (SELECT DISTINCT repo FROM silver),
@@ -213,8 +213,54 @@ def _register_sample_parity() -> None:
                                        ORDER BY actor.login), ''))
         FROM u
         ORDER BY gold_table
-        """,
-    )
+        """
+
+
+def gold_dim_summary(spark: SparkSession, path: str,
+                     multi_line: bool = True) -> DataFrame:
+    """Bronze -> silver -> all four gold dims over one GH-archive JSON
+    file, each dim summarized as (row count, key sum, md5 of its sorted
+    descriptive values) — the shape :func:`dim_summary_oracle` replays.
+    Factored out of q392 so the multi-event parity test can drive it over
+    a crafted JSON-lines fixture."""
+    # four gold branches consume silver; materialize the (tiny) parsed
+    # file once instead of re-running the JSON scan per dim
+    silver = to_silver(read_bronze(spark, path,
+                                   multi_line=multi_line)).localCheckpoint()
+    gold = build_gold(silver)
+
+    def summarize(name: str, df: DataFrame, id_col, detail_col):
+        return (df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(id_col), F.lit(0)).cast("bigint")
+            .alias("id_sum"),
+            F.md5(F.concat_ws("|", F.sort_array(
+                F.collect_list(detail_col)))).alias("detail"))
+            .select(F.lit(name).alias("gold_table"),
+                    "n_rows", "id_sum", "detail"))
+
+    ev = gold["events"]
+    ev_detail = F.concat_ws(
+        "|", "id", "type",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss"),
+        F.col("actor_id").cast("string"), "repo_name",
+        F.col("public").cast("string"))
+    return (summarize("events", ev.withColumn("__d", ev_detail),
+                      F.col("id").cast("bigint"), F.col("__d"))
+            .unionAll(summarize("organizations", gold["organizations"],
+                                F.col("id"), F.col("login")))
+            .unionAll(summarize("repos", gold["repos"],
+                                F.col("id"), F.col("name")))
+            .unionAll(summarize("users", gold["users"],
+                                F.col("id"), F.col("login")))
+            .orderBy("gold_table"))
+
+
+def _register_sample_parity() -> None:
+    from ..plans.registry import register
+
+    @register("q392_gharchive_sample_parity",
+              sql=dim_summary_oracle(REAL_SAMPLE))
     def q392_gharchive_sample_parity(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
         """The reference's FLAGSHIP path over its ONLY real data artifact,
@@ -225,41 +271,13 @@ def _register_sample_parity() -> None:
         parse) -> all four gold dims, and each dim reports (row count, key
         sum, md5 of its sorted descriptive values). The oracle re-reads
         the SAME file with DuckDB read_json and replays the dim
-        projections — org-less events leave the organizations dim empty
-        (the na.drop semantics) and the events fact dedups by id. sf_dir
-        is deliberately unused: the input is the reference's sample file
-        (reference load_data_task.py:117-191)."""
-        # four gold branches consume silver; materialize the (tiny) parsed
-        # sample once instead of re-running the multiLine JSON scan per dim
-        silver = to_silver(read_bronze(spark, REAL_SAMPLE,
-                                       multi_line=True)).localCheckpoint()
-        gold = build_gold(silver)
-
-        def summarize(name: str, df: DataFrame, id_col, detail_col):
-            return (df.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.coalesce(F.sum(id_col), F.lit(0)).cast("bigint")
-                .alias("id_sum"),
-                F.md5(F.concat_ws("|", F.sort_array(
-                    F.collect_list(detail_col)))).alias("detail"))
-                .select(F.lit(name).alias("gold_table"),
-                        "n_rows", "id_sum", "detail"))
-
-        ev = gold["events"]
-        ev_detail = F.concat_ws(
-            "|", "id", "type",
-            F.date_format("created_at", "yyyy-MM-dd HH:mm:ss"),
-            F.col("actor_id").cast("string"), "repo_name",
-            F.col("public").cast("string"))
-        return (summarize("events", ev.withColumn("__d", ev_detail),
-                          F.col("id").cast("bigint"), F.col("__d"))
-                .unionAll(summarize("organizations", gold["organizations"],
-                                    F.col("id"), F.col("login")))
-                .unionAll(summarize("repos", gold["repos"],
-                                    F.col("id"), F.col("name")))
-                .unionAll(summarize("users", gold["users"],
-                                    F.col("id"), F.col("login")))
-                .orderBy("gold_table"))
+        projections over the FULL five-field entity structs — org-less
+        events leave the organizations dim empty (the na.drop semantics),
+        the events fact dedups by id, and a multi-event crafted fixture
+        pins the same parity beyond the one-event sample
+        (tests/test_pipeline.py). sf_dir is deliberately unused: the input
+        is the reference's sample file (load_data_task.py:117-191)."""
+        return gold_dim_summary(spark, REAL_SAMPLE, multi_line=True)
 
 
 _register_sample_parity()

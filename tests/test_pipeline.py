@@ -441,3 +441,54 @@ def test_read_text_lines_and_whole_file(spark, tmp_path):
     docs = read_text_lines(spark, str(p), whole_file=True)
     texts = sorted(r.value for r in docs.collect())
     assert texts == ["line one\nline two\n", "solo\n"]
+
+
+def test_gold_dim_parity_on_multi_event_file(spark, tmp_path):
+    """q392's dim-summary parity beyond the one-event sample: a crafted
+    JSON-lines hour exercising every divergence the five-field semantics
+    must handle — the same actor (id, login) appearing with two different
+    avatar_urls (2 distinct users, not 1), an org struct with a missing
+    field (dropped by na.drop AND by the oracle's five-field null filter),
+    a full org (kept), and a duplicate event id (fact dedup keeps the
+    earliest). Spark's gold_dim_summary and the DuckDB oracle must agree
+    on every (n_rows, id_sum, detail-md5) triple."""
+    import json
+
+    import duckdb
+
+    from gh_archive_data_pipeline_spark.pipeline.stages import (
+        dim_summary_oracle, gold_dim_summary)
+
+    def ev(eid, created, av, org):
+        return {
+            "id": eid, "type": "PushEvent", "public": True,
+            "created_at": created,
+            "actor": {"id": 1, "login": "a", "gravatar_id": "",
+                      "avatar_url": av, "url": "ua"},
+            "repo": {"id": 7, "name": "a/r", "url": "ru"},
+            **({"org": org} if org else {}),
+        }
+
+    full_org = {"id": 9, "login": "o", "gravatar_id": "",
+                "avatar_url": "oa", "url": "ou"}
+    partial_org = {"id": 10, "login": "p", "avatar_url": "pa", "url": "pu"}
+    events = [
+        ev("100", "2015-01-01T15:00:01Z", "x", full_org),
+        ev("101", "2015-01-01T15:00:02Z", "x2", partial_org),  # 2nd user
+        ev("100", "2015-01-01T15:00:05Z", "x", None),  # dup id, later ts
+    ]
+    path = str(tmp_path / "hour.json")
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    sp = {r.gold_table: (r.n_rows, r.id_sum, r.detail)
+          for r in gold_dim_summary(spark, path, multi_line=False).collect()}
+    du = {r[0]: (r[1], r[2], r[3])
+          for r in duckdb.connect().execute(
+              dim_summary_oracle(path)).fetchall()}
+    assert sp == du
+    # the semantics themselves, not just engine agreement
+    assert sp["users"][0] == 2        # avatar_url differs -> 2 users
+    assert sp["organizations"][0] == 1  # partial org na.drop'd
+    assert sp["events"][0] == 2      # duplicate id dedup'd, earliest kept
