@@ -289,6 +289,90 @@ q381_shard_binpack.__doc__ = q381_shard_binpack.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# q395 — token-exact sequence packing with document splitting
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 2048  # training sequence length (tokens)
+
+
+@register(
+    "q395_sequence_packing",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                - n_tokens)::BIGINT AS start_tok
+        FROM sized
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, start_tok,
+               unnest(range(start_tok // {_SEQ_LEN},
+                            (start_tok + n_tokens - 1) // {_SEQ_LEN} + 1))
+                   AS seq_id
+        FROM cum
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           (greatest(start_tok, seq_id * {_SEQ_LEN})
+            - start_tok)::BIGINT AS doc_offset,
+           (greatest(start_tok, seq_id * {_SEQ_LEN})
+            - seq_id * {_SEQ_LEN})::BIGINT AS seq_offset,
+           (least(start_tok + n_tokens, (seq_id + 1) * {_SEQ_LEN})
+            - greatest(start_tok, seq_id * {_SEQ_LEN}))::BIGINT AS n_span
+    FROM spans ORDER BY seq_id, seq_offset
+    """,
+)
+def q395_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-exact pretraining SEQUENCE packing with document splitting —
+    the GPT/Megatron dataloader layout q381's doc-level shards stop short
+    of: concatenate the corpus token stream in doc_id order and cut it
+    into fixed {slen}-token sequences, emitting one row per (sequence,
+    document) span: which slice of which document lands where in which
+    sequence (doc_offset / seq_offset / span length). Every sequence is
+    exactly full except the last; a long document simply spans several
+    sequences.
+
+    Scale shape: the only global state is the exclusive prefix sum of
+    token counts (:func:`global_running_sum`, two linear shuffles, exact
+    bigints); span enumeration is a per-doc JVM explode bounded by
+    ceil(n_d/{slen}) + 1 rows — no join, no window over the token stream,
+    and the token stream itself never materializes. The oracle replays
+    the identical integer arithmetic, so every span boundary is
+    hash-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    cum = global_running_sum(sized, ["doc_id"], "n_tokens", "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("start_tok")
+    spans = (cum.select("doc_id", "n_tokens", start)
+             .select("doc_id", "n_tokens", "start_tok",
+                     F.explode(F.sequence(
+                         F.floor(F.col("start_tok") / _SEQ_LEN),
+                         F.floor((F.col("start_tok") + F.col("n_tokens") - 1)
+                                 / _SEQ_LEN))).alias("seq_id")))
+    seq_start = F.col("seq_id") * _SEQ_LEN
+    span_lo = F.greatest(F.col("start_tok"), seq_start)
+    span_hi = F.least(F.col("start_tok") + F.col("n_tokens"),
+                      seq_start + _SEQ_LEN)
+    return (spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"), "doc_id",
+        (span_lo - F.col("start_tok")).cast("bigint").alias("doc_offset"),
+        (span_lo - seq_start).cast("bigint").alias("seq_offset"),
+        (span_hi - span_lo).cast("bigint").alias("n_span"))
+        .orderBy("seq_id", "seq_offset"))
+
+
+q395_sequence_packing.__doc__ = q395_sequence_packing.__doc__.replace(
+    "{slen}", str(_SEQ_LEN))
+
+
+# ---------------------------------------------------------------------------
 # q382 — perplexity filtering (CCNet-style, Kneser-Ney bigram LM)
 # ---------------------------------------------------------------------------
 

@@ -281,3 +281,38 @@ def test_doremi_reweight_invariants():
     # equal losses -> exactly uniform at every round count
     assert doremi_reweight([3.0, 3.0, 3.0], rounds=4) == pytest.approx(
         [1 / 3] * 3)
+
+
+def test_sequence_packing_tiles_exactly(spark, sf_dir):
+    """q395's structural laws: spans tile every DOCUMENT exactly (per-doc
+    span lengths sum to its token count, offsets contiguous from 0) and
+    tile every SEQUENCE exactly (contiguous from 0; every sequence holds
+    exactly _SEQ_LEN tokens except the last partial one)."""
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        _SEQ_LEN, q395_sequence_packing)
+
+    rows = q395_sequence_packing(spark, sf_dir).collect()
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq.setdefault(r.seq_id, []).append(r)
+
+    docs = {r.doc_id: len(r.text.split(" ")) for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert set(by_doc) == set(docs)
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r.doc_offset)
+        assert spans[0].doc_offset == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b.doc_offset == a.doc_offset + a.n_span
+        assert sum(r.n_span for r in spans) == docs[d]
+
+    last_seq = max(by_seq)
+    for s, spans in by_seq.items():
+        spans.sort(key=lambda r: r.seq_offset)
+        assert spans[0].seq_offset == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b.seq_offset == a.seq_offset + a.n_span
+        total = sum(r.n_span for r in spans)
+        assert total == _SEQ_LEN or (s == last_seq and total <= _SEQ_LEN)

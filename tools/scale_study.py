@@ -89,6 +89,7 @@ QUERY_TABLES = {
     "q391_doremi_reweight": ["documents"],
     "q393_span_dedup_clean": ["documents"],
     "q394_bpe_encode": ["documents"],
+    "q395_sequence_packing": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -134,6 +135,7 @@ QUERIES = [
     "q391_doremi_reweight",
     "q393_span_dedup_clean",
     "q394_bpe_encode",
+    "q395_sequence_packing",
 ]
 
 
