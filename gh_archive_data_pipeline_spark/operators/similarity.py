@@ -653,16 +653,33 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
         [int(n[2:]) for n in listed if n.startswith("v=")]
         + [int(n[3:-6]) for n in listed
            if n.startswith("_v_") and n.endswith(".ready")]
+        + [int(n[3:-5]) for n in listed
+           if n.startswith("_v_") and n.endswith(".lock")]
         + [-1])
+    # Claim the version number ATOMICALLY before writing a single byte of
+    # v=N: createNewFile either creates the lock or returns false because a
+    # concurrent rebuild owns this number — the loser raises HERE, while the
+    # old order (build first, discover the marker collision after) let the
+    # loser delete-and-rewrite a v=N the winner had already published. A
+    # crash between lock and marker leaks one version number (the lock is
+    # counted by the next_v scan above and never reused); the partial v=N
+    # is invisible to readers (no .ready) and cleared by ivf_vacuum.
+    _, lock = hadoop_fs(spark, f"{index_dir}/_v_{next_v}.lock")
+    if not fs.createNewFile(lock):
+        raise IOError(f"rebuild lock already exists: {lock} — "
+                      "a concurrent rebuild claimed this version")
     build_ivf_index(full, f"{index_dir}/v={next_v}", num_cells=num_cells,
                     id_col=id_col, vec_col="v")
     _, marker = hadoop_fs(spark, f"{index_dir}/_v_{next_v}.ready")
-    # createNewFile reports failure by returning false (e.g. a concurrent
-    # publisher raced the same version number) — returning next_v anyway
-    # would claim a publish that never happened
+    # the lock makes a marker collision unreachable short of manual marker
+    # creation, but createNewFile's contract is still return-value-reported
     if not fs.createNewFile(marker):  # atomic publish
         raise IOError(f"publish marker already exists: {marker} — "
                       "a concurrent rebuild raced this version")
+    # lock cleanup is best-effort AFTER the publish landed: a false return
+    # here must not fail a successful publish, and a surviving .lock is
+    # harmless (same number the .ready already pins; vacuum sweeps it)
+    fs.delete(lock, False)
     return next_v
 
 
@@ -685,32 +702,58 @@ def ivf_vacuum(spark: SparkSession, index_dir: str,
                keep_last: int = 1) -> list[str]:
     """Drop all index generations except the newest ``keep_last`` published
     versions (never the active one). The pre-rebuild flat layout counts as
-    the oldest generation. Returns the paths removed."""
+    the OLDEST generation in that accounting: with ``keep_last=2`` and one
+    published version, the flat layout is the second retained rollback
+    generation and survives. Orphan ``.lock`` markers (and their partial,
+    never-published ``v=N`` dirs) from crashed rebuilds older than the
+    active version are swept too. Every ``fs.delete`` return value is
+    checked — a false return (seen on object stores) would otherwise leave
+    a generation on disk that ``removed`` claims is gone. Returns the paths
+    removed."""
+
+    def _checked_delete(name: str, recursive: bool) -> bool:
+        """Delete if present; raise on a reported-failed delete."""
+        _, p = hadoop_fs(spark, f"{index_dir}/{name}")
+        if not fs.exists(p):
+            return False
+        if not fs.delete(p, recursive):
+            raise IOError(f"fs.delete reported failure for {p} — the "
+                          "generation is still on disk; not claiming it "
+                          "as removed")
+        return True
+
     fs, idx_path = hadoop_fs(spark, index_dir)
     cur = _ivf_current_version(spark, index_dir)
     if cur is None:
         return []   # nothing published -> flat layout is the active index
-    published = sorted(
-        int(st.getPath().getName()[3:-6]) for st in fs.listStatus(idx_path)
-        if st.getPath().getName().startswith("_v_")
-        and st.getPath().getName().endswith(".ready"))
+    listed = [st.getPath().getName() for st in fs.listStatus(idx_path)]
+    published = sorted(int(n[3:-6]) for n in listed
+                       if n.startswith("_v_") and n.endswith(".ready"))
+    # generations oldest -> newest, the flat pre-rebuild layout first;
     # keep_last=0 means "only the active version survives" — [:-0] would
     # slice to [] and silently keep everything
-    keep = published[-keep_last:] if keep_last > 0 else []
-    drop = [v for v in published if v not in keep and v != cur]
+    flat_gen = -1   # sorts before every published version
+    gens: list[int] = [flat_gen] + published
+    keep = set(gens[-keep_last:]) if keep_last > 0 else set()
+    keep.add(cur)   # the active version is never dropped
     removed = []
-    for v in drop:
-        for name in (f"v={v}", f"_v_{v}.ready"):
-            _, p = hadoop_fs(spark, f"{index_dir}/{name}")
-            if fs.exists(p):
-                fs.delete(p, True)
+    for v in (v for v in published if v not in keep):
+        _checked_delete(f"v={v}", True)
+        _checked_delete(f"_v_{v}.ready", False)
+        _checked_delete(f"_v_{v}.lock", False)
         removed.append(f"{index_dir}/v={v}")
-    # the flat pre-rebuild layout is superseded by any published version
-    for name in ("corpus", "codebook"):
-        _, p = hadoop_fs(spark, f"{index_dir}/{name}")
-        if fs.exists(p):
-            fs.delete(p, True)
-            removed.append(f"{index_dir}/{name}")
+    # crashed-rebuild debris: a .lock older than the active version whose
+    # .ready never landed — its v=N dir (if any) is partial and unreadable
+    for v in sorted(int(n[3:-5]) for n in listed
+                    if n.startswith("_v_") and n.endswith(".lock")):
+        if v < cur and v not in published:
+            _checked_delete(f"v={v}", True)
+            if _checked_delete(f"_v_{v}.lock", False):
+                removed.append(f"{index_dir}/_v_{v}.lock")
+    if flat_gen not in keep:
+        for name in ("corpus", "codebook"):
+            if _checked_delete(name, True):
+                removed.append(f"{index_dir}/{name}")
     return removed
 
 

@@ -184,7 +184,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 5,
     per-round localCheckpoint is the q382 lesson: without it round k's
     action re-derives every earlier round's merge lineage, turning N rounds
     into O(N²) plan work."""
+    # consecutive/leading/trailing spaces split into '' tokens, where the
+    # engines diverge (Spark split('','') -> [''] = 1 symbol, DuckDB
+    # string_split -> [] = 0): filter them so parity doesn't depend on
+    # fixture text hygiene — an empty token carries no pairs anyway
     vocab = (docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+             .filter(F.col("token") != "")
              .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
              .withColumn("syms", F.split("token", ""))
              .localCheckpoint())
@@ -259,6 +264,7 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
         SELECT token, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS token
               FROM documents)
+        WHERE token <> ''
         GROUP BY token
     ),
     s0 AS MATERIALIZED (SELECT token, freq,
@@ -296,7 +302,8 @@ def _bpe_encode_oracle(n_merges: int) -> str:
           FROM (SELECT doc_id, string_split(text, ' ') AS ws
                 FROM documents) x,
                LATERAL (SELECT unnest(generate_series(1, len(ws))) AS wpos,
-                               unnest(ws) AS word) w) d
+                               unnest(ws) AS word) w
+          WHERE w.word <> '') d
     JOIN s{n_merges} seg ON d.word = seg.token
     GROUP BY d.doc_id
     ORDER BY d.doc_id
@@ -353,7 +360,10 @@ def q394_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the segmented vocab is the standard tokenizer artifact:
     built once, hash-joined (or broadcast) against the token stream."""
     docs = load_table(spark, sf_dir, "documents")
+    # same empty-token hygiene as bpe_train: '' splits to [''] in Spark but
+    # [] in DuckDB, so it must never enter the vocab or the word stream
     vocab = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.col("token") != "")
              .distinct()
              .withColumn("syms", F.split("token", "")))
     for _, lhs, rhs, _, _ in _cached_merges(spark, sf_dir):
@@ -362,7 +372,9 @@ def q394_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = vocab.select("token", F.size("syms").alias("n_syms"),
                        F.array_join("syms", " ").alias("pieces"))
     words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("wpos", "word"))
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("wpos", "word")).filter(
+        F.col("word") != "")
     return (words.join(seg, words.word == seg.token)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),

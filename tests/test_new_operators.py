@@ -2347,3 +2347,154 @@ def test_compact_empty_bucketed_index_stays_readable(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b)
              for r in incremental_near_dup(spark, idx, delta).collect()}
     assert pairs == {(1, 2)}  # delta-internal dup still found
+
+
+class _FalseDeleteFS:
+    """Wraps the real Hadoop FileSystem, delegating everything except
+    ``delete``, which reports failure by returning False — the object-store
+    failure mode the vacuum's return-value checks exist for."""
+
+    def __init__(self, real):
+        self._real = real
+
+    def delete(self, path, recursive):
+        return False
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_ivf_vacuum_raises_on_failed_delete(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """A false return from fs.delete must raise, never leave the path on
+    disk while ``removed`` claims it was deleted (the round-7 verdict's
+    remaining FS-return-value gap)."""
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    assert sim.ivf_rebuild(spark, idx) == 0
+
+    real_hadoop_fs = sim.hadoop_fs
+
+    def fake_hadoop_fs(spark_, path):
+        fs, p = real_hadoop_fs(spark_, path)
+        return _FalseDeleteFS(fs), p
+
+    monkeypatch.setattr(sim, "hadoop_fs", fake_hadoop_fs)
+    with pytest.raises(IOError, match="fs.delete reported failure"):
+        sim.ivf_vacuum(spark, idx)   # default keep_last=1 drops the flat dir
+    monkeypatch.undo()
+    # nothing was claimed removed and the flat layout is intact
+    import os
+    assert os.path.isdir(f"{idx}/corpus")
+    # the real vacuum still works afterwards
+    removed = sim.ivf_vacuum(spark, idx)
+    assert f"{idx}/corpus" in removed and not os.path.isdir(f"{idx}/corpus")
+
+
+def test_ivf_vacuum_flat_layout_counts_in_keep_last(spark, sf_dir, tmp_path):
+    """ADVICE r7: the flat pre-rebuild layout is the OLDEST generation in
+    the keep_last accounting — with one published version and keep_last=2
+    it is a retained rollback generation, not unconditional debris."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_rebuild, ivf_vacuum)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_cells=16)
+    assert ivf_rebuild(spark, idx) == 0
+    # keep_last=2: generations = [flat, v0]; both retained -> no-op
+    assert ivf_vacuum(spark, idx, keep_last=2) == []
+    assert os.path.isdir(f"{idx}/corpus")
+    # keep_last=1: only v0 retained -> flat dropped
+    removed = ivf_vacuum(spark, idx, keep_last=1)
+    assert f"{idx}/corpus" in removed
+    assert not os.path.isdir(f"{idx}/corpus")
+
+
+def test_ivf_rebuild_loser_raises_before_touching_files(spark, sf_dir,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """ADVICE r7 race: when a concurrent rebuild owns the version's lock,
+    the loser must raise at the CLAIM step — before build_ivf_index could
+    delete/rewrite a v=N directory the winner may already have published."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+
+    real_hadoop_fs = sim.hadoop_fs
+
+    class _LockTakenFS:
+        """createNewFile returns False (another rebuild claimed the lock
+        in the window between listStatus and the claim)."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def createNewFile(self, path):
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    def fake_hadoop_fs(spark_, path):
+        fs, p = real_hadoop_fs(spark_, path)
+        return _LockTakenFS(fs), p
+
+    monkeypatch.setattr(sim, "hadoop_fs", fake_hadoop_fs)
+    builds = []
+    monkeypatch.setattr(sim, "build_ivf_index",
+                        lambda *a, **k: builds.append(a))
+    with pytest.raises(IOError, match="rebuild lock already exists"):
+        sim.ivf_rebuild(spark, idx)
+    assert builds == [], "loser must not write a byte after losing the claim"
+    monkeypatch.undo()
+    assert not os.path.isdir(f"{idx}/v=0")
+    # a pre-existing lock from a crashed rebuild is skipped, not reused
+    open(f"{idx}/_v_0.lock", "w").close()
+    assert sim.ivf_rebuild(spark, idx) == 1
+    # vacuum sweeps the crashed claim's debris
+    removed = sim.ivf_vacuum(spark, idx)
+    assert f"{idx}/_v_0.lock" in removed
+    assert not os.path.exists(f"{idx}/_v_0.lock")
+
+
+def test_bpe_ignores_empty_tokens_from_ragged_whitespace(spark):
+    """ADVICE r7: Spark split('','') yields [''] while DuckDB string_split
+    yields [] — consecutive/leading/trailing spaces must not poison the
+    pair counts. Training on ragged text equals training on the same text
+    with single spaces, and the DuckDB oracle replay agrees round by round
+    on the ragged input itself."""
+    import duckdb
+    import pandas as pd
+
+    from gh_archive_data_pipeline_spark.operators.tokenize import (
+        _BPE_MERGES, _bpe_oracle, bpe_train)
+
+    ragged = ["  spark window  merge", "spark  spark window ",
+              " merge merge spark window", "window  window"]
+    clean = [" ".join(t.split()) for t in ragged]
+    df_ragged = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ragged)], "doc_id long, text string")
+    df_clean = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean)], "doc_id long, text string")
+    got = bpe_train(df_ragged, n_merges=_BPE_MERGES)
+    assert got == bpe_train(df_clean, n_merges=_BPE_MERGES)
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(ragged)),
+                               "text": ragged}))
+    oracle = con.execute(_bpe_oracle(_BPE_MERGES)).fetchall()
+    assert [(s, l, r, m, c) for s, l, r, m, c in oracle] == got

@@ -539,7 +539,7 @@ def test_host_speed_canary_detects_planted_load(spark):
     its own contention instead of needing an idle re-run."""
     import multiprocessing as mp
 
-    from bench import host_speed_canary
+    from bench import CANARY_BASELINE_SEC, host_speed_canary
 
     load1 = float(open("/proc/loadavg").read().split()[0])
     if load1 > 8.0:
@@ -547,6 +547,18 @@ def test_host_speed_canary_detects_planted_load(spark):
                     "already be contended and the planted-load contrast "
                     "meaningless (this shared VM sees 20x neighbor windows)")
     quiet = host_speed_canary(spark, samples=3)
+    # loadavg is a lagging, whole-minute statistic: a concurrent local[8]
+    # pytest job was observed to keep it under the gate while stretching
+    # this "quiet" sample to 2.3x the committed idle baseline — and the
+    # baseline itself is the better contention detector. Retry once, then
+    # skip rather than assert a contrast whose quiet side is already loaded.
+    if quiet > CANARY_BASELINE_SEC * 1.5:
+        quiet = host_speed_canary(spark, samples=3)
+    if quiet > CANARY_BASELINE_SEC * 1.5:
+        pytest.skip(f"quiet canary sample {quiet:.2f}s > 1.5x the idle "
+                    f"baseline {CANARY_BASELINE_SEC}s — ambient contention "
+                    "that loadavg missed; the planted-load contrast would "
+                    "be meaningless")
 
     stop = mp.Event()
 
