@@ -531,6 +531,34 @@ def test_normalized_vs_baseline_clamps_and_scales():
     assert normalized_vs_baseline({"x": 1.0}, baseline, 1.0) == ({}, None)
 
 
+def test_capped_host_ratio_median_and_cap():
+    """The round-8 canary contract: (a) the ratio is the MEDIAN of the full
+    interleaved pre/mid/post sample list, so one contention spike landing on
+    one sample cannot dominate (BENCH_r07: a 2-sample mean implied ~65x
+    while queries ran 0.84-2.77x); (b) the normalization divisor is capped
+    at the worst raw per-query inflation — a host ratio beyond what any
+    query experienced is not what min-of-k absorbed."""
+    from bench import CANARY_BASELINE_SEC, capped_host_ratio
+
+    b = CANARY_BASELINE_SEC
+    # seven near-idle samples, one 65x spike: median stays ~1x
+    samples = [b, b * 1.1, b * 0.9, b * 65, b, b * 1.2, b]
+    measured, used = capped_host_ratio(samples, {"qa": 1.5, "qb": 2.77})
+    assert measured == 1.0 and used == 1.0
+    # sustained 10x contention, worst query only 2.77x raw: divisor capped
+    measured, used = capped_host_ratio([b * 10] * 5, {"qa": 1.5, "qb": 2.77})
+    assert measured == 10.0 and used == 2.77
+    # sustained contention BELOW the worst query: divisor = the median
+    measured, used = capped_host_ratio([b * 2] * 4, {"qa": 3.0})
+    assert measured == 2.0 and used == 2.0
+    # no baseline intersection (sf != 0.1): no cap to apply
+    measured, used = capped_host_ratio([b * 4] * 3, {})
+    assert measured == used == 4.0
+    # even-length list: mean of the middle two
+    measured, used = capped_host_ratio([b, b, b * 3, b * 3], {"qa": 9.0})
+    assert measured == used == 2.0
+
+
 def test_host_speed_canary_detects_planted_load(spark):
     """The canary must move with host contention: its median under planted
     CPU load (multiprocessing busy-spinners on every core) reads measurably
