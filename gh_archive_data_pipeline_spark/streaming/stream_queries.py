@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import itertools
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -568,3 +569,138 @@ def q379_stream_incremental_dedup(spark: SparkSession,
         raise TimeoutError("q379_stream_incremental_dedup drain exceeded "
                            "180s")
     return spark.read.parquet(out).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# q396 — Confluent-framed Avro decode driven through a real stream (S6)
+# ---------------------------------------------------------------------------
+
+_AVRO_SCHEMA_ID = 7
+
+# one framed-binary landing zone per fixture dir — same caching discipline
+# as _stream_dir_cache (repeated registry/bench invocations must not grow
+# /tmp or re-encode the fixture every call)
+_avro_stream_cache: dict[str, str] = {}
+
+
+def _avro_events_stream_dir(spark: SparkSession, sf_dir: str,
+                            n_files: int = 4) -> str:
+    """Encode the events fixture into Confluent-framed Avro-binary messages
+    (magic 0x00 + big-endian schema id + Avro body — the reference
+    producer's wire format, produce_fake_data.py:88-118) and land them as
+    ``n_files`` time-ordered parquet files of a single ``value binary``
+    column: the landing zone a Kafka topic dump would be."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql.types import BinaryType
+
+    from ..sources.readers import load_table
+    from .avro_codec import encode_confluent_header, encode_event_body
+
+    if sf_dir in _avro_stream_cache:
+        return _avro_stream_cache[sf_dir]
+    header = encode_confluent_header(_AVRO_SCHEMA_ID)
+
+    @F.pandas_udf(BinaryType())
+    def frame(eid: pd.Series, uid: pd.Series, et: pd.Series,
+              val: pd.Series, pr: pd.Series) -> pd.Series:
+        return pd.Series([
+            header + encode_event_body(int(a), int(b), c, float(d), e)
+            for a, b, c, d, e in zip(eid, uid, et, val, pr)])
+
+    events = load_table(spark, sf_dir, "events")
+    land = tempfile.mkdtemp(prefix="avro_stream_")
+    (events.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+     .select(frame("event_id", "user_id", "event_type",
+                   "value", "props").alias("value"))
+     .write.mode("overwrite").parquet(land))
+    for i, f in enumerate(sorted(glob.glob(f"{land}/part-*"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    _avro_stream_cache[sf_dir] = land
+    return land
+
+
+@register(
+    "q396_stream_avro_decode",
+    sql=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST({_AVRO_SCHEMA_ID} AS BIGINT) AS max_schema_id,
+           substr(md5(string_agg(
+               event_id || '|' || user_id || '|' ||
+               CAST(floor(value * 100 + 0.5) AS BIGINT) || '|' || props,
+               '#' ORDER BY event_id)), 1, 16) AS digest
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q396_stream_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 executed for real: the events fixture is encoded into
+    Confluent-framed Avro-binary messages (the reference topics' wire
+    format), landed as four time-ordered files, and drained through an
+    availableNow stream that extracts the schema id from the 5-byte header
+    with pure JVM expressions (confluent_schema_id / strip_confluent_header)
+    and decodes the Avro body with the pure-Python binary codec in an
+    Arrow-batched pandas UDF (the spark-avro jar is absent here;
+    decode_confluent_avro is the jar-backed twin). The oracle computes the
+    same per-type counts, id sums and a field digest from the PLAIN table —
+    framing and body codec are deterministic, so encode∘decode must be the
+    identity on every field of every row for the hash to match. Floats ride
+    the digest as exact floor-cents (registry convention). At 100 TB the
+    decode is embarrassingly parallel — one Arrow-batched projection per
+    partition, no shuffle until the final per-type aggregate.
+
+    Scale note: per-row Python varint walking is the declared cost of a
+    jar-less Avro decode (q389's honest-Python-kernel contract); with the
+    spark-avro package on the classpath the same query runs fully JVM-side
+    via decode_confluent_avro."""
+    from pyspark.sql.types import (BinaryType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    from .avro_codec import (confluent_schema_id, decode_event_body,
+                             strip_confluent_header)
+
+    body_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+    @F.pandas_udf(body_schema)
+    def decode(body: pd.Series) -> pd.DataFrame:
+        rows = [decode_event_body(bytes(b)) for b in body]
+        return pd.DataFrame(rows, columns=["event_id", "user_id",
+                                           "event_type", "value", "props"])
+
+    land = _avro_events_stream_dir(spark, sf_dir)
+    raw = read_file_stream(
+        spark, land,
+        StructType([StructField("value", BinaryType())]),
+        max_files_per_trigger=1)
+    decoded = raw.select(
+        confluent_schema_id(F.col("value")).alias("schema_id"),
+        decode(strip_confluent_header(F.col("value"))).alias("r"),
+    ).select("schema_id", "r.*")
+    name = f"stream_avro_{next(_counter)}"
+    out = run_to_memory(decoded, name, spark, output_mode="append")
+    payload = F.concat_ws(
+        "|", F.col("event_id"), F.col("user_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        F.col("props"))
+    return (out.select("schema_id", "event_type", "event_id", "user_id",
+                       payload.alias("payload"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                 F.max("schema_id").cast("bigint").alias("max_schema_id"),
+                 F.substring(F.md5(F.concat_ws("#", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("event_id", "payload"))),
+                     lambda s: s["payload"]))), 1, 16).alias("digest"))
+            .orderBy("event_type"))

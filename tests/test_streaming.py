@@ -803,3 +803,29 @@ def test_console_sink_drains_all_rows(spark, stream_dir):
     assert progresses, "no micro-batch ran"
     assert sum(p["numInputRows"] for p in progresses) == 6
     assert "console" in progresses[-1]["sink"]["description"].lower()
+
+
+def test_avro_binary_codec_golden_vectors_and_round_trip():
+    """The pure-Python Avro body codec against the encoding spec's own
+    zigzag-varint examples (Avro 1.12 spec, 'Binary Encoding' §): one wrong
+    shift direction would still round-trip internally, so golden vectors
+    are the cross-implementation pin."""
+    import struct
+
+    from gh_archive_data_pipeline_spark.streaming.avro_codec import (
+        _read_varint, _zigzag_varint, decode_event_body, encode_event_body)
+
+    # spec table: value -> hex
+    golden = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+              -64: b"\x7f", 64: b"\x80\x01", -65: b"\x81\x01"}
+    for n, want in golden.items():
+        assert _zigzag_varint(n) == want, n
+        assert _read_varint(want, 0) == (n, len(want))
+    # field order + layout: long, long, string(len+utf8), double(8 LE), string
+    body = encode_event_body(1, -1, "ab", 2.5, "{}")
+    assert body == (b"\x02" + b"\x01" + b"\x04ab"
+                    + struct.pack("<d", 2.5) + b"\x04{}")
+    assert decode_event_body(body) == (1, -1, "ab", 2.5, "{}")
+    # utf-8 multibyte strings measure BYTE length, not characters
+    body = encode_event_body(0, 0, "é", 0.0, "中")
+    assert decode_event_body(body) == (0, 0, "é", 0.0, "中")
