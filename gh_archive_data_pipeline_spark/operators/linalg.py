@@ -82,15 +82,85 @@ def pca_top_component(emb: DataFrame) -> tuple[list[float], float, float]:
     return v, eigenvalue, eigenvalue / total_var
 
 
-@register("q146_pca_power_iteration", sql=None)
+def _pca_oracle(iterations: int = ITERATIONS, dim: int = DIM) -> str:
+    """Unrolled replay of :func:`pca_top_component` — the q390/q391
+    fixed-round float-sequence technique applied to power iteration: one
+    MATERIALIZED stage triple (d/s/i) per round computing the SAME IEEE
+    double sequence (covariance action without centering, sentinel-free Σd,
+    normalize), so every intermediate eigenvector estimate must agree to
+    within summation-order noise, nine orders of magnitude below the
+    6-decimal output rounding. Deterministic by construction: all-ones
+    init, fixed 15 rounds."""
+    rng = f"range(1, {dim + 1})"
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    d{k} AS (
+        SELECT e,
+               list_sum(list_transform({rng}, i -> e[i] * v[i]))
+               - list_sum(list_transform({rng}, i -> mu[i] * v[i])) AS d
+        FROM emb, i{k - 1}, mus
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT (SELECT list(sj ORDER BY j)
+                FROM (SELECT t.j AS j, sum(e[t.j] * d) AS sj
+                      FROM d{k}, LATERAL (SELECT unnest({rng}) AS j) t
+                      GROUP BY t.j)) AS s,
+               (SELECT sum(d) FROM d{k}) AS sd
+    ),
+    i{k} AS MATERIALIZED (
+        SELECT list_transform(w, x -> x / nrm) AS v, nrm / nn.n AS eig
+        FROM (SELECT list_transform({rng}, i -> s[i] - mu[i] * sd) AS w
+              FROM s{k}, mus) tw,
+             LATERAL (SELECT sqrt(list_sum(list_transform(w, x -> x * x)))
+                      AS nrm) tn,
+             nn
+    ),""")
+    return f"""
+    WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM emb),
+    mus AS MATERIALIZED (
+        SELECT (SELECT list(m ORDER BY j)
+                FROM (SELECT t.j AS j, avg(e[t.j]) AS m
+                      FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
+                      GROUP BY t.j)) AS mu
+    ),
+    i0 AS (SELECT list_transform({rng}, i -> 1.0 / sqrt({dim}.0)) AS v,
+           0.0 AS eig),
+    {''.join(stages)}
+    jmax AS (
+        SELECT t.j AS j
+        FROM i{iterations}, LATERAL (SELECT unnest({rng}) AS j) t
+        ORDER BY abs(v[t.j]) DESC, t.j ASC LIMIT 1
+    ),
+    tv AS (
+        SELECT sum(vp) AS total_var
+        FROM (SELECT var_pop(e[t.j]) AS vp
+              FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
+              GROUP BY t.j)
+    )
+    SELECT CAST(t.j - 1 AS INTEGER) AS dim_idx,
+           round(CASE WHEN v[jm.j] < 0 THEN -v[t.j] ELSE v[t.j] END, 6)
+               AS loading,
+           round(eig, 6) AS eigenvalue,
+           round(eig / total_var, 6) AS var_share
+    FROM i{iterations}, jmax jm, tv,
+         LATERAL (SELECT unnest({rng}) AS j) t
+    ORDER BY dim_idx
+    """
+
+
+@register("q146_pca_power_iteration", sql=_pca_oracle())
 def q146_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA leading component of the embedding corpus by power iteration —
-    rows-only (iterative, not SQL-expressible; unit tests pin it against
-    NumPy — exact eigenvector match on gapped data, Rayleigh-quotient-at-λ1
-    bound on the near-isotropic fixture, where no fixed-iteration method can
-    single out the exact top direction). Output: one row per dimension with
-    the loading, plus the eigenvalue/explained-variance share repeated for
-    context. Sign is fixed by making the largest-|loading| entry positive."""
+    oracle-paired since round 8: the fixed-round float-sequence replay
+    (q390/q391's technique) unrolls all 15 iterations as MATERIALIZED CTE
+    stages computing the identical IEEE double sequence, with unit tests
+    additionally pinning the result against NumPy (exact eigenvector match
+    on gapped data, Rayleigh-quotient-at-λ1 bound on the near-isotropic
+    fixture). Output: one row per dimension with the loading, plus the
+    eigenvalue/explained-variance share repeated for context. Sign is fixed
+    by making the largest-|loading| entry positive."""
     emb = load_table(spark, sf_dir, "embeddings")
     v, eigenvalue, share = pca_top_component(emb)
     flip = -1.0 if v[max(range(DIM), key=lambda j: abs(v[j]))] < 0 else 1.0
@@ -152,12 +222,71 @@ def kmeans(emb: DataFrame, k: int = 8, iterations: int = 5) -> tuple[list[list[f
     return centroids, assigned
 
 
-@register("q149_kmeans_clusters", sql=None)
+def _kmeans_oracle(k: int = 8, iterations: int = 5, dim: int = DIM) -> str:
+    """Unrolled replay of :func:`kmeans`: per Lloyd round, an assignment
+    CTE (argmin over the k centroids with the same (d2, j) lexicographic
+    tie-break as the Spark struct-min) and a centroid CTE (per-cluster
+    per-dim mean, COALESCE keeping the previous centroid for an empty
+    cluster, exactly like the Spark loop). Deterministic by construction:
+    seeds are the first k vectors by vec_id, 5 fixed rounds; the only
+    engine divergence is distributed-vs-sequential summation order, ~1e-13
+    relative against the 6-decimal output rounding."""
+    rng = f"range(1, {dim + 1})"
+    stages = []
+    for r in range(1, iterations + 2):   # last round = final assignment
+        stages.append(f"""
+    a{r} AS MATERIALIZED (
+        SELECT vec_id, e, cluster, d2 FROM (
+            SELECT vec_id, e, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM (SELECT emb.vec_id, emb.e, c.j AS cluster,
+                         list_sum(list_transform({rng},
+                             i -> (emb.e[i] - c.c[i])
+                                  * (emb.e[i] - c.c[i]))) AS d2
+                  FROM emb, c{r - 1} c)
+        ) WHERE rn = 1
+    ),""")
+        if r <= iterations:
+            stages.append(f"""
+    c{r} AS MATERIALIZED (
+        SELECT p.j, COALESCE(m.c, p.c) AS c
+        FROM c{r - 1} p LEFT JOIN (
+            SELECT cluster AS j, list(sd / cnt ORDER BY i) AS c
+            FROM (SELECT cluster, t.i AS i, sum(e[t.i]) AS sd,
+                         count(*) AS cnt
+                  FROM a{r}, LATERAL (SELECT unnest({rng}) AS i) t
+                  GROUP BY cluster, t.i)
+            GROUP BY cluster
+        ) m ON p.j = m.j
+    ),""")
+    return f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {k})
+    ),
+    {''.join(stages)}
+    dummy AS (SELECT 1)
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(d2), 6) AS mean_sq_dist
+    FROM a{iterations + 1}
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@register("q149_kmeans_clusters", sql=_kmeans_oracle())
 def q149_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (k=8, 5 Lloyd iterations) over the embedding corpus —
-    rows-only (iterative; the unit test pins assignments and inertia against
-    a NumPy reference running the identical algorithm). Output: per-cluster
-    size and mean squared distance (inertia contribution)."""
+    oracle-paired since round 8 via the unrolled Lloyd replay (assignment
+    argmin with the exact (d2, cluster) tie-break, per-cluster means,
+    empty-cluster carry-over), with the NumPy unit test still pinning
+    assignments and inertia against an independent implementation.
+    Output: per-cluster size and mean squared distance (inertia
+    contribution)."""
     emb = load_table(spark, sf_dir, "embeddings")
     _centroids, assigned = kmeans(emb)
     return (
