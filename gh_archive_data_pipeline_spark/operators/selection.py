@@ -295,6 +295,48 @@ q381_shard_binpack.__doc__ = q381_shard_binpack.__doc__.format(
 _SEQ_LEN = 2048  # training sequence length (tokens)
 
 
+def pack_spans(sized: DataFrame, seq_len: int,
+               eod_per_doc: bool = False) -> DataFrame:
+    """Token-exact sequence-packing span enumeration over a ``(doc_id,
+    n_tokens)`` frame — the shared integer arithmetic of q395 (raw stream)
+    and q397 (GPT-dataloader convention: one end-of-document separator
+    token appended per document, shifting every subsequent boundary).
+
+    With ``eod_per_doc`` each document occupies ``n_tokens + 1`` stream
+    positions; emitted spans cover that padded stretch and carry a
+    ``has_eod`` flag (true exactly on the doc's final span — the one
+    holding the separator, possibly as the span's only token when the
+    content ends exactly on a sequence boundary). Scale shape is q395's:
+    one distributed prefix sum + a per-doc explode bounded by
+    ceil(stretch/seq_len) + 1 rows, token stream never materialized."""
+    val_col = "n_tokens"
+    if eod_per_doc:
+        sized = sized.withColumn(
+            "stretch", (F.col("n_tokens") + 1).cast("bigint"))
+        val_col = "stretch"
+    cum = global_running_sum(sized, ["doc_id"], val_col, "cum_tokens")
+    start = (F.col("cum_tokens") - F.col(val_col)).alias("start_tok")
+    stretch = F.col(val_col)
+    base = ["doc_id", val_col]
+    spans = (cum.select(*base, start)
+             .select(*base, "start_tok",
+                     F.explode(F.sequence(
+                         F.floor(F.col("start_tok") / seq_len),
+                         F.floor((F.col("start_tok") + stretch - 1)
+                                 / seq_len))).alias("seq_id")))
+    seq_start = F.col("seq_id") * seq_len
+    span_lo = F.greatest(F.col("start_tok"), seq_start)
+    span_hi = F.least(F.col("start_tok") + stretch, seq_start + seq_len)
+    out = [
+        F.col("seq_id").cast("bigint").alias("seq_id"), "doc_id",
+        (span_lo - F.col("start_tok")).cast("bigint").alias("doc_offset"),
+        (span_lo - seq_start).cast("bigint").alias("seq_offset"),
+        (span_hi - span_lo).cast("bigint").alias("n_span")]
+    if eod_per_doc:
+        out.append((span_hi == F.col("start_tok") + stretch).alias("has_eod"))
+    return spans.select(*out)
+
+
 @register(
     "q395_sequence_packing",
     sql=f"""
@@ -348,27 +390,69 @@ def q395_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    cum = global_running_sum(sized, ["doc_id"], "n_tokens", "cum_tokens")
-    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("start_tok")
-    spans = (cum.select("doc_id", "n_tokens", start)
-             .select("doc_id", "n_tokens", "start_tok",
-                     F.explode(F.sequence(
-                         F.floor(F.col("start_tok") / _SEQ_LEN),
-                         F.floor((F.col("start_tok") + F.col("n_tokens") - 1)
-                                 / _SEQ_LEN))).alias("seq_id")))
-    seq_start = F.col("seq_id") * _SEQ_LEN
-    span_lo = F.greatest(F.col("start_tok"), seq_start)
-    span_hi = F.least(F.col("start_tok") + F.col("n_tokens"),
-                      seq_start + _SEQ_LEN)
-    return (spans.select(
-        F.col("seq_id").cast("bigint").alias("seq_id"), "doc_id",
-        (span_lo - F.col("start_tok")).cast("bigint").alias("doc_offset"),
-        (span_lo - seq_start).cast("bigint").alias("seq_offset"),
-        (span_hi - span_lo).cast("bigint").alias("n_span"))
-        .orderBy("seq_id", "seq_offset"))
+    return pack_spans(sized, _SEQ_LEN).orderBy("seq_id", "seq_offset")
 
 
 q395_sequence_packing.__doc__ = q395_sequence_packing.__doc__.replace(
+    "{slen}", str(_SEQ_LEN))
+
+
+@register(
+    "q397_sequence_packing_eod",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               (len(string_split(text, ' ')) + 1)::BIGINT AS stretch
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, stretch,
+               (sum(stretch) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                - stretch)::BIGINT AS start_tok
+        FROM sized
+    ),
+    spans AS (
+        SELECT doc_id, stretch, start_tok,
+               unnest(range(start_tok // {_SEQ_LEN},
+                            (start_tok + stretch - 1) // {_SEQ_LEN} + 1))
+                   AS seq_id
+        FROM cum
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           (greatest(start_tok, seq_id * {_SEQ_LEN})
+            - start_tok)::BIGINT AS doc_offset,
+           (greatest(start_tok, seq_id * {_SEQ_LEN})
+            - seq_id * {_SEQ_LEN})::BIGINT AS seq_offset,
+           (least(start_tok + stretch, (seq_id + 1) * {_SEQ_LEN})
+            - greatest(start_tok, seq_id * {_SEQ_LEN}))::BIGINT AS n_span,
+           (least(start_tok + stretch, (seq_id + 1) * {_SEQ_LEN})
+            = start_tok + stretch) AS has_eod
+    FROM spans ORDER BY seq_id, seq_offset
+    """,
+)
+def q397_sequence_packing_eod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q395 under the real GPT-dataloader convention: one end-of-document
+    separator token appended per document, shifting every subsequent span
+    boundary in the packed stream (the round-7 verdict's follow-on). Each
+    document occupies n_tokens + 1 positions; spans cover the padded
+    stretch, and ``has_eod`` marks the doc's final span — which can be an
+    EOD-only span when the content ends exactly on a sequence boundary,
+    the edge the oracle's identical integer arithmetic pins. Same scale
+    shape as q395: distributed prefix sum + bounded per-doc explode
+    (ceil((n_d + 1)/{slen}) + 1 rows), token stream never materialized;
+    the skew unit test drives a pathological 1M-token document through
+    :func:`pack_spans` to prove the bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    return (pack_spans(sized, _SEQ_LEN, eod_per_doc=True)
+            .orderBy("seq_id", "seq_offset"))
+
+
+q397_sequence_packing_eod.__doc__ = q397_sequence_packing_eod.__doc__.replace(
     "{slen}", str(_SEQ_LEN))
 
 

@@ -386,3 +386,51 @@ def q394_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("wpos", "pieces"))),
                      lambda s: s["pieces"]))), 1, 16).alias("digest"))
             .orderBy("doc_id"))
+
+
+@register(
+    "q398_bpe_round_trip",
+    sql="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w <> '')) AS BIGINT) AS n_words,
+           substr(md5(array_to_string(list_filter(string_split(text, ' '),
+                                                  w -> w <> ''), ' ')),
+                  1, 16) AS digest
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q398_bpe_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(x)) == x for the trained BPE tokenizer, pinned
+    end-to-end rather than via the trainer's state: replay the cached
+    merge table over the distinct-word vocab (q394's fold chain), rebuild
+    each word by concatenating its pieces, reassemble every document from
+    its rebuilt words in position order, and digest the result. The oracle
+    digests the ORIGINAL text (single-space-joined non-empty words — the
+    same whitespace normalization the tokenizer's word split applies), so
+    the hash matches only if segmentation loses no character of any word
+    anywhere in the corpus — the lossless-merge invariant that makes BPE a
+    bijection between text and piece sequences. Cost shape is q394's:
+    vocabulary-sized fold replay, hash join onto the word stream, one
+    per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .filter(F.col("token") != "")
+             .distinct()
+             .withColumn("syms", F.split("token", "")))
+    for _, lhs, rhs, _, _ in _cached_merges(spark, sf_dir):
+        vocab = vocab.withColumn("syms", _apply_merge(F.col("syms"),
+                                                      lhs, rhs))
+    seg = vocab.select("token", F.array_join("syms", "").alias("rebuilt"))
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("wpos", "word")).filter(
+        F.col("word") != "")
+    return (words.join(seg, words.word == seg.token)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.substring(F.md5(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("wpos", "rebuilt"))),
+                     lambda s: s["rebuilt"]))), 1, 16).alias("digest"))
+            .orderBy("doc_id"))
