@@ -1639,7 +1639,14 @@ def _cached_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="minhash_index_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
-        build_minhash_index(docs.filter(F.col("doc_id") % 10 != 0), d)
+        # num_buckets sized to the fixture per build_minhash_index's own
+        # sizing rule ("one bucket's band rows fit a scan task"): at a few
+        # hundred docs, 8 buckets keep probes pruned while every build /
+        # append writes ~8 files instead of 64 — at sf0.01 the q376/q379
+        # wall time is file-count-fixed-cost, not bytes (a 100 TB build
+        # passes thousands here, exactly as the docstring prescribes).
+        build_minhash_index(docs.filter(F.col("doc_id") % 10 != 0), d,
+                            num_buckets=8)
         _minhash_index_cache[key] = d
     return _minhash_index_cache[key]
 

@@ -1,129 +1,161 @@
 """Distributed linear algebra on the embeddings table: PCA top component by
 power iteration.
 
-The iterative-algorithm pattern (like operators/graph.py's label
-propagation): a driver loop whose per-iteration state is O(dim) floats, with
-ALL row-scale work inside one aggregation pass per iteration. The corpus is
-never collected and never shuffles — each pass is a map-side partial
-aggregate of 65 sums, so at 100 TB an iteration costs one scan (or one
-cached-memory pass) regardless of row count. Iteration count is fixed and
-small (power iteration converges geometrically in the λ1/λ2 gap).
+Scale contract (round-8 shape): because the embedding dimension is small
+(64), the corpus-sized work is ONE pass — an Arrow-batched BLAS Gram
+accumulation (per-batch ``mat.T @ mat`` syrk, a 64x64 + 64 + 1 partial per
+batch) merged by a tiny distributed elementwise sum — after which all 15
+power-iteration rounds run on the driver against the collected 64x64
+matrix in microseconds. The corpus is never collected and never shuffles
+(the only shuffle is 4,161 (index, partial-sum) rows); at 100 TB this is
+one scan TOTAL, versus one scan per iteration for the loop-in-Spark shape
+this replaced — the classic small-dim covariance-PCA trade. K-means keeps
+the per-iteration distributed pass (assignments depend nonlinearly on the
+evolving codebook, so no sufficient statistic exists), with driver state
+bounded at the k x dim codebook.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..sources.readers import load_table
-from .similarity import _as_double, dot
+from .similarity import _as_double
 
 DIM = 64
 ITERATIONS = 15
 
 
-def _mean_vector(emb: DataFrame) -> list[float]:
-    row = emb.agg(*[
-        F.avg(F.col("embedding").getItem(j)).alias(f"m{j}") for j in range(DIM)
-    ]).first()
-    return [float(row[f"m{j}"]) for j in range(DIM)]
+def gram_stats(emb: DataFrame,
+               dim: int = DIM) -> tuple[int, list[float], list[list[float]]]:
+    """One distributed pass over the embedding column returning the PCA
+    sufficient statistics ``(n, m, S)``: row count, per-dimension sums
+    ``m_j = sum_i e_ij`` and the uncentered Gram matrix
+    ``S_jk = sum_i e_ij * e_ik``.
+
+    Per Arrow batch, the partial is a single BLAS ``mat.T @ mat`` (the
+    vectorized fast path — this is the documented exception to "UDFs are
+    the slow path"); partials are ``dim*dim + dim + 1`` doubles regardless
+    of batch size, merged with a distributed elementwise sum whose shuffle
+    is ``dim*(dim+1)`` rows total. Driver state is the collected 64x64
+    matrix — bounded like the IVF codebook."""
+    import pandas as pd
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            flat = np.concatenate([mat.sum(axis=0), (mat.T @ mat).ravel()])
+            yield pd.DataFrame({"n": [mat.shape[0]], "flat": [flat.tolist()]})
+
+    parts = (emb.select(_as_double(F.col("embedding")).alias("embedding"))
+             .mapInPandas(partials, "n long, flat array<double>"))
+    rows = (parts.select("n", F.posexplode("flat").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum("x").alias("s"), F.sum("n").alias("nn"))
+            .collect())
+    if not rows:
+        raise ValueError("gram_stats: empty embedding input")
+    # every exploded row carries its partial's n, so any group's nn is the
+    # total row count multiplied by nothing — each partial contributes its
+    # n exactly once per group
+    by_i = {int(r["i"]): float(r["s"]) for r in rows}
+    n = int(rows[0]["nn"])
+    m = [by_i[j] for j in range(dim)]
+    s = [[by_i[dim + j * dim + k] for k in range(dim)] for j in range(dim)]
+    return n, m, s
 
 
 def pca_top_component(emb: DataFrame) -> tuple[list[float], float, float]:
     """Leading eigenvector of the (uncentered-storage, centered-math)
-    covariance via power iteration. Returns (unit eigenvector, eigenvalue,
-    explained-variance share). Covariance action A·v is computed WITHOUT
-    materializing centered vectors: with d_i = e_i·v - μ·v,
-    (A·v)_j = Σ_i e_ij·d_i − μ_j·Σ_i d_i."""
-    mu = _mean_vector(emb)
-    n = emb.count()
+    covariance via power iteration on the :func:`gram_stats` sufficient
+    statistics. Returns (unit eigenvector, eigenvalue, explained-variance
+    share). The covariance action never materializes centered vectors:
+    with S = sum(e e^T), m = sum(e), mu = m/n,
+
+        (A.v)_j = (S.v)_j - (mu.v) m_j - mu_j (m.v) + n mu_j (mu.v)
+
+    which is the expansion of sum_i e_ij d_i - mu_j sum_i d_i with
+    d_i = e_i.v - mu.v — identical math to the per-iteration distributed
+    pass this replaced, now in driver floats (the oracle replays this
+    exact sequence)."""
+    n_rows, m, s = gram_stats(emb)
+    n = float(n_rows)
+    mu = [x / n for x in m]
     # Deterministic start: normalized all-ones (never orthogonal to the top
     # component in practice; a zero Rayleigh quotient would flag it loudly).
     v = [1.0 / math.sqrt(DIM)] * DIM
-
-    # Materialize the projected input once: without this every iteration
-    # re-runs the parquet scan through its whole lineage (15 scans); at
-    # cluster scale this is .cache() / a checkpoint to storage.
-    emb = emb.select("embedding").localCheckpoint()
-    vec = _as_double(F.col("embedding"))
+    eigenvalue = 0.0
     for _ in range(ITERATIONS):
-        mu_dot_v = sum(m * x for m, x in zip(mu, v))
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in v])) - F.lit(mu_dot_v)
-        # Per-dimension sums via posexplode + groupBy(dim) rather than 64
-        # separate sum() expressions: the wide-agg form re-compiles a fresh
-        # 65-expression codegen unit EVERY iteration (v changes → new plan
-        # text) at ~1s/compile; this 3-expression shape compiles in ms.
-        # Communication is identical — partial aggregation reduces each
-        # partition to 65 (dim, sum) pairs before the shuffle. A sentinel
-        # dimension with e=1.0 rides along so Σd comes from the same pass.
-        rows = (emb.select(
-                    d.alias("d"),
-                    F.posexplode(F.concat(vec, F.array(F.lit(1.0))))
-                    .alias("j", "e"))
-                .groupBy("j")
-                .agg(F.sum(F.col("e") * F.col("d")).alias("s"))
-                .collect())
-        by_j = {int(r["j"]): float(r["s"]) for r in rows}
-        sd = by_j[DIM]  # the sentinel slot
-        w = [by_j[j] - mu[j] * sd for j in range(DIM)]
+        mu_dot_v = sum(mu[k] * v[k] for k in range(DIM))
+        m_dot_v = sum(m[k] * v[k] for k in range(DIM))
+        w = [
+            sum(s[j][k] * v[k] for k in range(DIM))
+            - mu_dot_v * m[j] - mu[j] * m_dot_v + n * mu[j] * mu_dot_v
+            for j in range(DIM)
+        ]
         nrm = math.sqrt(sum(x * x for x in w))
         v = [x / nrm for x in w]
         eigenvalue = nrm / n  # Rayleigh quotient after normalization step
 
-    # Total variance = Σ_j Var(col_j), one pass.
-    var_row = emb.agg(*[
-        F.var_pop(F.col("embedding").getItem(j)).alias(f"v{j}")
-        for j in range(DIM)
-    ]).first()
-    total_var = sum(float(var_row[f"v{j}"]) for j in range(DIM))
+    # total variance from the same statistics: Var_j = S_jj/n - mu_j^2
+    total_var = sum(s[j][j] / n - mu[j] * mu[j] for j in range(DIM))
     return v, eigenvalue, eigenvalue / total_var
 
 
 def _pca_oracle(iterations: int = ITERATIONS, dim: int = DIM) -> str:
-    """Unrolled replay of :func:`pca_top_component` — the q390/q391
-    fixed-round float-sequence technique applied to power iteration: one
-    MATERIALIZED stage triple (d/s/i) per round computing the SAME IEEE
-    double sequence (covariance action without centering, sentinel-free Σd,
-    normalize), so every intermediate eigenvector estimate must agree to
-    within summation-order noise, nine orders of magnitude below the
-    6-decimal output rounding. Deterministic by construction: all-ones
-    init, fixed 15 rounds."""
+    """Replay of :func:`pca_top_component`: the Gram statistics computed in
+    SQL (sequential sums vs Spark's BLAS-partial distributed sums — the
+    usual summation-order noise, ~1e-13 relative, nine orders below the
+    6-decimal output rounding), then all 15 driver-float iterations
+    unrolled as MATERIALIZED CTEs computing the identical IEEE double
+    sequence. Deterministic by construction: all-ones init, fixed rounds."""
     rng = f"range(1, {dim + 1})"
     stages = []
     for k in range(1, iterations + 1):
         stages.append(f"""
-    d{k} AS (
-        SELECT e,
-               list_sum(list_transform({rng}, i -> e[i] * v[i]))
-               - list_sum(list_transform({rng}, i -> mu[i] * v[i])) AS d
-        FROM emb, i{k - 1}, mus
-    ),
-    s{k} AS MATERIALIZED (
-        SELECT (SELECT list(sj ORDER BY j)
-                FROM (SELECT t.j AS j, sum(e[t.j] * d) AS sj
-                      FROM d{k}, LATERAL (SELECT unnest({rng}) AS j) t
-                      GROUP BY t.j)) AS s,
-               (SELECT sum(d) FROM d{k}) AS sd
-    ),
     i{k} AS MATERIALIZED (
-        SELECT list_transform(w, x -> x / nrm) AS v, nrm / nn.n AS eig
-        FROM (SELECT list_transform({rng}, i -> s[i] - mu[i] * sd) AS w
-              FROM s{k}, mus) tw,
-             LATERAL (SELECT sqrt(list_sum(list_transform(w, x -> x * x)))
-                      AS nrm) tn,
-             nn
+        SELECT list_transform(w, x -> x / nrm) AS v, nrm / n AS eig
+        FROM (
+            SELECT n, list_transform({rng}, j ->
+                       list_sum(list_transform({rng}, kk -> s[j][kk] * v[kk]))
+                       - mdv * m[j] - mu[j] * mv + n * mu[j] * mdv) AS w
+            FROM (
+                SELECT n, m, mu, s, v,
+                       list_sum(list_transform({rng},
+                           kk -> mu[kk] * v[kk])) AS mdv,
+                       list_sum(list_transform({rng},
+                           kk -> m[kk] * v[kk])) AS mv
+                FROM i{k - 1}, gram
+            )
+        ) tw,
+        LATERAL (SELECT sqrt(list_sum(list_transform(w, x -> x * x)))
+                 AS nrm) tn
     ),""")
     return f"""
     WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    nn AS (SELECT count(*)::DOUBLE AS n FROM emb),
-    mus AS MATERIALIZED (
-        SELECT (SELECT list(m ORDER BY j)
-                FROM (SELECT t.j AS j, avg(e[t.j]) AS m
-                      FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
-                      GROUP BY t.j)) AS mu
+    gram AS MATERIALIZED (
+        SELECT nn.n, mm.m, list_transform(mm.m, x -> x / nn.n) AS mu, ss.s
+        FROM (SELECT count(*)::DOUBLE AS n FROM emb) nn,
+             (SELECT (SELECT list(mj ORDER BY j)
+                      FROM (SELECT t.j AS j, sum(e[t.j]) AS mj
+                            FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
+                            GROUP BY t.j)) AS m) mm,
+             (SELECT (SELECT list(sr ORDER BY j)
+                      FROM (SELECT j, list(sjk ORDER BY k) AS sr
+                            FROM (SELECT tj.j AS j, tk.k AS k,
+                                         sum(e[tj.j] * e[tk.k]) AS sjk
+                                  FROM emb,
+                                       LATERAL (SELECT unnest({rng}) AS j) tj,
+                                       LATERAL (SELECT unnest({rng}) AS k) tk
+                                  GROUP BY tj.j, tk.k)
+                            GROUP BY j)) AS s) ss
     ),
     i0 AS (SELECT list_transform({rng}, i -> 1.0 / sqrt({dim}.0)) AS v,
            0.0 AS eig),
@@ -134,10 +166,9 @@ def _pca_oracle(iterations: int = ITERATIONS, dim: int = DIM) -> str:
         ORDER BY abs(v[t.j]) DESC, t.j ASC LIMIT 1
     ),
     tv AS (
-        SELECT sum(vp) AS total_var
-        FROM (SELECT var_pop(e[t.j]) AS vp
-              FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
-              GROUP BY t.j)
+        SELECT list_sum(list_transform({rng},
+                   j -> s[j][j] / n - mu[j] * mu[j])) AS total_var
+        FROM gram
     )
     SELECT CAST(t.j - 1 AS INTEGER) AS dim_idx,
            round(CASE WHEN v[jm.j] < 0 THEN -v[t.j] ELSE v[t.j] END, 6)
@@ -153,12 +184,12 @@ def _pca_oracle(iterations: int = ITERATIONS, dim: int = DIM) -> str:
 @register("q146_pca_power_iteration", sql=_pca_oracle())
 def q146_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA leading component of the embedding corpus by power iteration —
-    oracle-paired since round 8: the fixed-round float-sequence replay
-    (q390/q391's technique) unrolls all 15 iterations as MATERIALIZED CTE
-    stages computing the identical IEEE double sequence, with unit tests
-    additionally pinning the result against NumPy (exact eigenvector match
-    on gapped data, Rayleigh-quotient-at-λ1 bound on the near-isotropic
-    fixture). Output: one row per dimension with the loading, plus the
+    one corpus pass (BLAS Gram partials, :func:`gram_stats`) plus a driver
+    loop, oracle-paired via the fixed-round float-sequence replay
+    (q390/q391's technique), with unit tests additionally pinning the
+    result against NumPy (exact eigenvector match on gapped data,
+    Rayleigh-quotient-at-lambda1 bound on the near-isotropic fixture).
+    Output: one row per dimension with the loading, plus the
     eigenvalue/explained-variance share repeated for context. Sign is fixed
     by making the largest-|loading| entry positive."""
     emb = load_table(spark, sf_dir, "embeddings")
