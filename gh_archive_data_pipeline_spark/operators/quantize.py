@@ -1,0 +1,327 @@
+"""Product quantization (PQ) for the embedding corpus: train per-subspace
+codebooks, encode vectors to byte codes, search by asymmetric distance
+computation (ADC).
+
+Reference parity: the reference pipeline has no vector plane at all (its
+1,112 LoC are Airflow/ELT glue — see SURVEY.md §0); this module extends the
+ANN family (operators/similarity.py: brute-force / SRP-LSH / IVF) with the
+memory-side scale lever those paths lack. Scale contract, 100 TB lens:
+
+- **Train** (``pq_train``): k-means per subspace, ALL subspaces trained in
+  one distributed pass per Lloyd round (the per-row projection computes all
+  8 sub-assignments; one explode + one partial-aggregated shuffle keyed on
+  the 8x16-valued (subspace, cluster) pair). Driver state is the codebook —
+  8 x 16 x 8 doubles, IVF-codebook-sized. Fixed rounds, deterministic
+  seeds (first k vectors by vec_id), so the whole float sequence replays
+  in the DuckDB oracle exactly like q149's Lloyd loop.
+- **Encode** (``pq_encode``): one scan-side projection — each 64-dim float
+  vector becomes 8 small ints (8 bytes at storage: 64x smaller than the
+  512-byte raw vector). The codes table is what a 100 TB corpus keeps hot;
+  raw vectors stay cold. No shuffle.
+- **Search** (``adc_topk``): the query's 8x16 distance table is computed
+  ONCE on the driver (128 floats, broadcast as literals into the plan);
+  per-row ADC distance is 8 array lookups + 7 adds, pure JVM scan-side
+  expressions over the codes column — the corpus never shuffles and the
+  only movement is TakeOrdered's per-partition top-k. Composes with the
+  IVF index (similarity.py) as IVF-PQ: probe prunes to nprobe cells,
+  ADC ranks inside them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+
+DIM = 64
+M_SUB = 8          # subspaces
+DSUB = DIM // M_SUB
+K_PQ = 16          # centroids per subspace (codes fit 4 bits; stored as int)
+ROUNDS = 3         # Lloyd rounds per subspace — fixed, replayable
+
+
+def _sub_expr(s: int) -> str:
+    """SQL text for subvector ``s`` of the embedding column (1-based
+    slice)."""
+    return (f"slice(cast(embedding as array<double>), "
+            f"{s * DSUB + 1}, {DSUB})")
+
+
+def _argmin_cells(sub: str, centroids: list[list[float]]) -> str:
+    """SQL text: array_min over (d2, j) structs for one subspace — same
+    lexicographic-struct argmin idiom as linalg._argmin_cluster (SQL text,
+    not Python lambdas: multiple pyspark-lambda HOFs in one projection
+    collapse into one shared expression)."""
+    cells = []
+    for j, c in enumerate(centroids):
+        carr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        d2 = (f"aggregate(zip_with({sub}, {carr},"
+              f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+        cells.append(f"struct({d2} AS d2, {j} AS j)")
+    return f"array_min(array({', '.join(cells)}))"
+
+
+def pq_train(emb: DataFrame, m_sub: int = M_SUB, k: int = K_PQ,
+             rounds: int = ROUNDS) -> list[list[list[float]]]:
+    """Train the PQ codebook: per-subspace Lloyd k-means, all subspaces in
+    one distributed pass per round. Returns ``codebooks[s][j]`` (length-DSUB
+    centroid lists). Seeds are the subvectors of the first ``k`` vectors by
+    vec_id — deterministic, replayable."""
+    seed_rows = (emb.orderBy("vec_id").limit(k)
+                 .selectExpr("cast(embedding as array<double>) AS e")
+                 .collect())
+    if len(seed_rows) < k:
+        raise ValueError(f"pq_train: need >= {k} vectors, got {len(seed_rows)}")
+    cbs = [[list(r.e[s * DSUB:(s + 1) * DSUB]) for r in seed_rows]
+           for s in range(m_sub)]
+    emb = emb.select("vec_id", "embedding").localCheckpoint()
+    for _ in range(rounds):
+        per_sub = [
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(_argmin_cells(_sub_expr(s), cbs[s]))
+                .getField("j").alias("cluster"),
+                F.expr(_sub_expr(s)).alias("sub"),
+            )
+            for s in range(m_sub)
+        ]
+        sums = (emb.select(F.explode(F.array(*per_sub)).alias("t"))
+                .select("t.s", "t.cluster", "t.sub")
+                .groupBy("s", "cluster")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("sub").getItem(d)).alias(f"s{d}")
+                       for d in range(DSUB)])
+                .collect())
+        by_key = {(r.s, r.cluster): r for r in sums}
+        cbs = [
+            [
+                [float(by_key[(s, j)][f"s{d}"]) / by_key[(s, j)].n
+                 for d in range(DSUB)]
+                if (s, j) in by_key else cbs[s][j]   # empty cluster: keep
+                for j in range(k)
+            ]
+            for s in range(m_sub)
+        ]
+    return cbs
+
+
+# One trained codebook per fixture STATE (same contract as dedup.py's
+# _cached_minhash_index): keyed on the source fingerprint so a regenerated
+# fixture retrains; q399 and q400 share one training pass per fixture.
+_pq_codebook_cache: dict[tuple[str, float], list[list[list[float]]]] = {}
+
+
+def _cached_codebooks(spark: SparkSession,
+                      sf_dir: str) -> list[list[list[float]]]:
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/embeddings.parquet"))
+    if key not in _pq_codebook_cache:
+        _pq_codebook_cache[key] = pq_train(
+            load_table(spark, sf_dir, "embeddings"))
+    return _pq_codebook_cache[key]
+
+
+def pq_encode(emb: DataFrame,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode each vector to its PQ codes — one scan-side projection, no
+    shuffle. Output: (vec_id, codes array<int>, qerr double) where qerr is
+    the total squared quantization error (sum of the 8 chosen subspace
+    distances, left-to-right)."""
+    picks = [F.expr(_argmin_cells(_sub_expr(s), codebooks[s]))
+             for s in range(len(codebooks))]
+    codes = F.array(*[p.getField("j") for p in picks]).alias("codes")
+    qerr = picks[0].getField("d2")
+    for p in picks[1:]:
+        qerr = qerr + p.getField("d2")
+    return emb.select("vec_id", codes, qerr.alias("qerr"))
+
+
+def adc_topk(emb: DataFrame, codebooks: list[list[list[float]]],
+             query: list[float], topk: int = 10,
+             exclude_vec_id: int | None = None) -> DataFrame:
+    """Top-k nearest vectors to ``query`` by ADC over PQ codes: the 8x16
+    distance table is driver-computed (128 floats, literals in the plan);
+    per-row distance is 8 lookups + 7 adds over the codes column. Returns
+    (rank, vec_id, adc_dist, true_d2) with the true squared distance
+    alongside for recall context. Ordering is total: (rounded adc, vec_id),
+    rounded FIRST so near-ULP table noise can't flip a rank across
+    engines."""
+    m_sub = len(codebooks)
+    table = [
+        [sum((query[s * DSUB + d] - c[d]) ** 2 for d in range(DSUB))
+         for c in codebooks[s]]
+        for s in range(m_sub)
+    ]
+    coded = pq_encode(emb, codebooks)
+    adc_terms = [
+        "array(" + ",".join(f"{t!r}D" for t in table[s]) + f")[codes[{s}]]"
+        for s in range(m_sub)
+    ]
+    adc = F.expr(" + ".join(adc_terms))
+    qarr = "array(" + ",".join(f"{float(x)!r}D" for x in query) + ")"
+    true_d2 = F.expr(
+        f"aggregate(zip_with(cast(embedding as array<double>), {qarr},"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+    out = (coded.join(emb.select("vec_id", "embedding"), "vec_id")
+           .select("vec_id", F.round(adc, 6).alias("adc_dist"),
+                   F.round(true_d2, 6).alias("true_d2")))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    from pyspark.sql import Window
+    w = Window.orderBy("adc_dist", "vec_id")
+    return (out.orderBy("adc_dist", "vec_id").limit(topk)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "vec_id", "adc_dist", "true_d2"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle replay (q390/q149 technique: unrolled fixed-round float sequence)
+# ---------------------------------------------------------------------------
+
+def _pq_train_ctes(k: int = K_PQ, m_sub: int = M_SUB,
+                   rounds: int = ROUNDS) -> str:
+    """CTE text replaying pq_train: subvector rows, seeded codebook, and
+    per-round (assignment, centroid-update) pairs with the exact (d2, j)
+    lexicographic tie-break and empty-cluster carry-over of the Spark loop.
+    Ends at ``c{rounds}`` (final codebook) and ``a{rounds + 1}`` (final
+    assignment = the encode pass)."""
+    rngd = f"range(1, {DSUB + 1})"
+    stages = []
+    for r in range(1, rounds + 2):     # final round = encode assignment
+        stages.append(f"""
+    a{r} AS MATERIALIZED (
+        SELECT vec_id, s, sub, cluster, d2 FROM (
+            SELECT vec_id, s, sub, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, cluster) AS rn
+            FROM (SELECT sb.vec_id, sb.s, sb.sub, c.j AS cluster,
+                         list_sum(list_transform({rngd},
+                             i -> (sb.sub[i] - c.c[i])
+                                  * (sb.sub[i] - c.c[i]))) AS d2
+                  FROM subs sb JOIN c{r - 1} c ON c.s = sb.s)
+        ) WHERE rn = 1
+    ),""")
+        if r <= rounds:
+            stages.append(f"""
+    c{r} AS MATERIALIZED (
+        SELECT p.s, p.j, COALESCE(m.c, p.c) AS c
+        FROM c{r - 1} p LEFT JOIN (
+            SELECT s, cluster AS j, list(sd / cnt ORDER BY i) AS c
+            FROM (SELECT s, cluster, t.i AS i, sum(sub[t.i]) AS sd,
+                         count(*) AS cnt
+                  FROM a{r}, LATERAL (SELECT unnest({rngd}) AS i) t
+                  GROUP BY s, cluster, t.i)
+            GROUP BY s, cluster
+        ) m ON p.s = m.s AND p.j = m.j
+    ),""")
+    return f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+    subs AS MATERIALIZED (
+        SELECT vec_id, t.s AS s,
+               e[t.s * {DSUB} + 1 : t.s * {DSUB} + {DSUB}] AS sub
+        FROM emb, LATERAL (SELECT unnest(range(0, {m_sub})) AS s) t
+    ),
+    c0 AS MATERIALIZED (
+        SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                   AS j, sub AS c
+        FROM subs
+        WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})
+    ),
+    {''.join(stages)}
+    _pq_end AS (SELECT 1)"""
+
+
+def _pq_audit_oracle() -> str:
+    return f"""
+    WITH {_pq_train_ctes()}
+    SELECT CAST(s AS INTEGER) AS subspace,
+           CAST(cluster AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(d2), 6) AS avg_qerr
+    FROM a{ROUNDS + 1}
+    GROUP BY s, cluster
+    ORDER BY subspace, cluster
+    """
+
+
+@register("q399_pq_codebook_audit", sql=_pq_audit_oracle())
+def q399_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ train + encode audit: per (subspace, cluster) — how many corpus
+    vectors land in each code cell and their mean squared quantization
+    error. Pins the whole train/encode plane (seeding, 3 Lloyd rounds with
+    tie-breaks and empty-cluster carry, final assignment) against the
+    unrolled DuckDB replay. Balanced cells + low qerr is what makes the
+    8-byte code a usable 64x-compressed stand-in for the 512-byte raw
+    vector at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _cached_codebooks(spark, sf_dir)
+    picks = [F.expr(_argmin_cells(_sub_expr(s), cbs[s])) for s in range(M_SUB)]
+    per_sub = [
+        F.struct(F.lit(s).alias("s"),
+                 picks[s].getField("j").alias("cluster"),
+                 picks[s].getField("d2").alias("d2"))
+        for s in range(M_SUB)
+    ]
+    return (emb.select(F.explode(F.array(*per_sub)).alias("t"))
+            .select("t.s", "t.cluster", "t.d2")
+            .groupBy(F.col("s").cast("int").alias("subspace"),
+                     F.col("cluster").cast("int").alias("cluster"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("d2"), 6).alias("avg_qerr"))
+            .orderBy("subspace", "cluster"))
+
+
+def _adc_oracle(topk: int = 10) -> str:
+    rngd = f"range(1, {DSUB + 1})"
+    return f"""
+    WITH {_pq_train_ctes()},
+    qv AS (SELECT vec_id AS qid, e AS qe FROM emb ORDER BY vec_id LIMIT 1),
+    tbl AS MATERIALIZED (
+        SELECT c.s, c.j,
+               list_sum(list_transform({rngd},
+                   i -> (qe[c.s * {DSUB} + i] - c.c[i])
+                        * (qe[c.s * {DSUB} + i] - c.c[i]))) AS t
+        FROM c{ROUNDS} c, qv
+    ),
+    adc AS (
+        SELECT a.vec_id,
+               list_sum(list(t.t ORDER BY a.s)) AS adc_raw
+        FROM a{ROUNDS + 1} a JOIN tbl t ON t.s = a.s AND t.j = a.cluster
+        GROUP BY a.vec_id
+    ),
+    truth AS (
+        SELECT emb.vec_id,
+               list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> (e[i] - qe[i]) * (e[i] - qe[i]))) AS td
+        FROM emb, qv
+    )
+    SELECT CAST(row_number() OVER (ORDER BY round(adc_raw, 6), adc.vec_id)
+                AS INTEGER) AS rank,
+           adc.vec_id,
+           round(adc_raw, 6) AS adc_dist,
+           round(td, 6) AS true_d2
+    FROM adc JOIN truth ON truth.vec_id = adc.vec_id, qv
+    WHERE adc.vec_id != qid
+    ORDER BY round(adc_raw, 6), adc.vec_id LIMIT {topk}
+    """
+
+
+@register("q400_pq_adc_search", sql=_adc_oracle())
+def q400_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for the lowest-vec_id query vector over the PQ-encoded
+    corpus (query excluded from candidates), true squared distance
+    alongside — the IVF-PQ search half: distances come from 8 lookups into
+    the query's driver-computed table, never from the raw vectors. The
+    oracle replays training and scores the same lookups, so ranks, ADC
+    distances and true distances must all agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _cached_codebooks(spark, sf_dir)
+    qrow = (emb.orderBy("vec_id").limit(1)
+            .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+            .collect()[0])
+    return adc_topk(emb, cbs, list(qrow.e), topk=10,
+                    exclude_vec_id=int(qrow.vec_id))

@@ -69,6 +69,7 @@ def _load_all() -> None:
     )
     from ..operators import (  # noqa: F401
         asof,
+        classifier,
         corpus_stats,
         dedup,
         features,
@@ -81,6 +82,7 @@ def _load_all() -> None:
         multimodal,
         profiler,
         quality,
+        quantize,
         reconcile,
         sampling,
         selection,
