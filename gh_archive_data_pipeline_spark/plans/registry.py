@@ -91,6 +91,7 @@ def _load_all() -> None:
         text_queries,
         timeseries,
         tokenize,
+        unigram,
     )
     from ..pipeline import stages  # noqa: F401
     from ..sources import versioned  # noqa: F401
