@@ -33,12 +33,12 @@ from .text_queries import _STOP_SQL, STOPWORDS
 ROUNDS = 16
 LR = 8.0
 # Fixed centering constants (NOT data-dependent — replayability): each
-# feature is scaled to ~[0, 1] then shifted so a typical document sits near
-# zero; without this the raw mean-word-length (~5) swamps the logit and GD
-# converges to the always-positive classifier (measured: pos_rate 1.0 at
-# 8 uncentered rounds vs accuracy 0.898 / pos_rate 0.498 here).
-FEATURE_NAMES = ("n_words_100", "mean_word_len_10", "distinct_ratio",
-                 "n_stop_10", "alpha_ratio")
+# feature — x1 words/100, x2 mean-word-len/10, x3 distinct-word ratio,
+# x4 distinct-stopwords/10, x5 alpha-word ratio — is scaled to ~[0, 1]
+# then shifted so a typical document sits near zero; without this the raw
+# mean-word-length (~5) swamps the logit and GD converges to the
+# always-positive classifier (measured: pos_rate 1.0 at 8 uncentered
+# rounds vs accuracy 0.898 / pos_rate 0.498 here).
 CENTERS = (1.0, 0.5, 0.5, 0.5, 0.8)
 
 
@@ -117,11 +117,11 @@ def train_quality_probe(docs: DataFrame, rounds: int = ROUNDS,
     return w, b
 
 
-def _z_sql(wcols: str = "") -> str:
+def _z_sql() -> str:
     """SQL text for the logit with the same left-to-right chain; weight
     columns come from the cross-joined round CTE."""
-    return (f"(((((b + w1 * x1) + w2 * x2) + w3 * x3) + w4 * x4)"
-            f" + w5 * x5)")
+    return ("(((((b + w1 * x1) + w2 * x2) + w3 * x3) + w4 * x4)"
+            " + w5 * x5)")
 
 
 def _probe_train_ctes(rounds: int = ROUNDS, lr: float = LR) -> str:
@@ -198,9 +198,9 @@ def q401_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the logistic quality probe on the documents table (weak labels
     = the q384 Gopher composite) and score the corpus with the final
     weights: confusion cells (label, pred) with counts and mean predicted
-    probability. The oracle replays the exact 8-round GD float sequence,
+    probability. The oracle replays the exact 16-round GD float sequence,
     so the learned weights — and therefore every prediction — must agree.
-    At 100 TB: train is 8 partial-aggregated scans of a once-computed
+    At 100 TB: train is 16 partial-aggregated scans of a once-computed
     feature frame; inference is the scan-side logit, broadcastable to any
     downstream curation query as a literal expression."""
     docs = load_table(spark, sf_dir, "documents")

@@ -746,3 +746,35 @@ def test_q386_balance_audit_reads_only_partition_columns(spark):
 
     schemas = re.findall(r"ReadSchema: ([^\s,]+)", plan)
     assert schemas and all(s == "struct<>" for s in schemas), schemas
+
+
+def test_q402_ivf_pq_all_broadcast_group_limited(spark):
+    """IVF-PQ's scale contract: probes and per-query ADC tables broadcast
+    into one streamed corpus scan (no sort-merge join anywhere — the corpus
+    never shuffles pre-rank) and the per-query top-5 compiles to
+    WindowGroupLimit so only partial top-k rows reach the rank exchange."""
+    plan = plan_of(spark, "q402_ivf_pq_search")
+    assert plan.count("BroadcastHashJoin") >= 2  # probes + qtab
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q403_projection_report_single_scan_small_shuffle(spark):
+    """The projection report reads the embeddings ONCE (components are plan
+    literals, projections are scan-side folds) and shuffles only the
+    partial-aggregated (component, label) cells."""
+    plan = plan_of(spark, "q403_pca_projection_report")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+
+
+def test_q401_scoring_is_scan_side_no_join(spark):
+    """The trained probe's inference pass: a literal logit over one
+    documents scan feeding a partial-aggregated 4-cell confusion groupBy —
+    no join, no UDF, no extra scan."""
+    plan = plan_of(spark, "q401_quality_probe")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

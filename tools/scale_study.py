@@ -90,6 +90,14 @@ QUERY_TABLES = {
     "q393_span_dedup_clean": ["documents"],
     "q394_bpe_encode": ["documents"],
     "q395_sequence_packing": ["documents"],
+    "q146_pca_power_iteration": ["embeddings"],
+    "q399_pq_codebook_audit": ["embeddings"],
+    "q400_pq_adc_search": ["embeddings"],
+    "q401_quality_probe": ["documents"],
+    "q402_ivf_pq_search": ["embeddings"],
+    "q403_pca_projection_report": ["embeddings"],
+    "q404_unigram_lm_tokenizer": ["documents"],
+    "q405_unigram_encode": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -136,6 +144,18 @@ QUERIES = [
     "q393_span_dedup_clean",
     "q394_bpe_encode",
     "q395_sequence_packing",
+    # round 8: one-pass Gram PCA (was per-iteration scans), PQ plane
+    # (train+audit / ADC / IVF-PQ; q399 runs first alphabetically and pays
+    # the shared cached-codebook training), projection report, quality
+    # probe GD, unigram-LM EM training + encode
+    "q146_pca_power_iteration",
+    "q399_pq_codebook_audit",
+    "q400_pq_adc_search",
+    "q401_quality_probe",
+    "q402_ivf_pq_search",
+    "q403_pca_projection_report",
+    "q404_unigram_lm_tokenizer",
+    "q405_unigram_encode",
 ]
 
 
