@@ -214,3 +214,20 @@ def q401_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.avg("p"), 6).alias("avg_p"))
             .orderBy("label", "pred"))
+
+
+# one trained probe per fixture state — q401 trains fresh (the honest
+# trainer headline); streaming/score-only consumers (q407) amortize via
+# this cache, the same convention as tokenize._cached_merges
+_probe_cache: dict[tuple[str, float], tuple[list[float], float]] = {}
+
+
+def _cached_probe(spark: SparkSession,
+                  sf_dir: str) -> tuple[list[float], float]:
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _probe_cache:
+        _probe_cache[key] = train_quality_probe(
+            load_table(spark, sf_dir, "documents"))
+    return _probe_cache[key]

@@ -155,19 +155,21 @@ def adc_topk(emb: DataFrame, codebooks: list[list[list[float]]],
          for c in codebooks[s]]
         for s in range(m_sub)
     ]
-    coded = pq_encode(emb, codebooks)
-    adc_terms = [
-        "array(" + ",".join(f"{t!r}D" for t in table[s]) + f")[codes[{s}]]"
-        for s in range(m_sub)
-    ]
-    adc = F.expr(" + ".join(adc_terms))
+    # one projection computes code picks, ADC lookups AND the true
+    # distance — no self-join of the corpus against its own encoding
+    picks = [F.expr(_argmin_cells(_sub_expr(s), codebooks[s]))
+             for s in range(m_sub)]
+    adc = None
+    for s in range(m_sub):
+        tbl = F.expr("array(" + ",".join(f"{t!r}D" for t in table[s]) + ")")
+        term = F.element_at(tbl, picks[s].getField("j") + 1)
+        adc = term if adc is None else adc + term
     qarr = "array(" + ",".join(f"{float(x)!r}D" for x in query) + ")"
     true_d2 = F.expr(
         f"aggregate(zip_with(cast(embedding as array<double>), {qarr},"
         f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-    out = (coded.join(emb.select("vec_id", "embedding"), "vec_id")
-           .select("vec_id", F.round(adc, 6).alias("adc_dist"),
-                   F.round(true_d2, 6).alias("true_d2")))
+    out = emb.select("vec_id", F.round(adc, 6).alias("adc_dist"),
+                     F.round(true_d2, 6).alias("true_d2"))
     if exclude_vec_id is not None:
         out = out.filter(F.col("vec_id") != exclude_vec_id)
     from pyspark.sql import Window

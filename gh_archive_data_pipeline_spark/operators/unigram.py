@@ -296,20 +296,10 @@ def _unigram_encode_oracle(rounds: int = EM_ROUNDS) -> str:
     """
 
 
-@register("q405_unigram_encode", sql=_unigram_encode_oracle())
-def q405_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the TRAINED unigram LM (q404's vocabulary, one cached training
-    run per fixture) to the whole corpus: Viterbi-segment the distinct-word
-    vocab once (Arrow-batched, vocabulary-sized — the q394 amortization),
-    hash-join the segmentation onto the word stream, and emit per-doc word
-    and piece counts plus the md5 digest of the full piece sequence in
-    position order. Words longer than MAX_WORD_LEN are outside the model's
-    contract and are excluded from the stream in both engines (the fixture
-    has none)."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = _cached_unigram(spark, sf_dir)
-    total = sum(c for _, c, _ in vocab)
-    logq = {p: _q_logprob(c, total) for p, c, _ in vocab}
+def _encode_report(docs: DataFrame, logq: dict[str, int]) -> DataFrame:
+    """Shared encode body for q405/q406: Viterbi-segment the distinct-word
+    vocab once under ``logq``, hash-join onto the word stream, per-doc
+    counts + position-ordered digest (q394's idiom)."""
     seg = (distinct_words(docs)
            .withColumn("pcs", _viterbi_udf(logq)(F.col("w")))
            .select(F.col("w").alias("token"),
@@ -332,3 +322,91 @@ def q405_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("wpos", "pieces"))),
                      lambda s: s["pieces"]))), 1, 16).alias("digest"))
             .orderBy("doc_id"))
+
+
+@register("q405_unigram_encode", sql=_unigram_encode_oracle())
+def q405_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED unigram LM (q404's vocabulary, one cached training
+    run per fixture) to the whole corpus: Viterbi-segment the distinct-word
+    vocab once (Arrow-batched, vocabulary-sized — the q394 amortization),
+    hash-join the segmentation onto the word stream, and emit per-doc word
+    and piece counts plus the md5 digest of the full piece sequence in
+    position order. Words longer than MAX_WORD_LEN are outside the model's
+    contract and are excluded from the stream in both engines (the fixture
+    has none)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _cached_unigram(spark, sf_dir)
+    total = sum(c for _, c, _ in vocab)
+    logq = {p: _q_logprob(c, total) for p, c, _ in vocab}
+    return _encode_report(docs, logq)
+
+
+# ---------------------------------------------------------------------------
+# Versioned tokenizer artifact: publish the trained vocab, load, encode
+# ---------------------------------------------------------------------------
+
+def publish_unigram_artifact(spark: SparkSession, docs, store_dir: str,
+                             rounds: int = EM_ROUNDS) -> int:
+    """Train (or retrain) the unigram vocabulary and publish it as an
+    immutable versioned table (sources/versioned.py: the write lands in
+    ``v=N`` and the manifest swap is the atomic publish — the same
+    contract the IVF rebuild uses). The artifact stores (piece, c): the
+    integer counts ARE the model; log-probs are requantized at load so a
+    loader can never desync from the stored state."""
+    from ..sources.versioned import write_version
+
+    vocab = unigram_train(docs, rounds=rounds)
+    df = docs.sparkSession.createDataFrame(
+        [(p, c) for p, c, _ in vocab], "piece string, c bigint")
+    return write_version(df, store_dir)
+
+
+def load_unigram_artifact(spark: SparkSession, store_dir: str,
+                          version: int | None = None) -> dict[str, int]:
+    """Resolve the published (or an explicit time-travel) version and
+    rebuild the fixed-point log-prob table — vocabulary-sized driver
+    state, exactly what the Viterbi UDF broadcasts."""
+    from ..sources.versioned import read_version
+
+    rows = read_version(spark, store_dir, version).collect()
+    state = {r.piece: int(r.c) for r in rows}
+    total = sum(state.values())
+    return {p: _q_logprob(c, total) for p, c in state.items()}
+
+
+# one published artifact per fixture state (temp store, removed at exit)
+_artifact_cache: dict[tuple[str, float], str] = {}
+
+
+def _cached_artifact_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.readers import source_stamp
+
+    key = (sf_dir, source_stamp(f"{sf_dir}/documents.parquet"))
+    if key not in _artifact_cache:
+        d = tempfile.mkdtemp(prefix="unigram_artifact_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        publish_unigram_artifact(
+            spark, load_table(spark, sf_dir, "documents"), d)
+        _artifact_cache[key] = d
+    return _artifact_cache[key]
+
+
+@register("q406_unigram_artifact_encode", sql=_unigram_encode_oracle())
+def q406_unigram_artifact_encode(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The production artifact loop: the trained vocabulary is PUBLISHED as
+    a versioned parquet table (atomic manifest swap, cached per fixture),
+    then LOADED back — counts only; log-probs requantized at load — and
+    applied to the corpus. Output and oracle are exactly q405's: the store
+    round-trip must be invisible to every piece boundary, count and digest.
+    At 100 TB this is how trainers hand tokenizers to encode fleets:
+    immutable versions, time-travel rollback (unit-pinned), no shared
+    mutable state."""
+    docs = load_table(spark, sf_dir, "documents")
+    logq = load_unigram_artifact(
+        spark, _cached_artifact_store(spark, sf_dir))
+    return _encode_report(docs, logq)

@@ -704,3 +704,123 @@ def q396_stream_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("event_id", "payload"))),
                      lambda s: s["payload"]))), 1, 16).alias("digest"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# q407 — train offline, score online: the quality probe over a real stream
+# ---------------------------------------------------------------------------
+
+# documents landing zone: 4 doc_id-bucket files with increasing mtimes ->
+# 4 real micro-batches; cached per fixture (same discipline as
+# _avro_stream_cache)
+_docs_stream_cache: dict[str, str] = {}
+
+
+def _docs_stream_dir(spark: SparkSession, sf_dir: str,
+                     n_files: int = 4) -> str:
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.readers import load_table
+
+    if sf_dir not in _docs_stream_cache:
+        land = tempfile.mkdtemp(prefix="docs_stream_")
+        atexit.register(shutil.rmtree, land, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        # EXPLICIT batch key (doc_id % n), not repartitionByRange: the
+        # oracle must know which rows share a micro-batch without depending
+        # on data-valued range boundaries
+        for k in range(n_files):
+            tmp = f"{land}/_b{k}"
+            (docs.filter(F.col("doc_id") % n_files == k).coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = glob.glob(f"{tmp}/part-*")[0]
+            dst = f"{land}/bucket{k}.parquet"
+            os.replace(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        _docs_stream_cache[sf_dir] = land
+    return _docs_stream_cache[sf_dir]
+
+
+def _q407_oracle() -> str:
+    from ..operators.classifier import _probe_train_ctes, _z_sql
+
+    return f"""
+    WITH {_probe_train_ctes()}
+    SELECT CAST(y AS INTEGER) AS label,
+           CAST(pred AS INTEGER) AS pred,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(pm)::DOUBLE / 1000000.0 / count(*), 6) AS avg_p,
+           CAST(count(DISTINCT bucket) AS BIGINT) AS n_batches
+    FROM (SELECT y, CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
+                 CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pm, bucket
+          FROM (SELECT f.y, f.doc_id % 4 AS bucket,
+                       1.0 / (1.0 + exp(-{_z_sql()})) AS p
+                FROM feats f, r16 r))
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register("q407_stream_quality_scoring", sql=_q407_oracle())
+def q407_stream_quality_scoring(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Train offline, score online: the q401 probe's weights (one cached
+    training per fixture) applied INSIDE a real 4-micro-batch document
+    stream. Each foreachBatch computes the scan-side logit and appends its
+    batch's per-(label, pred) counts and fixed-point probability sums to a
+    batch-keyed parquet partition (overwrite-by-batch: retry-idempotent,
+    the q379 convention); the final frame merges batches exactly (integer
+    sums), so the result equals the one-shot batch scoring — and the
+    oracle replays training plus the per-row floor(p*1e6 + 0.5)
+    quantization that makes cross-batch merging bit-exact. n_batches
+    counts the distinct micro-batches that contributed to each confusion
+    cell, pinning the multi-batch structure itself (batch k = doc_id % 4
+    == k by the landing zone's construction)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.classifier import (_cached_probe, _z_expr,
+                                        quality_features)
+
+    ensure_runtime_confs(spark)
+    w, b = _cached_probe(spark, sf_dir)
+    land = _docs_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(f"{land}/bucket0.parquet").schema
+
+    out = tempfile.mkdtemp(prefix="probe_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="probe_stream_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+
+    def score_batch(batch, batch_id: int) -> None:
+        feats = quality_features(batch)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_expr(w, b)))
+        pm = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        (feats.select(F.col("y").cast("int").alias("label"),
+                      (p >= 0.5).cast("int").alias("pred"),
+                      pm.alias("pm"))
+         .groupBy("label", "pred")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("pm").cast("bigint").alias("spm"))
+         .write.mode("overwrite").parquet(f"{out}/batch={batch_id}"))
+
+    stream = read_file_stream(spark, land, schema, max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(score_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("q407_stream_quality_scoring drain exceeded 180s")
+    res = spark.read.parquet(out)
+    return (res.groupBy("label", "pred")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.round(F.sum("spm").cast("double") / F.lit(1000000.0)
+                         / F.sum("n"), 6).alias("avg_p"),
+                 F.countDistinct("batch").cast("bigint").alias("n_batches"))
+            .orderBy("label", "pred"))

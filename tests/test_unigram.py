@@ -101,3 +101,31 @@ def test_viterbi_segmentation_round_trips(spark):
     for r in rows:
         assert "".join(r.pieces) == r.w
         assert all(p in logq for p in r.pieces)
+
+
+def test_artifact_round_trip_and_time_travel(spark, tmp_path):
+    """publish -> load reproduces the in-memory log-prob table exactly;
+    a second publish bumps the version while v1 stays readable with its
+    original content (time travel)."""
+    from gh_archive_data_pipeline_spark.operators.unigram import (
+        load_unigram_artifact, publish_unigram_artifact,
+    )
+    from gh_archive_data_pipeline_spark.sources.versioned import (
+        current_version, list_versions,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = str(tmp_path / "store")
+    v1 = publish_unigram_artifact(spark, docs, store)
+    vocab = unigram_train(docs)
+    total = sum(c for _, c, _ in vocab)
+    want = {p: _q_logprob(c, total) for p, c, _ in vocab}
+    assert load_unigram_artifact(spark, store) == want
+
+    # retrain on a SUBSET (different counts) and publish v2
+    v2 = publish_unigram_artifact(spark, docs.filter("doc_id % 2 = 0"),
+                                  store)
+    assert v2 == v1 + 1 and current_version(store) == v2
+    assert sorted(list_versions(store)) == [v1, v2]
+    assert load_unigram_artifact(spark, store, version=v1) == want
+    assert load_unigram_artifact(spark, store) != want
