@@ -124,6 +124,8 @@ def unigram_train(docs: DataFrame, rounds: int = EM_ROUNDS
     aggregation."""
     words = distinct_words(docs).localCheckpoint()
     weights = seed_vocab(words)
+    if not weights:
+        raise ValueError("unigram_train: empty corpus (no eligible words)")
     total = sum(weights.values())
     state = {p: c for p, c in weights.items()}          # current counts
     logq = {p: _q_logprob(c, total) for p, c in state.items()}
@@ -356,7 +358,7 @@ def publish_unigram_artifact(spark: SparkSession, docs, store_dir: str,
     from ..sources.versioned import write_version
 
     vocab = unigram_train(docs, rounds=rounds)
-    df = docs.sparkSession.createDataFrame(
+    df = spark.createDataFrame(
         [(p, c) for p, c, _ in vocab], "piece string, c bigint")
     return write_version(df, store_dir)
 

@@ -2498,3 +2498,51 @@ def test_bpe_ignores_empty_tokens_from_ragged_whitespace(spark):
                                "text": ragged}))
     oracle = con.execute(_bpe_oracle(_BPE_MERGES)).fetchall()
     assert [(s, l, r, m, c) for s, l, r, m, c in oracle] == got
+
+
+def test_png_codec_round_trips_all_filters():
+    """decode(make_png_gray(x)) == x on random images — the encoder cycles
+    ALL FIVE scanline filter types per row, so every unfilter path is
+    exercised; 1-pixel-wide and 1-row edge shapes included."""
+    import random
+
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        decode_png, make_png_gray)
+
+    rng = random.Random(7)
+    shapes = [(1, 1), (1, 9), (9, 1), (5, 5)] + [
+        (rng.randint(2, 40), rng.randint(2, 40)) for _ in range(12)]
+    for w, h in shapes:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        d = decode_png(make_png_gray(w, h, px))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        assert d["pixels"] == px, (w, h)
+
+
+def test_png_decode_real_encoder_file_and_corruption():
+    """A genuine encoder-produced 1x1 RGBA PNG decodes to its known pixel
+    (half-transparent red); structural corruption raises instead of
+    returning wrong pixels."""
+    import base64
+
+    import pytest
+
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        decode_png, make_png_gray)
+
+    real_png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQ"
+        "DwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    d = decode_png(real_png)
+    assert (d["width"], d["height"], d["channels"]) == (1, 1, 4)
+    assert list(d["pixels"]) == [255, 0, 0, 127]
+
+    good = make_png_gray(4, 3, bytes(range(12)))
+    with pytest.raises(ValueError, match="bad CRC"):
+        # flip one IDAT payload byte; the chunk CRC must catch it
+        idx = good.index(b"IDAT") + 6
+        decode_png(good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1:])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(good[:20])
