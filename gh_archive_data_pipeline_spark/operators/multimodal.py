@@ -919,3 +919,308 @@ def q408_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=("doc_id bigint, width int, height int, n_px bigint, "
                 "sum_px bigint, min_px int, max_px int, pos_digest bigint"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Real WAV PCM samples: encode + decode with de-interleaving (q409)
+# ---------------------------------------------------------------------------
+
+def make_wav_pcm(sample_rate: int, channels: int,
+                 samples: list[int]) -> bytes:
+    """COMPLETE RIFF/WAVE with real 16-bit little-endian signed PCM payload
+    (interleaved channel samples), a JUNK decoy chunk before fmt like
+    make_wav's header-only sibling."""
+    if len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    junk = b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                sample_rate * channels * 2, channels * 2, 16)
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + junk + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(payload: bytes) -> dict:
+    """REAL PCM decode: RIFF chunk walk (word-aligned, decoy chunks
+    skipped), fmt validation (PCM code 1, 16-bit), data chunk unpacked to
+    signed samples and DE-INTERLEAVED per channel. Returns {sample_rate,
+    channels, frames, samples: list[list[int]] per channel}. Raises on
+    structural corruption."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8:i + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    code, channels, rate, _bps, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if code != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: code={code} bits={bits}")
+    if len(data) % (2 * channels):
+        raise ValueError("data chunk not frame-aligned")
+    flat = struct.unpack(f"<{len(data) // 2}h", data)
+    per = [list(flat[c::channels]) for c in range(channels)]
+    return {"sample_rate": rate, "channels": channels,
+            "frames": len(flat) // channels, "samples": per}
+
+
+def _planted_pcm(doc_id: int) -> tuple[int, int, list[int]]:
+    """q409 generation law (pure integers, oracle-replayable): id-derived
+    channel count and frame count; interleaved sample i is
+    ((doc_id * 7919 + i * 31) % 65536) - 32768."""
+    channels = 1 + doc_id % 2
+    frames = 64 + doc_id % 100
+    total = frames * channels
+    samples = [((doc_id * 7919 + i * 31) % 65536) - 32768
+               for i in range(total)]
+    return channels, frames, samples
+
+
+@register(
+    "q409_wav_pcm_decode",
+    sql="""
+    SELECT d.doc_id,
+           CAST(ch AS INTEGER) AS channel,
+           CAST(frames AS BIGINT) AS frames,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(min(s) AS INTEGER) AS min_s,
+           CAST(max(s) AS INTEGER) AS max_s,
+           CAST(sum((t.i // nch + 1) * s) AS BIGINT) AS pos_digest
+    FROM (SELECT doc_id, 1 + doc_id % 2 AS nch,
+                 64 + doc_id % 100 AS frames
+          FROM documents) d,
+         LATERAL (SELECT unnest(range(0, frames * nch)) AS i) t,
+         LATERAL (SELECT t.i % nch AS ch,
+                         ((d.doc_id * 7919 + t.i * 31) % 65536) - 32768
+                             AS s) v
+    GROUP BY d.doc_id, ch, frames
+    ORDER BY d.doc_id, channel
+    """,
+)
+def q409_wav_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode, oracle-checked per sample: plant id-derived
+    interleaved 16-bit PCM into a complete RIFF/WAVE container, decode the
+    actual bytes back (chunk walk past the JUNK decoy, fmt validation,
+    de-interleaving), and emit exact integer per-channel statistics — the
+    frame-position-weighted digest pins every sample's value, channel AND
+    frame index, so interleaving errors cannot cancel. The oracle
+    recomputes everything from the generation law. One mapInPandas pass;
+    PCM bytes never leave their Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                channels, frames, samples = _planted_pcm(doc_id)
+                dec = decode_wav_pcm(make_wav_pcm(
+                    _WAV_RATES[doc_id % 5], channels, samples))
+                assert dec["frames"] == frames
+                for c, chan in enumerate(dec["samples"]):
+                    rows.append((
+                        doc_id, c, len(chan), sum(chan), min(chan),
+                        max(chan),
+                        sum((f + 1) * s for f, s in enumerate(chan)),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "channel", "frames", "sum_s", "min_s", "max_s",
+                "pos_digest"])
+
+    return (docs.mapInPandas(
+        plant_decode,
+        schema=("doc_id bigint, channel int, frames bigint, sum_s bigint, "
+                "min_s int, max_s int, pos_digest bigint"))
+        .orderBy("doc_id", "channel"))
+
+
+# ---------------------------------------------------------------------------
+# Real AVI container: uncompressed DIB frames + frame-sampled decode (q410)
+# ---------------------------------------------------------------------------
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def make_avi(width: int, height: int,
+             frames: list[bytes], fps: int = 25) -> bytes:
+    """Minimal-but-REAL AVI: RIFF('AVI ') -> LIST hdrl (avih + LIST strl
+    with a 'vids'/'DIB ' strh and a BITMAPINFOHEADER strf) -> LIST movi of
+    uncompressed 24bpp '00db' frames. Each frame must be in DIB layout:
+    BGR samples, rows padded to 4-byte boundaries, stored BOTTOM-UP — the
+    quirks a real decoder has to undo."""
+    stride = (3 * width + 3) & ~3
+    for f in frames:
+        if len(f) != stride * height:
+            raise ValueError("frame must be stride*height DIB bytes")
+    avih = struct.pack("<14I", 1_000_000 // fps, stride * height * fps, 0,
+                       0x10, len(frames), 0, 1, stride * height, width,
+                       height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            stride * height, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       stride * height, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", f)
+                                        for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes,
+                      every: int = 1) -> dict:
+    """REAL frame-sample decode: walk the RIFF tree to avih (dimensions,
+    frame count) and the movi LIST, take every ``every``-th '00db' frame,
+    and undo the DIB layout — strip row padding, flip bottom-up rows,
+    keep BGR byte order. Returns {width, height, n_frames,
+    frames: [(frame_idx, bytes)]} with each frame's samples row-major
+    top-down. Raises on structural corruption."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI")
+    width = height = total = None
+    frames: list[tuple[int, bytes]] = []
+
+    def walk(buf: bytes, base: int, end: int) -> None:
+        nonlocal width, height, total
+        i = base
+        frame_no = 0
+        while i + 8 <= end:
+            tag = buf[i:i + 4]
+            (size,) = struct.unpack_from("<I", buf, i + 4)
+            if i + 8 + size > end:
+                raise ValueError("truncated chunk")
+            if tag == b"LIST":
+                walk(buf, i + 12, i + 8 + size)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<14I", buf, i + 8)
+                total, width, height = vals[4], vals[8], vals[9]
+            elif tag == b"00db":
+                frames.append((frame_no, buf[i + 8:i + 8 + size]))
+                frame_no += 1
+            i += 8 + size + (size & 1)
+
+    try:
+        walk(payload, 12, len(payload))
+    except struct.error as exc:      # truncated/shifted chunk structure
+        raise ValueError(f"corrupt RIFF structure: {exc}") from exc
+    if width is None or total is None:
+        raise ValueError("missing avih header")
+    if len(frames) != total:
+        raise ValueError(f"frame count mismatch: {len(frames)} != {total}")
+    stride = (3 * width + 3) & ~3
+    out = []
+    for idx, dib in frames:
+        if idx % every:
+            continue
+        if len(dib) != stride * height:
+            raise ValueError("bad frame size")
+        rows = [dib[y * stride:y * stride + 3 * width]
+                for y in range(height - 1, -1, -1)]    # bottom-up -> top
+        out.append((idx, b"".join(rows)))
+    return {"width": width, "height": height, "n_frames": total,
+            "frames": out}
+
+
+def _planted_video(doc_id: int) -> tuple[int, int, int, list[bytes]]:
+    """q410 generation law: id-derived dimensions/frame count; sample value
+    at (frame f, row y TOP-DOWN, col x, channel c in BGR order) is
+    (doc_id*17 + f*11 + y*13 + x*7 + c*5) % 256. The encoder stores rows
+    bottom-up with 4-byte padding (DIB), so decode must undo both."""
+    w = 4 + doc_id % 8
+    h = 4 + (doc_id * 3) % 8
+    n = 3 + doc_id % 6
+    stride = (3 * w + 3) & ~3
+    frames = []
+    for f in range(n):
+        dib = bytearray(stride * h)
+        for y_top in range(h):
+            y_store = h - 1 - y_top       # DIB rows are bottom-up
+            for x in range(w):
+                for c in range(3):
+                    dib[y_store * stride + 3 * x + c] = (
+                        doc_id * 17 + f * 11 + y_top * 13 + x * 7 + c * 5
+                    ) % 256
+        frames.append(bytes(dib))
+    return w, h, n, frames
+
+
+@register(
+    "q410_avi_frame_sample",
+    sql="""
+    SELECT d.doc_id,
+           CAST(f.f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(sum(((yy.y * w + xx.x) * 3 + cc.c + 1) * v) AS BIGINT)
+               AS pos_digest
+    FROM (SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id * 3) % 8 AS h,
+                 3 + doc_id % 6 AS n FROM documents) d,
+         LATERAL (SELECT unnest(range(0, n)) AS f) f,
+         LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+         LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+         LATERAL (SELECT unnest(range(0, 3)) AS c) cc,
+         LATERAL (SELECT (d.doc_id * 17 + f.f * 11 + yy.y * 13
+                          + xx.x * 7 + cc.c * 5) % 256 AS v) vv
+    WHERE f.f % 2 = 0
+    GROUP BY d.doc_id, f.f, w, h
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def q410_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-checked per sample byte: plant an
+    id-derived uncompressed 24bpp AVI (RIFF hdrl/movi tree; frames in true
+    DIB layout — BGR, 4-byte row padding, bottom-up rows), decode every
+    2nd frame back out of the actual container bytes (RIFF tree walk,
+    avih cross-check, padding strip + row flip), and emit exact integer
+    per-frame statistics with a position-weighted digest over (row, col,
+    channel) — so a padding or row-order mistake cannot cancel. The oracle
+    recomputes from the generation law in TOP-DOWN coordinates; the
+    encoder stores bottom-up, so the digest matches only if the decoder
+    actually undoes the DIB layout. One mapInPandas pass; frame bytes
+    never leave their Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                w, h, n, frames = _planted_video(doc_id)
+                dec = decode_avi_frames(make_avi(w, h, frames), every=2)
+                assert (dec["width"], dec["height"],
+                        dec["n_frames"]) == (w, h, n)
+                for idx, pix in dec["frames"]:
+                    rows.append((
+                        doc_id, idx, w, h, sum(pix),
+                        sum((k + 1) * v for k, v in enumerate(pix)),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "sum_v",
+                "pos_digest"])
+
+    return (docs.mapInPandas(
+        plant_decode,
+        schema=("doc_id bigint, frame_idx int, width int, height int, "
+                "sum_v bigint, pos_digest bigint"))
+        .orderBy("doc_id", "frame_idx"))

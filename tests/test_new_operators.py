@@ -2546,3 +2546,54 @@ def test_png_decode_real_encoder_file_and_corruption():
         decode_png(b"GIF89a")
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png(good[:20])
+
+
+def test_wav_pcm_round_trips_and_deinterleaves():
+    import random
+
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm, make_wav_pcm)
+
+    rng = random.Random(13)
+    for ch in (1, 2, 4):
+        fr = rng.randint(1, 99)
+        s = [rng.randint(-32768, 32767) for _ in range(ch * fr)]
+        d = decode_wav_pcm(make_wav_pcm(16000, ch, s))
+        assert (d["sample_rate"], d["channels"], d["frames"]) == (16000, ch, fr)
+        # channel c must hold exactly the interleaved samples at i % ch == c
+        for c in range(ch):
+            assert d["samples"][c] == s[c::ch]
+
+
+def test_avi_round_trip_sampling_and_corruption():
+    import pytest
+
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        _planted_video, decode_avi_frames, make_avi)
+
+    w, h, n, frames = _planted_video(11)
+    avi = make_avi(w, h, frames)
+    full = decode_avi_frames(avi, every=1)
+    assert (full["width"], full["height"], full["n_frames"]) == (w, h, n)
+    every2 = decode_avi_frames(avi, every=2)
+    assert [i for i, _ in every2["frames"]] == list(range(0, n, 2))
+    # sampled frames are bit-equal to the corresponding full-decode frames
+    full_by_idx = dict(full["frames"])
+    for i, pix in every2["frames"]:
+        assert pix == full_by_idx[i]
+    # top-down row 0 differs from DIB storage row 0 whenever h > 1 and the
+    # law varies by row — i.e. the decoder really flipped rows
+    assert h > 1
+    raw0 = frames[0][: 3 * w]            # stored bottom row (y_top = h-1)
+    assert full_by_idx[0][:3 * w] != raw0
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"nope")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_avi_frames(avi[:-10])      # truncated container
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        # lie in avih's dwTotalFrames (5th uint32 of the avih body): the
+        # decoder must cross-check declared vs observed frame chunks
+        import struct as _s
+        at = avi.index(b"avih") + 8 + 16
+        lied = avi[:at] + _s.pack("<I", n + 3) + avi[at + 4:]
+        decode_avi_frames(lied)
