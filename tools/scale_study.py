@@ -98,6 +98,9 @@ QUERY_TABLES = {
     "q403_pca_projection_report": ["embeddings"],
     "q404_unigram_lm_tokenizer": ["documents"],
     "q405_unigram_encode": ["documents"],
+    "q408_png_pixel_decode": ["documents"],
+    "q409_wav_pcm_decode": ["documents"],
+    "q410_avi_frame_sample": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -156,6 +159,10 @@ QUERIES = [
     "q403_pca_projection_report",
     "q404_unigram_lm_tokenizer",
     "q405_unigram_encode",
+    # round 8 continuation: stdlib codec kernels (plant+decode per row)
+    "q408_png_pixel_decode",
+    "q409_wav_pcm_decode",
+    "q410_avi_frame_sample",
 ]
 
 
