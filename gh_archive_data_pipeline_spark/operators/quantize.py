@@ -461,3 +461,204 @@ def q402_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOPK_IVFPQ)
             .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# q411 — ANN recall report: measure, don't guess (flat ADC & IVF-PQ vs exact)
+# ---------------------------------------------------------------------------
+
+RECALL_KS = (1, 5, 10)
+N_QUERIES = 10
+
+
+def _recall_oracle() -> str:
+    rngd = f"range(1, {DSUB + 1})"
+    per_method = []
+    for method, ranked in (("adc_flat", "rf"), ("ivf_pq", "ri")):
+        cells = ", ".join(
+            f"""struct_pack(k := {k}, mean_recall := round(
+                sum(CASE WHEN rank_e <= {k} AND rank_m <= {k}
+                    THEN 1 ELSE 0 END) / (10.0 * {k}), 6))"""
+            for k in RECALL_KS)
+        per_method.append(f"""
+        SELECT '{method}' AS method, u.s.k AS k, u.s.mean_recall
+        FROM (SELECT [{cells}] AS ss
+              FROM exact e JOIN {ranked} m USING (query_id, neighbor_id)),
+             LATERAL (SELECT unnest(ss) AS s) u""")
+    union = " UNION ALL ".join(per_method)
+    return f"""
+    WITH {_pq_train_ctes()},
+    cbv AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               e AS cv
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {NUM_CELLS})
+    ),
+    assign AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM (SELECT emb.vec_id, cbv.cell,
+                     list_dot_product(e, cv)
+                       / (sqrt(list_dot_product(e, e))
+                          * sqrt(list_dot_product(cv, cv))) AS sim
+              FROM emb, cbv)
+    ),
+    corpus_cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell
+               FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM emb
+           WHERE vec_id < {N_QUERIES}),
+    tabq AS MATERIALIZED (
+        SELECT q.query_id, c.s, c.j,
+               list_sum(list_transform({rngd},
+                   i -> (q.qe[c.s * {DSUB} + i] - c.c[i])
+                        * (q.qe[c.s * {DSUB} + i] - c.c[i]))) AS t
+        FROM c{ROUNDS} c, qv q
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id, rnk AS rank_e FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_sum(list_transform(
+                           range(1, {DIM + 1}),
+                           i -> (c.e[i] - q.qe[i]) * (c.e[i] - q.qe[i]))), 6),
+                           c.vec_id) AS rnk
+            FROM emb c, qv q WHERE c.vec_id != q.query_id
+        ) WHERE rnk <= {max(RECALL_KS)}
+    ),
+    adc_all AS (
+        SELECT t.query_id, a.vec_id AS neighbor_id,
+               list_sum(list(t.t ORDER BY a.s)) AS adc_raw
+        FROM a{ROUNDS + 1} a JOIN tabq t ON t.s = a.s AND t.j = a.cluster
+        GROUP BY t.query_id, a.vec_id
+    ),
+    rf AS (
+        SELECT query_id, neighbor_id, rnk AS rank_m FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(adc_raw, 6),
+                                               neighbor_id) AS rnk
+            FROM adc_all WHERE neighbor_id != query_id
+        ) WHERE rnk <= {max(RECALL_KS)}
+    ),
+    ri AS (
+        SELECT query_id, neighbor_id, rnk AS rank_m FROM (
+            SELECT ad.query_id, ad.neighbor_id,
+                   row_number() OVER (PARTITION BY ad.query_id
+                                      ORDER BY round(ad.adc_raw, 6),
+                                               ad.neighbor_id) AS rnk
+            FROM adc_all ad
+            JOIN corpus_cells cc ON cc.vec_id = ad.neighbor_id
+            JOIN probes p ON p.query_id = ad.query_id AND p.cell = cc.cell
+            WHERE ad.neighbor_id != ad.query_id
+        ) WHERE rnk <= {max(RECALL_KS)}
+    )
+    SELECT method, CAST(k AS INTEGER) AS k, mean_recall
+    FROM ({union})
+    ORDER BY method, k
+    """
+
+
+@register("q411_ann_recall_report", sql=_recall_oracle())
+def q411_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the ANN plane's own evaluation harness as an
+    oracle query: recall@1/5/10 of (a) full-scan ADC over PQ codes and
+    (b) IVF-PQ (nprobe=4) against the exact L2 top-10, averaged over the
+    10 query vectors. Every ranking uses the same (rounded distance,
+    neighbor_id) total order, intersections are integer counts, and
+    mean_recall is one exact division — so the whole evaluation replays
+    bit-for-bit. This quantifies the quality the scale paths trade for
+    their pruning: IVF-PQ's recall gap at nprobe=4 is the measured price
+    of touching ~nprobe/num_cells of the corpus."""
+    import math
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _cached_codebooks(spark, sf_dir)
+    kmax = max(RECALL_KS)
+
+    # 10 bounded query rows -> exact frames, ADC tables, coarse probes
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+             .collect())
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), list(r.e)) for r in qrows],
+        "query_id long, qe array<double>")
+    seeds = (emb.orderBy("vec_id").limit(NUM_CELLS)
+             .selectExpr("cast(embedding as array<double>) AS v").collect())
+    coarse = [list(r.v) for r in seeds]
+    cn = [math.sqrt(sum(c * c for c in cv)) for cv in coarse]
+    probe_rows, tab_rows = [], []
+    for r in qrows:
+        q = list(r.e)
+        qn = math.sqrt(sum(x * x for x in q))
+        sims = [sum(q[d] * coarse[i][d] for d in range(DIM)) / (qn * cn[i])
+                for i in range(NUM_CELLS)]
+        order = sorted(range(NUM_CELLS), key=lambda i: (-sims[i], i))
+        probe_rows += [(int(r.vec_id), int(i)) for i in order[:NPROBE]]
+        tab_rows.append((int(r.vec_id), [
+            sum((q[s * DSUB + d] - c[d]) ** 2 for d in range(DSUB))
+            for s in range(M_SUB) for c in cbs[s]]))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qtab = spark.createDataFrame(tab_rows, "query_id long, tab array<double>")
+
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    true_d2 = F.expr(
+        "aggregate(zip_with(cast(embedding as array<double>), qe,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+    exact = (emb.crossJoin(F.broadcast(qdf))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(true_d2, 6).alias("d"))
+             .withColumn("rank_e", F.row_number().over(w))
+             .filter(F.col("rank_e") <= kmax)
+             .select("query_id", "neighbor_id", "rank_e"))
+
+    from .similarity import _as_double, _unit_argmax_udf
+    import numpy as np
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _unit_argmax_udf(np.array(coarse))(_as_double(F.col("embedding")))
+        .alias("cell"),
+        _codes_col(cbs).alias("codes"))
+    adc = F.expr(" + ".join(
+        f"tab[{s} * {K_PQ} + codes[{s}]]" for s in range(M_SUB)))
+
+    def ranked(cand):
+        return (cand.filter(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id",
+                        F.round(adc, 6).alias("d"))
+                .withColumn("rank_m", F.row_number().over(w))
+                .filter(F.col("rank_m") <= kmax)
+                .select("query_id", "neighbor_id", "rank_m"))
+
+    flat = ranked(corpus.crossJoin(F.broadcast(qdf.select("query_id")))
+                  .join(F.broadcast(qtab), "query_id"))
+    ivf = ranked(corpus.join(F.broadcast(probes), "cell")
+                 .join(F.broadcast(qtab), "query_id"))
+
+    def recall_row(method_frame, name):
+        inter = exact.join(method_frame, ["query_id", "neighbor_id"])
+        aggs = [
+            F.coalesce(F.sum(((F.col("rank_e") <= k)
+                              & (F.col("rank_m") <= k)).cast("long")),
+                       F.lit(0)).alias(f"i{k}")
+            for k in RECALL_KS
+        ]
+        cells = F.array(*[
+            F.struct(F.lit(k).alias("k"),
+                     F.round(F.col(f"i{k}") / (10.0 * k), 6)
+                     .alias("mean_recall"))
+            for k in RECALL_KS
+        ])
+        return (inter.agg(*aggs)
+                .select(F.lit(name).alias("method"),
+                        F.explode(cells).alias("t"))
+                .select("method", F.col("t.k").cast("int").alias("k"),
+                        "t.mean_recall"))
+
+    return (recall_row(flat, "adc_flat")
+            .unionByName(recall_row(ivf, "ivf_pq"))
+            .orderBy("method", "k"))

@@ -135,3 +135,19 @@ def test_ivf_pq_search_invariants(spark):
         assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
         dists = [r.adc_dist for r in rows]
         assert dists == sorted(dists)
+
+
+def test_ann_recall_report_invariants(spark):
+    """q411 emits exactly {adc_flat, ivf_pq} x {1, 5, 10} with recalls in
+    [0, 1]; on the near-isotropic fixture the measured recall must be
+    WELL below 1 (if it ever reads 1.0 the harness is comparing a ranking
+    to itself, not to the exact truth)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q411_ann_recall_report"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.method, r.k): r.mean_recall for r in rows}
+    assert set(got) == {(m, k) for m in ("adc_flat", "ivf_pq")
+                        for k in (1, 5, 10)}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[("adc_flat", 10)] < 0.9
