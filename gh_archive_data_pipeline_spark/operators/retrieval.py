@@ -1,0 +1,368 @@
+"""Hybrid retrieval: reciprocal-rank fusion of lexical + vector rankings,
+and maximal-marginal-relevance (MMR) diversification of a candidate set.
+
+Reference parity: the reference pipeline has no retrieval plane (its 1,112
+LoC are Airflow/ELT glue — SURVEY.md §0); this module extends the ANN family
+(operators/similarity.py) with the two post-ranking operators every
+RAG-style training-data or retrieval-eval pipeline needs: fusing a sparse
+(lexical) and a dense (vector) ranking into one list, and de-duplicating a
+result list against itself before it is shown to a model.
+
+Scale contract, 100 TB lens:
+
+- **RRF fusion** (``rrf_fuse``): inputs are *rankings* — (query_id, doc_id,
+  rank) triples already truncated to a per-query depth — so the fused stage
+  touches O(|Q| x depth x lists) rows regardless of corpus size. The union +
+  groupBy shuffles only (query_id, doc_id, rank) ints; the corpus is long
+  gone by this point. Each upstream ranking keeps its own scale story (the
+  lexical rank broadcasts the bounded query set against the corpus scan;
+  the vector rank is similarity.brute_force_topk / its LSH+IVF scale
+  variants — interchangeable because RRF only consumes ranks).
+- **MMR** (``mmr_diversify``): greedy selection is inherently sequential in
+  k, so the loop runs k rounds of (anti-join + max-aggregate + window
+  argmax) over the CANDIDATE table — bounded at |Q| x depth rows by the
+  upstream retriever, never corpus-sized. Driver state is zero (each round
+  is a distributed argmax via row_number, not a collect); per-round results
+  are localCheckpointed so the plan does not grow superlinearly in k.
+
+Floats: all similarity math stays raw double end-to-end (the q44 precedent:
+zip_with/aggregate folds are bit-identical to DuckDB's list_dot_product);
+1/(K+rank) and 0.7*rel - 0.3*maxsim are single IEEE ops on those doubles
+(two-addend sums are order-free), so both engines replay the exact float
+sequence; rounding happens only on the output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+from .similarity import _as_double, cosine
+
+RRF_K = 60          # the standard RRF damping constant (Cormack et al.)
+FUSE_DEPTH = 20     # per-modality candidate depth fed into fusion
+FUSE_TOPK = 10      # fused output depth
+N_QUERIES = 5       # fixture query set: doc_id/vec_id < 5
+
+MMR_LAM = 0.7       # relevance weight
+MMR_MU = 0.3        # diversity weight — explicit literal, NOT 1-0.7
+                    # (1-0.7 = 0.30000000000000004 in IEEE; both engines
+                    # must see the same constant)
+MMR_DEPTH = 10      # candidate depth diversified
+MMR_ROUNDS = 5      # selections per query
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+def lexical_rank(docs: DataFrame, query_ids: list[int],
+                 depth: int = FUSE_DEPTH) -> DataFrame:
+    """Rank documents against each query document by Jaccard similarity of
+    their distinct word sets. Returns (query_id, doc_id, rank) with
+    rank <= depth.
+
+    The query side is a bounded set (broadcast); the corpus side is one
+    scan computing array_distinct(split) — intersection/union sizes are
+    JVM built-ins (array_intersect/array_union), no Python in the loop.
+    """
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    q = (docs.filter(F.col("doc_id").isin(query_ids))
+         .select(F.col("doc_id").alias("query_id"), words.alias("qw")))
+    c = docs.select(F.col("doc_id").alias("doc_id"), words.alias("cw"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "doc_id",
+            (F.size(F.array_intersect("qw", "cw")).cast("double")
+             / F.size(F.array_union("qw", "cw"))).alias("jac"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jac").desc(), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= depth)
+            .select("query_id", "doc_id", "rank"))
+
+
+def vector_rank(emb: DataFrame, query_ids: list[int],
+                depth: int = FUSE_DEPTH) -> DataFrame:
+    """Rank the corpus against each query vector by cosine, unrounded
+    (ranks only — RRF never sees the score). Same broadcast-queries /
+    corpus-never-shuffles shape as similarity.brute_force_topk."""
+    q = (emb.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 _as_double(F.col("embedding")).alias("qv")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   _as_double(F.col("embedding")).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= depth)
+            .select("query_id", "doc_id", "rank"))
+
+
+def rrf_fuse(rankings: dict[str, DataFrame], k: int = RRF_K,
+             topk: int = FUSE_TOPK) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = sum over lists of 1/(k + rank_d).
+
+    ``rankings`` maps a modality name to a (query_id, doc_id, rank) frame.
+    Output: query_id, doc_id, rrf_score (6dp), n_lists, one ``<name>_rank``
+    per modality (-1 when absent), fused_rank <= topk.
+
+    With two lists the per-doc sum has at most two addends — IEEE addition
+    is commutative, so the groupBy's combine order cannot change the bits.
+    """
+    names = sorted(rankings)
+    tagged = None
+    for name in names:
+        part = rankings[name].select(
+            "query_id", "doc_id", "rank", F.lit(name).alias("modality"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    per_modality = [
+        F.coalesce(
+            F.max(F.when(F.col("modality") == name, F.col("rank"))),
+            F.lit(-1)).cast("bigint").alias(f"{name}_rank")
+        for name in names
+    ]
+    fused = (
+        tagged.groupBy("query_id", "doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("score"),
+             F.count("*").cast("bigint").alias("n_lists"),
+             *per_modality)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select("query_id", "doc_id", F.round("score", 6).alias("rrf_score"),
+                "n_lists", *[f"{n}_rank" for n in names], "fused_rank")
+    )
+
+
+def mmr_diversify(cand: DataFrame, pair: DataFrame, lam: float = MMR_LAM,
+                  mu: float = MMR_MU, k: int = MMR_ROUNDS) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection over a candidate set.
+
+    ``cand``: (query_id, doc_id, rel) — relevance to the query, raw double.
+    ``pair``: (query_id, a_id, b_id, sim) — pairwise similarity among each
+    query's candidates (both orientations present).
+
+    Round 1 picks argmax(rel); round r>1 picks
+    argmax(lam*rel - mu*max_{s in selected} sim(d, s)), ties broken on
+    doc_id. Every round is a distributed anti-join + max-agg + window
+    argmax on the bounded candidate table; selections accumulate via
+    union + localCheckpoint (no driver state, flat plan).
+
+    Output: query_id, round, doc_id, mmr_score (6dp; round 1 = lam*rel).
+    """
+    cand = cand.localCheckpoint()
+    pair = pair.localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+
+    first = (cand.select("query_id", "doc_id",
+                         (F.lit(lam) * F.col("rel")).alias("score"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("query_id", F.lit(1).alias("round"), "doc_id", "score"))
+    selected = first.localCheckpoint()
+
+    for r in range(2, k + 1):
+        rem = cand.join(selected, ["query_id", "doc_id"], "left_anti")
+        maxsim = (
+            rem.join(pair.withColumnRenamed("a_id", "doc_id"),
+                     ["query_id", "doc_id"])
+            .join(selected.select("query_id",
+                                  F.col("doc_id").alias("b_id")),
+                  ["query_id", "b_id"])
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            maxsim.select(
+                "query_id", "doc_id",
+                (F.lit(lam) * F.col("rel")
+                 - F.lit(mu) * F.col("maxsim")).alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.lit(r).alias("round"), "doc_id", "score")
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+
+    return selected.select(
+        "query_id", F.col("round").cast("int").alias("round"), "doc_id",
+        F.round("score", 6).alias("mmr_score"))
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+_COS = ("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))")
+
+_Q412_SQL = f"""
+WITH qd AS (SELECT doc_id AS query_id,
+                   list_distinct(string_split(text, ' ')) AS qw
+            FROM documents WHERE doc_id < {N_QUERIES}),
+     cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS cw
+            FROM documents),
+     lex_scored AS (
+       SELECT query_id, doc_id,
+              CAST(len(list_intersect(qw, cw)) AS DOUBLE)
+                / len(list_distinct(list_concat(qw, cw))) AS jac
+       FROM qd JOIN cd ON query_id <> doc_id),
+     lex AS (
+       SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jac DESC, doc_id) AS rank
+       FROM lex_scored),
+     qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < {N_QUERIES}),
+     cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+     vec_scored AS (
+       SELECT q.query_id, c.doc_id, {_COS} AS sim
+       FROM qv q JOIN cv c ON q.query_id <> c.doc_id),
+     vec AS (
+       SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, doc_id) AS rank
+       FROM vec_scored),
+     tagged AS (
+       SELECT query_id, doc_id, rank, 'lexical' AS modality
+       FROM lex WHERE rank <= {FUSE_DEPTH}
+       UNION ALL
+       SELECT query_id, doc_id, rank, 'vector' FROM vec
+       WHERE rank <= {FUSE_DEPTH}),
+     fused AS (
+       SELECT query_id, doc_id,
+              sum(1.0 / ({RRF_K} + rank)) AS score,
+              CAST(count(*) AS BIGINT) AS n_lists,
+              CAST(coalesce(max(CASE WHEN modality = 'lexical'
+                                     THEN rank END), -1) AS BIGINT)
+                AS lexical_rank,
+              CAST(coalesce(max(CASE WHEN modality = 'vector'
+                                     THEN rank END), -1) AS BIGINT)
+                AS vector_rank
+       FROM tagged GROUP BY query_id, doc_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS fused_rank
+       FROM fused)
+SELECT query_id, doc_id, round(score, 6) AS rrf_score, n_lists,
+       lexical_rank, vector_rank, CAST(fused_rank AS INTEGER) AS fused_rank
+FROM ranked WHERE fused_rank <= {FUSE_TOPK}
+"""
+
+
+@register("q412_rrf_hybrid_search", sql=_Q412_SQL)
+def q412_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical ranking
+    (Jaccard over distinct word sets, documents table) and a dense ranking
+    (cosine over embeddings, vec_id aligned with doc_id) for query ids < 5.
+    score(d) = sum over lists of 1/(60 + rank), top-10 per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(N_QUERIES))
+    return rrf_fuse({
+        "lexical": lexical_rank(docs, qids),
+        "vector": vector_rank(emb, qids),
+    })
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-round MMR replay (the q390 BPE-loop technique: fixed
+    rounds, argmax via row_number, each round's CTE referencing the
+    previous selected set)."""
+    ctes = [
+        f"""qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < {N_QUERIES})""",
+        "cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""scored AS (
+           SELECT q.query_id, c.doc_id, {_COS} AS rel
+           FROM qv q JOIN cv c ON q.query_id <> c.doc_id)""",
+        f"""cand AS (
+           SELECT query_id, doc_id, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id) AS r
+             FROM scored) WHERE r <= {MMR_DEPTH})""",
+        f"""pair AS (
+           SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+                  list_dot_product(va.v, vb.v)
+                    / (sqrt(list_dot_product(va.v, va.v))
+                       * sqrt(list_dot_product(vb.v, vb.v))) AS sim
+           FROM cand a
+           JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+           JOIN cv va ON va.doc_id = a.doc_id
+           JOIN cv vb ON vb.doc_id = b.doc_id)""",
+        f"""sel1 AS (
+           SELECT query_id, 1 AS round, doc_id, {MMR_LAM!r} * rel AS score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, doc_id) AS rn
+                 FROM cand) WHERE rn = 1)""",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for r in range(2, MMR_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""sc{r} AS (
+           SELECT c.query_id, c.doc_id,
+                  {MMR_LAM!r} * c.rel - {MMR_MU!r} * max(p.sim) AS score
+           FROM cand c
+           JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.doc_id
+           JOIN acc{p} s ON s.query_id = p.query_id AND s.doc_id = p.b_id
+           WHERE NOT EXISTS (SELECT 1 FROM acc{p} a
+                             WHERE a.query_id = c.query_id
+                               AND a.doc_id = c.doc_id)
+           GROUP BY c.query_id, c.doc_id, c.rel)""")
+        ctes.append(f"""sel{r} AS (
+           SELECT query_id, {r} AS round, doc_id, score
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, doc_id) AS rn
+                 FROM sc{r}) WHERE rn = 1)""")
+        ctes.append(
+            f"acc{r} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM sel{r})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT query_id, CAST(round AS INTEGER) AS round, doc_id,
+       round(score, 6) AS mmr_score
+FROM acc{MMR_ROUNDS}""")
+
+
+@register("q416_mmr_diversify", sql=_mmr_oracle())
+def q416_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification: greedy top-5 selection over each query's cosine
+    top-10 candidates with score = 0.7*rel - 0.3*max-sim-to-selected,
+    replayed round-for-round by the unrolled recursive-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 _as_double(F.col("embedding")).alias("qv")))
+    c = emb.select(F.col("vec_id").alias("doc_id"),
+                   _as_double(F.col("embedding")).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                cosine(F.col("qv"), F.col("cv")).alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    cand = (scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= MMR_DEPTH)
+            .select("query_id", "doc_id", "rel"))
+    a = cand.select("query_id", F.col("doc_id").alias("a_id"))
+    b = cand.select("query_id", F.col("doc_id").alias("b_id"))
+    pair = (
+        a.join(b, "query_id").filter(F.col("a_id") != F.col("b_id"))
+        .join(c.select(F.col("doc_id").alias("a_id"),
+                       F.col("cv").alias("va")), "a_id")
+        .join(c.select(F.col("doc_id").alias("b_id"),
+                       F.col("cv").alias("vb")), "b_id")
+        .select("query_id", "a_id", "b_id",
+                cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    return mmr_diversify(cand, pair)

@@ -84,6 +84,7 @@ def _load_all() -> None:
         quality,
         quantize,
         reconcile,
+        retrieval,
         sampling,
         selection,
         similarity,
