@@ -662,3 +662,98 @@ def q411_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (recall_row(flat, "adc_flat")
             .unionByName(recall_row(ivf, "ivf_pq"))
             .orderBy("method", "k"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — the other point on the compression curve
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # 8-bit affine grid: code in [0, 255]
+
+
+def sq_dim_stats(emb: DataFrame, vec_col: str = "embedding",
+                 dim: int = DIM) -> DataFrame:
+    """Per-dimension (dim, vmin, vmax) over the corpus — the scalar-quant
+    calibration table. One linear pass; posexplode fans each row into
+    ``dim`` (dim_id, value) pairs that partial-aggregate map-side down to
+    a ``dim``-row table (broadcastable; at cluster scale this is the
+    artifact you'd persist next to the PQ codebooks)."""
+    v = emb.select(
+        F.posexplode(F.expr(f"cast({vec_col} as array<double>)"))
+        .alias("pos", "x"))
+    return (v.select((F.col("pos") + 1).alias("dim"), "x")
+            .groupBy("dim")
+            .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax")))
+
+
+_Q413_SQL = f"""
+WITH v AS (
+  SELECT vec_id, unnest(range(1, {DIM + 1})) AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+stats AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY dim),
+j AS (
+  SELECT v.dim, v.x, s.vmin, s.vmax,
+         (s.vmax - s.vmin) / {float(SQ_LEVELS)!r} AS scale
+  FROM v JOIN stats s USING (dim)),
+coded AS (
+  SELECT dim, x, vmin, vmax, scale,
+         CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(least({SQ_LEVELS}, greatest(0,
+                     floor((x - vmin) / scale + 0.5))) AS BIGINT)
+         END AS code
+  FROM j),
+err AS (
+  SELECT dim, vmin, vmax, code,
+         x - (vmin + code * scale) AS e
+  FROM coded)
+SELECT CAST(dim AS INTEGER) AS dim,
+       round(vmin, 6) AS vmin, round(vmax, 6) AS vmax,
+       CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+       round(CAST(sum(CAST(floor(e * e * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e12, 6) AS sse,
+       round(max(abs(e)), 6) AS max_abs_err
+FROM err GROUP BY dim, vmin, vmax
+"""
+
+
+@register("q413_scalar_quant_audit", sql=_Q413_SQL)
+def q413_scalar_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus with a per-dimension
+    reconstruction audit: affine [vmin, vmax] -> [0, 255] grid, code =
+    floor((x-vmin)/scale + 0.5) (pure IEEE ops, replayed bit-for-bit by the
+    oracle), reporting codes_used, SSE (exact-integer summed at 1e12
+    scaling — the registry's floor-cents convention) and max |error| per
+    dimension. Scalar quant is the 4x-compression sibling of PQ (q399):
+    per-dim independent, zero codebook training, exact on the grid points.
+
+    100 TB lens: calibration is one map-side-combined pass to a 64-row
+    broadcastable table; encode/audit is a second linear pass joined
+    against that broadcast — no corpus shuffle anywhere (the only shuffled
+    rows are the 64-group partial aggregates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (emb.select(F.posexplode(F.expr("cast(embedding as array<double>)"))
+                    .alias("pos", "x"))
+         .select((F.col("pos") + 1).alias("dim"), "x"))
+    stats = sq_dim_stats(emb)
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(float(SQ_LEVELS))
+    j = v.join(F.broadcast(stats), "dim").withColumn("scale", scale)
+    code = F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.least(F.lit(SQ_LEVELS).cast("bigint"),
+                F.greatest(F.lit(0).cast("bigint"),
+                           F.floor((F.col("x") - F.col("vmin"))
+                                   / F.col("scale") + F.lit(0.5)))))
+    coded = j.withColumn("code", code)
+    e = F.col("x") - (F.col("vmin") + F.col("code") * F.col("scale"))
+    err = coded.withColumn("e", e).withColumn(
+        "ie2", F.floor(F.col("e") * F.col("e") * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint"))
+    return (err.groupBy("dim", "vmin", "vmax")
+            .agg(F.countDistinct("code").cast("bigint").alias("codes_used"),
+                 F.round(F.sum("ie2").cast("double") / F.lit(1e12), 6)
+                 .alias("sse"),
+                 F.round(F.max(F.abs(F.col("e"))), 6).alias("max_abs_err"))
+            .select(F.col("dim").cast("int").alias("dim"),
+                    F.round("vmin", 6).alias("vmin"),
+                    F.round("vmax", 6).alias("vmax"),
+                    "codes_used", "sse", "max_abs_err"))

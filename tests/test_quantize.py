@@ -151,3 +151,30 @@ def test_ann_recall_report_invariants(spark):
                         for k in (1, 5, 10)}
     assert all(0.0 <= v <= 1.0 for v in got.values())
     assert got[("adc_flat", 10)] < 0.9
+
+
+def test_scalar_quant_error_bounded_by_half_step(spark):
+    """q413: affine int8 reconstruction error is <= scale/2 per value, so
+    every dim's max_abs_err must be <= (vmax-vmin)/255/2 (+ rounding slack),
+    and codes_used can never exceed 256."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q413_scalar_quant_audit"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64
+    for r in rows:
+        half_step = (r.vmax - r.vmin) / 255 / 2
+        assert r.max_abs_err <= half_step + 1e-6, r
+        assert 1 <= r.codes_used <= 256
+        assert r.sse >= 0.0
+
+
+def test_sq_dim_stats_crafted_vectors(spark):
+    """Calibration table on a crafted 2-vector corpus: per-dim min/max."""
+    from gh_archive_data_pipeline_spark.operators.quantize import sq_dim_stats
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, -1.0, 5.0]), (1, [1.0, 3.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.dim: (r.vmin, r.vmax) for r in sq_dim_stats(emb, dim=3).collect()}
+    assert got == {1: (0.0, 1.0), 2: (-1.0, 3.0), 3: (5.0, 5.0)}
