@@ -1772,3 +1772,103 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
             (df.repartition(spark.sparkContext.defaultParallelism)
              .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
         swap(cur, tmp)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level corpus dedup with removal (RefinedWeb-style line dedup)
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 16  # fixed chunk granularity (the fixture has no newlines, so
+                  # "lines" are non-overlapping 16-word windows)
+
+
+@register(
+    "q414_chunk_dedup_clean",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(
+               list_slice(w, i*{CHUNK_WORDS} + 1, i*{CHUNK_WORDS} + {CHUNK_WORDS}),
+               ' ') AS chunk
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w) / {float(CHUNK_WORDS)!r}) AS INT))) AS i) t),
+    occ AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM chunks),
+    kept AS (
+      SELECT c.doc_id, c.idx, c.chunk
+      FROM chunks c JOIN occ o ON o.doc_id = c.doc_id AND o.idx = c.idx
+      WHERE o.rn = 1),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+             string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(ceil(len(w) / {float(CHUNK_WORDS)!r}) AS BIGINT) AS n_chunks,
+           coalesce(a.kept_chunks, 0) AS kept_chunks,
+           CAST(ceil(len(w) / {float(CHUNK_WORDS)!r}) AS BIGINT)
+             - coalesce(a.kept_chunks, 0) AS removed_chunks,
+           md5(coalesce(a.cleaned, '')) AS cleaned_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q414_chunk_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup with REMOVAL — the RefinedWeb/CCNet
+    line-level dedup shape (Penedo et al. 2023 dedup every repeated line
+    corpus-wide; the fixture has no newlines, so "lines" are fixed
+    non-overlapping 16-word chunks). First occurrence corpus-wide (global
+    smallest (doc_id, idx)) keeps the chunk; every later occurrence is cut,
+    and each document's kept chunks reassemble in order. Complements q393:
+    span dedup cuts rolling n-token windows (content-aligned), chunk dedup
+    cuts at fixed boundaries (position-aligned) — the two real-world
+    granularities of exact duplicate removal.
+
+    Scale shape: chunking is a scan-side HOF (transform over sequence — no
+    explode of raw words); the ownership window shuffles (md5, doc_id,
+    idx) — 32-char keys + ints, never chunk text (q224's narrow-shuffle
+    rule); kept-chunk text then moves ONCE, keyed by (doc_id, idx), into
+    the per-doc reassembly groupBy. Output pins kept/removed counts and
+    the cleaned-text md5 so one mis-kept chunk anywhere fails the hash."""
+    return chunk_dedup_clean(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_dedup_clean(docs: DataFrame,
+                      chunk_words: int = CHUNK_WORDS) -> DataFrame:
+    """See q414_chunk_dedup_clean — (doc_id, text) in, per-doc
+    (n_chunks, kept_chunks, removed_chunks, cleaned_md5) out."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(float(chunk_words))).cast("bigint")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / {float(chunk_words)!r})"
+            f" as int) - 1),"
+            f" i -> array_join(slice(w, i*{chunk_words} + 1, {chunk_words}),"
+            f" ' '))")).alias("idx", "chunk"))
+    w_own = Window.partitionBy("h").orderBy("doc_id", "idx")
+    decisions = (chunks.select("doc_id", "idx", F.md5("chunk").alias("h"))
+                 .withColumn("rn", F.row_number().over(w_own))
+                 .filter(F.col("rn") == 1)
+                 .select("doc_id", "idx"))
+    kept = chunks.join(decisions, ["doc_id", "idx"])
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("kept_chunks"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                        lambda x: x["chunk"]), " ").alias("cleaned")))
+    return (toks.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    n_chunks.alias("n_chunks"),
+                    F.coalesce("kept_chunks", F.lit(0).cast("bigint"))
+                    .alias("kept_chunks"),
+                    (n_chunks - F.coalesce("kept_chunks",
+                                           F.lit(0).cast("bigint")))
+                    .alias("removed_chunks"),
+                    F.md5(F.coalesce("cleaned", F.lit("")))
+                    .alias("cleaned_md5"))
+            .orderBy("doc_id"))

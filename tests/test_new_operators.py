@@ -2597,3 +2597,45 @@ def test_avi_round_trip_sampling_and_corruption():
         at = avi.index(b"avih") + 8 + 16
         lied = avi[:at] + _s.pack("<I", n + 3) + avi[at + 4:]
         decode_avi_frames(lied)
+
+
+def test_chunk_dedup_clean_crafted(spark):
+    """q414 semantics on a crafted corpus (chunk_words=2): cross-doc and
+    intra-doc duplicate chunks are removed, first occurrence (smallest
+    (doc_id, idx)) wins, kept chunks reassemble in order."""
+    import hashlib
+
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        chunk_dedup_clean,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d a b"),   # chunks: [a b][c d][a b] -> intra-dup
+            (1, "a b x y"),       # [a b] dup of doc0 chunk0 -> removed
+            (2, "p q"),           # unique
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in chunk_dedup_clean(docs, chunk_words=2).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[0].n_chunks, got[0].kept_chunks, got[0].removed_chunks) == (3, 2, 1)
+    assert got[0].cleaned_md5 == md5("a b c d")
+    assert (got[1].n_chunks, got[1].kept_chunks) == (2, 1)
+    assert got[1].cleaned_md5 == md5("x y")
+    assert got[2].removed_chunks == 0 and got[2].cleaned_md5 == md5("p q")
+
+
+def test_chunk_dedup_clean_fully_removed_doc(spark):
+    """A document that is chunk-for-chunk a repeat of an earlier one keeps
+    nothing; its cleaned text is '' (md5 of empty string)."""
+    import hashlib
+
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        chunk_dedup_clean,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in chunk_dedup_clean(docs, chunk_words=2).collect()}
+    assert got[1].kept_chunks == 0
+    assert got[1].cleaned_md5 == hashlib.md5(b"").hexdigest()
