@@ -1872,3 +1872,145 @@ def chunk_dedup_clean(docs: DataFrame,
                     F.md5(F.coalesce("cleaned", F.lit("")))
                     .alias("cleaned_md5"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter n-gram decontamination (portable double-hashing)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192       # filter bits
+BLOOM_HASHES = 3     # k: positions per key, double-hashing h1 + i*h2 mod m
+DECON_NGRAM = 8      # shingle width (words)
+EVAL_DOCS = 25       # fixture eval set: doc_id < 25
+
+
+def _bloom_positions(key, m: int = BLOOM_M, k: int = BLOOM_HASHES):
+    """array<bigint> of k Bloom positions for a string column, via
+    Kirsch-Mitzenmacher double hashing over the two 32-bit halves of md5 —
+    the one hash both engines compute identically (the md5_60 convention,
+    dedup.hashed_shingles). h1/h2 < 2^32 so h1 + (k-1)*h2 stays far inside
+    bigint."""
+    md5 = F.md5(key)
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m))
+                     for i in range(k)])
+
+
+def bloom_build(keys: DataFrame, key_col: str,
+                m: int = BLOOM_M, k: int = BLOOM_HASHES) -> DataFrame:
+    """Build a Bloom filter over a key column as its SET-BIT table:
+    one row per set position (<= m rows — broadcastable at any corpus
+    size; this is the representation that ships to 1000 executors as a
+    few KB instead of a driver-side bitmap)."""
+    return (keys.select(F.explode(_bloom_positions(F.col(key_col), m, k))
+                        .alias("pos"))
+            .distinct())
+
+
+def bloom_probe(probes: DataFrame, key_col: str, bits: DataFrame,
+                m: int = BLOOM_M, k: int = BLOOM_HASHES) -> DataFrame:
+    """Probe: a key is a Bloom HIT iff all k of its positions are set.
+    The probe explodes k positions per key and inner-joins the broadcast
+    set-bit table; matched-position count == k -> hit. Input rows pass
+    through with a ``bloom_hit`` int column."""
+    pos = probes.withColumn(
+        "_p", F.explode(_bloom_positions(F.col(key_col), m, k)))
+    matched = (pos.join(F.broadcast(bits),
+                        pos["_p"] == bits["pos"])
+               .groupBy(*[c for c in probes.columns])
+               .agg(F.count("*").alias("_n")))
+    return (probes.join(matched, probes.columns, "left")
+            .withColumn("bloom_hit",
+                        (F.coalesce("_n", F.lit(0)) == k).cast("int"))
+            .drop("_n"))
+
+
+def _decon_shingle_sql(src: str) -> str:
+    return f"""
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ') AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t,
+           LATERAL (SELECT unnest(range(1, len(w) - {DECON_NGRAM - 2})) AS i) u
+      WHERE len(w) >= {DECON_NGRAM}"""
+
+
+@register(
+    "q415_bloom_decontamination",
+    sql=f"""
+    WITH ev AS ({_decon_shingle_sql('(SELECT * FROM documents WHERE doc_id < '
+                                    + str(EVAL_DOCS) + ')')}),
+    tr AS ({_decon_shingle_sql('(SELECT * FROM documents WHERE doc_id >= '
+                               + str(EVAL_DOCS) + ')')}),
+    hashes AS (
+      SELECT sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+      FROM (SELECT DISTINCT sh FROM ev) e),
+    bits AS (
+      SELECT DISTINCT (h1 + i * h2) % {BLOOM_M} AS pos
+      FROM hashes, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
+    probe AS (
+      SELECT doc_id, sh,
+             ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+      FROM tr),
+    probe_pos AS (
+      SELECT doc_id, sh, (h1 + i * h2) % {BLOOM_M} AS pos
+      FROM probe, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
+    hits AS (
+      SELECT p.doc_id, p.sh,
+             CAST(count(b.pos) = {BLOOM_HASHES} AS INT) AS bloom_hit
+      FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.doc_id, p.sh),
+    exact AS (
+      SELECT DISTINCT t.doc_id, t.sh FROM tr t
+      JOIN (SELECT DISTINCT sh FROM ev) e USING (sh))
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(h.bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(count(e.sh) AS BIGINT) AS exact_hits,
+           CAST(sum(h.bloom_hit) - count(e.sh) AS BIGINT) AS false_positives
+    FROM hits h
+    LEFT JOIN exact e ON e.doc_id = h.doc_id AND e.sh = h.sh
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def q415_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination behind a Bloom filter, with its false-
+    positive rate AUDITED against the exact answer: the eval set's (doc_id
+    < 25) distinct 8-word shingles build an m=8192/k=3 filter (portable
+    md5 double-hashing — the oracle replays the filter bit-for-bit, unlike
+    q140's engine-local xxhash64 join prefilter); every training doc's
+    shingles probe it, and the exact semi-join alongside pins per-doc
+    bloom_hits vs exact_hits so false_positives is measured, not assumed.
+
+    100 TB lens: the filter is a <= m-row set-bit table — kilobytes,
+    broadcast — so decontaminating a 100 TB corpus against a benchmark
+    suite is one linear scan + broadcast join; only (doc_id, shingle-hash)
+    pairs shuffle into the per-doc rollup. The q108 exact decontamination
+    path remains the ground truth; this is the cheap first pass that
+    drops the >99% of clean shingles before the exact join runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = (toks.where(F.size("w") >= DECON_NGRAM)
+          .select("doc_id", F.explode(F.expr(
+              f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
+              f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"))
+              .alias("sh"))
+          .distinct())
+    ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("sh").distinct()
+    tr = sh.filter(F.col("doc_id") >= EVAL_DOCS)
+    bits = bloom_build(ev, "sh")
+    probed = bloom_probe(tr, "sh", bits)
+    exact = tr.join(ev, "sh", "left_semi").withColumn("exact_hit", F.lit(1))
+    joined = probed.join(exact, ["doc_id", "sh"], "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shingles"),
+                 F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+                 F.coalesce(F.sum("exact_hit"), F.lit(0)).cast("bigint")
+                 .alias("exact_hits"),
+                 (F.sum("bloom_hit")
+                  - F.coalesce(F.sum("exact_hit"), F.lit(0))).cast("bigint")
+                 .alias("false_positives"))
+            .orderBy("doc_id"))

@@ -2639,3 +2639,26 @@ def test_chunk_dedup_clean_fully_removed_doc(spark):
     got = {r.doc_id: r for r in chunk_dedup_clean(docs, chunk_words=2).collect()}
     assert got[1].kept_chunks == 0
     assert got[1].cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_bloom_no_false_negatives_and_bounded_bits(spark):
+    """bloom_build/bloom_probe (q415 primitives): every inserted key must
+    hit (Bloom filters have no false negatives), the set-bit table is
+    bounded by m, and a disjoint probe set's hits are only ever FPs."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    inserted = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(50)], "k string")
+    bits = bloom_build(inserted, "k", m=1024, k=3)
+    assert bits.count() <= min(1024, 150)
+    probed = bloom_probe(inserted, "k", bits, m=1024, k=3)
+    assert probed.filter("bloom_hit = 0").count() == 0  # no false negatives
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "k string")
+    fp = bloom_probe(others, "k", bits, m=1024, k=3).filter("bloom_hit = 1")
+    # 150/1024 bits set -> per-key FP ~ (0.146)^3 ~ 0.3%; 200 probes
+    # should see at most a handful (generous bound, deterministic hashes)
+    assert fp.count() <= 10
