@@ -434,3 +434,69 @@ def q398_bpe_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.struct("wpos", "rebuilt"))),
                      lambda s: s["rebuilt"]))), 1, 16).alias("digest"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q417 — cross-tokenizer fertility evaluation
+# ---------------------------------------------------------------------------
+
+def _fertility_oracle() -> str:
+    """q417 oracle: each tokenizer's existing full encode replay (q394 BPE,
+    q405 unigram, q220 wordpiece) wrapped as a subquery and aggregated to
+    one corpus row — the three independent replays must agree with the
+    three Spark encode paths not just per doc but in the cross-tokenizer
+    totals."""
+    from ..plans.registry import _REGISTRY
+    from .unigram import _unigram_encode_oracle
+
+    def corpus_row(tok: str, sub: str) -> str:
+        return f"""
+        SELECT '{tok}' AS tokenizer,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+               round(sum(n_pieces)::DOUBLE / sum(n_words), 6)
+                 AS pieces_per_word
+        FROM ({sub}) t"""
+
+    subs = [
+        corpus_row("bpe", _bpe_encode_oracle(_BPE_MERGES)),
+        corpus_row("unigram", _unigram_encode_oracle()),
+        corpus_row("wordpiece", _REGISTRY["q220_wordpiece_tokenize"].sql),
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(subs)
+            + ") u ORDER BY tokenizer")
+
+
+@register("q417_tokenizer_fertility", sql=_fertility_oracle())
+def q417_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation harness (the q411 measure-don't-guess idiom,
+    applied to the tokenizer plane): train/apply all three subword
+    tokenizers the repo ships — BPE (q390/q394), unigram LM (q404/q405),
+    WordPiece (q220) — on the same corpus and compare their fertility
+    (pieces per word) in one table. Corpus totals are exact bigint sums
+    over each tokenizer's per-doc report; the single division rounds at
+    6dp on both sides. Differences in n_words are part of the contract
+    (unigram excludes words over MAX_WORD_LEN; the fixture has none, so
+    on these fixtures all three agree on the denominator).
+
+    100 TB lens: each encode path is already vocabulary-sized (segment
+    the distinct-word vocab once, hash-join onto the word stream), so the
+    comparison costs three vocab segmentations + three linear joins —
+    the evaluation is as scalable as the tokenizers themselves."""
+    from .unigram import q405_unigram_encode
+
+    def corpus_row(tok: str, report: DataFrame) -> DataFrame:
+        return report.agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(F.sum("n_pieces").cast("double") / F.sum("n_words"), 6)
+            .alias("pieces_per_word"),
+        ).select(F.lit(tok).alias("tokenizer"), "n_words", "n_pieces",
+                 "pieces_per_word")
+
+    return (corpus_row("bpe", q394_bpe_encode(spark, sf_dir))
+            .unionByName(corpus_row("unigram",
+                                    q405_unigram_encode(spark, sf_dir)))
+            .unionByName(corpus_row("wordpiece",
+                                    q220_wordpiece_tokenize(spark, sf_dir)))
+            .orderBy("tokenizer"))

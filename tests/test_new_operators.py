@@ -2662,3 +2662,20 @@ def test_bloom_no_false_negatives_and_bounded_bits(spark):
     # 150/1024 bits set -> per-key FP ~ (0.146)^3 ~ 0.3%; 200 probes
     # should see at most a handful (generous bound, deterministic hashes)
     assert fp.count() <= 10
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """q417: one row per tokenizer; every fertility >= 1 piece/word (a
+    subword tokenizer can never emit fewer pieces than words); all three
+    agree on n_words on this fixture (no word exceeds MAX_WORD_LEN)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q417_tokenizer_fertility"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.tokenizer for r in rows) == ["bpe", "unigram",
+                                                 "wordpiece"]
+    nw = {r.n_words for r in rows}
+    assert len(nw) == 1
+    for r in rows:
+        assert r.pieces_per_word >= 1.0
+        assert r.n_pieces >= r.n_words
