@@ -10,7 +10,7 @@ md5 of stable keys — the same engine-portable trick the deterministic split
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -573,3 +573,75 @@ def q346_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.sum(F.when(F.col("cold") == 1,
                                         F.col("value"))), F.lit(0.0))
                 / F.sum("value"), 6).alias("cold_value_share"))
+
+
+# ---------------------------------------------------------------------------
+# q418 — deterministic train/validation/test split assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"   # version the assignment: changing the salt is the
+                          # ONLY way the split can move (never row order)
+SPLIT_TRAIN, SPLIT_VAL = 80, 90  # bucket cutoffs of 100
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id",
+                 salt: str = SPLIT_SALT) -> DataFrame:
+    """Add a ``split`` column ('train'/'validation'/'test') as a PURE
+    function of (salt, id): md5-60-bit bucket mod 100, <80 train, <90
+    validation, else test. Deterministic and order-free — the property a
+    training pipeline needs so that re-ingesting, repartitioning, or
+    growing the corpus can never move an existing document across the
+    split boundary (no leakage of yesterday's test docs into today's
+    train set). Scan-side expressions only; no shuffle, no RNG state."""
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("bigint"),
+        F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "validation")
+        .otherwise("test"))
+
+
+@register(
+    "q418_split_assignment",
+    sql=f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT source,
+                   CAST(('0x' || substr(md5('{SPLIT_SALT}:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM documents) t),
+    counts AS (
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY source, split)
+    SELECT source, split, n_docs,
+           round(n_docs::DOUBLE
+                 / sum(n_docs) OVER (PARTITION BY source), 4) AS frac
+    FROM counts ORDER BY source, split
+    """,
+)
+def q418_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment audited per
+    source: hash-bucket split (see :func:`assign_split`) rolled up to
+    (source, split) counts and within-source fractions. The per-source
+    view is the stratification audit — a source whose fractions drift far
+    from 80/10/10 flags id-space structure interacting with the hash
+    (none on this fixture). 100 TB lens: the assignment is one scan-side
+    md5 per row (no shuffle, no RNG, no driver state); only the bounded
+    (source, split) rollup shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (assign_split(docs).groupBy("source", "split")
+              .agg(F.count("*").cast("bigint").alias("n_docs")))
+    w = Window.partitionBy("source")
+    return (counts
+            .withColumn("frac", F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4))
+            .orderBy("source", "split"))

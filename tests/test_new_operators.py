@@ -2679,3 +2679,37 @@ def test_tokenizer_fertility_invariants(spark):
     for r in rows:
         assert r.pieces_per_word >= 1.0
         assert r.n_pieces >= r.n_words
+
+
+def test_assign_split_deterministic_and_stable_under_growth(spark):
+    """q418's core law: the split is a pure function of (salt, id) — two
+    invocations agree row-for-row, and adding new documents cannot move
+    any existing document's assignment."""
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: r.split for r in assign_split(base).collect()}
+    b = {r.doc_id: r.split for r in assign_split(base).collect()}
+    assert a == b
+    grown = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    g = {r.doc_id: r.split for r in assign_split(grown).collect()}
+    assert all(g[i] == a[i] for i in range(200))
+    # roughly 80/10/10 on 400 ids (hash balance, generous bounds)
+    from collections import Counter
+    c = Counter(g.values())
+    assert 0.7 <= c["train"] / 400 <= 0.9
+    assert c["validation"] > 0 and c["test"] > 0
+
+
+def test_assign_split_salt_versions_the_assignment(spark):
+    """Changing the salt is the ONLY way the split moves."""
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    v1 = {r.doc_id: r.split for r in assign_split(df, salt="v1").collect()}
+    v2 = {r.doc_id: r.split for r in assign_split(df, salt="v2").collect()}
+    assert v1 != v2  # some ids must move under a new salt
