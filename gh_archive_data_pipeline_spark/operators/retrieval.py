@@ -366,3 +366,109 @@ def q416_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
     return mmr_diversify(cand, pair)
+
+
+# ---------------------------------------------------------------------------
+# q419 — late-interaction (MaxSim / ColBERT-style) scoring
+# ---------------------------------------------------------------------------
+
+LI_DIM = 8        # per-token embedding width
+LI_QTOK = 8       # query tokens scored (ColBERT's bounded query length)
+LI_DTOK = 16      # doc tokens kept (the max-seq-len truncation)
+LI_TOPK = 5
+
+# token embedding = 8 bytes of md5(word), affinely mapped to [-1, 1]: a
+# deterministic stand-in for a model's token embeddings (the multimodal
+# plane's "deterministic fake" convention — the PLUMBING is what's real:
+# schema, nested-HOF math, broadcast shape). (byte - 127.5)/127.5 is never
+# all-zero, so cosine is always defined.
+_TOKVEC_SPARK = ("transform(sequence(0, {d}), c ->"
+                 " (cast(conv(substring(md5({w}), c*2 + 1, 2), 16, 10)"
+                 "  as double) - 127.5D) / 127.5D)")
+_TOKVEC_DUCK = ("list_transform(range(0, {d}), c ->"
+                " ((('0x' || substr(md5({w}), c*2 + 1, 2))::BIGINT)::DOUBLE"
+                "  - 127.5) / 127.5)")
+
+_Q419_SQL = f"""
+WITH qtok AS (
+  SELECT query_id, t.w
+  FROM (SELECT doc_id AS query_id, string_split(text, ' ')[1:{LI_QTOK}] AS ws
+        FROM documents WHERE doc_id < {N_QUERIES}) d,
+       LATERAL (SELECT unnest(ws) AS w) t),
+qvec AS (
+  SELECT query_id, {_TOKVEC_DUCK.format(d=LI_DIM, w='w')} AS qv FROM qtok),
+dvec AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' ')[1:{LI_DTOK}],
+                        w -> {_TOKVEC_DUCK.format(d=LI_DIM, w='w')}) AS dvs
+  FROM documents),
+scored AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(floor(list_max(list_transform(d.dvs, u ->
+                list_dot_product(q.qv, u)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(u, u))))) * 1e12 + 0.5)
+              AS BIGINT) AS it
+  FROM qvec q JOIN dvec d ON q.query_id <> d.doc_id),
+agg AS (
+  SELECT query_id, doc_id, sum(it) AS sum_it,
+         CAST(count(*) AS BIGINT) AS n_q
+  FROM scored GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sum_it DESC, doc_id) AS rank
+  FROM agg)
+SELECT query_id, doc_id,
+       round(CAST(sum_it AS DOUBLE) / 1e12 / n_q, 6) AS maxsim_score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {LI_TOPK}
+"""
+
+
+@register("q419_maxsim_late_interaction", sql=_Q419_SQL)
+def q419_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval scoring (Khattab & Zaharia, ColBERT):
+    score(q, d) = mean over q's tokens of max over d's tokens of
+    cosine(token_vec_q, token_vec_d) — token-level interaction instead of
+    one pooled vector per document. Token embeddings are deterministic
+    md5-derived 8-dim vectors (see _TOKVEC_*); queries keep 8 tokens, docs
+    16 (the ColBERT truncation knobs). Per-token MaxSims are summed as
+    1e12-scaled exact integers (the floor-cents convention) so ranking and
+    score replay bit-for-bit; ranks order by the exact integer sum.
+
+    100 TB lens: identical shape to brute-force ANN (q44) — the bounded
+    query token set broadcasts, the corpus scans once, and the whole
+    token-token MaxSim matrix for one (q, d) pair is nested scan-side HOFs
+    (transform/aggregate/array_max), no Python, no shuffle of vectors;
+    only (query_id, doc_id, int) rows reach the groupBy. Swap the hashed
+    vectors for model outputs and an LSH/IVF candidate filter upstream
+    (q45/q358) and this is the production ColBERT re-rank stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    qtok = (docs.filter(F.col("doc_id") < N_QUERIES)
+            .select(F.col("doc_id").alias("query_id"),
+                    F.explode(F.expr(
+                        f"slice(split(text, ' '), 1, {LI_QTOK})")).alias("w"))
+            .select("query_id", F.expr(
+                _TOKVEC_SPARK.format(d=LI_DIM - 1, w="w")).alias("qv")))
+    dvec = docs.select(
+        "doc_id",
+        F.expr(f"transform(slice(split(text, ' '), 1, {LI_DTOK}), w -> "
+               + _TOKVEC_SPARK.format(d=LI_DIM - 1, w="w") + ")").alias("dvs"))
+    maxcos = F.array_max(F.transform(
+        F.col("dvs"), lambda u: cosine(F.col("qv"), u)))
+    scored = (
+        dvec.join(F.broadcast(qtok), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                F.floor(maxcos * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+                .alias("it")))
+    agg = (scored.groupBy("query_id", "doc_id")
+           .agg(F.sum("it").alias("sum_it"),
+                F.count("*").cast("bigint").alias("n_q")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sum_it").desc(),
+                                               "doc_id")
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= LI_TOPK)
+            .select("query_id", "doc_id",
+                    F.round(F.col("sum_it").cast("double") / F.lit(1e12)
+                            / F.col("n_q"), 6).alias("maxsim_score"),
+                    "rank"))

@@ -85,3 +85,23 @@ def test_mmr_selects_k_per_query_without_repeats(spark):
     rows = mmr_diversify(cand, pair, k=3).collect()
     picked = [r.doc_id for r in rows]
     assert len(picked) == 3 and len(set(picked)) == 3
+
+
+def test_maxsim_scores_bounded_and_ranked(spark):
+    """q419: maxsim is a mean of cosines, so scores live in [-1, 1];
+    every query emits ranks 1..5 ordered by descending score."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q419_maxsim_late_interaction"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.maxsim_score <= 1.0 + 1e-9
+        assert r.doc_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r.maxsim_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
