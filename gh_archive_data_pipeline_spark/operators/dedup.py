@@ -2014,3 +2014,105 @@ def q415_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - F.coalesce(F.sum("exact_hit"), F.lit(0))).cast("bigint")
                  .alias("false_positives"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — insertion-robust chunk boundaries
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 8  # boundary when md5_60(word) % CDC_MOD == 0 -> ~8-word chunks
+
+
+def cdc_chunks(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Split each document into CONTENT-DEFINED chunks: a word whose
+    md5-60-bit hash is 0 mod ``mod`` ends its chunk (the word-granular
+    analogue of Rabin-fingerprint CDC in dedup storage systems). Because
+    boundaries depend only on local content, inserting or deleting words
+    re-chunks only the affected neighborhood — unlike fixed-width chunks
+    (q414) where one insertion shifts every later boundary. Output:
+    (doc_id, cid, chunk) with cid the 0-based in-doc chunk index.
+
+    Scale shape: one posexplode (linear), one per-doc cumulative-sum
+    window (shuffles (doc_id, pos, word) keyed by doc — the same single
+    doc-keyed pass any per-doc operator pays), one (doc_id, cid) rollup
+    that reuses the doc partitioning."""
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word"))
+    bf = (F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint")
+          % mod == 0).cast("int")
+    w_cum = (Window.partitionBy("doc_id").orderBy("i")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cids = words.withColumn("bf", bf).withColumn(
+        "cid", F.coalesce(F.sum("bf").over(w_cum), F.lit(0)))
+    return (cids.groupBy("doc_id", "cid")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct("i", "word"))), lambda s: s["word"]), " ")
+                .alias("chunk")))
+
+
+@register(
+    "q420_cdc_chunk_report",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, t.i, t.word
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i,
+                           unnest(ws) AS word) t),
+    b AS (
+      SELECT doc_id, i, word,
+             CASE WHEN ('0x' || substr(md5(word), 1, 15))::BIGINT
+                       % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS bf
+      FROM w),
+    c AS (
+      SELECT *, coalesce(sum(bf) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM b),
+    chunks AS (
+      SELECT doc_id, cid, md5(string_agg(word, ' ' ORDER BY i)) AS h,
+             count(*) AS n_words
+      FROM c GROUP BY doc_id, cid),
+    sharing AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h)
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(k.n_words) AS BIGINT) AS n_words,
+           round(sum(k.n_words)::DOUBLE / count(*), 4) AS mean_chunk_words,
+           CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_chunks,
+           substr(md5(string_agg(k.h, '' ORDER BY k.cid)), 1, 16) AS digest
+    FROM chunks k JOIN sharing s USING (h)
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def q420_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking report: per document, the CDC chunk count,
+    mean chunk width, how many of its chunks also occur in ANOTHER
+    document (the storage-dedup sharing signal CDC exists to maximize),
+    and the md5 digest of the in-order chunk-hash sequence — one shifted
+    boundary anywhere breaks the digest, so the oracle pins every
+    boundary decision. Complements q414 (fixed-width) and q393 (rolling
+    spans): CDC is the insertion-robust granularity storage and
+    incremental-dedup systems use.
+
+    100 TB lens: see :func:`cdc_chunks` — linear passes and doc-keyed
+    shuffles only; the sharing rollup shuffles 32-char chunk hashes."""
+    chunks = (cdc_chunks(load_table(spark, sf_dir, "documents"))
+              .withColumn("h", F.md5("chunk"))
+              .withColumn("n_words", F.size(F.split("chunk", " "))))
+    sharing = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (chunks.join(sharing, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.round(F.sum("n_words").cast("double") / F.count("*"), 4)
+                 .alias("mean_chunk_words"),
+                 F.sum((F.col("n_docs") > 1).cast("int")).cast("bigint")
+                 .alias("shared_chunks"),
+                 F.substring(F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("cid", "h"))),
+                     lambda s: s["h"]))), 1, 16).alias("digest"))
+            .orderBy("doc_id"))

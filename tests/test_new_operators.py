@@ -2713,3 +2713,53 @@ def test_assign_split_salt_versions_the_assignment(spark):
     v1 = {r.doc_id: r.split for r in assign_split(df, salt="v1").collect()}
     v2 = {r.doc_id: r.split for r in assign_split(df, salt="v2").collect()}
     assert v1 != v2  # some ids must move under a new salt
+
+
+def test_cdc_boundary_semantics(spark):
+    """A boundary word (md5_60 % mod == 0) ENDS its chunk; the next word
+    starts a new one. Verified against a hand-computed mod-2 chunking."""
+    import hashlib
+
+    from gh_archive_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    def is_boundary(w, mod):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % mod == 0
+    mod = 2
+    docs = spark.createDataFrame([(0, " ".join(words))],
+                                 "doc_id long, text string")
+    got = {r.cid: r.chunk for r in cdc_chunks(docs, mod=mod).collect()}
+    # rebuild expected chunks in python
+    expected, cur = [], []
+    for w in words:
+        cur.append(w)
+        if is_boundary(w, mod):
+            expected.append(" ".join(cur)); cur = []
+    if cur:
+        expected.append(" ".join(cur))
+    assert [got[i] for i in sorted(got)] == expected
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """THE content-defined property: prepending words re-chunks only the
+    head neighborhood — most chunk hashes survive, whereas fixed-width
+    chunking (q414's granularity) shifts every boundary."""
+    import hashlib
+
+    from gh_archive_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    base = [f"w{i}" for i in range(200)]
+    shifted = ["inserted0", "inserted1"] + base
+    docs = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(shifted))],
+        "doc_id long, text string")
+    rows = cdc_chunks(docs).collect()
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    a = {h(r.chunk) for r in rows if r.doc_id == 0}
+    b = {h(r.chunk) for r in rows if r.doc_id == 1}
+    # all of doc0's chunks except (possibly) its first must reappear
+    assert len(a & b) >= len(a) - 1
+    # fixed-width chunking under the same insertion shares almost nothing
+    fixed_a = {h(" ".join(base[i:i + 16])) for i in range(0, 200, 16)}
+    fixed_b = {h(" ".join(shifted[i:i + 16])) for i in range(0, 202, 16)}
+    assert len(fixed_a & fixed_b) == 0
