@@ -472,3 +472,88 @@ def q419_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("sum_it").cast("double") / F.lit(1e12)
                             / F.col("n_q"), 6).alias("maxsim_score"),
                     "rank"))
+
+
+# ---------------------------------------------------------------------------
+# q421 — greedy k-center coreset selection (Gonzalez farthest-point)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 5
+
+_DOT_DUCK = "list_dot_product({a}, {b})"
+# the q44-proven bit-identical twin of list_dot_product (left-to-right fold)
+_DOT_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+              " cast(0.0 as double), (acc, x) -> acc + x)")
+
+
+def _d2(a: str, b: str, dot: str = _DOT_DUCK) -> str:
+    """Squared L2 as dot(a,a) - 2*dot(a,b) + dot(b,b) — three bit-exact
+    dots combined left-associatively, identical in both engines (avoids
+    engine-specific zip/subtract list kernels)."""
+    return (f"{dot.format(a=a, b=a)} - 2 * {dot.format(a=a, b=b)}"
+            f" + {dot.format(a=b, b=b)}")
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    ctes = [
+        "cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """acc1 AS (SELECT 1 AS round, vec_id, 0.0 AS radius, v
+           FROM cv WHERE vec_id = 0)""",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes.append(f"""md{r} AS (
+           SELECT c.vec_id, min({_d2('c.v', 's.v')}) AS mind
+           FROM cv c, acc{p} s
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{p})
+           GROUP BY c.vec_id)""")
+        ctes.append(f"""pick{r} AS (
+           SELECT {r} AS round, m.vec_id, m.mind AS radius, c.v
+           FROM md{r} m JOIN cv c USING (vec_id)
+           ORDER BY m.mind DESC, m.vec_id LIMIT 1)""")
+        ctes.append(f"acc{r} AS (SELECT * FROM acc{p}"
+                    f" UNION ALL SELECT * FROM pick{r})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT CAST(round AS INTEGER) AS round, vec_id, round(radius, 6) AS radius
+FROM acc{k} ORDER BY round""")
+
+
+@register("q421_kcenter_coreset", sql=_kcenter_oracle())
+def q421_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection over the
+    embedding corpus — the classic diverse-subset / data-pruning picker
+    (2-approximation of the k-center radius): seed with vec_id 0, then k-1
+    rounds of "add the point farthest from every selected center".
+    ``radius`` is the selected point's distance-to-coreset at pick time —
+    the monotonically shrinking coverage radius. Unlike MMR (q416, bounded
+    candidate list), every round here scans the FULL corpus: min-dist to
+    the <=k broadcast centers is scan-side arithmetic, and the argmax is a
+    TakeOrdered(1) (per-partition top-1, then a k-row merge — never a
+    single-partition window). Unrolled-CTE oracle replays every pick.
+
+    100 TB lens: k linear scans with a k-row broadcast each — the exact
+    shape of distributed k-center in practice; no corpus shuffle, driver
+    state is one row per round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id",
+                   _as_double(F.col("embedding")).alias("v")).localCheckpoint()
+    selected = (c.filter(F.col("vec_id") == 0)
+                .select(F.lit(1).alias("round"), "vec_id",
+                        F.lit(0.0).alias("radius"), "v")
+                .localCheckpoint())
+    d2 = F.expr(_d2("v", "sv", dot=_DOT_SPARK))
+    for r in range(2, KCENTER_K + 1):
+        rem = c.join(selected.select("vec_id"), "vec_id", "left_anti")
+        mind = (rem.crossJoin(F.broadcast(
+                    selected.select(F.col("v").alias("sv"))))
+                .select("vec_id", d2.alias("d2"))
+                .groupBy("vec_id").agg(F.min("d2").alias("mind")))
+        pick = (mind.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+                .join(c, "vec_id")
+                .select(F.lit(r).alias("round"), "vec_id",
+                        F.col("mind").alias("radius"), "v"))
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(F.col("round").cast("int").alias("round"),
+                           "vec_id", F.round("radius", 6).alias("radius")
+                           ).orderBy("round")

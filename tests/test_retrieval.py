@@ -105,3 +105,19 @@ def test_maxsim_scores_bounded_and_ranked(spark):
         assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
         scores = [r.maxsim_score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kcenter_radius_monotone_and_diverse(spark):
+    """q421: the farthest-point radius shrinks (weakly) every round, picks
+    never repeat, and round 1 is the seed vec_id 0."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = sorted(all_queries()["q421_kcenter_coreset"].fn(
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0].vec_id == 0 and rows[0].radius == 0.0
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 5
+    radii = [r.radius for r in rows[1:]]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+    assert all(r > 0 for r in radii)
