@@ -1425,3 +1425,66 @@ def q354_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("iv", 6).alias("idcg_at_10"),
                     F.round(F.col("v") / F.col("iv"), 6)
                     .alias("ndcg_at_10")))
+
+
+# ---------------------------------------------------------------------------
+# q424 — source vocabulary overlap matrix (data-card corpus diagnostics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q424_source_vocab_overlap",
+    sql="""
+    WITH st AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.src_a, i.src_b, i.n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def q424_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources — the data-card
+    diagnostic that tells a mixture designer which sources are lexically
+    redundant (high Jaccard -> marginal value of adding both shrinks;
+    feeds weighting choices like q130/q388/q391). Distinct (source, token)
+    pairs shuffle ONCE keyed by token; the pair join's output is bounded
+    by sources^2, never corpus size.
+
+    100 TB lens: the token-keyed self-join is the only corpus-sized
+    stage and it carries (source, token) pairs post-distinct; per-source
+    vocab sizes are a bounded rollup; everything downstream is a
+    sources^2-row table."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (docs.select("source",
+                      F.explode(F.split("text", " ")).alias("token"))
+          .distinct())
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (a.join(b, "token")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                           F.col("n").alias("n_a"))), "src_a")
+            .join(F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                           F.col("n").alias("n_b"))), "src_b")
+            .select("src_a", "src_b", "n_common",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6).alias("jaccard"))
+            .orderBy("src_a", "src_b"))

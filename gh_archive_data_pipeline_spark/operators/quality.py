@@ -589,3 +589,39 @@ def q297_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_violations").cast("double") / F.col("n_groups"), 6)
         .alias("violation_rate"))
         .orderBy("fd"))
+
+
+# ---------------------------------------------------------------------------
+# q423 — k-anonymity audit (privacy governance)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "q423_k_anonymity_audit",
+    sql=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) >= {K_ANON} AS INT) AS meets_k,
+           round(1.0 / count(*), 6) AS reident_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q423_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): every equivalence class's size, whether it meets k=5, and
+    the worst-case re-identification risk 1/n — the privacy-governance
+    check a training-data release runs before shipping user-derived rows
+    (classes below k get suppressed or generalized). One partial-aggregated
+    groupBy over the quasi-identifier columns; at 100 TB the class table
+    is bounded by the QI domain (nations x segments), not row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select("c_nationkey", "c_mktsegment", "n",
+                    (F.col("n") >= K_ANON).cast("int").alias("meets_k"),
+                    F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"))
+            .orderBy("c_nationkey", "c_mktsegment"))
