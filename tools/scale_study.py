@@ -101,6 +101,16 @@ QUERY_TABLES = {
     "q408_png_pixel_decode": ["documents"],
     "q409_wav_pcm_decode": ["documents"],
     "q410_avi_frame_sample": ["documents"],
+    "q412_rrf_hybrid_search": ["documents", "embeddings"],
+    "q413_scalar_quant_audit": ["embeddings"],
+    "q414_chunk_dedup_clean": ["documents"],
+    "q415_bloom_decontamination": ["documents"],
+    "q416_mmr_diversify": ["embeddings"],
+    "q418_split_assignment": ["documents"],
+    "q419_maxsim_late_interaction": ["documents"],
+    "q420_cdc_chunk_report": ["documents"],
+    "q421_kcenter_coreset": ["embeddings"],
+    "q424_source_vocab_overlap": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
