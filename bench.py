@@ -97,6 +97,14 @@ BASELINE_SEC = {
     "q402_ivf_pq_search": 2.742,
     "q403_pca_projection_report": 0.713,
     "q404_unigram_lm_tokenizer": 1.525,
+    # round-8 continuation (min across two back-to-back bench runs, host
+    # canary 1.26-1.39 — mildly contended, so these sit slightly HIGH;
+    # re-pin lower if an idle run beats them): RRF hybrid fusion, Bloom
+    # decontamination + exact FP audit, MaxSim late interaction, k-center
+    "q412_rrf_hybrid_search": 1.059,
+    "q415_bloom_decontamination": 1.668,
+    "q419_maxsim_late_interaction": 6.169,
+    "q421_kcenter_coreset": 1.292,
 }
 
 # Snapshot of each headline query's executed-plan work counters at sf0.1
@@ -172,6 +180,15 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q402_ivf_pq_search": {"shuffle_records": 51, "rows_read": 2050},
     "q403_pca_projection_report": {"shuffle_records": 31, "rows_read": 2000},
     "q404_unigram_lm_tokenizer": {"shuffle_records": 32, "rows_read": 40},
+    # round-8 continuation. q421: localCheckpoint truncates lineage, so
+    # rows_read counts only the checkpoint re-reads (the corpus scans
+    # happen at checkpoint time, before the timed plan).
+    "q412_rrf_hybrid_search": {"shuffle_records": 201, "rows_read": 14000},
+    "q415_bloom_decontamination": {"shuffle_records": 259618,
+                                   "rows_read": 20000},
+    "q419_maxsim_late_interaction": {"shuffle_records": 25021,
+                                     "rows_read": 10000},
+    "q421_kcenter_coreset": {"shuffle_records": 5, "rows_read": 5},
 }
 
 # Host-speed canary: a fixed, seeded, CPU-bound calibration workload whose
@@ -368,6 +385,14 @@ HEADLINE = [
     "q402_ivf_pq_search",
     "q403_pca_projection_report",
     "q404_unigram_lm_tokenizer",
+    # round-8 continuation: hybrid retrieval (RRF over lexical+vector
+    # rankings), Bloom decontamination (filter build + probe + exact FP
+    # audit), late-interaction MaxSim (nested-HOF token matrix), greedy
+    # k-center coreset (k full scans vs broadcast centers)
+    "q412_rrf_hybrid_search",
+    "q415_bloom_decontamination",
+    "q419_maxsim_late_interaction",
+    "q421_kcenter_coreset",
 ]
 
 

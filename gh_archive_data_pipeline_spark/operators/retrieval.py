@@ -519,6 +519,23 @@ SELECT CAST(round AS INTEGER) AS round, vec_id, round(radius, 6) AS radius
 FROM acc{k} ORDER BY round""")
 
 
+def _kcenter_pick(c: DataFrame, selected: DataFrame, r: int) -> DataFrame:
+    """One k-center round: min-dist of every unselected point to the
+    broadcast center set, argmax via TakeOrdered(1). Factored so the plan
+    gate (tests/test_plan_quality.py) can assert the per-round shape —
+    the query's own returned frame is post-localCheckpoint and opaque."""
+    d2 = F.expr(_d2("v", "sv", dot=_DOT_SPARK))
+    rem = c.join(selected.select("vec_id"), "vec_id", "left_anti")
+    mind = (rem.crossJoin(F.broadcast(
+                selected.select(F.col("v").alias("sv"))))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id").agg(F.min("d2").alias("mind")))
+    return (mind.orderBy(F.col("mind").desc(), "vec_id").limit(1)
+            .join(c, "vec_id")
+            .select(F.lit(r).alias("round"), "vec_id",
+                    F.col("mind").alias("radius"), "v"))
+
+
 @register("q421_kcenter_coreset", sql=_kcenter_oracle())
 def q421_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (Gonzalez farthest-point) coreset selection over the
@@ -542,17 +559,8 @@ def q421_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(1).alias("round"), "vec_id",
                         F.lit(0.0).alias("radius"), "v")
                 .localCheckpoint())
-    d2 = F.expr(_d2("v", "sv", dot=_DOT_SPARK))
     for r in range(2, KCENTER_K + 1):
-        rem = c.join(selected.select("vec_id"), "vec_id", "left_anti")
-        mind = (rem.crossJoin(F.broadcast(
-                    selected.select(F.col("v").alias("sv"))))
-                .select("vec_id", d2.alias("d2"))
-                .groupBy("vec_id").agg(F.min("d2").alias("mind")))
-        pick = (mind.orderBy(F.col("mind").desc(), "vec_id").limit(1)
-                .join(c, "vec_id")
-                .select(F.lit(r).alias("round"), "vec_id",
-                        F.col("mind").alias("radius"), "v"))
+        pick = _kcenter_pick(c, selected, r)
         selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(F.col("round").cast("int").alias("round"),
                            "vec_id", F.round("radius", 6).alias("radius")

@@ -778,3 +778,69 @@ def test_q401_scoring_is_scan_side_no_join(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q412_fusion_broadcasts_queries_group_limited(spark):
+    """RRF's scale contract: both modality rankings broadcast their bounded
+    query side into streamed corpus scans (the query_id != doc_id non-equi
+    condition compiles to BroadcastNestedLoopJoin against the tiny query
+    side — q44's shape; no sort-merge join anywhere) and every rank<=depth
+    filter compiles to WindowGroupLimit so only partial top rows reach the
+    rank exchanges."""
+    plan = plan_of(spark, "q412_rrf_hybrid_search")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # lexical + vector
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q415_bloom_filter_broadcasts_no_python(spark):
+    """Decontamination's scale contract: the <=m-row set-bit table and the
+    bounded eval-shingle set reach the probe as broadcasts (no sort-merge
+    join), and the whole plane is JVM expressions — no Python eval."""
+    plan = plan_of(spark, "q415_bloom_decontamination")
+    assert plan.count("BroadcastHashJoin") >= 2  # bits probe + exact semi
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q419_maxsim_broadcast_scan_side_no_python(spark):
+    """Late interaction's scale contract: the bounded query-token set
+    broadcasts into one streamed corpus scan; the token-token MaxSim matrix
+    is nested JVM HOFs (no Python eval); the per-query top-k compiles to
+    WindowGroupLimit."""
+    plan = plan_of(spark, "q419_maxsim_late_interaction")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_q421_kcenter_argmax_is_take_ordered(spark):
+    """k-center's scale contract, asserted on the per-round pick plan (the
+    query's returned frame is post-localCheckpoint and opaque): the argmax
+    is TakeOrdered (per-partition top-1 + k-row merge, never a
+    single-partition window) and the center set reaches the scan as a
+    broadcast."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.operators.retrieval import (
+        _as_double,
+        _kcenter_pick,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    c = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seed = (c.filter(F.col("vec_id") == 0)
+            .select(F.lit(1).alias("round"), "vec_id",
+                    F.lit(0.0).alias("radius"), "v"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _kcenter_pick(c, seed, 2).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
