@@ -1488,3 +1488,76 @@ def q424_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("n_a") + F.col("n_b")
                                - F.col("n_common")), 6).alias("jaccard"))
             .orderBy("src_a", "src_b"))
+
+
+# ---------------------------------------------------------------------------
+# q426 — cross-split OOV audit (composes q418's deterministic split)
+# ---------------------------------------------------------------------------
+
+def _q426_oracle() -> str:
+    from .sampling import SPLIT_SALT, SPLIT_TRAIN, SPLIT_VAL
+
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   CAST(('0x' || substr(md5('{SPLIT_SALT}:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM documents) t),
+    toks AS (
+      SELECT split, unnest(string_split(text, ' ')) AS token
+      FROM assigned),
+    trainvocab AS (
+      SELECT DISTINCT token FROM toks WHERE split = 'train'),
+    flagged AS (
+      SELECT t.split, t.token,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN trainvocab v ON v.token = t.token
+      WHERE t.split <> 'train')
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS oov_tokens,
+           round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+             AS oov_types
+    FROM flagged GROUP BY split ORDER BY split
+    """
+
+
+@register("q426_oov_audit", sql=_q426_oracle())
+def q426_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit across the deterministic split (q418): what
+    fraction of validation/test tokens (occurrences AND distinct types)
+    never appear in the train split — the coverage number that decides
+    whether a train-split-fitted tokenizer/vocabulary generalizes, and the
+    first thing to check before trusting any train/eval metric gap.
+
+    100 TB lens: the split is scan-side (q418); the train vocabulary is a
+    distinct rollup joined back token-keyed — the same single token
+    shuffle every vocab query pays; output is one row per non-train
+    split."""
+    from .sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (assign_split(docs)
+            .select("split", F.explode(F.split("text", " ")).alias("token")))
+    vocab = (toks.filter(F.col("split") == "train")
+             .select("token").distinct().withColumn("seen", F.lit(1)))
+    flagged = (toks.filter(F.col("split") != "train")
+               .join(vocab, "token", "left")
+               .withColumn("oov", F.when(F.col("seen").isNull(), 1)
+                           .otherwise(0)))
+    return (flagged.groupBy("split")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum("oov").cast("bigint").alias("oov_tokens"),
+                 F.round(F.sum("oov").cast("double") / F.count("*"), 6)
+                 .alias("oov_rate"),
+                 F.countDistinct("token").cast("bigint").alias("n_types"),
+                 F.countDistinct(F.when(F.col("oov") == 1, F.col("token")))
+                 .cast("bigint").alias("oov_types"))
+            .orderBy("split"))

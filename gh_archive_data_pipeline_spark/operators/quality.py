@@ -625,3 +625,119 @@ def q423_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n") >= K_ANON).cast("int").alias("meets_k"),
                     F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"))
             .orderBy("c_nationkey", "c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# q425 — population stability index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SMOOTH = 0.5   # add-half smoothing so empty buckets stay finite
+
+
+@register(
+    "q425_psi_drift_monitor",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+             CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    base AS (SELECT n_words FROM m WHERE src_num < 10),
+    cur AS (SELECT n_words FROM m WHERE src_num >= 10),
+    rng AS (SELECT min(n_words) AS lo,
+                   (max(n_words) - min(n_words)) / {float(PSI_BUCKETS)!r}
+                     AS width
+            FROM base),
+    bb AS (SELECT least({PSI_BUCKETS - 1},
+                        greatest(0, CAST(floor((n_words - lo) / width)
+                                         AS BIGINT))) AS bucket
+           FROM base, rng),
+    cb AS (SELECT least({PSI_BUCKETS - 1},
+                        greatest(0, CAST(floor((n_words - lo) / width)
+                                         AS BIGINT))) AS bucket
+           FROM cur, rng),
+    spine AS (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket),
+    counts AS (
+      SELECT s.bucket,
+             coalesce(b.n, 0) AS base_n, coalesce(c.n, 0) AS cur_n
+      FROM spine s
+      LEFT JOIN (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                 FROM bb GROUP BY bucket) b ON b.bucket = s.bucket
+      LEFT JOIN (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                 FROM cb GROUP BY bucket) c ON c.bucket = s.bucket),
+    tot AS (SELECT sum(base_n) AS nb, sum(cur_n) AS nc FROM counts),
+    terms AS (
+      SELECT bucket, base_n, cur_n,
+             CAST(floor(
+               ((base_n + {PSI_SMOOTH}) / (nb + {PSI_SMOOTH * PSI_BUCKETS})
+                - (cur_n + {PSI_SMOOTH}) / (nc + {PSI_SMOOTH * PSI_BUCKETS}))
+               * ln(((base_n + {PSI_SMOOTH})
+                     / (nb + {PSI_SMOOTH * PSI_BUCKETS}))
+                    / ((cur_n + {PSI_SMOOTH})
+                       / (nc + {PSI_SMOOTH * PSI_BUCKETS})))
+               * 1e12 + 0.5) AS BIGINT) AS it
+      FROM counts, tot)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
+           round(CAST(it AS DOUBLE) / 1e12, 8) AS psi_term,
+           round(CAST(sum(it) OVER () AS DOUBLE) / 1e12, 6) AS psi_total
+    FROM terms ORDER BY bucket
+    """,
+)
+def q425_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first ten sources (baseline
+    population) and the last ten (current) over the per-doc word-count
+    distribution — THE standard production drift monitor for a data
+    pipeline's intake (PSI < 0.1 stable, > 0.25 action). Ten equal-width
+    buckets over the BASELINE's range (current values clamp into the edge
+    buckets, as a deployed monitor must), add-half smoothing so empty
+    buckets stay finite, and per-bucket terms quantized to 1e12-scaled
+    integers so the window total is an exact sum on both engines.
+
+    100 TB lens: two partial-aggregated count passes (the range subquery
+    and the bucket rollup) — bucket table is PSI_BUCKETS rows; nothing
+    corpus-sized shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.substring("source", 4, 10).cast("int").alias("src_num"))
+    base = m.filter(F.col("src_num") < 10)
+    cur = m.filter(F.col("src_num") >= 10)
+    rng = base.agg(
+        F.min("n_words").alias("lo"),
+        ((F.max("n_words") - F.min("n_words"))
+         / F.lit(float(PSI_BUCKETS))).alias("width"))
+
+    def bucketed(df):
+        return (df.crossJoin(F.broadcast(rng))
+                .select(F.least(
+                    F.lit(PSI_BUCKETS - 1),
+                    F.greatest(F.lit(0), F.floor(
+                        (F.col("n_words") - F.col("lo")) / F.col("width"))
+                        .cast("bigint")).cast("bigint")).alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").cast("bigint").alias("n")))
+
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    counts = (spine
+              .join(bucketed(base).withColumnRenamed("n", "base_n"),
+                    "bucket", "left")
+              .join(bucketed(cur).withColumnRenamed("n", "cur_n"),
+                    "bucket", "left")
+              .select("bucket",
+                      F.coalesce("base_n", F.lit(0)).alias("base_n"),
+                      F.coalesce("cur_n", F.lit(0)).alias("cur_n")))
+    tot = counts.agg(F.sum("base_n").alias("nb"), F.sum("cur_n").alias("nc"))
+    s, sm = PSI_SMOOTH, PSI_SMOOTH * PSI_BUCKETS
+    p = (F.col("base_n") + F.lit(s)) / (F.col("nb") + F.lit(sm))
+    q = (F.col("cur_n") + F.lit(s)) / (F.col("nc") + F.lit(sm))
+    it = F.floor((p - q) * F.log(p / q) * F.lit(1e12) + F.lit(0.5)) \
+        .cast("bigint")
+    terms = counts.crossJoin(F.broadcast(tot)).withColumn("it", it)
+    from pyspark.sql import Window as W
+    return (terms.select(
+        F.col("bucket").cast("bigint").alias("bucket"), "base_n", "cur_n",
+        F.round(F.col("it").cast("double") / F.lit(1e12), 8)
+        .alias("psi_term"),
+        F.round(F.sum("it").over(W.partitionBy()).cast("double")
+                / F.lit(1e12), 6).alias("psi_total"))
+        .orderBy("bucket"))

