@@ -3,10 +3,12 @@ and maximal-marginal-relevance (MMR) diversification of a candidate set.
 
 Reference parity: the reference pipeline has no retrieval plane (its 1,112
 LoC are Airflow/ELT glue — SURVEY.md §0); this module extends the ANN family
-(operators/similarity.py) with the two post-ranking operators every
-RAG-style training-data or retrieval-eval pipeline needs: fusing a sparse
-(lexical) and a dense (vector) ranking into one list, and de-duplicating a
-result list against itself before it is shown to a model.
+(operators/similarity.py) with the post-ranking and subset-selection
+operators a RAG-style training-data or retrieval-eval pipeline needs:
+fusing a sparse (lexical) and a dense (vector) ranking into one list
+(q412), de-duplicating a result list against itself before it is shown to
+a model (q416 MMR), token-level late-interaction re-ranking (q419
+MaxSim), and corpus-wide diverse-subset selection (q421 k-center).
 
 Scale contract, 100 TB lens:
 

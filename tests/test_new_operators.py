@@ -2797,3 +2797,18 @@ def test_oov_audit_invariants(spark):
         assert 0 <= r.oov_tokens <= r.n_tokens
         assert 0 <= r.oov_types <= r.n_types
         assert r.oov_rate == round(r.oov_tokens / r.n_tokens, 6)
+
+
+def test_bloom_probe_empty_filter_all_misses(spark):
+    """Probing an EMPTY filter (no eval set) must return zero hits, not
+    error — the decontamination pipeline's no-benchmark edge."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = spark.createDataFrame([], "k string")
+    bits = bloom_build(empty, "k")
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = bloom_probe(probes, "k", bits).collect()
+    assert len(got) == 2 and all(r.bloom_hit == 0 for r in got)

@@ -121,3 +121,15 @@ def test_kcenter_radius_monotone_and_diverse(spark):
     radii = [r.radius for r in rows[1:]]
     assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
     assert all(r > 0 for r in radii)
+
+
+def test_rrf_fuse_single_list_preserves_order(spark):
+    """With one ranking, RRF is order-preserving: 1/(k+rank) is strictly
+    decreasing in rank, so fused_rank == rank."""
+    lex = spark.createDataFrame(
+        [(0, 10 + r, r) for r in range(1, 6)],
+        "query_id long, doc_id long, rank int")
+    rows = (rrf_fuse({"lexical": lex}, k=60, topk=5)
+            .orderBy("fused_rank").collect())
+    assert [r.doc_id for r in rows] == [11, 12, 13, 14, 15]
+    assert all(r.n_lists == 1 for r in rows)
