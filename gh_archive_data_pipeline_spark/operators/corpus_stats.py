@@ -1561,3 +1561,90 @@ def q426_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct(F.when(F.col("oov") == 1, F.col("token")))
                  .cast("bigint").alias("oov_types"))
             .orderBy("split"))
+
+
+# ---------------------------------------------------------------------------
+# q427 — corpus release manifest (the one-table data card)
+# ---------------------------------------------------------------------------
+
+def _q427_oracle() -> str:
+    from .sampling import SPLIT_SALT, SPLIT_TRAIN, SPLIT_VAL
+
+    return f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(length(text) >= 200
+                  AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')) > 0.3 AS INT) AS q_ok,
+             CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+                   CAST(('0x' || substr(md5('{SPLIT_SALT}:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM documents) t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_docs,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dups,
+           CAST(sum(q_ok) AS BIGINT) AS quality_pass,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS train_docs,
+           CAST(sum(CASE WHEN split = 'validation' THEN 1 ELSE 0 END)
+                AS BIGINT) AS validation_docs,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS test_docs,
+           substr(md5(source || '|' || count(*) || '|' || sum(n_tokens)
+                      || '|' || count(DISTINCT fp) || '|' || sum(q_ok)),
+                  1, 16) AS source_digest
+    FROM base GROUP BY source ORDER BY source
+    """
+
+
+@register("q427_corpus_release_manifest", sql=_q427_oracle())
+def q427_corpus_release_manifest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The one-table data card a corpus RELEASE ships: per source, document
+    and token counts, exact-duplicate count (normalized-md5 fingerprints —
+    q374's stage-2 convention), quality-gate pass count (q374's stage-1
+    gate), the deterministic split composition (q418), and a 16-hex
+    source_digest over the manifest fields — the content-addressable
+    fingerprint downstream consumers pin so a silently changed source
+    fails loudly. Everything is exact integer arithmetic over one
+    documents scan plus the source-keyed rollup; nothing corpus-sized
+    shuffles except the distinct-fingerprint count (md5 keys)."""
+    from .sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = assign_split(docs).select(
+        "source",
+        F.size(w).alias("n_tokens"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        .alias("fp"),
+        ((F.length("text") >= 200)
+         & (F.size(F.array_distinct(w)).cast("double") / F.size(w) > 0.3))
+        .cast("int").alias("q_ok"),
+        "split")
+    agg = (base.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.countDistinct("fp").cast("bigint").alias("distinct_docs"),
+                (F.count("*") - F.countDistinct("fp")).cast("bigint")
+                .alias("exact_dups"),
+                F.sum("q_ok").cast("bigint").alias("quality_pass"),
+                F.sum((F.col("split") == "train").cast("int"))
+                .cast("bigint").alias("train_docs"),
+                F.sum((F.col("split") == "validation").cast("int"))
+                .cast("bigint").alias("validation_docs"),
+                F.sum((F.col("split") == "test").cast("int"))
+                .cast("bigint").alias("test_docs")))
+    digest = F.substring(F.md5(F.concat_ws(
+        "|", "source", "n_docs", "n_tokens", "distinct_docs",
+        "quality_pass")), 1, 16)
+    return (agg.withColumn("source_digest", digest)
+            .orderBy("source"))

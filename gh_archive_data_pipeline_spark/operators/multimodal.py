@@ -1224,3 +1224,115 @@ def q410_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=("doc_id bigint, frame_idx int, width int, height int, "
                 "sum_v bigint, pos_digest bigint"))
         .orderBy("doc_id", "frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# q428 — perceptual average-hash (aHash) over the real PNG codec path
+# ---------------------------------------------------------------------------
+
+def ahash_bits(width: int, height: int, pixels: bytes) -> list[int]:
+    """64-bit perceptual average hash as a bit list (index by*8+bx): 8x8
+    average-pool with the block law bx=(x*8)//w, by=(y*8)//h, bit set when
+    block_sum * n_pixels > total_sum * block_n — pure integer compares, no
+    division, so both engines replay it exactly."""
+    n = width * height
+    total = sum(pixels)
+    bsum = [0] * 64
+    bn = [0] * 64
+    for y in range(height):
+        by = (y * 8) // height
+        row = y * width
+        for x in range(width):
+            bidx = by * 8 + (x * 8) // width
+            bsum[bidx] += pixels[row + x]
+            bn[bidx] += 1
+    return [1 if bsum[i] * n > total * bn[i] else 0 for i in range(64)]
+
+
+_Q428_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, xx.x, yy.y,
+         (doc_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+       LATERAL (SELECT unnest(range(0, w)) AS x) xx),
+tot AS (SELECT doc_id, sum(v) AS ts, w * h AS n
+        FROM px GROUP BY doc_id, w, h),
+blocks AS (
+  SELECT p.doc_id, ((p.y * 8) // p.h) * 8 + (p.x * 8) // p.w AS bidx,
+         sum(p.v) AS bs, count(*) AS bn
+  FROM px p GROUP BY p.doc_id, ((p.y * 8) // p.h) * 8 + (p.x * 8) // p.w),
+bits AS (
+  SELECT b.doc_id, b.bidx,
+         CAST(b.bs * t.n > t.ts * b.bn AS BIGINT) AS bit
+  FROM blocks b JOIN tot t USING (doc_id)),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN bidx < 32 THEN bit * (1::BIGINT << bidx)
+                  ELSE 0 END) AS hash_lo,
+         sum(CASE WHEN bidx >= 32 THEN bit * (1::BIGINT << (bidx - 32))
+                  ELSE 0 END) AS hash_hi,
+         CAST(sum(bit) AS BIGINT) AS n_bits
+  FROM bits GROUP BY doc_id),
+ref AS (SELECT hash_lo AS rl, hash_hi AS rh FROM hashes WHERE doc_id = 0)
+SELECT d.doc_id, CAST(m.w AS INTEGER) AS width, CAST(m.h AS INTEGER) AS height,
+       CAST(d.hash_hi AS BIGINT) AS hash_hi,
+       CAST(d.hash_lo AS BIGINT) AS hash_lo, d.n_bits,
+       CAST(bit_count(xor(d.hash_lo, ref.rl))
+            + bit_count(xor(d.hash_hi, ref.rh)) AS INTEGER) AS hamming_ref
+FROM hashes d JOIN dims m USING (doc_id), ref
+ORDER BY d.doc_id
+"""
+
+
+@register("q428_image_ahash_scan", sql=_Q428_SQL)
+def q428_image_ahash_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over the REAL codec path: each planted PNG
+    is fully decoded (q408's encode∘zlib∘decode∘unfilter loop), average-
+    pooled to the 8x8 aHash grid with pure-integer compares (no division —
+    see :func:`ahash_bits`), and the 64-bit hash ships as two 32-bit-ranged
+    bigints plus the Hamming distance to the reference image (doc 0) —
+    the primitive perceptual near-dup dedup builds on (bucket by hash
+    bands, then Hamming-verify, exactly like MinHash->verify for text).
+    The oracle recomputes hash and distance from the pixel generation law,
+    so one wrong pixel, block boundary, or bit weight anywhere flips the
+    hash and fails the compare.
+
+    100 TB lens: decode+hash run in ONE mapInPandas pass — pixels never
+    leave their Arrow batch; only (doc_id, two ints) flow on, and the
+    Hamming stage is a scan-side expression against one broadcast
+    reference row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                w, h, px = _planted_png_pixels(doc_id)
+                dec = decode_png(make_png_gray(w, h, px))
+                bits = ahash_bits(dec["width"], dec["height"], dec["pixels"])
+                lo = sum(b << k for k, b in enumerate(bits[:32]))
+                hi = sum(b << k for k, b in enumerate(bits[32:]))
+                rows.append((doc_id, dec["width"], dec["height"],
+                             hi, lo, sum(bits)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "hash_hi", "hash_lo", "n_bits"])
+
+    hashed = docs.mapInPandas(
+        plant_hash,
+        "doc_id long, width int, height int, hash_hi long, hash_lo long, "
+        "n_bits long")
+    ref = (hashed.filter(F.col("doc_id") == 0)
+           .select(F.col("hash_lo").alias("rl"),
+                   F.col("hash_hi").alias("rh")))
+    return (hashed.crossJoin(F.broadcast(ref))
+            .select("doc_id", "width", "height", "hash_hi", "hash_lo",
+                    "n_bits",
+                    (F.bit_count(F.col("hash_lo").bitwiseXOR(F.col("rl")))
+                     + F.bit_count(F.col("hash_hi").bitwiseXOR(F.col("rh"))))
+                    .cast("int").alias("hamming_ref"))
+            .orderBy("doc_id"))

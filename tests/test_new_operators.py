@@ -2812,3 +2812,22 @@ def test_bloom_probe_empty_filter_all_misses(spark):
     probes = spark.createDataFrame([("a",), ("b",)], "k string")
     got = bloom_probe(probes, "k", bits).collect()
     assert len(got) == 2 and all(r.bloom_hit == 0 for r in got)
+
+
+def test_ahash_brightness_invariance_and_self_distance():
+    """q428's hash law: bit = (block_sum * n > total * block_n) is invariant
+    to a uniform brightness shift (the property that makes aHash a
+    PERCEPTUAL hash), and identical images hash identically."""
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        ahash_bits,
+    )
+
+    w, h = 13, 9
+    base = bytes((x * 7 + y * 3) % 200 for y in range(h) for x in range(w))
+    shifted = bytes(p + 55 for p in base)  # stays < 256
+    assert ahash_bits(w, h, base) == ahash_bits(w, h, shifted)
+    assert ahash_bits(w, h, base) == ahash_bits(w, h, base)
+    # a structurally different image must differ
+    other = bytes((x * 11 + y * 17 + 40) % 256
+                  for y in range(h) for x in range(w))
+    assert ahash_bits(w, h, base) != ahash_bits(w, h, other)
