@@ -2148,3 +2148,67 @@ def q420_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(F.struct("cid", "h"))),
                      lambda s: s["h"]))), 1, 16).alias("digest"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q429 — chunk-level (fuzzy paragraph) MinHash near-dup
+# ---------------------------------------------------------------------------
+
+CHUNK_KEY = 64  # chunk_id = doc_id * 64 + idx (n_chunks << 64 on any doc)
+
+
+@register(
+    "q429_chunk_near_dup",
+    sql=f"""
+    WITH chunks AS (
+      SELECT doc_id * {CHUNK_KEY} + i AS doc_id,
+             array_to_string(
+               list_slice(w, i*{CHUNK_WORDS} + 1,
+                          i*{CHUNK_WORDS} + {CHUNK_WORDS}), ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+           LATERAL (SELECT unnest(range(0,
+               CAST(ceil(len(w) / {float(CHUNK_WORDS)!r}) AS INT))) AS i) u),
+    {_minhash_pairs_ctes(threshold=0.5, source="chunks")}
+    SELECT doc_a AS chunk_a, doc_b AS chunk_b, jaccard,
+           CAST(doc_a // {CHUNK_KEY} AS BIGINT) AS doc_a,
+           CAST(doc_b // {CHUNK_KEY} AS BIGINT) AS doc_b,
+           CAST(doc_a // {CHUNK_KEY} <> doc_b // {CHUNK_KEY} AS INT)
+             AS cross_doc
+    FROM verified
+    ORDER BY chunk_a, chunk_b
+    """,
+)
+def q429_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy PARAGRAPH-level near-dup detection — the granularity between
+    q42 (whole-document MinHash) and q393/q414 (exact spans/chunks): each
+    16-word chunk becomes its own MinHash document (chunk_id = doc_id*64 +
+    idx), runs through the SAME banded LSH + exact-Jaccard verify as q42,
+    and pairs at jaccard >= 0.5 surface both cross-document boilerplate
+    and within-document repetition (cross_doc pins which). Reuses
+    minhash_near_dup verbatim — the operator is granularity-agnostic by
+    construction, which is the point: one dedup engine, three grains.
+
+    100 TB lens: q42's scale shape with ~n_chunks x the rows — banding
+    keeps candidate pairs bucket-local, and the verify touches only
+    candidates; chunking itself is the q414 scan-side HOF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / "
+            f"{float(CHUNK_WORDS)!r}) as int) - 1),"
+            f" i -> array_join(slice(w, i*{CHUNK_WORDS} + 1, {CHUNK_WORDS}),"
+            f" ' '))")).alias("idx", "text")).select(
+        (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+        "text")
+    pairs = minhash_near_dup(chunks, id_col="chunk_id", threshold=0.5)
+    return (pairs.select(
+        F.col("doc_a").alias("chunk_a"), F.col("doc_b").alias("chunk_b"),
+        "jaccard",
+        (F.col("doc_a") / CHUNK_KEY).cast("bigint").alias("doc_a"),
+        (F.col("doc_b") / CHUNK_KEY).cast("bigint").alias("doc_b"),
+        ((F.col("doc_a") / CHUNK_KEY).cast("bigint")
+         != (F.col("doc_b") / CHUNK_KEY).cast("bigint")).cast("int")
+        .alias("cross_doc"))
+        .orderBy("chunk_a", "chunk_b"))
