@@ -1336,3 +1336,107 @@ def q428_image_ahash_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.bit_count(F.col("hash_hi").bitwiseXOR(F.col("rh"))))
                     .cast("int").alias("hamming_ref"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q430 — audio energy fingerprint over the real WAV decode path
+# ---------------------------------------------------------------------------
+
+AFP_WINDOW = 32  # frames per energy window
+
+
+def audio_fingerprint(chan: list[int], window: int = AFP_WINDOW
+                      ) -> tuple[int, int, int]:
+    """(n_windows, energy_sum, fingerprint) for one channel: sum |s| per
+    window of ``window`` frames (last window may be partial), fingerprint
+    bit w-1 set when window w's energy exceeds window w-1's — the
+    delta-coded energy contour every audio-dedup fingerprint family
+    (Shazam/Chromaprint lineage) is built on. Pure integers throughout."""
+    energies = [sum(abs(s) for s in chan[i:i + window])
+                for i in range(0, len(chan), window)]
+    fp = sum((1 << (w - 1)) for w in range(1, len(energies))
+             if energies[w] > energies[w - 1])
+    return len(energies), sum(energies), fp
+
+
+_Q430_SQL = f"""
+WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nch, 64 + doc_id % 100 AS frames
+           FROM documents),
+s AS (
+  SELECT doc_id, nch, t.i % nch AS ch, (t.i // nch) // {AFP_WINDOW} AS w,
+         abs(((doc_id * 7919 + t.i * 31) % 65536) - 32768) AS a
+  FROM d, LATERAL (SELECT unnest(range(0, frames * nch)) AS i) t),
+wnd AS (SELECT doc_id, nch, ch, w, sum(a) AS e
+        FROM s GROUP BY doc_id, nch, ch, w),
+bits AS (
+  SELECT cur.doc_id, cur.ch, CAST(cur.e > prev.e AS BIGINT) << (cur.w - 1)
+           AS bitval
+  FROM wnd cur JOIN wnd prev
+    ON prev.doc_id = cur.doc_id AND prev.ch = cur.ch
+   AND prev.w = cur.w - 1),
+fp AS (
+  SELECT w.doc_id, w.nch, w.ch,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(w.e) AS BIGINT) AS energy,
+         CAST(coalesce((SELECT sum(b.bitval) FROM bits b
+                        WHERE b.doc_id = w.doc_id AND b.ch = w.ch), 0)
+              AS BIGINT) AS fprint
+  FROM wnd w GROUP BY w.doc_id, w.nch, w.ch)
+SELECT doc_id,
+       CAST(max(nch) AS INTEGER) AS n_channels,
+       max(n_windows) AS n_windows,
+       max(CASE WHEN ch = 0 THEN energy END) AS energy_ch0,
+       max(CASE WHEN ch = 0 THEN fprint END) AS fp_ch0,
+       coalesce(max(CASE WHEN ch = 1 THEN energy END), -1) AS energy_ch1,
+       coalesce(max(CASE WHEN ch = 1 THEN fprint END), -1) AS fp_ch1,
+       CASE WHEN max(nch) = 2
+            THEN CAST(bit_count(xor(max(CASE WHEN ch = 0 THEN fprint END),
+                                    max(CASE WHEN ch = 1 THEN fprint END)))
+                      AS BIGINT)
+            ELSE -1 END AS channel_hamming
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("q430_audio_fingerprint", sql=_Q430_SQL)
+def q430_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting over the REAL codec path: decode each planted
+    WAV (q409's RIFF walk + de-interleave), window each channel into
+    32-frame energy sums, and delta-code the energy contour into a
+    per-channel fingerprint (see :func:`audio_fingerprint`) — the
+    primitive audio near-dup matching builds on. Stereo docs also report
+    the Hamming distance between their channels' fingerprints (the
+    self-similarity signal). The oracle recomputes windows, bits and
+    Hamming from the sample generation law, so one wrong sample, window
+    boundary, or bit weight fails the compare.
+
+    100 TB lens: decode + fingerprint in ONE mapInPandas pass — PCM never
+    leaves its Arrow batch; one bounded row per document flows on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant_fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                channels, frames, samples = _planted_pcm(doc_id)
+                dec = decode_wav_pcm(make_wav_pcm(
+                    _WAV_RATES[doc_id % 5], channels, samples))
+                stats = [audio_fingerprint(ch) for ch in dec["samples"]]
+                nw, e0, f0 = stats[0]
+                if channels == 2:
+                    _, e1, f1 = stats[1]
+                    ham = bin(f0 ^ f1).count("1")
+                else:
+                    e1 = f1 = ham = -1
+                rows.append((doc_id, channels, nw, e0, f0, e1, f1, ham))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_channels", "n_windows", "energy_ch0", "fp_ch0",
+                "energy_ch1", "fp_ch1", "channel_hamming"])
+
+    return (docs.mapInPandas(
+        plant_fp,
+        schema=("doc_id bigint, n_channels int, n_windows bigint, "
+                "energy_ch0 bigint, fp_ch0 bigint, energy_ch1 bigint, "
+                "fp_ch1 bigint, channel_hamming bigint"))
+        .orderBy("doc_id"))

@@ -2831,3 +2831,23 @@ def test_ahash_brightness_invariance_and_self_distance():
     other = bytes((x * 11 + y * 17 + 40) % 256
                   for y in range(h) for x in range(w))
     assert ahash_bits(w, h, base) != ahash_bits(w, h, other)
+
+
+def test_audio_fingerprint_laws():
+    """q430's kernel: identical channels -> identical fingerprints (Hamming
+    0); a constant-gain channel keeps the CONTOUR (delta-coded bits are
+    scale-direction invariant for positive gain on distinct energies);
+    window count is ceil(frames/32)."""
+    from gh_archive_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    chan = [((i * 37) % 1000) - 500 for i in range(100)]
+    nw, e, fp = audio_fingerprint(chan)
+    assert nw == 4  # ceil(100/32)
+    nw2, e2, fp2 = audio_fingerprint(list(chan))
+    assert (nw, e, fp) == (nw2, e2, fp2)
+    doubled = [s * 2 for s in chan]
+    _, e3, fp3 = audio_fingerprint(doubled)
+    assert fp3 == fp and e3 == 2 * e  # contour survives gain
+    assert audio_fingerprint([0] * 64)[2] == 0  # flat audio -> no rises
