@@ -1440,3 +1440,96 @@ def q430_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "energy_ch0 bigint, fp_ch0 bigint, energy_ch1 bigint, "
                 "fp_ch1 bigint, channel_hamming bigint"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# q431 — video shot-boundary detection (frame aHash deltas, real AVI path)
+# ---------------------------------------------------------------------------
+
+CUT_HAMMING = 16  # consecutive-frame Hamming >= this -> shot cut
+
+
+_Q431_SQL = f"""
+WITH d AS (SELECT doc_id, 4 + doc_id % 8 AS w, 4 + (doc_id * 3) % 8 AS h,
+                  3 + doc_id % 6 AS n FROM documents),
+px AS (
+  SELECT doc_id, w, h, f.f, yy.y, xx.x,
+         (d.doc_id * 17 + f.f * 11 + yy.y * 13 + xx.x * 7) % 256
+         + (d.doc_id * 17 + f.f * 11 + yy.y * 13 + xx.x * 7 + 5) % 256
+         + (d.doc_id * 17 + f.f * 11 + yy.y * 13 + xx.x * 7 + 10) % 256
+           AS ival
+  FROM d,
+       LATERAL (SELECT unnest(range(0, n)) AS f) f,
+       LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+       LATERAL (SELECT unnest(range(0, w)) AS x) xx
+  WHERE f.f % 2 = 0),
+tot AS (SELECT doc_id, f, sum(ival) AS ts, w * h AS np
+        FROM px GROUP BY doc_id, f, w, h),
+blocks AS (
+  SELECT doc_id, f, ((y * 8) // h) * 8 + (x * 8) // w AS bidx,
+         sum(ival) AS bs, count(*) AS bn
+  FROM px GROUP BY doc_id, f, ((y * 8) // h) * 8 + (x * 8) // w),
+hashes AS (
+  SELECT b.doc_id, b.f,
+         sum(CASE WHEN bidx < 32 AND b.bs * t.np > t.ts * b.bn
+                  THEN 1::BIGINT << bidx ELSE 0 END) AS lo,
+         sum(CASE WHEN bidx >= 32 AND b.bs * t.np > t.ts * b.bn
+                  THEN 1::BIGINT << (bidx - 32) ELSE 0 END) AS hi
+  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id AND t.f = b.f
+  GROUP BY b.doc_id, b.f)
+SELECT a.doc_id, CAST(a.f AS INTEGER) AS frame_a,
+       CAST(b.f AS INTEGER) AS frame_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS INTEGER) AS hamming,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            >= {CUT_HAMMING} AS INT) AS is_cut
+FROM hashes a JOIN hashes b ON b.doc_id = a.doc_id AND b.f = a.f + 2
+ORDER BY a.doc_id, frame_a
+"""
+
+
+@register("q431_video_shot_boundaries", sql=_Q431_SQL)
+def q431_video_shot_boundaries(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the REAL video path: decode every 2nd
+    frame out of each planted AVI (q410's RIFF walk, DIB un-padding, row
+    flip), aHash each frame's BGR-summed intensity plane (q428's
+    pure-integer block law), and emit consecutive-sampled-frame Hamming
+    distances with a cut flag at >= 16 bits — the scene-change primitive
+    video curation pipelines use to pick representative frames. The
+    oracle recomputes intensities, hashes and Hamming from the frame
+    generation law in top-down coordinates, so a DIB layout mistake or
+    one wrong hash bit fails the compare.
+
+    100 TB lens: decode + per-frame hash + in-doc deltas all happen in
+    ONE mapInPandas pass (a video's frames live in one row) — only the
+    bounded pair rows flow on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plant_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                w, h, n, frames = _planted_video(doc_id)
+                dec = decode_avi_frames(make_avi(w, h, frames), every=2)
+                hashes = []
+                for idx, pix in dec["frames"]:
+                    ival = [pix[3 * k] + pix[3 * k + 1] + pix[3 * k + 2]
+                            for k in range(w * h)]
+                    bits = ahash_bits(w, h, ival)
+                    lo = sum(b << k for k, b in enumerate(bits[:32]))
+                    hi = sum(b << k for k, b in enumerate(bits[32:]))
+                    hashes.append((idx, lo, hi))
+                for (fa, la, ha), (fb, lb, hb) in zip(hashes, hashes[1:]):
+                    ham = bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
+                    rows.append((doc_id, fa, fb, ham,
+                                 int(ham >= CUT_HAMMING)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_a", "frame_b", "hamming", "is_cut"])
+
+    return (docs.mapInPandas(
+        plant_cuts,
+        schema=("doc_id bigint, frame_a int, frame_b int, hamming int, "
+                "is_cut int"))
+        .orderBy("doc_id", "frame_a"))

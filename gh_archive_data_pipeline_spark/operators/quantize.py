@@ -757,3 +757,97 @@ def q413_scalar_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("vmin", 6).alias("vmin"),
                     F.round("vmax", 6).alias("vmax"),
                     "codes_used", "sse", "max_abs_err"))
+
+
+# ---------------------------------------------------------------------------
+# q432 — Matryoshka truncation eval: recall of prefix-dim cosine rankings
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = [8, 16, 32]   # prefix widths evaluated against the full 64
+MRL_K = 10
+MRL_QUERIES = 10
+
+
+def _mrl_rank_sql(d: int | None) -> str:
+    """Ranked cosine top-k CTE body for prefix width d (None = full)."""
+    vec = ("embedding::DOUBLE[]" if d is None
+           else f"(embedding::DOUBLE[])[1:{d}]")
+    return f"""
+      SELECT q.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_dot_product(q.v, c.v)
+                                  / (sqrt(list_dot_product(q.v, q.v))
+                                     * sqrt(list_dot_product(c.v, c.v)))
+                                  DESC, c.neighbor_id) AS r
+      FROM (SELECT vec_id AS query_id, {vec} AS v FROM embeddings
+            WHERE vec_id < {MRL_QUERIES}) q
+      JOIN (SELECT vec_id AS neighbor_id, {vec} AS v FROM embeddings) c
+        ON q.query_id <> c.neighbor_id"""
+
+
+def _q432_oracle() -> str:
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(f"""
+        SELECT {d} AS dims,
+               round(CAST(count(*) AS DOUBLE)
+                     / ({MRL_QUERIES} * {MRL_K}), 6) AS recall_at_{MRL_K}
+        FROM (SELECT query_id, neighbor_id FROM ({_mrl_rank_sql(d)}) x
+              WHERE r <= {MRL_K}) v
+        JOIN (SELECT query_id, neighbor_id FROM ({_mrl_rank_sql(None)}) y
+              WHERE r <= {MRL_K}) t
+        USING (query_id, neighbor_id)""")
+    return ("SELECT CAST(dims AS INTEGER) AS dims, recall_at_10 FROM ("
+            + " UNION ALL ".join(parts) + ") u ORDER BY dims")
+
+
+@register("q432_matryoshka_recall", sql=_q432_oracle())
+def q432_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation evaluation: how much of the full-64-dim exact
+    cosine top-10 survives when vectors are truncated to their first
+    8/16/32 dimensions — the measurement that picks a serving dimension
+    (store prefix dims hot, full vectors cold; re-rank the prefix
+    candidates with the full vector). Same measure-don't-guess shape as
+    q411: every ranking shares the (cosine, id) total order on bit-exact
+    folds, intersections are integer counts, one exact division per row.
+
+    100 TB lens: each variant is a brute-force broadcast ranking (q44's
+    shape — corpus never shuffles); the eval set is bounded, and the
+    intersection join runs on (query_id, neighbor_id) int pairs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ranked(d: int | None) -> DataFrame:
+        vec = F.expr("cast(embedding as array<double>)" if d is None
+                     else f"slice(cast(embedding as array<double>), 1, {d})")
+        q = (emb.filter(F.col("vec_id") < MRL_QUERIES)
+             .select(F.col("vec_id").alias("query_id"), vec.alias("qv")))
+        c = emb.select(F.col("vec_id").alias("neighbor_id"), vec.alias("cv"))
+        cos = (F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                      " cast(0.0 as double), (a, x) -> a + x)")
+               / (F.sqrt(F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+                                " cast(0.0 as double), (a, x) -> a + x)"))
+                  * F.sqrt(F.expr(
+                      "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+                      " cast(0.0 as double), (a, x) -> a + x)"))))
+        w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                   "neighbor_id")
+        return (c.join(F.broadcast(q),
+                       F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", cos.alias("s"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= MRL_K)
+                .select("query_id", "neighbor_id"))
+
+    truth = ranked(None).localCheckpoint()
+    out = None
+    for d in MRL_DIMS:
+        row = (ranked(d).join(truth, ["query_id", "neighbor_id"])
+               .agg(F.round(F.count("*").cast("double")
+                            / F.lit(float(MRL_QUERIES * MRL_K)), 6)
+                    .alias(f"recall_at_{MRL_K}"))
+               .select(F.lit(d).cast("int").alias("dims"),
+                       f"recall_at_{MRL_K}"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dims")

@@ -2851,3 +2851,18 @@ def test_audio_fingerprint_laws():
     _, e3, fp3 = audio_fingerprint(doubled)
     assert fp3 == fp and e3 == 2 * e  # contour survives gain
     assert audio_fingerprint([0] * 64)[2] == 0  # flat audio -> no rises
+
+
+def test_matryoshka_recall_monotone_in_dims(spark):
+    """q432: recall must (weakly) improve with more prefix dimensions and
+    stay strictly below 1 at dim 8 on the near-isotropic fixture (if dim-8
+    reads 1.0 the harness is comparing a ranking to itself)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = sorted(all_queries()["q432_matryoshka_recall"].fn(
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.dims)
+    assert [r.dims for r in rows] == [8, 16, 32]
+    recalls = [r.recall_at_10 for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in recalls)
+    assert recalls[0] <= recalls[2]
+    assert recalls[0] < 0.9
