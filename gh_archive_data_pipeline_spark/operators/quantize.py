@@ -851,3 +851,102 @@ def q432_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"recall_at_{MRL_K}"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dims")
+
+
+# ---------------------------------------------------------------------------
+# q433 — label-ground-truth retrieval eval (MRR / precision@k)
+# ---------------------------------------------------------------------------
+
+EVAL_K = 10
+
+
+@register(
+    "q433_label_retrieval_eval",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings WHERE vec_id < {MRL_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v, label
+          FROM embeddings),
+    ranked AS (
+      SELECT q.query_id, q.label AS qlabel, c.label AS clabel,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_dot_product(q.v, c.v)
+                                  / (sqrt(list_dot_product(q.v, q.v))
+                                     * sqrt(list_dot_product(c.v, c.v)))
+                                  DESC, c.neighbor_id) AS r
+      FROM q JOIN c ON q.query_id <> c.neighbor_id),
+    top AS (SELECT * FROM ranked WHERE r <= {EVAL_K}),
+    per_q AS (
+      SELECT query_id, CAST(max(qlabel) AS INTEGER) AS label,
+             CAST(coalesce(min(CASE WHEN clabel = qlabel THEN r END), -1)
+                  AS BIGINT) AS first_rel_rank,
+             CAST(coalesce(floor(1e12 / min(CASE WHEN clabel = qlabel
+                                                 THEN r END) + 0.5), 0)
+                  AS BIGINT) AS rr_q,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_relevant
+      FROM top GROUP BY query_id)
+    SELECT query_id, label, first_rel_rank,
+           round(CAST(rr_q AS DOUBLE) / 1e12, 6) AS reciprocal_rank,
+           round(CAST(n_relevant AS DOUBLE) / {EVAL_K}, 6)
+             AS precision_at_{EVAL_K},
+           round(CAST(sum(rr_q) OVER () AS DOUBLE)
+                 / 1e12 / {MRL_QUERIES}, 6) AS mrr
+    FROM per_q ORDER BY query_id
+    """,
+)
+def q433_label_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation with REAL ground truth: the embeddings table
+    carries a label column, so 'relevant' = same label as the query — per
+    query, the rank of the first same-label neighbor in the exact cosine
+    top-10, its reciprocal rank (1e12-quantized so the corpus MRR is an
+    exact integer sum), and precision@10; the window column repeats the
+    corpus MRR on every row. Complements q411/q432 (which measure an
+    index against exact search) by measuring exact search against
+    LABELS — the end-to-end quality number a retrieval system reports.
+
+    100 TB lens: q44's broadcast brute-force shape; everything after the
+    rank is bounded per-query arithmetic."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < MRL_QUERIES)
+         .selectExpr("vec_id AS query_id",
+                     "cast(embedding as array<double>) AS qv",
+                     "label AS qlabel"))
+    c = emb.selectExpr("vec_id AS neighbor_id",
+                       "cast(embedding as array<double>) AS cv",
+                       "label AS clabel")
+    cos = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (a, x) -> a + x)"
+        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+        "          cast(0.0 as double), (a, x) -> a + x))"
+        "    * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+        "            cast(0.0 as double), (a, x) -> a + x)))")
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                               "neighbor_id")
+    top = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+           .select("query_id", "neighbor_id", "qlabel", "clabel",
+                   cos.alias("s"))
+           .withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") <= EVAL_K))
+    rel_rank = F.min(F.when(F.col("clabel") == F.col("qlabel"),
+                            F.col("r")))
+    per_q = (top.groupBy("query_id")
+             .agg(F.max("qlabel").cast("int").alias("label"),
+                  F.coalesce(rel_rank, F.lit(-1)).cast("bigint")
+                  .alias("first_rel_rank"),
+                  F.coalesce(F.floor(F.lit(1e12) / rel_rank + F.lit(0.5)),
+                             F.lit(0)).cast("bigint").alias("rr_q"),
+                  F.sum((F.col("clabel") == F.col("qlabel")).cast("int"))
+                  .cast("bigint").alias("n_relevant")))
+    return (per_q.select(
+        "query_id", "label", "first_rel_rank",
+        F.round(F.col("rr_q").cast("double") / F.lit(1e12), 6)
+        .alias("reciprocal_rank"),
+        F.round(F.col("n_relevant").cast("double") / F.lit(float(EVAL_K)), 6)
+        .alias(f"precision_at_{EVAL_K}"),
+        F.round(F.sum("rr_q").over(Window.partitionBy()).cast("double")
+                / F.lit(1e12) / F.lit(float(MRL_QUERIES)), 6).alias("mrr"))
+        .orderBy("query_id"))

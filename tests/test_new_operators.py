@@ -2866,3 +2866,25 @@ def test_matryoshka_recall_monotone_in_dims(spark):
     assert all(0.0 <= v <= 1.0 for v in recalls)
     assert recalls[0] <= recalls[2]
     assert recalls[0] < 0.9
+
+
+def test_label_retrieval_eval_invariants(spark):
+    """q433: reciprocal ranks replicate 1/first_rel_rank; mrr is the mean
+    of the per-query reciprocal ranks and identical on every row;
+    precision bounded by 1."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q433_label_retrieval_eval"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    mrrs = {r.mrr for r in rows}
+    assert len(mrrs) == 1
+    rr_sum = 0.0
+    for r in rows:
+        assert 0.0 <= r.precision_at_10 <= 1.0
+        if r.first_rel_rank == -1:
+            assert r.reciprocal_rank == 0.0
+        else:
+            assert r.reciprocal_rank == round(1 / r.first_rel_rank, 6)
+        rr_sum += r.reciprocal_rank
+    assert abs(rr_sum / 10 - rows[0].mrr) < 1e-5

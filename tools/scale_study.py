@@ -111,6 +111,14 @@ QUERY_TABLES = {
     "q420_cdc_chunk_report": ["documents"],
     "q421_kcenter_coreset": ["embeddings"],
     "q424_source_vocab_overlap": ["documents"],
+    "q425_psi_drift_monitor": ["documents"],
+    "q426_oov_audit": ["documents"],
+    "q427_corpus_release_manifest": ["documents"],
+    "q428_image_ahash_scan": ["documents"],
+    "q429_chunk_near_dup": ["documents"],
+    "q430_audio_fingerprint": ["documents"],
+    "q431_video_shot_boundaries": ["documents"],
+    "q432_matryoshka_recall": ["embeddings"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
