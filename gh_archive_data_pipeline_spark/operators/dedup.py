@@ -2212,3 +2212,67 @@ def q429_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
          != (F.col("doc_b") / CHUNK_KEY).cast("bigint")).cast("int")
         .alias("cross_doc"))
         .orderBy("chunk_a", "chunk_b"))
+
+
+# ---------------------------------------------------------------------------
+# q434 — curated-corpus export: disposition -> parquet sink -> manifest
+# ---------------------------------------------------------------------------
+
+def _q434_oracle() -> str:
+    from ..plans.registry import _REGISTRY
+
+    q374 = _REGISTRY["q374_corpus_curation"].sql
+    return f"""
+    WITH kept AS (
+      SELECT doc_id FROM ({q374}) c WHERE keep),
+    rows_ AS (
+      SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN kept USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           substr(md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                 ORDER BY doc_id)), 1, 16) AS ids_digest
+    FROM rows_ GROUP BY source ORDER BY source
+    """
+
+
+@register("q434_curated_corpus_export", sql=_q434_oracle())
+def q434_curated_corpus_export(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The curation pipeline's LAST mile, sink included: apply q374's
+    dispositions, write the surviving documents to a parquet corpus
+    (source-partitioned — the layout a training job reads), read the
+    export BACK, and emit the release manifest from the re-read bytes
+    (per-source doc/token counts + an order-pinned digest of the kept doc
+    ids). Because the manifest is computed from the round-tripped files,
+    a sink bug — dropped partition, truncated write, schema drift — fails
+    the oracle compare, not just a unit test. Oracle = q374's full
+    disposition replay filtered to keepers, joined back to documents.
+
+    100 TB lens: q374's scale shape plus one partitioned write and one
+    columnar re-read; the manifest rollup shuffles (source, doc_id, int)
+    rows only."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = (q374_corpus_curation(spark, sf_dir)
+                .filter(F.col("keep")).select("doc_id"))
+    kept = docs.join(kept_ids, "doc_id").select(
+        "doc_id", "source", "text")
+    out = tempfile.mkdtemp(prefix="curated_export_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    kept.write.mode("overwrite").partitionBy("source").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.select("source", "doc_id",
+                        F.size(F.split("text", " ")).alias("n_tokens"))
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.substring(F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda d: d.cast("string")))), 1, 16)
+                 .alias("ids_digest"))
+            .orderBy("source"))
