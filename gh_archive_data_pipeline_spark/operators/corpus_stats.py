@@ -1655,3 +1655,91 @@ def q427_corpus_release_manifest(spark: SparkSession,
         "quality_pass")), 1, 16)
     return (agg.withColumn("source_digest", digest)
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q435 — Jensen-Shannon vocabulary divergence (full-distribution drift)
+# ---------------------------------------------------------------------------
+
+JSD_TOP = 20      # highest-contribution tokens reported
+JSD_SMOOTH = 0.5  # add-half smoothing over the shared vocabulary
+
+
+@register(
+    "q435_jsd_vocab_divergence",
+    sql=f"""
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INT) < 10 AS is_base,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS cb,
+             sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS cc
+      FROM toks GROUP BY token),
+    tot AS (SELECT sum(cb) AS nb, sum(cc) AS nc,
+                   count(*) AS v FROM counts),
+    terms AS (
+      SELECT token, cb, cc,
+             CAST(floor((p * ln(p / m) + q * ln(q / m)) * 5e11 + 0.5)
+                  AS BIGINT) AS it
+      FROM (SELECT token, cb, cc,
+                   (cb + {JSD_SMOOTH}) / (nb + {JSD_SMOOTH} * v) AS p,
+                   (cc + {JSD_SMOOTH}) / (nc + {JSD_SMOOTH} * v) AS q,
+                   ((cb + {JSD_SMOOTH}) / (nb + {JSD_SMOOTH} * v)
+                    + (cc + {JSD_SMOOTH}) / (nc + {JSD_SMOOTH} * v)) / 2
+                     AS m
+            FROM counts, tot) x),
+    total AS (SELECT sum(it) AS jt FROM terms),
+    ranked AS (
+      SELECT token, CAST(cb AS BIGINT) AS base_count,
+             CAST(cc AS BIGINT) AS cur_count,
+             round(CAST(it AS DOUBLE) / 1e12, 9) AS jsd_term,
+             round(CAST(jt AS DOUBLE) / 1e12, 8) AS jsd_total,
+             row_number() OVER (ORDER BY abs(it) DESC, token) AS r
+      FROM terms, total)
+    SELECT token, base_count, cur_count, jsd_term, jsd_total
+    FROM ranked WHERE r <= {JSD_TOP}
+    ORDER BY token
+    """,
+)
+def q435_jsd_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the two source halves' unigram
+    distributions — the full-vocabulary drift measure next to q425's
+    bucketed PSI: JSD = 0.5·KL(P||M) + 0.5·KL(Q||M) with add-half
+    smoothing over the shared vocabulary, each token's contribution
+    0.5·(p·ln(p/m) + q·ln(q/m)) quantized at 1e12 so the total is an
+    exact integer sum; the report lists the 20 highest-|contribution|
+    tokens (the drift EXPLANATION — which words moved) with the corpus
+    total on every row. Bounded symmetric measure (ln-based: <= ln 2).
+
+    100 TB lens: one token-keyed count shuffle (type grain — the q426
+    lesson baked in from the start); totals are a 3-number broadcast; the
+    top-k is a TakeOrdered over vocab-sized rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") < 10).alias("is_base"),
+        F.explode(F.split("text", " ")).alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.sum(F.col("is_base").cast("int")).alias("cb"),
+                   F.sum((~F.col("is_base")).cast("int")).alias("cc")))
+    tot = counts.agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"),
+                     F.count("*").alias("v"))
+    s = JSD_SMOOTH
+    p = (F.col("cb") + F.lit(s)) / (F.col("nb") + F.lit(s) * F.col("v"))
+    q = (F.col("cc") + F.lit(s)) / (F.col("nc") + F.lit(s) * F.col("v"))
+    m = (p + q) / F.lit(2)
+    it = F.floor((p * F.log(p / m) + q * F.log(q / m)) * F.lit(5e11)
+                 + F.lit(0.5)).cast("bigint")
+    terms = counts.crossJoin(F.broadcast(tot)).withColumn("it", it)
+    total = terms.agg(F.sum("it").alias("jt"))
+    return (terms.crossJoin(F.broadcast(total))
+            .orderBy(F.abs(F.col("it")).desc(), "token").limit(JSD_TOP)
+            .select("token",
+                    F.col("cb").cast("bigint").alias("base_count"),
+                    F.col("cc").cast("bigint").alias("cur_count"),
+                    F.round(F.col("it").cast("double") / F.lit(1e12), 9)
+                    .alias("jsd_term"),
+                    F.round(F.col("jt").cast("double") / F.lit(1e12), 8)
+                    .alias("jsd_total"))
+            .orderBy("token"))

@@ -2888,3 +2888,20 @@ def test_label_retrieval_eval_invariants(spark):
             assert r.reciprocal_rank == round(1 / r.first_rel_rank, 6)
         rr_sum += r.reciprocal_rank
     assert abs(rr_sum / 10 - rows[0].mrr) < 1e-5
+
+
+def test_jsd_bounded_and_total_consistent(spark):
+    """q435: JSD is bounded by ln 2; the total repeats on every row; the
+    same-generator halves must read as low divergence."""
+    import math
+
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q435_jsd_vocab_divergence"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    totals = {r.jsd_total for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    assert 0.0 <= total <= math.log(2) + 1e-9
+    assert total < 0.1  # same generator -> near-zero drift
