@@ -119,6 +119,9 @@ QUERY_TABLES = {
     "q430_audio_fingerprint": ["documents"],
     "q431_video_shot_boundaries": ["documents"],
     "q432_matryoshka_recall": ["embeddings"],
+    "q433_label_retrieval_eval": ["embeddings"],
+    "q434_curated_corpus_export": ["documents"],
+    "q435_jsd_vocab_divergence": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
