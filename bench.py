@@ -98,13 +98,13 @@ BASELINE_SEC = {
     "q403_pca_projection_report": 0.713,
     "q404_unigram_lm_tokenizer": 1.525,
     # round-8 continuation (min across two back-to-back bench runs, host
-    # canary 1.26-1.39 — mildly contended, so these sit slightly HIGH;
-    # re-pin lower if an idle run beats them): RRF hybrid fusion, Bloom
+    # canary 1.26-1.39; q412/q419/q421 re-pinned from the idle 1.05-canary
+    # run that beat them): RRF hybrid fusion, Bloom
     # decontamination + exact FP audit, MaxSim late interaction, k-center
-    "q412_rrf_hybrid_search": 1.059,
+    "q412_rrf_hybrid_search": 0.912,
     "q415_bloom_decontamination": 1.668,
-    "q419_maxsim_late_interaction": 6.169,
-    "q421_kcenter_coreset": 1.292,
+    "q419_maxsim_late_interaction": 6.072,
+    "q421_kcenter_coreset": 1.122,
 }
 
 # Snapshot of each headline query's executed-plan work counters at sf0.1
