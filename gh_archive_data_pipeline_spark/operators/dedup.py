@@ -2276,3 +2276,96 @@ def q434_curated_corpus_export(spark: SparkSession,
                      lambda d: d.cast("string")))), 1, 16)
                  .alias("ids_digest"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# q436 — Bloom sizing sweep: measured FPR as a function of filter bits
+# ---------------------------------------------------------------------------
+
+BLOOM_SWEEP_M = [2048, 8192, 32768]
+
+
+@register(
+    "q436_bloom_sizing_sweep",
+    sql=f"""
+    WITH ev AS ({{EV}}),
+    tr AS ({{TR}}),
+    evh AS (SELECT DISTINCT h1, h2 FROM ev),
+    trh AS (SELECT DISTINCT h1, h2 FROM tr),
+    negs AS (SELECT t.h1, t.h2 FROM trh t
+             WHERE NOT EXISTS (SELECT 1 FROM evh e
+                               WHERE e.h1 = t.h1 AND e.h2 = t.h2)),
+    sweep(m) AS (SELECT unnest([{", ".join(map(str, BLOOM_SWEEP_M))}])),
+    bits AS (
+      SELECT s.m, (h1 + i * h2) % s.m AS pos
+      FROM sweep s, evh, LATERAL (SELECT unnest(range(0, {BLOOM_HASHES}))
+                                  AS i) t),
+    bset AS (SELECT m, CAST(count(DISTINCT pos) AS BIGINT) AS bits_set
+             FROM bits GROUP BY m),
+    probe AS (
+      SELECT s.m, n.h1, n.h2, (n.h1 + i * n.h2) % s.m AS pos
+      FROM sweep s, negs n, LATERAL (SELECT unnest(range(0,
+                                     {BLOOM_HASHES})) AS i) t),
+    hits AS (
+      SELECT p.m, p.h1, p.h2,
+             CAST(count(b.pos) = {BLOOM_HASHES} AS INT) AS fp
+      FROM probe p
+      LEFT JOIN (SELECT DISTINCT m, pos FROM bits) b
+        ON b.m = p.m AND b.pos = p.pos
+      GROUP BY p.m, p.h1, p.h2),
+    fps AS (SELECT m, CAST(sum(fp) AS BIGINT) AS false_pos,
+                   CAST(count(*) AS BIGINT) AS n_negs
+            FROM hits GROUP BY m)
+    SELECT CAST(b.m AS BIGINT) AS m, b.bits_set,
+           round(CAST(b.bits_set AS DOUBLE) / b.m, 6) AS fill_ratio,
+           f.n_negs, f.false_pos,
+           round(CAST(f.false_pos AS DOUBLE) / f.n_negs, 6) AS fpr
+    FROM bset b JOIN fps f USING (m) ORDER BY m
+    """.replace("{EV}", _decon_shingle_sql(
+        f"(SELECT * FROM documents WHERE doc_id < {EVAL_DOCS})"))
+       .replace("{TR}", _decon_shingle_sql(
+        f"(SELECT * FROM documents WHERE doc_id >= {EVAL_DOCS})")),
+)
+def q436_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sizing curve for the decontamination filter: for m in {2048,
+    8192, 32768} bits (same k=3 double-hashing), the filter's fill ratio
+    and its MEASURED false-positive rate over the true-negative training
+    shingles — the q311-style sweep that turns 'pick m' from folklore
+    into a number (fill ~0.95 -> FPR ~0.8; ~0.25 -> ~1%; the knee is what
+    you provision). True negatives come from the exact anti-join, so fpr
+    is exact, not estimated.
+
+    100 TB lens: shingle hashing is shared across the sweep (one scan);
+    per-m work is an explode over |sweep| x k positions joined against
+    per-m broadcast set-bit tables — the sweep multiplies only
+    filter-sized work, never corpus passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = decon_shingle_hashes(docs).localCheckpoint()
+    ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("h1", "h2").distinct()
+    negs = (sh.filter(F.col("doc_id") >= EVAL_DOCS)
+            .select("h1", "h2").distinct()
+            .join(ev, ["h1", "h2"], "left_anti")
+            .localCheckpoint())
+    out = None
+    for m in BLOOM_SWEEP_M:
+        bits = (ev.select(F.explode(
+            _bloom_positions_h(F.col("h1"), F.col("h2"), m=m)).alias("pos"))
+            .distinct())
+        pos = negs.select("h1", "h2", F.explode(
+            _bloom_positions_h(F.col("h1"), F.col("h2"), m=m)).alias("p"))
+        hits = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
+                .groupBy("h1", "h2")
+                .agg((F.count("pos") == BLOOM_HASHES).cast("int")
+                     .alias("fp")))
+        row = (hits.agg(F.sum("fp").cast("bigint").alias("false_pos"),
+                        F.count("*").cast("bigint").alias("n_negs"))
+               .crossJoin(F.broadcast(
+                   bits.agg(F.count("*").cast("bigint").alias("bits_set"))))
+               .select(F.lit(m).cast("bigint").alias("m"), "bits_set",
+                       F.round(F.col("bits_set").cast("double") / F.lit(m),
+                               6).alias("fill_ratio"),
+                       "n_negs", "false_pos",
+                       F.round(F.col("false_pos").cast("double")
+                               / F.col("n_negs"), 6).alias("fpr")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("m")

@@ -2905,3 +2905,21 @@ def test_jsd_bounded_and_total_consistent(spark):
     total = totals.pop()
     assert 0.0 <= total <= math.log(2) + 1e-9
     assert total < 0.1  # same generator -> near-zero drift
+
+
+def test_bloom_sizing_sweep_monotone(spark):
+    """q436: more bits -> lower fill ratio and (weakly) lower measured FPR;
+    the smallest filter must be badly saturated so the sweep's knee is a
+    real demonstration, and all FPRs are valid rates."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = sorted(all_queries()["q436_bloom_sizing_sweep"].fn(
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.m)
+    assert [r.m for r in rows] == [2048, 8192, 32768]
+    fills = [r.fill_ratio for r in rows]
+    fprs = [r.fpr for r in rows]
+    assert fills[0] > fills[1] > fills[2]
+    assert fprs[0] >= fprs[1] >= fprs[2]
+    assert fills[0] > 0.8          # saturated small filter
+    assert all(0.0 <= f <= 1.0 for f in fprs)
+    assert len({r.n_negs for r in rows}) == 1  # same negative set per m
