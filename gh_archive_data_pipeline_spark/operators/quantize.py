@@ -950,3 +950,163 @@ def q433_label_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rr_q").over(Window.partitionBy()).cast("double")
                 / F.lit(1e12) / F.lit(float(MRL_QUERIES)), 6).alias("mrr"))
         .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# q437 — IVF nprobe tuning curve: recall vs corpus fraction touched
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP = [1, 2, 4, 8]
+
+_COS_DUCK = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+             " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _q437_oracle() -> str:
+    cos_qc = _COS_DUCK.format(a="q.e", b="c.e")
+    cos_ec = _COS_DUCK.format(a="emb.e", b="cbv.cv")
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cbv AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             e AS cv
+      FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {NUM_CELLS})),
+    assign AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+      FROM (SELECT emb.vec_id, cbv.cell, {cos_ec} AS sim FROM emb, cbv)),
+    corpus_cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cell, rn
+               FROM assign WHERE vec_id < {MRL_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS r
+        FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {MRL_QUERIES}) t WHERE r <= {MRL_K}),
+    sweep(np) AS (SELECT unnest([{", ".join(map(str, NPROBE_SWEEP))}])),
+    cand AS (
+      SELECT s.np, p.query_id, cc.vec_id AS neighbor_id
+      FROM sweep s
+      JOIN probes p ON p.rn <= s.np
+      JOIN corpus_cells cc USING (cell)
+      WHERE cc.vec_id <> p.query_id),
+    ranked AS (
+      SELECT cd.np, cd.query_id, cd.neighbor_id,
+             row_number() OVER (PARTITION BY cd.np, cd.query_id
+                                ORDER BY {_COS_DUCK.format(a="q.e", b="c.e")}
+                                  DESC, cd.neighbor_id) AS r
+      FROM cand cd
+      JOIN emb q ON q.vec_id = cd.query_id
+      JOIN emb c ON c.vec_id = cd.neighbor_id),
+    rec AS (
+      SELECT r.np, CAST(count(*) AS BIGINT) AS hits
+      FROM (SELECT np, query_id, neighbor_id FROM ranked
+            WHERE r <= {MRL_K}) r
+      JOIN truth t USING (query_id, neighbor_id)
+      GROUP BY r.np),
+    touched AS (
+      SELECT np, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY np),
+    corpus AS (SELECT count(*) AS n FROM emb)
+    SELECT CAST(s.np AS INTEGER) AS nprobe,
+           round(CAST(coalesce(r.hits, 0) AS DOUBLE)
+                 / ({MRL_QUERIES} * {MRL_K}), 6) AS recall_at_{MRL_K},
+           round(CAST(t.n_cand AS DOUBLE)
+                 / ({MRL_QUERIES} * corpus.n), 6) AS corpus_fraction
+    FROM sweep s
+    LEFT JOIN rec r ON r.np = s.np
+    JOIN touched t ON t.np = s.np, corpus
+    ORDER BY nprobe
+    """
+
+
+@register("q437_ivf_nprobe_sweep", sql=_q437_oracle())
+def q437_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@10 of cell-pruned EXACT cosine search
+    (deterministic first-16 coarse codebook, the q358/q402 assignment)
+    against the full exact top-10, swept over nprobe in {1, 2, 4, 8},
+    next to the corpus fraction each setting actually touches — the
+    recall-vs-cost trade a deployment picks its nprobe from, measured
+    instead of assumed (q411's discipline applied to the knob itself).
+
+    100 TB lens: assignment is one corpus scan against the 16-row
+    broadcast codebook; the sweep multiplies only candidate-ranking work
+    (bounded by nprobe/num_cells of the corpus per query), and recall
+    arithmetic is integer counts over (query, neighbor) int pairs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+    w_cell = Window.orderBy("vec_id")
+    seeds = (e.orderBy("vec_id").limit(NUM_CELLS)
+             .withColumn("cell", (F.row_number().over(w_cell) - 1)
+                         .cast("int"))
+             .select("cell", F.col("e").alias("cv")))
+    cos_ec = F.expr(
+        "aggregate(zip_with(e, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (a, x) -> a + x)"
+        " / (sqrt(aggregate(zip_with(e, e, (x, y) -> x * y),"
+        "          cast(0.0 as double), (a, x) -> a + x))"
+        "    * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+        "            cast(0.0 as double), (a, x) -> a + x)))")
+    w_asg = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    assign = (e.crossJoin(F.broadcast(seeds))
+              .select("vec_id", "cell", cos_ec.alias("sim"))
+              .withColumn("rn", F.row_number().over(w_asg))
+              .localCheckpoint())
+    corpus_cells = assign.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (assign.filter(F.col("vec_id") < MRL_QUERIES)
+              .select(F.col("vec_id").alias("query_id"), "cell", "rn"))
+    cos_qc = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0.0 as double),"
+        " (a, x) -> a + x)"
+        " / (sqrt(aggregate(zip_with(qe, qe, (x, y) -> x * y),"
+        "          cast(0.0 as double), (a, x) -> a + x))"
+        "    * sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y),"
+        "            cast(0.0 as double), (a, x) -> a + x)))")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")) \
+         .filter(F.col("query_id") < MRL_QUERIES)
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("e").alias("ce"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                    "neighbor_id")
+    truth = (c.join(F.broadcast(q),
+                    F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", cos_qc.alias("s"))
+             .withColumn("r", F.row_number().over(w_rank))
+             .filter(F.col("r") <= MRL_K)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    sweep = spark.createDataFrame([(n,) for n in NPROBE_SWEEP], "np int")
+    # ONE plan for the whole sweep (no per-point driver actions): the
+    # sweep joins in as a column, ranking windows partition by (np, query)
+    cand = (probes.crossJoin(F.broadcast(sweep))
+            .filter(F.col("rn") <= F.col("np"))
+            .join(corpus_cells.withColumnRenamed("vec_id", "neighbor_id"),
+                  "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("np", "query_id", "neighbor_id"))
+    w_np = Window.partitionBy("np", "query_id").orderBy(F.col("s").desc(),
+                                                        "neighbor_id")
+    ranked = (cand.join(F.broadcast(q), "query_id")
+              .join(c, "neighbor_id")
+              .select("np", "query_id", "neighbor_id", cos_qc.alias("s"))
+              .withColumn("r", F.row_number().over(w_np))
+              .filter(F.col("r") <= MRL_K)
+              .select("np", "query_id", "neighbor_id"))
+    hits = (ranked.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("np").agg(F.count("*").alias("hits")))
+    n_cand = cand.groupBy("np").agg(F.count("*").alias("n_cand"))
+    corpus_n = e.agg(F.count("*").alias("nc"))
+    return (sweep.join(hits, "np", "left").join(n_cand, "np")
+            .crossJoin(F.broadcast(corpus_n))
+            .select(F.col("np").cast("int").alias("nprobe"),
+                    F.round(F.coalesce(F.col("hits"), F.lit(0))
+                            .cast("double")
+                            / F.lit(float(MRL_QUERIES * MRL_K)), 6)
+                    .alias(f"recall_at_{MRL_K}"),
+                    F.round(F.col("n_cand").cast("double")
+                            / (F.lit(float(MRL_QUERIES)) * F.col("nc")), 6)
+                    .alias("corpus_fraction"))
+            .orderBy("nprobe"))

@@ -2923,3 +2923,20 @@ def test_bloom_sizing_sweep_monotone(spark):
     assert fills[0] > 0.8          # saturated small filter
     assert all(0.0 <= f <= 1.0 for f in fprs)
     assert len({r.n_negs for r in rows}) == 1  # same negative set per m
+
+
+def test_nprobe_sweep_monotone_tradeoff(spark):
+    """q437: both recall and corpus fraction must be (weakly) monotone in
+    nprobe, recall at the full sweep end must beat the nprobe=1 end (the
+    curve is a real trade, not flat), and fractions are valid."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = sorted(all_queries()["q437_ivf_nprobe_sweep"].fn(
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall_at_10 for r in rows]
+    fracs = [r.corpus_fraction for r in rows]
+    assert all(recalls[i] <= recalls[i + 1] + 1e-9 for i in range(3))
+    assert all(fracs[i] <= fracs[i + 1] + 1e-9 for i in range(3))
+    assert recalls[3] > recalls[0]
+    assert all(0.0 <= f <= 1.0 for f in fracs)
