@@ -1110,3 +1110,123 @@ def q437_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.lit(float(MRL_QUERIES)) * F.col("nc")), 6)
                     .alias("corpus_fraction"))
             .orderBy("nprobe"))
+
+
+# ---------------------------------------------------------------------------
+# q438 — scalar-quant search parity: recall of int8-dequantized rankings
+# ---------------------------------------------------------------------------
+
+_SQ_VEC_DUCK = f"""
+  list_transform(range(1, {DIM + 1}), d ->
+    CASE WHEN s.scales[d] = 0 THEN s.los[d]
+         ELSE s.los[d] + least({'{SQL}'}, greatest(0,
+                floor((v[d] - s.los[d]) / s.scales[d] + 0.5)))
+              * s.scales[d] END)"""
+
+
+def _q438_oracle() -> str:
+    from .quantize import SQ_LEVELS  # self-import safe at call time
+
+    sq_vec = _SQ_VEC_DUCK.replace("{SQL}", str(SQ_LEVELS))
+    cos = ("list_dot_product(q.{col}, c.{col})"
+           " / (sqrt(list_dot_product(q.{col}, q.{col}))"
+           " * sqrt(list_dot_product(c.{col}, c.{col})))")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    stats AS (
+      SELECT list(vmin ORDER BY dim) AS los,
+             list((vmax - vmin) / {float(SQ_LEVELS)!r} ORDER BY dim)
+               AS scales
+      FROM (SELECT dim, min(x) AS vmin, max(x) AS vmax
+            FROM (SELECT unnest(range(1, {DIM + 1})) AS dim,
+                         unnest(v) AS x FROM v) u
+            GROUP BY dim) t),
+    deq AS (
+      SELECT vec_id, v, {sq_vec} AS dv FROM v, stats s),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos.format(col='v')} DESC,
+                                           c.vec_id) AS r
+        FROM deq q JOIN deq c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {MRL_QUERIES}) t WHERE r <= {MRL_K}),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos.format(col='dv')} DESC,
+                                           c.vec_id) AS r
+        FROM deq q JOIN deq c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {MRL_QUERIES}) t WHERE r <= {MRL_K})
+    SELECT CAST({MRL_K} AS INTEGER) AS k,
+           round(CAST((SELECT count(*) FROM approx a
+                       JOIN truth t USING (query_id, neighbor_id))
+                      AS DOUBLE) / ({MRL_QUERIES} * {MRL_K}), 6)
+             AS recall_at_{MRL_K}
+    """
+
+
+@register("q438_scalar_quant_recall", sql=_q438_oracle())
+def q438_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-quant plane's own eval (completing q413 the way
+    q400/q411 complete q399): recall@10 of cosine search over
+    int8-DEQUANTIZED vectors against the full-precision exact top-10 —
+    the number that says whether 4x-compressed storage changes answers.
+    Quantize/dequantize replays q413's exact grid law per dimension; both
+    rankings share the (cosine, id) total order on bit-exact folds.
+
+    100 TB lens: the 64-row calibration table broadcasts (as a single
+    collected struct of literals here — codebook-sized); both rankings
+    are q44-shape broadcast scans."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (sq_dim_stats(emb).orderBy("dim")
+             .collect())
+    los = [float(r.vmin) for r in stats]
+    scales = [(float(r.vmax) - float(r.vmin)) / float(SQ_LEVELS)
+              for r in stats]
+    los_arr = "array(" + ",".join(f"{x!r}D" for x in los) + ")"
+    sc_arr = "array(" + ",".join(f"{x!r}D" for x in scales) + ")"
+    dq = F.expr(
+        f"transform(sequence(1, {DIM}), d -> CASE"
+        f" WHEN element_at({sc_arr}, d) = 0D THEN element_at({los_arr}, d)"
+        f" ELSE element_at({los_arr}, d) + least(cast({SQ_LEVELS} as bigint),"
+        f"   greatest(cast(0 as bigint),"
+        f"     floor((element_at(cast(embedding as array<double>), d)"
+        f"            - element_at({los_arr}, d))"
+        f"           / element_at({sc_arr}, d) + 0.5D)))"
+        f"      * element_at({sc_arr}, d) END)")
+    deq = emb.select("vec_id",
+                     F.expr("cast(embedding as array<double>)").alias("v"),
+                     dq.alias("dv")).localCheckpoint()
+
+    def topk(col: str) -> DataFrame:
+        q = (deq.filter(F.col("vec_id") < MRL_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col(col).alias("qv")))
+        c = deq.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col(col).alias("cv"))
+        cos = F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+            " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+            "          cast(0.0 as double), (a, x) -> a + x))"
+            "    * sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+            "            cast(0.0 as double), (a, x) -> a + x)))")
+        w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                   "neighbor_id")
+        return (c.join(F.broadcast(q),
+                       F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", cos.alias("s"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= MRL_K)
+                .select("query_id", "neighbor_id"))
+
+    inter = topk("dv").join(topk("v"), ["query_id", "neighbor_id"])
+    return inter.agg(
+        F.lit(MRL_K).cast("int").alias("k"),
+        F.round(F.count("*").cast("double")
+                / F.lit(float(MRL_QUERIES * MRL_K)), 6)
+        .alias(f"recall_at_{MRL_K}"))

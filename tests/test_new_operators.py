@@ -2940,3 +2940,19 @@ def test_nprobe_sweep_monotone_tradeoff(spark):
     assert all(fracs[i] <= fracs[i + 1] + 1e-9 for i in range(3))
     assert recalls[3] > recalls[0]
     assert all(0.0 <= f <= 1.0 for f in fracs)
+
+
+def test_scalar_quant_recall_high_but_quantization_real(spark):
+    """q438: int8 over 64 dims must preserve almost all of the top-10
+    (recall >= 0.9 — that's the point of the audit) while the grid is
+    genuinely lossy (q413's max_abs_err > 0 on some dim, so a perfect
+    1.0 recall would be preservation, not a no-op)."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = all_queries()["q438_scalar_quant_recall"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1 and rows[0].k == 10
+    assert 0.9 <= rows[0].recall_at_10 <= 1.0
+    audit = all_queries()["q413_scalar_quant_audit"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert any(r.max_abs_err > 0 for r in audit)
