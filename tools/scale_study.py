@@ -122,6 +122,9 @@ QUERY_TABLES = {
     "q433_label_retrieval_eval": ["embeddings"],
     "q434_curated_corpus_export": ["documents"],
     "q435_jsd_vocab_divergence": ["documents"],
+    "q436_bloom_sizing_sweep": ["documents"],
+    "q437_ivf_nprobe_sweep": ["embeddings"],
+    "q438_scalar_quant_recall": ["embeddings"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
