@@ -567,3 +567,143 @@ def q421_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(F.col("round").cast("int").alias("round"),
                            "vec_id", F.round("radius", 6).alias("radius")
                            ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q439 — hybrid fusion over the SCALE-PATH retriever (IVF-pruned dense leg)
+# ---------------------------------------------------------------------------
+
+Q439_NPROBE = 4
+Q439_CELLS = 16
+
+_COS_D = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+          " * sqrt(list_dot_product({b}, {b})))")
+
+_Q439_SQL = f"""
+WITH qd AS (SELECT doc_id AS query_id,
+                   list_distinct(string_split(text, ' ')) AS qw
+            FROM documents WHERE doc_id < {N_QUERIES}),
+     cd AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS cw
+            FROM documents),
+     lex AS (
+       SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jac DESC, doc_id) AS rank
+       FROM (SELECT query_id, doc_id,
+                    CAST(len(list_intersect(qw, cw)) AS DOUBLE)
+                      / len(list_distinct(list_concat(qw, cw))) AS jac
+             FROM qd JOIN cd ON query_id <> doc_id) s),
+     emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     cbv AS (
+       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+              e AS cv
+       FROM (SELECT vec_id, e FROM emb ORDER BY vec_id
+             LIMIT {Q439_CELLS})),
+     assign AS (
+       SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell ASC) AS rn
+       FROM (SELECT emb.vec_id, cbv.cell,
+                    {_COS_D.format(a='emb.e', b='cbv.cv')} AS sim
+             FROM emb, cbv)),
+     corpus_cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+     probes AS (SELECT vec_id AS query_id, cell
+                FROM assign WHERE vec_id < {N_QUERIES}
+                  AND rn <= {Q439_NPROBE}),
+     vec AS (
+       SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id) AS rank
+       FROM (SELECT p.query_id, cc.vec_id AS doc_id,
+                    {_COS_D.format(a='q.e', b='c.e')} AS s
+             FROM probes p
+             JOIN corpus_cells cc USING (cell)
+             JOIN emb q ON q.vec_id = p.query_id
+             JOIN emb c ON c.vec_id = cc.vec_id
+             WHERE cc.vec_id <> p.query_id) t),
+     tagged AS (
+       SELECT query_id, doc_id, rank, 'lexical' AS modality
+       FROM lex WHERE rank <= {FUSE_DEPTH}
+       UNION ALL
+       SELECT query_id, doc_id, rank, 'vector' FROM vec
+       WHERE rank <= {FUSE_DEPTH}),
+     fused AS (
+       SELECT query_id, doc_id,
+              sum(1.0 / ({RRF_K} + rank)) AS score,
+              CAST(count(*) AS BIGINT) AS n_lists,
+              CAST(coalesce(max(CASE WHEN modality = 'lexical'
+                                     THEN rank END), -1) AS BIGINT)
+                AS lexical_rank,
+              CAST(coalesce(max(CASE WHEN modality = 'vector'
+                                     THEN rank END), -1) AS BIGINT)
+                AS vector_rank
+       FROM tagged GROUP BY query_id, doc_id),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id)
+                   AS fused_rank
+       FROM fused)
+SELECT query_id, doc_id, round(score, 6) AS rrf_score, n_lists,
+       lexical_rank, vector_rank, CAST(fused_rank AS INTEGER) AS fused_rank
+FROM ranked WHERE fused_rank <= {FUSE_TOPK}
+"""
+
+
+@register("q439_rrf_ivf_hybrid_search", sql=_Q439_SQL)
+def q439_rrf_ivf_hybrid_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """q412's composability claim, proven: the SAME rrf_fuse consumes the
+    IVF-pruned dense ranking (q437's deterministic 16-cell codebook,
+    nprobe=4 — the retriever that scales to 10^9 vectors) in place of
+    brute force, with the lexical leg unchanged. Fusion is retriever-
+    agnostic because it sees only (query_id, doc_id, rank) — the exact
+    swap a deployment makes when the corpus outgrows exact search, and
+    the fused output degrades only where IVF pruning actually lost a
+    neighbor (compare against q412 row-for-row).
+
+    100 TB lens: the dense leg touches ~nprobe/num_cells of the corpus
+    against a 16-row broadcast codebook; fusion stays depth-bounded."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(N_QUERIES))
+
+    e = emb.selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+    w_cell = W.orderBy("vec_id")
+    seeds = (e.orderBy("vec_id").limit(Q439_CELLS)
+             .withColumn("cell", (F.row_number().over(w_cell) - 1)
+                         .cast("int"))
+             .select("cell", F.col("e").alias("cv")))
+    cos_ec = F.expr(_DOT_SPARK.format(a="e", b="cv")
+                    + f" / (sqrt({_DOT_SPARK.format(a='e', b='e')})"
+                    + f" * sqrt({_DOT_SPARK.format(a='cv', b='cv')}))")
+    w_asg = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    assign = (e.crossJoin(F.broadcast(seeds))
+              .select("vec_id", "cell", cos_ec.alias("sim"))
+              .withColumn("rn", F.row_number().over(w_asg))
+              .localCheckpoint())
+    corpus_cells = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("doc_id"), "cell")
+    probes = (assign.filter((F.col("vec_id") < N_QUERIES)
+                            & (F.col("rn") <= Q439_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "cell"))
+    cos_qc = F.expr(_DOT_SPARK.format(a="qe", b="ce")
+                    + f" / (sqrt({_DOT_SPARK.format(a='qe', b='qe')})"
+                    + f" * sqrt({_DOT_SPARK.format(a='ce', b='ce')}))")
+    w_rank = W.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    ivf_rank = (probes.join(corpus_cells, "cell")
+                .filter(F.col("query_id") != F.col("doc_id"))
+                .join(F.broadcast(
+                    e.select(F.col("vec_id").alias("query_id"),
+                             F.col("e").alias("qe"))), "query_id")
+                .join(e.select(F.col("vec_id").alias("doc_id"),
+                               F.col("e").alias("ce")), "doc_id")
+                .select("query_id", "doc_id", cos_qc.alias("s"))
+                .withColumn("rank", F.row_number().over(w_rank))
+                .filter(F.col("rank") <= FUSE_DEPTH)
+                .select("query_id", "doc_id", "rank"))
+    return rrf_fuse({
+        "lexical": lexical_rank(docs, qids),
+        "vector": ivf_rank,
+    })

@@ -133,3 +133,28 @@ def test_rrf_fuse_single_list_preserves_order(spark):
             .orderBy("fused_rank").collect())
     assert [r.doc_id for r in rows] == [11, 12, 13, 14, 15]
     assert all(r.n_lists == 1 for r in rows)
+
+
+def test_rrf_ivf_hybrid_swaps_retriever_coherently(spark):
+    """q439 vs q412: same fusion, different dense leg — the lexical ranks
+    must be identical row-for-row, and any fused divergence must come
+    from the vector leg (IVF pruning), never the fusion math."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.doc_id): r for r in
+             all_queries()["q412_rrf_hybrid_search"].fn(spark, sf).collect()}
+    ivf = {(r.query_id, r.doc_id): r for r in
+           all_queries()["q439_rrf_ivf_hybrid_search"].fn(spark, sf)
+           .collect()}
+    shared = set(exact) & set(ivf)
+    assert shared  # overlapping results exist
+    for k in shared:
+        assert exact[k].lexical_rank == ivf[k].lexical_rank
+    # IVF candidates are a SUBSET of the corpus with unchanged cosine
+    # scores, so a surviving doc's rank can only improve (drop-outs above
+    # it vanish) — never worsen
+    for k in shared:
+        ev, iv = exact[k].vector_rank, ivf[k].vector_rank
+        if ev != -1 and iv != -1:
+            assert iv <= ev
