@@ -1911,19 +1911,25 @@ def bloom_build(keys: DataFrame, key_col: str,
 def bloom_probe(probes: DataFrame, key_col: str, bits: DataFrame,
                 m: int = BLOOM_M, k: int = BLOOM_HASHES) -> DataFrame:
     """Probe: a key is a Bloom HIT iff all k of its positions are set.
-    The probe explodes k positions per key and inner-joins the broadcast
-    set-bit table; matched-position count == k -> hit. Input rows pass
-    through with a ``bloom_hit`` int column."""
-    pos = probes.withColumn(
+    Hits are decided per DISTINCT key value (a key's k positions don't
+    depend on which row carries it), then joined back to the input rows —
+    duplicate probe rows therefore cannot pool their matched-position
+    counts into 2k != k and fake a miss. Input rows pass through with a
+    ``bloom_hit`` int column (NULL keys read as misses)."""
+    keys = probes.select(key_col).distinct()
+    pos = keys.withColumn(
         "_p", F.explode(_bloom_positions(F.col(key_col), m, k)))
     matched = (pos.join(F.broadcast(bits),
                         pos["_p"] == bits["pos"])
-               .groupBy(*[c for c in probes.columns])
+               .groupBy(key_col)
                .agg(F.count("*").alias("_n")))
-    return (probes.join(matched, probes.columns, "left")
+    hits = (keys.join(matched, key_col, "left")
+            .select(key_col,
+                    (F.coalesce("_n", F.lit(0)) == k).cast("int")
+                    .alias("bloom_hit")))
+    return (probes.join(hits, key_col, "left")
             .withColumn("bloom_hit",
-                        (F.coalesce("_n", F.lit(0)) == k).cast("int"))
-            .drop("_n"))
+                        F.coalesce("bloom_hit", F.lit(0)).cast("int")))
 
 
 def _decon_shingle_sql(src: str) -> str:

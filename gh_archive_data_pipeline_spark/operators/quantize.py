@@ -677,10 +677,12 @@ def sq_dim_stats(emb: DataFrame, vec_col: str = "embedding",
     calibration table. One linear pass; posexplode fans each row into
     ``dim`` (dim_id, value) pairs that partial-aggregate map-side down to
     a ``dim``-row table (broadcastable; at cluster scale this is the
-    artifact you'd persist next to the PQ codebooks)."""
+    artifact you'd persist next to the PQ codebooks). ``dim`` bounds the
+    exploded width: components past it are dropped, so calibrating a
+    prefix (Matryoshka-style truncation) is the same call."""
     v = emb.select(
         F.posexplode(F.expr(f"cast({vec_col} as array<double>)"))
-        .alias("pos", "x"))
+        .alias("pos", "x")).where(F.col("pos") < dim)
     return (v.select((F.col("pos") + 1).alias("dim"), "x")
             .groupBy("dim")
             .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax")))

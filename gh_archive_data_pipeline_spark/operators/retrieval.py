@@ -120,6 +120,8 @@ def rrf_fuse(rankings: dict[str, DataFrame], k: int = RRF_K,
     With two lists the per-doc sum has at most two addends — IEEE addition
     is commutative, so the groupBy's combine order cannot change the bits.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     names = sorted(rankings)
     tagged = None
     for name in names:

@@ -2814,6 +2814,29 @@ def test_bloom_probe_empty_filter_all_misses(spark):
     assert len(got) == 2 and all(r.bloom_hit == 0 for r in got)
 
 
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Round-8 ADVICE regression: duplicate probe rows must NOT pool their
+    matched-position counts into 2k != k and fake a miss — an inserted key
+    probed twice (or thrice) hits on EVERY copy, and NULL keys read 0."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    inserted = spark.createDataFrame([("dup",), ("solo",)], "k string")
+    bits = bloom_build(inserted, "k", m=1024, k=3)
+    probes = spark.createDataFrame(
+        [("dup",), ("dup",), ("dup",), ("solo",), (None,)], "k string")
+    got = bloom_probe(probes, "k", bits, m=1024, k=3).collect()
+    assert len(got) == 5
+    hits = {}
+    for r in got:
+        hits.setdefault(r.k, []).append(r.bloom_hit)
+    assert hits["dup"] == [1, 1, 1]      # every duplicate copy hits
+    assert hits["solo"] == [1]
+    assert hits[None] == [0]             # NULL key is a miss, not NULL
+
+
 def test_ahash_brightness_invariance_and_self_distance():
     """q428's hash law: bit = (block_sum * n > total * block_n) is invariant
     to a uniform brightness shift (the property that makes aHash a

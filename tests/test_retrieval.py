@@ -135,6 +135,15 @@ def test_rrf_fuse_single_list_preserves_order(spark):
     assert all(r.n_lists == 1 for r in rows)
 
 
+def test_rrf_fuse_empty_rankings_raises(spark):
+    """Round-8 ADVICE regression: an empty rankings dict must raise a
+    clear ValueError up front, not AttributeError on a None frame."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse({})
+
+
 def test_rrf_ivf_hybrid_swaps_retriever_coherently(spark):
     """q439 vs q412: same fusion, different dense leg — the lexical ranks
     must be identical row-for-row, and any fused divergence must come
