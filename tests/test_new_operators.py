@@ -2364,6 +2364,85 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_ivf_rebuild_two_writer_race_loser_raises_before_touching(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT-r8 item 7: two concurrent rebuilds racing the SAME version
+    number — exactly one publishes, the loser raises IOError at the lock
+    (i.e. BEFORE writing a byte of v=N), and the winner's generation is
+    byte-for-byte intact after the race. A barrier inside the patched
+    hadoop_fs holds both threads until BOTH have listed the index and
+    computed the same next_v, so the createNewFile collision is
+    deterministic, not scheduling luck."""
+    import hashlib
+    import os
+    import threading
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import (
+        hadoop_fs as real_hadoop_fs,
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+
+    barrier = threading.Barrier(2, timeout=120)
+
+    def racing_hadoop_fs(spark_, path):
+        # both writers have listed + computed next_v by the time they ask
+        # for the lock path; release them into createNewFile together
+        if path.endswith(".lock"):
+            barrier.wait()
+        return real_hadoop_fs(spark_, path)
+
+    monkeypatch.setattr(sim, "hadoop_fs", racing_hadoop_fs)
+
+    def tree_md5(root: str) -> dict[str, str]:
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                with open(p, "rb") as fh:
+                    out[rel] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    results: dict[str, object] = {}
+
+    def writer(tag: str):
+        try:
+            v = sim.ivf_rebuild(spark, idx)
+            # winner: snapshot its published generation IMMEDIATELY so the
+            # post-join compare proves the loser never touched it
+            results[tag] = ("published", v, tree_md5(f"{idx}/v={v}"))
+        except IOError as e:
+            results[tag] = ("raised", str(e))
+        except BaseException as e:  # anything else fails the race contract
+            results[tag] = ("unexpected", f"{type(e).__name__}: {e}")
+
+    t1 = threading.Thread(target=writer, args=("a",))
+    t2 = threading.Thread(target=writer, args=("b",))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+    outcomes = sorted(r[0] for r in results.values())
+    assert outcomes == ["published", "raised"], results
+    winner = next(r for r in results.values() if r[0] == "published")
+    loser = next(r for r in results.values() if r[0] == "raised")
+    _, v, snap = winner
+    assert v == 0
+    assert "lock already exists" in loser[1]
+    # loser raised at the lock: winner's v=0 is byte-for-byte what the
+    # winner published, and no second generation ever appeared
+    assert tree_md5(f"{idx}/v=0") == snap and snap
+    assert os.path.exists(f"{idx}/_v_0.ready")
+    assert not os.path.isdir(f"{idx}/v=1")
+    # and the published index actually answers searches (sanity)
+    monkeypatch.setattr(sim, "hadoop_fs", real_hadoop_fs)
+    queries = emb.filter("vec_id < 5")
+    assert sim.ivf_search(spark, idx, queries).count() == 25
+
+
 def test_ivf_vacuum_raises_on_failed_delete(spark, sf_dir, tmp_path,
                                             monkeypatch):
     """A false return from fs.delete must raise, never leave the path on
