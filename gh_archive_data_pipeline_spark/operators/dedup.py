@@ -2221,6 +2221,202 @@ def q429_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q441 — document-level disposition reconciliation of chunk-grain fuzzy
+# matches (the RefinedWeb partial-overlap policy: drop / trim / keep)
+# ---------------------------------------------------------------------------
+
+CHUNK_DROP_AT = 0.8   # matched_fraction >= : drop the whole document
+CHUNK_TRIM_AT = 0.2   # matched_fraction >= : cut matched chunks, keep rest
+
+
+def doc_chunks(docs: DataFrame,
+               chunk_words: int = CHUNK_WORDS) -> DataFrame:
+    """(doc_id, idx, chunk) fixed-width chunk frame — q414/q429's
+    scan-side HOF chunker, factored (transform over sequence, no explode
+    of raw words; the chunk list materializes once per row inside its
+    scan task)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / "
+            f"{float(chunk_words)!r}) as int) - 1),"
+            f" i -> array_join(slice(w, i*{chunk_words} + 1, {chunk_words}),"
+            f" ' '))")).alias("idx", "chunk"))
+
+
+def chunk_dedup_dispositions(docs: DataFrame,
+                             drop_at: float = CHUNK_DROP_AT,
+                             trim_at: float = CHUNK_TRIM_AT,
+                             threshold: float = 0.5) -> DataFrame:
+    """Reconcile q429's chunk-grain FUZZY matches back to document-level
+    keep/trim/drop decisions — the policy step between "these paragraphs
+    fuzzy-match" and "what happens to the document" (RefinedWeb's
+    partial-overlap handling, Penedo et al. 2023 §Dedup).
+
+    Keep-first convention: a chunk of document d is MATCHED iff it
+    exact-verified-pairs (jaccard >= ``threshold`` through the q429 banded
+    MinHash engine) with a chunk of any LOWER-id document — the earliest
+    copy always survives intact, duplicates absorb the damage. Per doc,
+    ``matched_fraction`` = matched_chunks / n_chunks decides:
+
+    - >= ``drop_at``  -> 'drop' (mostly duplicate; full containment edge);
+    - >= ``trim_at``  -> 'trim' (cut matched chunks, reassemble the rest
+      in order — the single-chunk-overlap edge keeps the doc);
+    - else            -> 'keep' (untouched, incidental overlap).
+
+    Output: (doc_id, n_chunks, matched_chunks, matched_fraction,
+    disposition, kept_tokens, kept_text) for EVERY input document.
+    ``kept_text`` is the post-policy text ('' for drop, the unmatched
+    chunks rejoined for trim, the full chunk stream rejoined for keep —
+    identical to the original token stream since chunks partition it) and
+    ``kept_tokens`` its word count.
+
+    100 TB lens: q429's scale shape (banded LSH — candidate pairs stay
+    bucket-local) plus one (doc_id, idx) left join of int pairs and one
+    doc-keyed reassembly groupBy; chunk text moves once into reassembly,
+    matched flags travel as ints."""
+    chunks = doc_chunks(docs)
+    as_docs = chunks.select(
+        (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+        F.col("chunk").alias("text"))
+    pairs = minhash_near_dup(as_docs, id_col="chunk_id",
+                             threshold=threshold)
+    mch = (pairs.filter(
+        (F.col("doc_a") / CHUNK_KEY).cast("bigint")
+        != (F.col("doc_b") / CHUNK_KEY).cast("bigint"))
+        .select((F.col("doc_b") / CHUNK_KEY).cast("bigint").alias("doc_id"),
+                F.pmod(F.col("doc_b"), F.lit(CHUNK_KEY)).cast("int")
+                .alias("idx"))
+        .distinct()
+        .withColumn("m", F.lit(1)))
+    flagged = chunks.join(mch, ["doc_id", "idx"], "left")
+    n_words = F.size(F.split("chunk", " ")).cast("bigint")
+    agg = (flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("bigint")
+        .alias("matched_chunks"),
+        F.sum(n_words).cast("bigint").alias("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("m").isNull(), n_words)),
+                   F.lit(0)).cast("bigint").alias("unmatched_tokens"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+            lambda s: s["chunk"]), " ").alias("full_text"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("m").isNull(), F.struct("idx", "chunk")))),
+            lambda s: s["chunk"]), " ").alias("trimmed_text")))
+    frac = F.col("matched_chunks") / F.col("n_chunks")
+    disposition = (F.when(frac >= drop_at, "drop")
+                   .when(frac >= trim_at, "trim")
+                   .otherwise("keep"))
+    kept_text = (F.when(F.col("disposition") == "drop", F.lit(""))
+                 .when(F.col("disposition") == "trim", F.col("trimmed_text"))
+                 .otherwise(F.col("full_text")))
+    kept_tokens = (F.when(F.col("disposition") == "drop", F.lit(0))
+                   .when(F.col("disposition") == "trim",
+                         F.col("unmatched_tokens"))
+                   .otherwise(F.col("total_tokens"))).cast("bigint")
+    return (agg.withColumn("matched_fraction", F.round(frac, 4))
+            .withColumn("disposition", disposition)
+            .select("doc_id", "n_chunks", "matched_chunks",
+                    "matched_fraction", "disposition",
+                    kept_tokens.alias("kept_tokens"),
+                    kept_text.alias("kept_text")))
+
+
+def _chunkrows_sql(src: str, chunk_words: int = CHUNK_WORDS) -> str:
+    """DuckDB twin of :func:`doc_chunks` over relation ``src``."""
+    return f"""
+      SELECT doc_id, i AS idx,
+             array_to_string(list_slice(w, i*{chunk_words} + 1,
+                             i*{chunk_words} + {chunk_words}), ' ') AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t,
+           LATERAL (SELECT unnest(range(0,
+               CAST(ceil(len(w) / {float(chunk_words)!r}) AS INT))) AS i) u"""
+
+
+def _chunk_disposition_ctes(src: str = "documents",
+                            drop_at: float = CHUNK_DROP_AT,
+                            trim_at: float = CHUNK_TRIM_AT) -> str:
+    """CTE block replaying :func:`chunk_dedup_dispositions` over ``src``;
+    ends with ``recon`` (doc_id, n_chunks, matched_chunks,
+    matched_fraction, disposition, kept_tokens, kept_text). Claims the
+    minhash CTE names (toks/sh/hs/sigs/stacked/cand/verified)."""
+    return f"""
+    chunkrows AS ({_chunkrows_sql(src)}),
+    chunks AS (
+      SELECT doc_id * {CHUNK_KEY} + idx AS doc_id, chunk AS text
+      FROM chunkrows),
+    {_minhash_pairs_ctes(threshold=0.5, source="chunks")},
+    mch AS (
+      SELECT DISTINCT doc_b // {CHUNK_KEY} AS doc_id,
+             doc_b % {CHUNK_KEY} AS idx
+      FROM verified WHERE doc_a // {CHUNK_KEY} <> doc_b // {CHUNK_KEY}),
+    recon_agg AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(m.idx) AS BIGINT) AS matched_chunks,
+             CAST(sum(len(string_split(c.chunk, ' '))) AS BIGINT)
+               AS total_tokens,
+             CAST(coalesce(sum(CASE WHEN m.idx IS NULL
+                 THEN len(string_split(c.chunk, ' ')) END), 0) AS BIGINT)
+               AS unmatched_tokens,
+             coalesce(string_agg(c.chunk, ' ' ORDER BY c.idx), '')
+               AS full_text,
+             coalesce(string_agg(CASE WHEN m.idx IS NULL THEN c.chunk END,
+                                 ' ' ORDER BY c.idx), '') AS trimmed_text
+      FROM chunkrows c
+      LEFT JOIN mch m ON m.doc_id = c.doc_id AND m.idx = c.idx
+      GROUP BY c.doc_id),
+    recon AS (
+      SELECT doc_id, n_chunks, matched_chunks,
+             round(matched_chunks::DOUBLE / n_chunks, 4)
+               AS matched_fraction,
+             d AS disposition,
+             CAST(CASE WHEN d = 'drop' THEN 0
+                       WHEN d = 'trim' THEN unmatched_tokens
+                       ELSE total_tokens END AS BIGINT) AS kept_tokens,
+             CASE WHEN d = 'drop' THEN ''
+                  WHEN d = 'trim' THEN trimmed_text
+                  ELSE full_text END AS kept_text
+      FROM (SELECT *,
+                   CASE WHEN matched_chunks::DOUBLE / n_chunks
+                             >= {drop_at!r} THEN 'drop'
+                        WHEN matched_chunks::DOUBLE / n_chunks
+                             >= {trim_at!r} THEN 'trim'
+                        ELSE 'keep' END AS d
+            FROM recon_agg))"""
+
+
+@register(
+    "q441_chunk_disposition_reconcile",
+    sql=f"""
+    WITH {_chunk_disposition_ctes()}
+    SELECT doc_id, n_chunks, matched_chunks, matched_fraction, disposition,
+           kept_tokens, md5(kept_text) AS kept_md5
+    FROM recon ORDER BY doc_id
+    """,
+)
+def q441_chunk_disposition_reconcile(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """VERDICT-r8 item 5: q429 finds fuzzy chunk pairs, q414 removes exact
+    chunks, THIS maps fuzzy chunk matches to document-level dispositions —
+    every document with its matched-chunk fraction, the keep/trim/drop
+    policy decision (>= 0.8 drop, >= 0.2 trim — both bands populated on
+    the fixture), the post-policy token count and an md5 of the post-
+    policy text, so the oracle pins the trim RECONSTRUCTION (one mis-kept
+    or mis-ordered chunk anywhere flips the hash), not just the counts.
+    See :func:`chunk_dedup_dispositions` for semantics + 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (chunk_dedup_dispositions(docs)
+            .select("doc_id", "n_chunks", "matched_chunks",
+                    "matched_fraction", "disposition", "kept_tokens",
+                    F.md5("kept_text").alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # q434 — curated-corpus export: disposition -> parquet sink -> manifest
 # ---------------------------------------------------------------------------
 

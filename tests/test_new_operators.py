@@ -2364,6 +2364,57 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_chunk_dispositions_containment_and_single_chunk_edges(spark):
+    """q441 policy edges (VERDICT-r8 item 5): full containment -> the
+    LATER doc drops entirely (keep-first); a single-chunk overlap on a
+    many-chunk doc -> 'trim' cutting exactly that chunk, reconstruction
+    preserving the rest in order; the EARLIER doc always keeps intact."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        chunk_dedup_dispositions,
+    )
+
+    # 48 words = 3 chunks of 16; doc 1 is a verbatim copy of doc 0 (full
+    # containment); doc 2 shares exactly doc 0's first chunk out of 5.
+    base = [f"w{i}" for i in range(48)]
+    tail = [f"u{i}" for i in range(64)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(base)),
+         (1, " ".join(base)),
+         (2, " ".join(base[:16] + tail))],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in chunk_dedup_dispositions(docs).collect()}
+    assert rows[0].disposition == "keep" and rows[0].matched_chunks == 0
+    assert rows[0].kept_text == " ".join(base)
+    assert rows[1].disposition == "drop"          # full containment
+    assert rows[1].matched_fraction == 1.0
+    assert rows[1].kept_tokens == 0 and rows[1].kept_text == ""
+    assert rows[2].disposition == "trim"          # 1 of 5 chunks = 0.2
+    assert rows[2].matched_chunks == 1
+    assert rows[2].kept_text == " ".join(tail)    # chunk 0 cut, rest in order
+    assert rows[2].kept_tokens == 64
+
+
+def test_chunk_dispositions_below_trim_threshold_keeps_whole_doc(spark):
+    """A matched fraction under CHUNK_TRIM_AT must leave the document
+    untouched — kept_text is the FULL reconstruction, matched chunks
+    included (incidental overlap is not trimmed)."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        chunk_dedup_dispositions,
+    )
+
+    base = [f"w{i}" for i in range(16)]
+    tail = [f"u{i}" for i in range(96)]      # 7 chunks total, 1 matched
+    docs = spark.createDataFrame(
+        [(0, " ".join(base)),
+         (1, " ".join(base + tail))],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in chunk_dedup_dispositions(docs).collect()}
+    assert rows[1].matched_chunks == 1 and rows[1].n_chunks == 7
+    assert rows[1].disposition == "keep"     # 1/7 ~ 0.14 < 0.2
+    assert rows[1].kept_text == " ".join(base + tail)
+    assert rows[1].kept_tokens == 112
+
+
 def test_ivf_rebuild_two_writer_race_loser_raises_before_touching(
         spark, sf_dir, tmp_path, monkeypatch):
     """VERDICT-r8 item 7: two concurrent rebuilds racing the SAME version
