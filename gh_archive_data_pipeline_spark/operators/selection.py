@@ -296,7 +296,8 @@ _SEQ_LEN = 2048  # training sequence length (tokens)
 
 
 def pack_spans(sized: DataFrame, seq_len: int,
-               eod_per_doc: bool = False) -> DataFrame:
+               eod_per_doc: bool = False,
+               part_cols: list[str] | None = None) -> DataFrame:
     """Token-exact sequence-packing span enumeration over a ``(doc_id,
     n_tokens)`` frame — the shared integer arithmetic of q395 (raw stream)
     and q397 (GPT-dataloader convention: one end-of-document separator
@@ -308,16 +309,33 @@ def pack_spans(sized: DataFrame, seq_len: int,
     holding the separator, possibly as the span's only token when the
     content ends exactly on a sequence boundary). Scale shape is q395's:
     one distributed prefix sum + a per-doc explode bounded by
-    ceil(stretch/seq_len) + 1 rows, token stream never materialized."""
+    ceil(stretch/seq_len) + 1 rows, token stream never materialized.
+
+    ``part_cols`` packs each partition group as its OWN token stream
+    (seq_id restarts at 0 per group — q440 packs each train/val/test
+    split independently so no sequence straddles a split boundary): still
+    ONE prefix sum ordered (part_cols.., doc_id); each group's stream
+    offset is subtracted via a bounded groupBy + broadcast join, so the
+    added cost is one tiny agg, not a second corpus pass."""
     val_col = "n_tokens"
     if eod_per_doc:
         sized = sized.withColumn(
             "stretch", (F.col("n_tokens") + 1).cast("bigint"))
         val_col = "stretch"
-    cum = global_running_sum(sized, ["doc_id"], val_col, "cum_tokens")
+    part_cols = list(part_cols or [])
+    cum = global_running_sum(sized, part_cols + ["doc_id"], val_col,
+                             "cum_tokens")
+    if part_cols:
+        base_off = (cum.groupBy(*part_cols)
+                    .agg(F.min(F.col("cum_tokens") - F.col(val_col))
+                         .alias("__base")))
+        cum = (cum.join(F.broadcast(base_off), part_cols)
+               .withColumn("cum_tokens",
+                           F.col("cum_tokens") - F.col("__base"))
+               .drop("__base"))
     start = (F.col("cum_tokens") - F.col(val_col)).alias("start_tok")
     stretch = F.col(val_col)
-    base = ["doc_id", val_col]
+    base = part_cols + ["doc_id", val_col]
     spans = (cum.select(*base, start)
              .select(*base, "start_tok",
                      F.explode(F.sequence(
@@ -328,6 +346,7 @@ def pack_spans(sized: DataFrame, seq_len: int,
     span_lo = F.greatest(F.col("start_tok"), seq_start)
     span_hi = F.least(F.col("start_tok") + stretch, seq_start + seq_len)
     out = [
+        *part_cols,
         F.col("seq_id").cast("bigint").alias("seq_id"), "doc_id",
         (span_lo - F.col("start_tok")).cast("bigint").alias("doc_offset"),
         (span_lo - seq_start).cast("bigint").alias("seq_offset"),

@@ -318,6 +318,38 @@ def test_sequence_packing_tiles_exactly(spark, sf_dir):
         assert total == _SEQ_LEN or (s == last_seq and total <= _SEQ_LEN)
 
 
+def test_pack_spans_part_cols_equals_per_group_packing(spark):
+    """Partition-scoped packing (q440's per-split streams): pack_spans
+    with part_cols must equal running pack_spans separately on each
+    group — same spans, seq_id restarting at 0 per group — while using
+    ONE prefix sum over the whole frame."""
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        pack_spans,
+    )
+
+    rows = [(d, ["a", "b", "c"][d % 3], 100 + 37 * d) for d in range(30)]
+    sized = spark.createDataFrame(
+        rows, "doc_id long, grp string, n_tokens long")
+    got = sorted(
+        pack_spans(sized, 256, eod_per_doc=True, part_cols=["grp"])
+        .collect(),
+        key=lambda r: (r.grp, r.seq_id, r.seq_offset))
+    want = []
+    for g in ("a", "b", "c"):
+        part = sized.filter(F.col("grp") == g).select("doc_id", "n_tokens")
+        for r in pack_spans(part, 256, eod_per_doc=True).collect():
+            want.append((g, r.seq_id, r.doc_id, r.doc_offset,
+                         r.seq_offset, r.n_span, r.has_eod))
+    want.sort(key=lambda t: (t[0], t[1], t[4]))
+    assert [(r.grp, r.seq_id, r.doc_id, r.doc_offset, r.seq_offset,
+             r.n_span, r.has_eod) for r in got] == want
+    # every group's stream starts at sequence 0, offset 0
+    firsts = {}
+    for r in got:
+        firsts.setdefault(r.grp, (r.seq_id, r.seq_offset))
+    assert all(v == (0, 0) for v in firsts.values())
+
+
 def test_pack_spans_eod_invariants_and_skew_bound(spark):
     """q397's structural laws on a synthetic corpus with a PATHOLOGICAL
     1M-token document: (a) the per-doc explode stays within its declared
