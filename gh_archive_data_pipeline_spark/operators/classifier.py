@@ -42,10 +42,13 @@ LR = 8.0
 CENTERS = (1.0, 0.5, 0.5, 0.5, 0.8)
 
 
-def quality_features(docs: DataFrame) -> DataFrame:
+def quality_features(docs: DataFrame,
+                     extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document feature vector (x1..x5) + weak label y (the q384
     Gopher composite rule). Every value is exact cross-engine arithmetic:
-    integer counts and one division each — no libm, no accumulation."""
+    integer counts and one division each — no libm, no accumulation.
+    ``extra_cols`` pass through untouched (q440 scores survivors inline,
+    keeping source/text alongside the features — zero extra joins)."""
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_words = F.size(toks).cast("bigint")
@@ -62,6 +65,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
             & (n_stop >= 2) & (distinct_ratio > 0.2) & (alpha_ratio >= 0.8))
     return docs.select(
         "doc_id",
+        *extra_cols,
         (nw_d / 100.0 - CENTERS[0]).alias("x1"),
         (mean_wl / 10.0 - CENTERS[1]).alias("x2"),
         (distinct_ratio - CENTERS[2]).alias("x3"),
@@ -124,28 +128,11 @@ def _z_sql() -> str:
             " + w5 * x5)")
 
 
-def _probe_train_ctes(rounds: int = ROUNDS, lr: float = LR) -> str:
-    """CTE text replaying train_quality_probe round by round."""
-    stages = []
-    for k in range(1, rounds + 1):
-        stages.append(f"""
-    r{k} AS MATERIALIZED (
-        SELECT w1 - {lr!r} * g1 / n AS w1, w2 - {lr!r} * g2 / n AS w2,
-               w3 - {lr!r} * g3 / n AS w3, w4 - {lr!r} * g4 / n AS w4,
-               w5 - {lr!r} * g5 / n AS w5, b - {lr!r} * gb / n AS b
-        FROM (SELECT count(*)::DOUBLE AS n, sum(e) AS gb,
-                     sum(e * x1) AS g1, sum(e * x2) AS g2,
-                     sum(e * x3) AS g3, sum(e * x4) AS g4,
-                     sum(e * x5) AS g5,
-                     any_value(w1) AS w1, any_value(w2) AS w2,
-                     any_value(w3) AS w3, any_value(w4) AS w4,
-                     any_value(w5) AS w5, any_value(b) AS b
-              FROM (SELECT f.*, r.*,
-                           1.0 / (1.0 + exp(-{_z_sql()})) - y AS e
-                    FROM feats f, r{k - 1} r))
-    ),""")
+def _feats_select_sql(src: str = "documents") -> str:
+    """Feature SELECT (doc_id, x1..x5, y) over relation ``src`` — the
+    body of the training ``feats`` CTE, factored so q440 can score its
+    pipeline survivors with the identical arithmetic."""
     return f"""
-    feats AS MATERIALIZED (
         SELECT doc_id,
                n_words / 100.0 - {CENTERS[0]!r} AS x1,
                mean_wl / 10.0 - {CENTERS[1]!r} AS x2,
@@ -171,7 +158,31 @@ def _probe_train_ctes(rounds: int = ROUNDS, lr: float = LR) -> str:
                            len(list_filter(list_distinct(
                                string_split(text, ' ')),
                                x -> x IN {_STOP_SQL}))::BIGINT AS n_stop_i
-                    FROM documents))
+                    FROM {src}))"""
+
+
+def _probe_train_ctes(rounds: int = ROUNDS, lr: float = LR) -> str:
+    """CTE text replaying train_quality_probe round by round."""
+    stages = []
+    for k in range(1, rounds + 1):
+        stages.append(f"""
+    r{k} AS MATERIALIZED (
+        SELECT w1 - {lr!r} * g1 / n AS w1, w2 - {lr!r} * g2 / n AS w2,
+               w3 - {lr!r} * g3 / n AS w3, w4 - {lr!r} * g4 / n AS w4,
+               w5 - {lr!r} * g5 / n AS w5, b - {lr!r} * gb / n AS b
+        FROM (SELECT count(*)::DOUBLE AS n, sum(e) AS gb,
+                     sum(e * x1) AS g1, sum(e * x2) AS g2,
+                     sum(e * x3) AS g3, sum(e * x4) AS g4,
+                     sum(e * x5) AS g5,
+                     any_value(w1) AS w1, any_value(w2) AS w2,
+                     any_value(w3) AS w3, any_value(w4) AS w4,
+                     any_value(w5) AS w5, any_value(b) AS b
+              FROM (SELECT f.*, r.*,
+                           1.0 / (1.0 + exp(-{_z_sql()})) - y AS e
+                    FROM feats f, r{k - 1} r))
+    ),""")
+    return f"""
+    feats AS MATERIALIZED ({_feats_select_sql("documents")}
     ),
     r0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS w5,
                   0.0 AS b),

@@ -1,0 +1,389 @@
+"""q440 — the END-TO-END corpus-build pipeline: every curation plane this
+engine ships, composed into ONE query whose oracle replays the full chain.
+
+Reference scope: lapis2002/gh-archive-data-pipeline stops at projection /
+distinct / na.drop ELT stages (load_data_task.py:177-191); this is the
+corpus funnel a training-data build actually runs, assembled from the
+planes built in rounds 1-8 (VERDICT r8 item 1):
+
+  raw documents (doc_id >= 25; doc_id < 25 is the held-out benchmark)
+    -> exact dedup               (q40's normalized-md5 keeper rule)
+    -> chunk-grain fuzzy dedup   (q429 pairs -> q441 keep/trim/drop
+                                  reconciliation, trims applied to text)
+    -> benchmark decontamination (q415's Bloom prefilter + exact verify
+                                  on the POST-TRIM text)
+    -> trained quality gate      (q401's logistic probe, weights applied
+                                  as a scan-side logit — no UDF, no join)
+    -> deterministic split       (q418's salted hash buckets)
+    -> EOD sequence packing      (q397's arithmetic, per-split streams)
+    -> release manifest          (q427's data-card shape, per split)
+
+Output: ONE row per split — the funnel (candidates, drops by stage,
+trims), the kept doc/token counts, the packed-sequence count, and two
+order-insensitive xor digests (kept doc-id set; full span table) that pin
+every upstream decision bit-for-bit: one wrong keeper, one mis-trimmed
+chunk, one leaked benchmark shingle, one flipped gate, one shifted span
+boundary anywhere flips a digest and fails the oracle.
+
+Composition contract (the 100 TB story this query exists to prove):
+- stages hand DataFrames to DataFrames with no driver round-trips (the
+  probe weights are the amortized q358/q376-style artifact entering as
+  literals; the prefix sum's bounded per-partition offset collect is
+  inside pack_spans and is O(partitions), not O(rows));
+- the quality gate and split assignment are scan-side expressions fused
+  into the disposition frame — zero added shuffles;
+- every join seam is either keyed on doc_id or broadcast (set-bit table,
+  split offsets, funnel rollups); tests/test_plan_quality.py pins the
+  composed plan's exchange count against the component sum (no re-shuffle
+  seams);
+- each stage's ANNOTATION FRAME materializes exactly once (lazy
+  localCheckpoint — at cluster scale, the stage product you persist to
+  the lake anyway: q374's disposition table, q434's export input). A
+  doc-level flag derived from doc content (exact-dup keeper, contaminated,
+  chunk dispositions) inherently consumes its input twice — once pruned
+  to compute the flag rollup, once as the annotation base for the join
+  back — so without the phase boundary every downstream consumer
+  re-derives the entire funnel lineage (measured: 56 exchanges fully
+  lazy vs ~20 with boundaries). Persist-once-read-twice at the natural
+  product is the scale-correct shape, not a seam.
+
+Digests are xor-of-md5-halves (order-insensitive, partial-aggregatable) —
+unlike q434's sorted-string digest, this one needs no per-group sort or
+collect_list and survives a billion-row split at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import load_table
+from .classifier import (
+    _cached_probe,
+    _feats_select_sql,
+    _probe_train_ctes,
+    _z_expr,
+    _z_sql,
+    ROUNDS,
+    quality_features,
+)
+from .dedup import (
+    BLOOM_HASHES,
+    EVAL_DOCS,
+    _bloom_positions_h,
+    _chunk_disposition_ctes,
+    _decon_shingle_sql,
+    chunk_dedup_dispositions,
+    decon_shingle_hashes,
+)
+from .sampling import SPLIT_SALT, SPLIT_TRAIN, SPLIT_VAL, assign_split
+from .selection import _SEQ_LEN, pack_spans
+
+
+def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
+    """Lazy phase boundary: materialize ONCE at first use (localCheckpoint
+    — on a cluster, the persisted stage product). Disabled by the
+    plan-seam gate test, which needs the un-truncated lineage to count
+    composition exchanges."""
+    return df.localCheckpoint(eager=False) if enabled else df
+
+
+def contaminated_ids(docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc_id) of ``corpus`` documents sharing an 8-word shingle with the
+    held-out benchmark slice (doc_id < EVAL_DOCS of ``docs``) — q415's
+    two-phase shape: Bloom prefilter (broadcast <= m-row set-bit table)
+    then exact verify, so the gate's semantics equal the exact semi-join
+    while the exact join's input is bounded by the filter at scale."""
+    ev = (decon_shingle_hashes(docs.filter(F.col("doc_id") < EVAL_DOCS))
+          .select("h1", "h2").distinct())
+    bits = (ev.select(F.explode(
+        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("pos"))
+        .distinct())
+    sh = decon_shingle_hashes(corpus)
+    pos = sh.select("doc_id", "h1", "h2", F.explode(
+        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
+    cand = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"])
+            .groupBy("doc_id", "h1", "h2")
+            .agg(F.count("*").alias("k"))
+            .filter(F.col("k") == BLOOM_HASHES))
+    return (cand.join(ev, ["h1", "h2"], "left_semi")
+            .select("doc_id").distinct())
+
+
+def phase1_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup annotation: every candidate (doc_id >= EVAL_DOCS) with
+    a ``keep1`` keeper flag — q40's normalized-content-hash rule as ONE
+    shuffle keyed on the fingerprint (window min, no self-join)."""
+    corpus0 = (docs.filter(F.col("doc_id") >= EVAL_DOCS)
+               .select("doc_id", "source", "text"))
+    fp = corpus0.withColumn(
+        "f", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+    return (fp.withColumn("kp",
+                          F.min("doc_id").over(Window.partitionBy("f")))
+            .withColumn("keep1", F.col("doc_id") == F.col("kp"))
+            .select("doc_id", "source", "text", "keep1"))
+
+
+def phase2_chunk(flag1: DataFrame) -> DataFrame:
+    """Chunk-grain fuzzy dedup + reconciliation (q429 -> q441) on the
+    exact-unique set, joined back onto every candidate row (ONE doc_id
+    annotation join — the only exchange this phase adds beyond the
+    standalone component's own)."""
+    recon = chunk_dedup_dispositions(
+        flag1.filter("keep1").select("doc_id", "text"))
+    return (flag1.select("doc_id", "source", "keep1")
+            .join(recon.select("doc_id", "disposition", "kept_tokens",
+                               "kept_text"), "doc_id", "left"))
+
+
+def phase3_gate_split(docs: DataFrame, ann1: DataFrame,
+                      w: list[float], b: float) -> DataFrame:
+    """Benchmark decontamination on the POST-TRIM text (one doc_id
+    annotation join), then the trained quality gate (scan-side logit)
+    and the deterministic split (scan-side salted hash) — the last two
+    add ZERO exchanges, pinned by the seam gate test."""
+    reached = ann1.filter(F.col("keep1")
+                          & (F.col("disposition") != "drop"))
+    contam = contaminated_ids(
+        docs, reached.select("doc_id", F.col("kept_text").alias("text")))
+    feat_in = ann1.join(contam.withColumn("_ct", F.lit(1)),
+                        "doc_id", "left").withColumn(
+        "text", F.coalesce("kept_text", F.lit("")))
+    scored = quality_features(
+        feat_in, extra_cols=("source", "keep1", "disposition",
+                             "kept_tokens", "_ct", "text"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_expr(w, b)))
+    outcome = (F.when(~F.col("keep1"), "exact_dup")
+               .when(F.col("disposition") == "drop", "chunk_dup")
+               .when(F.col("_ct").isNotNull(), "contaminated")
+               .when(~(F.col("_p") >= 0.5), "quality")
+               .otherwise("kept"))
+    return (assign_split(scored.withColumn("_p", p))
+            .withColumn("outcome", outcome)
+            .select("doc_id", "source", "split", "outcome", "disposition",
+                    "kept_tokens", F.col("text")))
+
+
+def build_disposition_table(spark: SparkSession, docs: DataFrame,
+                            w: list[float], b: float,
+                            checkpoint: bool = True) -> DataFrame:
+    """The pipeline's product: ONE row per candidate document (doc_id >=
+    EVAL_DOCS) with its split, funnel ``outcome`` ('exact_dup' |
+    'chunk_dup' | 'contaminated' | 'quality' | 'kept'), chunk
+    ``disposition``, post-policy ``text`` and ``kept_tokens``. ``w``/``b``
+    are the q401 probe weights. Three phase products, each checkpointed
+    once (see module docstring): the exact-dedup annotation, the
+    chunk-disposition annotation, and the final disposition table."""
+    flag1 = _ckpt(phase1_exact(docs), checkpoint)
+    ann1 = _ckpt(phase2_chunk(flag1), checkpoint)
+    return _ckpt(phase3_gate_split(docs, ann1, w, b), checkpoint)
+
+
+@register(
+    "q440_corpus_build_pipeline",
+    sql=f"""
+    WITH corpus0 AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE doc_id >= {EVAL_DOCS}),
+    fp0 AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM corpus0),
+    s1 AS (
+      SELECT doc_id, source, text
+      FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS kp FROM fp0)
+      WHERE doc_id = kp),
+    {_chunk_disposition_ctes(src="s1")},
+    s2 AS (
+      SELECT s1.doc_id, s1.source, r.kept_text AS text
+      FROM s1 JOIN recon r USING (doc_id)
+      WHERE r.disposition <> 'drop'),
+    evh2 AS (
+      SELECT DISTINCT h1, h2
+      FROM ({_decon_shingle_sql(
+          f'(SELECT doc_id, text FROM documents WHERE doc_id < {EVAL_DOCS})')}
+      ) e),
+    s2h AS ({_decon_shingle_sql('(SELECT doc_id, text FROM s2)')}),
+    contam AS (
+      SELECT DISTINCT s.doc_id FROM s2h s JOIN evh2 USING (h1, h2)),
+    s3 AS (
+      SELECT s2.* FROM s2 LEFT JOIN contam c USING (doc_id)
+      WHERE c.doc_id IS NULL),
+    {_probe_train_ctes()},
+    sfeats AS ({_feats_select_sql('(SELECT doc_id, text FROM s3)')}),
+    gate AS (
+      SELECT f.doc_id FROM sfeats f, r{ROUNDS} r
+      WHERE 1.0 / (1.0 + exp(-{_z_sql()})) >= 0.5),
+    s4 AS (
+      SELECT s3.doc_id, s3.source, s3.text
+      FROM s3 JOIN gate USING (doc_id)),
+    splitted AS (
+      SELECT doc_id, source, text,
+             CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+                   CAST(('0x' || substr(md5('{SPLIT_SALT}:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM s4)),
+    sized2 AS (
+      SELECT doc_id, split,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             (len(string_split(text, ' ')) + 1)::BIGINT AS stretch
+      FROM splitted),
+    cum2 AS (
+      SELECT doc_id, split, n_tokens, stretch,
+             (sum(stretch) OVER (PARTITION BY split ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+              - stretch)::BIGINT AS start_tok
+      FROM sized2),
+    spanrows AS (
+      SELECT split, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             (greatest(start_tok, seq_id * {_SEQ_LEN})
+              - start_tok)::BIGINT AS doc_offset,
+             (greatest(start_tok, seq_id * {_SEQ_LEN})
+              - seq_id * {_SEQ_LEN})::BIGINT AS seq_offset,
+             (least(start_tok + stretch, (seq_id + 1) * {_SEQ_LEN})
+              - greatest(start_tok, seq_id * {_SEQ_LEN}))::BIGINT AS n_span,
+             (least(start_tok + stretch, (seq_id + 1) * {_SEQ_LEN})
+              = start_tok + stretch) AS has_eod
+      FROM (SELECT *,
+                   unnest(range(start_tok // {_SEQ_LEN},
+                                (start_tok + stretch - 1) // {_SEQ_LEN} + 1))
+                     AS seq_id
+            FROM cum2)),
+    outcome AS (
+      SELECT c.doc_id,
+             CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
+                  WHEN b < {SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split,
+             CASE WHEN s1.doc_id IS NULL THEN 'exact_dup'
+                  WHEN r.disposition = 'drop' THEN 'chunk_dup'
+                  WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN g.doc_id IS NULL THEN 'quality'
+                  ELSE 'kept' END AS outcome,
+             CASE WHEN g.doc_id IS NOT NULL AND ct.doc_id IS NULL
+                       AND r.disposition = 'trim' THEN 1 ELSE 0 END
+               AS trimmed
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5('{SPLIT_SALT}:' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS b
+            FROM corpus0) c
+      LEFT JOIN s1 ON s1.doc_id = c.doc_id
+      LEFT JOIN recon r ON r.doc_id = c.doc_id
+      LEFT JOIN contam ct ON ct.doc_id = c.doc_id
+      LEFT JOIN gate g ON g.doc_id = c.doc_id),
+    funnel AS (
+      SELECT split,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN outcome = 'exact_dup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dropped_exact,
+             CAST(sum(CASE WHEN outcome = 'chunk_dup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dropped_chunk,
+             CAST(sum(CASE WHEN outcome = 'contaminated' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dropped_contaminated,
+             CAST(sum(CASE WHEN outcome = 'quality' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dropped_quality,
+             CAST(sum(trimmed) AS BIGINT) AS trimmed_docs
+      FROM outcome GROUP BY split),
+    keptstats AS (
+      SELECT split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT)) AS ids_xor
+      FROM splitted GROUP BY split),
+    packstats AS (
+      SELECT split,
+             CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             bit_xor(CAST(('0x' || substr(md5(
+                 CAST(seq_id AS VARCHAR) || ':' ||
+                 CAST(seq_offset AS VARCHAR) || ':' ||
+                 CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(doc_offset AS VARCHAR) || ':' ||
+                 CAST(n_span AS VARCHAR) || ':' ||
+                 CAST(CAST(has_eod AS INT) AS VARCHAR)), 1, 15))
+               AS BIGINT)) AS spans_xor
+      FROM spanrows GROUP BY split)
+    SELECT f.split, f.n_candidates, f.dropped_exact, f.dropped_chunk,
+           f.dropped_contaminated, f.dropped_quality, f.trimmed_docs,
+           coalesce(k.n_docs, 0) AS n_docs,
+           coalesce(k.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_seqs, 0) AS n_seqs,
+           coalesce(k.ids_xor, 0) AS ids_xor,
+           coalesce(p.spans_xor, 0) AS spans_xor
+    FROM funnel f
+    LEFT JOIN keptstats k ON k.split = f.split
+    LEFT JOIN packstats p ON p.split = f.split
+    ORDER BY f.split
+    """,
+)
+def q440_corpus_build_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """VERDICT-r8 item 1: the whole corpus-build funnel as ONE composed
+    query — see module docstring for the stage list and composition
+    contract. Output: per split, the funnel counts, kept doc/token
+    totals, packed-sequence count, and order-insensitive xor digests of
+    the kept-id set and the complete span table."""
+    docs = load_table(spark, sf_dir, "documents")
+    # probe weights: the amortized q358/q376-style artifact (trained on
+    # the raw documents table — q401's exact float sequence)
+    w, b = _cached_probe(spark, sf_dir)
+    disp = build_disposition_table(spark, docs, w, b)
+    kept = disp.filter(F.col("outcome") == "kept")
+    # per-split EOD packing of the kept set (one prefix sum, all splits);
+    # kept_tokens is the post-policy count carried on the disposition row
+    sized = kept.select("doc_id", "split",
+                        F.col("kept_tokens").alias("n_tokens"))
+    spans = pack_spans(sized, _SEQ_LEN, eod_per_doc=True,
+                       part_cols=["split"])
+    # manifest — three bounded rollups over the disposition table + spans
+    funnel = (disp.groupBy("split")
+              .agg(F.count("*").cast("bigint").alias("n_candidates"),
+                   F.sum((F.col("outcome") == "exact_dup").cast("int"))
+                   .cast("bigint").alias("dropped_exact"),
+                   F.sum((F.col("outcome") == "chunk_dup").cast("int"))
+                   .cast("bigint").alias("dropped_chunk"),
+                   F.sum((F.col("outcome") == "contaminated").cast("int"))
+                   .cast("bigint").alias("dropped_contaminated"),
+                   F.sum((F.col("outcome") == "quality").cast("int"))
+                   .cast("bigint").alias("dropped_quality"),
+                   F.sum(((F.col("outcome") == "kept")
+                          & (F.col("disposition") == "trim")).cast("int"))
+                   .cast("bigint").alias("trimmed_docs")))
+    keptstats = (kept.groupBy("split")
+                 .agg(F.count("*").cast("bigint").alias("n_docs"),
+                      F.sum("kept_tokens").cast("bigint")
+                      .alias("n_tokens"),
+                      F.expr("bit_xor(cast(conv(substring(md5(cast(doc_id "
+                             "as string)), 1, 15), 16, 10) as bigint))")
+                      .alias("ids_xor")))
+    packstats = (spans.groupBy("split")
+                 .agg(F.countDistinct("seq_id").cast("bigint")
+                      .alias("n_seqs"),
+                      F.expr(
+                          "bit_xor(cast(conv(substring(md5(concat_ws(':', "
+                          "seq_id, seq_offset, doc_id, doc_offset, n_span, "
+                          "cast(has_eod as int))), 1, 15), 16, 10) "
+                          "as bigint))")
+                      .alias("spans_xor")))
+    return (funnel
+            .join(keptstats, "split", "left")
+            .join(packstats, "split", "left")
+            .select("split", "n_candidates", "dropped_exact",
+                    "dropped_chunk", "dropped_contaminated",
+                    "dropped_quality", "trimmed_docs",
+                    F.coalesce("n_docs", F.lit(0)).cast("bigint")
+                    .alias("n_docs"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                    .alias("n_tokens"),
+                    F.coalesce("n_seqs", F.lit(0)).cast("bigint")
+                    .alias("n_seqs"),
+                    F.coalesce("ids_xor", F.lit(0)).cast("bigint")
+                    .alias("ids_xor"),
+                    F.coalesce("spans_xor", F.lit(0)).cast("bigint")
+                    .alias("spans_xor"))
+            .orderBy("split"))

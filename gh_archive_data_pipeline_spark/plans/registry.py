@@ -80,6 +80,7 @@ def _load_all() -> None:
         linalg,
         prefilter,
         multimodal,
+        pipeline_build,
         profiler,
         quality,
         quantize,

@@ -2364,6 +2364,30 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_q440_funnel_invariants(spark, sf_dir):
+    """The composed corpus-build pipeline's accounting laws: every
+    candidate lands in exactly one funnel bucket (candidates = drops +
+    kept, per split); the whole candidate universe (doc_id >= 25) is
+    covered; packed sequences tile each split's padded stream exactly
+    (n_seqs = ceil((n_tokens + n_docs EODs) / 2048)); digests are
+    nonzero where docs were kept."""
+    import math
+
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    rows = (all_queries()["q440_corpus_build_pipeline"]
+            .fn(spark, sf_dir).collect())
+    assert sorted(r.split for r in rows) == ["test", "train", "validation"]
+    assert sum(r.n_candidates for r in rows) == 475
+    for r in rows:
+        assert (r.dropped_exact + r.dropped_chunk + r.dropped_contaminated
+                + r.dropped_quality + r.n_docs) == r.n_candidates, r
+        assert 0 <= r.trimmed_docs <= r.n_docs
+        assert r.n_seqs == math.ceil((r.n_tokens + r.n_docs) / 2048), r
+        if r.n_docs:
+            assert r.ids_xor != 0 and r.spans_xor != 0
+
+
 def test_chunk_dispositions_containment_and_single_chunk_edges(spark):
     """q441 policy edges (VERDICT-r8 item 5): full containment -> the
     LATER doc drops entirely (keep-first); a single-chunk overlap on a

@@ -844,3 +844,84 @@ def test_q421_kcenter_argmax_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def _n_exchanges(df) -> int:
+    """Shuffle Exchange count in the formatted plan (BroadcastExchange
+    deliberately excluded — broadcasts are the cheap seam)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return len(re.findall(r"^\(\d+\) Exchange", buf.getvalue(), re.M))
+
+
+def test_q440_composition_adds_no_shuffle_seams(spark):
+    """VERDICT-r8 item 1's done-criterion: the composed corpus-build
+    pipeline's shuffle count equals the component sum — each phase, built
+    on the previous phase's MATERIALIZED product, spends exactly its
+    standalone component's exchanges plus ONE doc_id annotation join; the
+    quality gate and split assignment add ZERO (scan-side fusion)."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.operators.classifier import (
+        _cached_probe,
+    )
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        chunk_dedup_dispositions,
+    )
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        contaminated_ids,
+        phase1_exact,
+        phase2_chunk,
+        phase3_gate_split,
+    )
+    from gh_archive_data_pipeline_spark.operators.sampling import (
+        assign_split,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    w, b = _cached_probe(spark, SF)
+    plain = docs.select("doc_id", "text")
+
+    # standalone component costs, measured on raw inputs
+    c_exact = _n_exchanges(phase1_exact(docs))
+    c_chunk = _n_exchanges(chunk_dedup_dispositions(plain))
+    c_decon = _n_exchanges(contaminated_ids(docs, plain))
+
+    # phase 1 IS the standalone component (identical construction)
+    flag1 = phase1_exact(docs).localCheckpoint()
+    assert c_exact == 1
+
+    # phase 2 on the materialized phase-1 product: component + 1 join
+    ann1 = phase2_chunk(flag1)
+    assert _n_exchanges(ann1) == c_chunk + 1, "chunk phase grew a seam"
+    ann1 = ann1.localCheckpoint()
+
+    # phase 3 on the materialized phase-2 product: component + 1 join,
+    # and the gate + split columns add exactly ZERO exchanges
+    disp = phase3_gate_split(docs, ann1, w, b)
+    n_disp = _n_exchanges(disp)
+    assert n_disp == c_decon + 1, "decon phase grew a seam"
+    reached = ann1.filter(F.col("keep1") & (F.col("disposition") != "drop"))
+    contam_only = (ann1.join(
+        contaminated_ids(
+            docs, reached.select("doc_id",
+                                 F.col("kept_text").alias("text")))
+        .withColumn("_ct", F.lit(1)), "doc_id", "left"))
+    assert n_disp == _n_exchanges(contam_only), \
+        "gate/split must be scan-side (zero added exchanges)"
+    assert _n_exchanges(assign_split(flag1)) == _n_exchanges(flag1)
+
+    # and nothing anywhere degenerates to a cross product
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disp.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
