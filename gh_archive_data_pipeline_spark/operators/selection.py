@@ -476,6 +476,112 @@ q397_sequence_packing_eod.__doc__ = q397_sequence_packing_eod.__doc__.replace(
 
 
 # ---------------------------------------------------------------------------
+# q442 — epoch-reproducible dataloader ordering over packed sequences
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = "epoch-v1"   # version the shuffle: changing the seed is the
+                          # ONLY thing that can move an assignment
+EPOCH_SHARDS = 4          # dataloader reader streams
+_Q442_EPOCHS = (0, 1)     # the epochs the registry query materializes
+
+
+def epoch_order(seqs: DataFrame, epochs: list[int],
+                seed: str = EPOCH_SEED,
+                num_shards: int = EPOCH_SHARDS,
+                id_col: str = "seq_id") -> DataFrame:
+    """Deterministic per-epoch dataloader ordering over a sequence
+    universe — the last mechanical step between packed sequences (q397)
+    and a training run (VERDICT-r8 item 4).
+
+    Each (epoch, sequence) gets a keyed permutation key md5-60
+    ('{seed}:{epoch}:{seq_id}'); the SHARD is key mod ``num_shards`` — a
+    pure function of (seed, epoch, seq_id), so growing the corpus can
+    NEVER move an existing sequence across shards (the q418 split
+    stability property, applied to the shuffle). The within-shard OFFSET
+    is the rank under (key, seq_id) — a stable sort key, so inserting new
+    sequences shifts existing offsets but never reorders existing
+    sequences relative to each other. Per epoch the output is a bijection
+    onto (shard, offset) pairs; different epochs/seeds decorrelate
+    (property-pinned in tests).
+
+    100 TB lens: the key and shard are scan-side md5 expressions; the
+    only shuffle is the per-shard rank window, whose partition = one
+    dataloader reader stream (the unit a trainer consumes sequentially —
+    if one shard outgrows an executor, global_rank per shard is the
+    drop-in). Output: (epoch, shard, offset, seq_id)."""
+    ep = F.explode(F.array(*[F.lit(e) for e in epochs])).alias("epoch")
+    keyed = (seqs.select(F.col(id_col).alias("seq_id"))
+             .select("seq_id", ep)
+             .withColumn("okey", F.conv(F.substring(F.md5(F.concat(
+                 F.lit(seed + ":"), F.col("epoch").cast("string"),
+                 F.lit(":"), F.col("seq_id").cast("string"))), 1, 15),
+                 16, 10).cast("bigint")))
+    w = (Window.partitionBy("epoch", F.pmod("okey", F.lit(num_shards)))
+         .orderBy("okey", "seq_id"))
+    return (keyed.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.pmod("okey", F.lit(num_shards)).cast("int").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("offset"),
+        "seq_id"))
+
+
+@register(
+    "q442_epoch_shuffle_plan",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               (len(string_split(text, ' ')) + 1)::BIGINT AS stretch
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, stretch,
+               (sum(stretch) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                - stretch)::BIGINT AS start_tok
+        FROM sized
+    ),
+    seqs AS (
+        SELECT DISTINCT CAST(seq_id AS BIGINT) AS seq_id
+        FROM (SELECT unnest(range(start_tok // {_SEQ_LEN},
+                     (start_tok + stretch - 1) // {_SEQ_LEN} + 1)) AS seq_id
+              FROM cum)
+    ),
+    keyed AS (
+        SELECT e.epoch, s.seq_id,
+               CAST(('0x' || substr(md5('{EPOCH_SEED}:' ||
+                    CAST(e.epoch AS VARCHAR) || ':' ||
+                    CAST(s.seq_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+        FROM seqs s, (VALUES {', '.join(f'({e})' for e in _Q442_EPOCHS)})
+             e(epoch)
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(okey % {EPOCH_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, okey % {EPOCH_SHARDS}
+               ORDER BY okey, seq_id) AS BIGINT) AS "offset",
+           seq_id
+    FROM keyed
+    ORDER BY epoch, shard, "offset"
+    """,
+)
+def q442_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle plan over q397's packed-sequence universe: for two
+    epochs, every sequence's (shard, within-shard offset) under the keyed
+    permutation — see :func:`epoch_order`. The oracle replays q397's
+    packing arithmetic to the same sequence universe, then the same md5
+    keys, shards and ranks, so one moved assignment anywhere fails the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    seqs = (pack_spans(sized, _SEQ_LEN, eod_per_doc=True)
+            .select("seq_id").distinct())
+    return (epoch_order(seqs, list(_Q442_EPOCHS))
+            .orderBy("epoch", "shard", "offset"))
+
+
+# ---------------------------------------------------------------------------
 # q382 — perplexity filtering (CCNet-style, Kneser-Ney bigram LM)
 # ---------------------------------------------------------------------------
 

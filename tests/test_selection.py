@@ -318,6 +318,64 @@ def test_sequence_packing_tiles_exactly(spark, sf_dir):
         assert total == _SEQ_LEN or (s == last_seq and total <= _SEQ_LEN)
 
 
+def test_epoch_order_bijection_and_decorrelation(spark):
+    """q442 laws: per epoch the assignment is a BIJECTION onto (shard,
+    offset) — every sequence exactly once, offsets dense 1..n per shard —
+    and different epochs / different seeds produce different orderings
+    (the keyed permutation actually permutes)."""
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        epoch_order,
+    )
+
+    seqs = spark.createDataFrame([(i,) for i in range(64)], "seq_id long")
+    rows = epoch_order(seqs, [0, 1]).collect()
+    for ep in (0, 1):
+        mine = [r for r in rows if r.epoch == ep]
+        assert sorted(r.seq_id for r in mine) == list(range(64))
+        assert len({(r.shard, r.offset) for r in mine}) == 64
+        by_shard: dict = {}
+        for r in mine:
+            by_shard.setdefault(r.shard, []).append(r.offset)
+        for offs in by_shard.values():
+            assert sorted(offs) == list(range(1, len(offs) + 1))
+    # epochs decorrelate: the global orderings differ
+    order0 = [r.seq_id for r in sorted(
+        (r for r in rows if r.epoch == 0), key=lambda r: (r.shard, r.offset))]
+    order1 = [r.seq_id for r in sorted(
+        (r for r in rows if r.epoch == 1), key=lambda r: (r.shard, r.offset))]
+    assert order0 != order1
+    # seeds decorrelate: same epoch, different seed -> different ordering
+    alt = epoch_order(seqs, [0], seed="epoch-v2").collect()
+    order_alt = [r.seq_id for r in sorted(alt,
+                                          key=lambda r: (r.shard, r.offset))]
+    assert order_alt != order0
+
+
+def test_epoch_order_growth_stability(spark):
+    """q442's q418-style stability: growing the sequence universe can
+    never move an existing sequence across shards, and never reorders
+    existing sequences relative to each other within a shard (offsets may
+    shift; the relative order may not)."""
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        epoch_order,
+    )
+
+    small = spark.createDataFrame([(i,) for i in range(40)], "seq_id long")
+    grown = spark.createDataFrame([(i,) for i in range(100)], "seq_id long")
+    a = {r.seq_id: r for r in epoch_order(small, [0]).collect()}
+    b = {r.seq_id: r for r in epoch_order(grown, [0]).collect()}
+    shard_a: dict = {}
+    shard_b: dict = {}
+    for i in range(40):
+        assert a[i].shard == b[i].shard, f"seq {i} changed shard on growth"
+        shard_a.setdefault(a[i].shard, []).append((a[i].offset, i))
+        shard_b.setdefault(b[i].shard, []).append((b[i].offset, i))
+    for sh, pairs in shard_a.items():
+        old_order = [i for _, i in sorted(pairs)]
+        new_order = [i for _, i in sorted(shard_b[sh])]
+        assert old_order == new_order, f"shard {sh} reordered on growth"
+
+
 def test_pack_spans_part_cols_equals_per_group_packing(spark):
     """Partition-scoped packing (q440's per-split streams): pack_spans
     with part_cols must equal running pack_spans separately on each
