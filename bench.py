@@ -118,6 +118,14 @@ BASELINE_SEC = {
 # host contention — so THEY are the primary regression gate; wall time is
 # the secondary signal. Values regenerated by tools/snapshot_plan_metrics.py.
 PLAN_SNAPSHOT: dict[str, dict] = {
+    # q440's counters cover the post-checkpoint manifest rollups only (the
+    # disposition table materializes via lazy localCheckpoint inside the
+    # timed window, like q421) — wall time still measures the whole funnel
+    "q440_corpus_build_pipeline": {"shuffle_records": 2276,
+                                   "rows_read": 12159},
+    "q441_chunk_disposition_reconcile": {"shuffle_records": 80502,
+                                         "rows_read": 1254170},
+    "q442_epoch_shuffle_plan": {"shuffle_records": 5406, "rows_read": 5032},
     "q01_pricing_summary": {"shuffle_records": 7, "rows_read": 600000},
     "q03_shipping_priority": {"shuffle_records": 13345, "rows_read": 765000},
     "q05_region_revenue": {"shuffle_records": 6, "rows_read": 765030},
@@ -417,6 +425,12 @@ HEADLINE = [
     "q415_bloom_decontamination",
     "q419_maxsim_late_interaction",
     "q421_kcenter_coreset",
+    # round 9: the composed end-to-end corpus-build pipeline (probe
+    # weights amortized in prep — q401 stays the honest-trainer headline),
+    # chunk-grain fuzzy-match reconciliation, epoch shuffle plan
+    "q440_corpus_build_pipeline",
+    "q441_chunk_disposition_reconcile",
+    "q442_epoch_shuffle_plan",
 ]
 
 
@@ -485,6 +499,14 @@ def main() -> None:
         _cached_codebooks,
     )
     _cached_codebooks(spark, sf_dir)
+    # q440 measures the composed PIPELINE; its quality-probe weights are
+    # the amortized artifact (q401 stays the honest-trainer headline that
+    # measures training itself — same convention as the PQ codebook /
+    # merge-table / MinHash-index preps above)
+    from gh_archive_data_pipeline_spark.operators.classifier import (  # noqa: E402
+        _cached_probe,
+    )
+    _cached_probe(spark, sf_dir)
     # Host-speed canary, sampled BEFORE the loop (3 samples after warmup),
     # once every CANARY_EVERY headliners DURING it, and AFTER it (3 samples)
     # — the round-7 lesson: with only a pre/post pair, one contention spike

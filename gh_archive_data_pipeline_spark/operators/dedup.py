@@ -94,8 +94,20 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Output: doc_a, doc_b, jaccard. Quadratic — use only on a candidate set
     (post-LSH) or a bounded window; minhash_near_dup is the scale path.
-    """
-    sh = shingles(docs, n=n).select(F.col(id_col), F.col("shingles"))
+
+    The pairwise intersects run on md5-60 BIGINT shingle hashes, not the
+    shingle strings (round-9 slow-tail fix: the all-pairs join replicates
+    each document's shingle array into every pair row, so element width is
+    the dominant cost — ints cut the pair-row bytes ~3x and the intersect
+    compares longs instead of strings). Distinct strings map to distinct
+    hashes, so every count — and therefore the Jaccard value the string
+    oracle computes — is unchanged (the q415/q42 hashed-shingle
+    convention)."""
+    sh = (shingles(docs, n=n)
+          .select(F.col(id_col),
+                  F.expr("transform(shingles, s -> cast(conv(substring("
+                         "md5(s), 1, 15), 16, 10) as bigint))")
+                  .alias("shingles")))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -1275,19 +1287,30 @@ def q311_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (q42), whose exact-Jaccard verify already exists."""
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 500))
-    pairs = ngram_jaccard_pairs(docs).select(
-        F.col("doc_a").alias("da"), F.col("doc_b").alias("db"),
-        F.col("jaccard").alias("j"))
+    # localCheckpoint = "computed ONCE" made literal: without it Catalyst
+    # collapses the jaccard projection INTO the threshold-join condition
+    # and re-evaluates the set intersect once per (pair, threshold) row —
+    # measured 6x the intersect cost (round-9 slow-tail fix). The pair
+    # table is the bounded audit sample (3 numeric cols), so the
+    # materialization is small by contract.
+    pairs = (ngram_jaccard_pairs(docs)
+             .select(F.col("doc_a").alias("da"),
+                     F.col("doc_b").alias("db"),
+                     F.col("jaccard").alias("j"))
+             .localCheckpoint(eager=False))
     th = spark.createDataFrame([(t,) for t in (0.02, 0.05, 0.1, 0.5, 0.95)],
                                "t double")
+    # ONE pass over the pairs for both statistics (round-9 slow-tail fix:
+    # the old two-branch agg re-derived the all-pairs Jaccard twice —
+    # 15.6s -> ~half): each surviving (pair, threshold) row explodes to
+    # its two endpoints, so n_pairs = rows/2 exactly and n_docs is the
+    # distinct endpoint count, from a single shuffle.
     hit = pairs.join(F.broadcast(th), F.col("j") >= F.col("t"))
-    pair_counts = hit.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
-    docs_hit = (hit.select("t", F.col("da").alias("d"))
-                .unionAll(hit.select("t", F.col("db").alias("d")))
-                .groupBy("t")
-                .agg(F.count_distinct("d").alias("n_docs")))
-    return (th.join(pair_counts, "t", "left")
-            .join(docs_hit, "t", "left")
+    ends = hit.select("t", F.explode(F.array("da", "db")).alias("d"))
+    agg = (ends.groupBy("t")
+           .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+                F.count_distinct("d").alias("n_docs")))
+    return (th.join(agg, "t", "left")
             .select(F.col("t").alias("threshold"),
                     F.coalesce("n_pairs", F.lit(0)).cast("bigint")
                     .alias("n_pairs"),
