@@ -492,3 +492,27 @@ def test_gold_dim_parity_on_multi_event_file(spark, tmp_path):
     assert sp["users"][0] == 2        # avatar_url differs -> 2 users
     assert sp["organizations"][0] == 1  # partial org na.drop'd
     assert sp["events"][0] == 2      # duplicate id dedup'd, earliest kept
+
+
+def test_cli_demo_end_to_end(spark, tmp_path):
+    """The newcomer command (`python -m gh_archive_data_pipeline_spark
+    demo`): bronze -> silver -> gold -> profile -> manifest over the
+    checked-in reference sample, offline, with the round-trip self-check.
+    Runs in-process against this session (main() must NOT stop a session
+    it didn't create)."""
+    import json
+    import os
+
+    from gh_archive_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "demo")
+    assert main(["demo", "--out", out]) == 0
+    with open(f"{out}/manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["silver_rows"] == 1
+    assert manifest["gold"]["events"]["n_rows"] == 1
+    assert manifest["gold"]["users"]["n_rows"] == 1
+    assert manifest["gold"]["organizations"]["n_rows"] == 0  # sample has none
+    assert os.path.isdir(f"{out}/gold/events")
+    # the shared session survived main()'s teardown guard
+    assert spark.range(1).count() == 1
