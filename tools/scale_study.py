@@ -125,6 +125,9 @@ QUERY_TABLES = {
     "q436_bloom_sizing_sweep": ["documents"],
     "q437_ivf_nprobe_sweep": ["embeddings"],
     "q438_scalar_quant_recall": ["embeddings"],
+    "q440_corpus_build_pipeline": ["documents"],
+    "q441_chunk_disposition_reconcile": ["documents"],
+    "q442_epoch_shuffle_plan": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -187,6 +190,11 @@ QUERIES = [
     "q408_png_pixel_decode",
     "q409_wav_pcm_decode",
     "q410_avi_frame_sample",
+    # round 9: the composed corpus-build pipeline + its reconciliation
+    # stage + the epoch shuffle plan
+    "q440_corpus_build_pipeline",
+    "q441_chunk_disposition_reconcile",
+    "q442_epoch_shuffle_plan",
 ]
 
 
@@ -291,6 +299,16 @@ def main() -> None:
         print("# training BPE merge tables (q394 prep)...", file=sys.stderr)
         _cached_merges(spark, base_dir)
         _cached_merges(spark, big_dir)
+    if "q440_corpus_build_pipeline" in QUERIES:
+        # q440 measures the composed PIPELINE; its probe weights are the
+        # amortized artifact (bench.py's prep contract — q401 separately
+        # measures training itself)
+        from gh_archive_data_pipeline_spark.operators.classifier import (
+            _cached_probe,
+        )
+        print("# training quality probes (q440 prep)...", file=sys.stderr)
+        _cached_probe(spark, base_dir)
+        _cached_probe(spark, big_dir)
     print("# timing 1x", file=sys.stderr)
     t1 = time_queries(spark, base_dir)
     print(f"# timing {n}x", file=sys.stderr)
