@@ -180,10 +180,13 @@ def build_disposition_table(spark: SparkSession, docs: DataFrame,
     return _ckpt(phase3_gate_split(docs, ann1, w, b), checkpoint)
 
 
-@register(
-    "q440_corpus_build_pipeline",
-    sql=f"""
-    WITH corpus0 AS (
+def _pipeline_ctes() -> str:
+    """The full corpus-build funnel as a DuckDB CTE block, ending with
+    ``splitted`` (kept docs + split), ``spanrows`` (the per-split packed
+    span table) and the stage survivor sets (s1/recon/contam/gate) — the
+    replay both q440 (manifest) and q443 (epoch plan over the pipeline's
+    train stream) select from."""
+    return f"""corpus0 AS (
       SELECT doc_id, source, text FROM documents
       WHERE doc_id >= {EVAL_DOCS}),
     fp0 AS (
@@ -253,7 +256,13 @@ def build_disposition_table(spark: SparkSession, docs: DataFrame,
                    unnest(range(start_tok // {_SEQ_LEN},
                                 (start_tok + stretch - 1) // {_SEQ_LEN} + 1))
                      AS seq_id
-            FROM cum2)),
+            FROM cum2))"""
+
+
+@register(
+    "q440_corpus_build_pipeline",
+    sql=f"""
+    WITH {_pipeline_ctes()},
     outcome AS (
       SELECT c.doc_id,
              CASE WHEN b < {SPLIT_TRAIN} THEN 'train'
@@ -387,3 +396,59 @@ def q440_corpus_build_pipeline(spark: SparkSession,
                     F.coalesce("spans_xor", F.lit(0)).cast("bigint")
                     .alias("spans_xor"))
             .orderBy("split"))
+
+
+# ---------------------------------------------------------------------------
+# q443 — the loop closed: epoch shuffle plan over the PIPELINE's train
+# stream (raw docs -> curated -> packed -> epoch-ordered, one replay)
+# ---------------------------------------------------------------------------
+
+from .selection import EPOCH_SEED, EPOCH_SHARDS, epoch_order  # noqa: E402
+
+_Q443_EPOCHS = (0, 1)
+
+
+@register(
+    "q443_pipeline_epoch_plan",
+    sql=f"""
+    WITH {_pipeline_ctes()},
+    trainseqs AS (
+      SELECT DISTINCT seq_id FROM spanrows WHERE split = 'train'),
+    keyed AS (
+      SELECT e.epoch, s.seq_id,
+             CAST(('0x' || substr(md5('{EPOCH_SEED}:' ||
+                  CAST(e.epoch AS VARCHAR) || ':' ||
+                  CAST(s.seq_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+      FROM trainseqs s,
+           (VALUES {', '.join(f'({e})' for e in _Q443_EPOCHS)}) e(epoch))
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(okey % {EPOCH_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, okey % {EPOCH_SHARDS}
+               ORDER BY okey, seq_id) AS BIGINT) AS "offset",
+           seq_id
+    FROM keyed
+    ORDER BY epoch, shard, "offset"
+    """,
+)
+def q443_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dataloader path in ONE oracle-replayed query: q440's
+    funnel (exact dedup -> chunk trim -> decontamination -> quality gate
+    -> split) packs the surviving TRAIN split into sequences, and q442's
+    keyed permutation orders them into per-epoch (shard, offset)
+    assignments — raw documents in, a train-ready epoch plan out. Every
+    upstream policy decision moves some sequence boundary or membership,
+    so the oracle pins the full composition end to end. Scale shape:
+    q440's funnel + q442's scan-side keys and per-shard rank windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = _cached_probe(spark, sf_dir)
+    disp = build_disposition_table(spark, docs, w, b)
+    kept = disp.filter(F.col("outcome") == "kept")
+    sized = kept.select("doc_id", "split",
+                        F.col("kept_tokens").alias("n_tokens"))
+    spans = pack_spans(sized, _SEQ_LEN, eod_per_doc=True,
+                       part_cols=["split"])
+    trainseqs = (spans.filter(F.col("split") == "train")
+                 .select("seq_id").distinct())
+    return (epoch_order(trainseqs, list(_Q443_EPOCHS))
+            .orderBy("epoch", "shard", "offset"))
