@@ -2364,6 +2364,33 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_contaminated_ids_equals_exact_semi_join(spark, sf_dir):
+    """q440's decontamination gate: the Bloom prefilter is a pure
+    work-bounder — the gated result must EQUAL the exact shingle
+    semi-join (no false negatives by Bloom law; false positives removed
+    by the exact verify)."""
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        EVAL_DOCS,
+        decon_shingle_hashes,
+    )
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        contaminated_ids,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= EVAL_DOCS).select(
+        "doc_id", "text")
+    got = {r.doc_id for r in contaminated_ids(docs, corpus).collect()}
+    ev = (decon_shingle_hashes(docs.filter(F.col("doc_id") < EVAL_DOCS))
+          .select("h1", "h2").distinct())
+    exact = {r.doc_id for r in
+             (decon_shingle_hashes(corpus)
+              .join(ev, ["h1", "h2"], "left_semi")
+              .select("doc_id").distinct()).collect()}
+    assert got == exact and exact  # nonempty on the fixture
+
+
 def test_q440_funnel_invariants(spark, sf_dir):
     """The composed corpus-build pipeline's accounting laws: every
     candidate lands in exactly one funnel bucket (candidates = drops +
