@@ -128,6 +128,7 @@ QUERY_TABLES = {
     "q440_corpus_build_pipeline": ["documents"],
     "q441_chunk_disposition_reconcile": ["documents"],
     "q442_epoch_shuffle_plan": ["documents"],
+    "q443_pipeline_epoch_plan": ["documents"],
 }
 
 # key columns to shift per replica so cardinalities scale with N
@@ -299,7 +300,7 @@ def main() -> None:
         print("# training BPE merge tables (q394 prep)...", file=sys.stderr)
         _cached_merges(spark, base_dir)
         _cached_merges(spark, big_dir)
-    if "q440_corpus_build_pipeline" in QUERIES:
+    if {"q440_corpus_build_pipeline", "q443_pipeline_epoch_plan"} & set(QUERIES):
         # q440 measures the composed PIPELINE; its probe weights are the
         # amortized artifact (bench.py's prep contract — q401 separately
         # measures training itself)
