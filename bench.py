@@ -110,6 +110,13 @@ BASELINE_SEC = {
     "q415_bloom_decontamination": 1.668,
     "q419_maxsim_late_interaction": 6.072,
     "q421_kcenter_coreset": 1.122,
+    # round 9 (min-of-2, host settling to idle — canary triad 1.09/0.91/
+    # 2.02 pre, 0.79/0.57/0.53 post; probe weights prepped, q401
+    # convention): composed corpus-build pipeline, chunk-grain
+    # reconciliation, epoch shuffle plan
+    "q440_corpus_build_pipeline": 8.742,
+    "q441_chunk_disposition_reconcile": 2.657,
+    "q442_epoch_shuffle_plan": 1.098,
 }
 
 # Snapshot of each headline query's executed-plan work counters at sf0.1
