@@ -531,6 +531,35 @@ def test_normalized_vs_baseline_clamps_and_scales():
     assert normalized_vs_baseline({"x": 1.0}, baseline, 1.0) == ({}, None)
 
 
+def test_drain_prep_tail_bounded_and_stops_when_quiet(monkeypatch):
+    """Round-9 canary fix: the pre/post-triad drain (a) returns as soon as
+    one untimed canary lands within 3x of idle baseline, (b) gives up
+    after at most 6 runs on a persistently loaded host (it can only eat
+    the prep artifact, never mask sustained contention), and (c) sleeps
+    once — wall cost is bounded."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = []
+
+    def fake_canary(spark):
+        calls.append(1)
+        # two spiked samples (the prep tail), then quiet
+        return (bench.CANARY_BASELINE_SEC * 30 if len(calls) < 3
+                else bench.CANARY_BASELINE_SEC)
+
+    monkeypatch.setattr(bench, "canary_once", fake_canary)
+    bench.drain_prep_tail(None)
+    assert len(calls) == 3  # stopped on the first quiet sample
+    # persistently loaded host: bounded at `limit` runs, then proceeds
+    calls.clear()
+    monkeypatch.setattr(
+        bench, "canary_once",
+        lambda spark: (calls.append(1), bench.CANARY_BASELINE_SEC * 30)[1])
+    bench.drain_prep_tail(None)
+    assert len(calls) == 6
+
+
 def test_capped_host_ratio_median_and_cap():
     """The round-8 canary contract: (a) the ratio is the MEDIAN of the full
     interleaved pre/mid/post sample list, so one contention spike landing on
