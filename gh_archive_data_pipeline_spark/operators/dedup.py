@@ -2305,15 +2305,34 @@ def chunk_dedup_dispositions(docs: DataFrame,
         F.col("chunk").alias("text"))
     pairs = minhash_near_dup(as_docs, id_col="chunk_id",
                              threshold=threshold)
-    mch = (pairs.filter(
+    return _dispositions_from_matches(chunks, later_matched_chunks(pairs),
+                                      drop_at, trim_at)
+
+
+def later_matched_chunks(pairs: DataFrame) -> DataFrame:
+    """(doc_id, idx) of the LATER (doc_b-side) chunk of every cross-doc
+    pair — the keep-first matched set the disposition policy consumes.
+    ``pairs`` is any (doc_a < doc_b) chunk-pair frame with CHUNK_KEY ids
+    (q441's one-shot minhash or q444's incremental probe — the per-batch
+    union over an id-ordered stream equals the one-shot set, the
+    q376/q379 equality)."""
+    return (pairs.filter(
         (F.col("doc_a") / CHUNK_KEY).cast("bigint")
         != (F.col("doc_b") / CHUNK_KEY).cast("bigint"))
         .select((F.col("doc_b") / CHUNK_KEY).cast("bigint").alias("doc_id"),
                 F.pmod(F.col("doc_b"), F.lit(CHUNK_KEY)).cast("int")
                 .alias("idx"))
-        .distinct()
-        .withColumn("m", F.lit(1)))
-    flagged = chunks.join(mch, ["doc_id", "idx"], "left")
+        .distinct())
+
+
+def _dispositions_from_matches(chunks: DataFrame, mch: DataFrame,
+                               drop_at: float = CHUNK_DROP_AT,
+                               trim_at: float = CHUNK_TRIM_AT) -> DataFrame:
+    """The policy rollup shared by q441 (one-shot) and q444 (per stream
+    batch): (doc_id, idx, chunk) + matched (doc_id, idx) -> per-doc
+    disposition row with the post-policy reconstruction."""
+    flagged = chunks.join(mch.withColumn("m", F.lit(1)),
+                          ["doc_id", "idx"], "left")
     n_words = F.size(F.split("chunk", " ")).cast("bigint")
     agg = (flagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),

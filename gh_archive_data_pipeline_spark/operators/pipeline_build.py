@@ -259,9 +259,7 @@ def _pipeline_ctes() -> str:
             FROM cum2))"""
 
 
-@register(
-    "q440_corpus_build_pipeline",
-    sql=f"""
+_Q440_SQL = f"""
     WITH {_pipeline_ctes()},
     outcome AS (
       SELECT c.doc_id,
@@ -328,28 +326,21 @@ def _pipeline_ctes() -> str:
     LEFT JOIN keptstats k ON k.split = f.split
     LEFT JOIN packstats p ON p.split = f.split
     ORDER BY f.split
-    """,
-)
-def q440_corpus_build_pipeline(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
-    """VERDICT-r8 item 1: the whole corpus-build funnel as ONE composed
-    query — see module docstring for the stage list and composition
-    contract. Output: per split, the funnel counts, kept doc/token
-    totals, packed-sequence count, and order-insensitive xor digests of
-    the kept-id set and the complete span table."""
-    docs = load_table(spark, sf_dir, "documents")
-    # probe weights: the amortized q358/q376-style artifact (trained on
-    # the raw documents table — q401's exact float sequence)
-    w, b = _cached_probe(spark, sf_dir)
-    disp = build_disposition_table(spark, docs, w, b)
+    """
+
+
+def manifest_from_disposition(disp: DataFrame) -> DataFrame:
+    """The per-split release manifest from a disposition table (q440's
+    schema: doc_id, source, split, outcome, disposition, kept_tokens,
+    text): per-split EOD packing of the kept set (one prefix sum, all
+    splits) + three bounded rollups. Shared by q440 (one-shot build) and
+    q444 (the manifest over a continuously-built disposition table)."""
     kept = disp.filter(F.col("outcome") == "kept")
-    # per-split EOD packing of the kept set (one prefix sum, all splits);
     # kept_tokens is the post-policy count carried on the disposition row
     sized = kept.select("doc_id", "split",
                         F.col("kept_tokens").alias("n_tokens"))
     spans = pack_spans(sized, _SEQ_LEN, eod_per_doc=True,
                        part_cols=["split"])
-    # manifest — three bounded rollups over the disposition table + spans
     funnel = (disp.groupBy("split")
               .agg(F.count("*").cast("bigint").alias("n_candidates"),
                    F.sum((F.col("outcome") == "exact_dup").cast("int"))
@@ -396,6 +387,22 @@ def q440_corpus_build_pipeline(spark: SparkSession,
                     F.coalesce("spans_xor", F.lit(0)).cast("bigint")
                     .alias("spans_xor"))
             .orderBy("split"))
+
+
+@register("q440_corpus_build_pipeline", sql=_Q440_SQL)
+def q440_corpus_build_pipeline(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """VERDICT-r8 item 1: the whole corpus-build funnel as ONE composed
+    query — see module docstring for the stage list and composition
+    contract. Output: per split, the funnel counts, kept doc/token
+    totals, packed-sequence count, and order-insensitive xor digests of
+    the kept-id set and the complete span table."""
+    docs = load_table(spark, sf_dir, "documents")
+    # probe weights: the amortized q358/q376-style artifact (trained on
+    # the raw documents table — q401's exact float sequence)
+    w, b = _cached_probe(spark, sf_dir)
+    disp = build_disposition_table(spark, docs, w, b)
+    return manifest_from_disposition(disp)
 
 
 # ---------------------------------------------------------------------------
@@ -452,3 +459,147 @@ def q443_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("seq_id").distinct())
     return (epoch_order(trainseqs, list(_Q443_EPOCHS))
             .orderBy("epoch", "shard", "offset"))
+
+
+# ---------------------------------------------------------------------------
+# q444 — the q440 funnel as CONTINUOUS INGEST: candidates arrive as a real
+# file-source stream; each micro-batch dispositions itself against the
+# standing state (fingerprints + chunk MinHash index), then becomes state.
+# The final standing disposition table is bit-equal to the one-shot build.
+# ---------------------------------------------------------------------------
+
+@register("q444_stream_corpus_build", sql=_Q440_SQL)
+def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational loop a 100 TB corpus build actually runs: candidate
+    documents LAND CONTINUOUSLY (4 real micro-batches, doc_id-range
+    ordered — the arrival order of a partitioned landing zone) and each
+    batch runs the ENTIRE q440 funnel against the standing state:
+
+    1. exact dedup vs the standing fingerprint table (a batch doc is a dup
+       iff a strictly-lower doc_id anywhere — standing or in-batch — has
+       its normalized fingerprint; strict `<` makes an at-least-once RETRY
+       idempotent, since a replayed batch's own appended rows carry equal
+       ids);
+    2. chunk-grain fuzzy dedup via incremental_near_dup against the
+       standing CHUNK MinHash index (q376/q379's probe-then-append at
+       q429's grain) -> q441's keep/trim/drop policy, trims applied;
+    3. Bloom+exact benchmark decontamination, quality-probe gate and
+       split assignment — all stateless scan-side, identical to q440;
+    4. append: the batch's disposition rows, its survivor fingerprints
+       and its survivor chunks (PRE-trim — the one-shot engine matches
+       against every exact-survivor chunk, trimmed-away copies included)
+       each land in their own ``batch=<id>`` / ``ingest=<id>`` partition
+       (overwrite -> retry-idempotent, the q379 convention).
+
+    Because batches are id-ordered and every policy is keep-first
+    (lower id wins), the UNION of per-batch decisions equals the one-shot
+    q440 build — chunk-pair equality is the q376/q379 incremental-probe
+    contract, exact-dup equality is the strict-lower-fingerprint rule —
+    so the streamed disposition table feeds the SAME manifest rollup and
+    the oracle is q440's replay verbatim. That equality claim IS the
+    query: one moved boundary, one batch-order artifact, one missed
+    cross-batch duplicate anywhere fails the hash."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from ..streaming.stream_queries import ensure_runtime_confs
+    from ..streaming.pipeline import read_file_stream
+    from .dedup import (
+        CHUNK_KEY,
+        _dispositions_from_matches,
+        build_minhash_index,
+        doc_chunks,
+        incremental_near_dup,
+        later_matched_chunks,
+        minhash_index_append,
+    )
+
+    ensure_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = _cached_probe(spark, sf_dir)
+
+    # landing zone: candidates in 4 doc_id-range files with increasing
+    # mtimes -> 4 deterministic micro-batches (the q379 convention)
+    corpus0 = (docs.filter(F.col("doc_id") >= EVAL_DOCS)
+               .select("doc_id", "source", "text"))
+    land = tempfile.mkdtemp(prefix="corpus_build_land_")
+    atexit.register(shutil.rmtree, land, ignore_errors=True)
+    (corpus0.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(land))
+    for i, f in enumerate(sorted(glob.glob(f"{land}/part-*"))):
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # standing state: chunk MinHash index (bootstrapped EMPTY), survivor
+    # fingerprints, disposition rows
+    idx = tempfile.mkdtemp(prefix="corpus_build_idx_")
+    fps_dir = tempfile.mkdtemp(prefix="corpus_build_fps_")
+    out = tempfile.mkdtemp(prefix="corpus_build_disp_")
+    ckpt = tempfile.mkdtemp(prefix="corpus_build_ckpt_")
+    for d in (idx, fps_dir, out, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    empty_chunks = spark.createDataFrame([], "chunk_id long, text string")
+    build_minhash_index(empty_chunks, idx, id_col="chunk_id")
+    fp_schema = "f string, doc_id bigint"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        # stage 1: exact dedup vs standing fingerprints + in-batch window
+        bfp = batch.withColumn("f", F.md5(F.trim(
+            F.regexp_replace(F.lower("text"), r"\s+", " "))))
+        if glob.glob(f"{fps_dir}/batch=*"):
+            st = (spark.read.schema(StructType.fromDDL(fp_schema))
+                  .parquet(*glob.glob(f"{fps_dir}/batch=*"))
+                  .withColumnRenamed("doc_id", "st_id"))
+            dup_st = (bfp.join(st, "f", "left")
+                      .groupBy("doc_id")
+                      .agg(F.max((F.col("st_id") < F.col("doc_id"))
+                                 .cast("int")).alias("_dup")))
+            bfp = bfp.join(dup_st, "doc_id", "left").withColumn(
+                "_dup", F.coalesce("_dup", F.lit(0)))
+        else:
+            bfp = bfp.withColumn("_dup", F.lit(0))
+        wmin = Window.partitionBy("f")
+        flag1 = (bfp.withColumn("kp", F.min("doc_id").over(wmin))
+                 .withColumn("keep1", (F.col("_dup") == 0)
+                             & (F.col("doc_id") == F.col("kp"))))
+        s1b = (flag1.filter("keep1")
+               .select("doc_id", "source", "text").localCheckpoint())
+        # stage 2: chunk dispositions vs the standing chunk index
+        chunks = doc_chunks(s1b).localCheckpoint()
+        as_docs = chunks.select(
+            (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+            F.col("chunk").alias("text"))
+        pairs = incremental_near_dup(spark, idx, as_docs,
+                                     id_col="chunk_id", threshold=0.5)
+        recon_b = _dispositions_from_matches(
+            chunks, later_matched_chunks(pairs))
+        ann_b = (flag1.select("doc_id", "source", "keep1")
+                 .join(recon_b.select("doc_id", "disposition",
+                                      "kept_tokens", "kept_text"),
+                       "doc_id", "left"))
+        # stage 3: decontamination (stateless vs the held-out slice) +
+        # gate + split — q440's phase 3, batch-scoped
+        disp_b = phase3_gate_split(docs, ann_b, w, b)
+        disp_b.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        # stage 4: the batch becomes standing state (overwrite -> retry-
+        # idempotent; survivor chunks PRE-trim, see docstring)
+        minhash_index_append(spark, idx, as_docs, ingest_id=f"b{batch_id}",
+                             id_col="chunk_id")
+        (s1b.select(F.md5(F.trim(F.regexp_replace(
+            F.lower("text"), r"\s+", " "))).alias("f"), "doc_id")
+         .write.mode("overwrite").parquet(f"{fps_dir}/batch={batch_id}"))
+
+    stream = read_file_stream(spark, land, corpus0.schema,
+                              max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q444_stream_corpus_build drain exceeded 300s")
+    disp = spark.read.parquet(out).drop("batch")
+    return manifest_from_disposition(disp)
