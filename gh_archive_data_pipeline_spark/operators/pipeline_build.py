@@ -468,6 +468,34 @@ def q443_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The final standing disposition table is bit-equal to the one-shot build.
 # ---------------------------------------------------------------------------
 
+def batch_exact_flags(batch: DataFrame,
+                      standing: DataFrame | None) -> DataFrame:
+    """q444's stage-1 rule: flag each batch doc ``keep1`` iff NO
+    strictly-lower doc_id anywhere carries its normalized fingerprint —
+    neither in the ``standing`` (f, doc_id) survivor table nor within the
+    batch (min-id window). The strict ``<`` is the at-least-once RETRY
+    armor: a replayed batch finds its OWN appended rows in standing with
+    EQUAL ids, which therefore cannot flag it — decisions are identical
+    on replay (pinned by unit test). With doc_id-ordered batches the
+    per-batch union of keep1 sets equals the one-shot global min-id
+    keeper rule."""
+    bfp = batch.withColumn("f", F.md5(F.trim(
+        F.regexp_replace(F.lower("text"), r"\s+", " "))))
+    if standing is not None:
+        st = standing.withColumnRenamed("doc_id", "st_id")
+        dup_st = (bfp.join(st, "f", "left")
+                  .groupBy("doc_id")
+                  .agg(F.max((F.col("st_id") < F.col("doc_id"))
+                             .cast("int")).alias("_dup")))
+        bfp = bfp.join(dup_st, "doc_id", "left").withColumn(
+            "_dup", F.coalesce("_dup", F.lit(0)))
+    else:
+        bfp = bfp.withColumn("_dup", F.lit(0))
+    return (bfp.withColumn("kp",
+                           F.min("doc_id").over(Window.partitionBy("f")))
+            .withColumn("keep1", (F.col("_dup") == 0)
+                        & (F.col("doc_id") == F.col("kp"))))
+
 @register("q444_stream_corpus_build", sql=_Q440_SQL)
 def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational loop a 100 TB corpus build actually runs: candidate
@@ -548,24 +576,11 @@ def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # stage 1: exact dedup vs standing fingerprints + in-batch window
-        bfp = batch.withColumn("f", F.md5(F.trim(
-            F.regexp_replace(F.lower("text"), r"\s+", " "))))
+        standing = None
         if glob.glob(f"{fps_dir}/batch=*"):
-            st = (spark.read.schema(StructType.fromDDL(fp_schema))
-                  .parquet(*glob.glob(f"{fps_dir}/batch=*"))
-                  .withColumnRenamed("doc_id", "st_id"))
-            dup_st = (bfp.join(st, "f", "left")
-                      .groupBy("doc_id")
-                      .agg(F.max((F.col("st_id") < F.col("doc_id"))
-                                 .cast("int")).alias("_dup")))
-            bfp = bfp.join(dup_st, "doc_id", "left").withColumn(
-                "_dup", F.coalesce("_dup", F.lit(0)))
-        else:
-            bfp = bfp.withColumn("_dup", F.lit(0))
-        wmin = Window.partitionBy("f")
-        flag1 = (bfp.withColumn("kp", F.min("doc_id").over(wmin))
-                 .withColumn("keep1", (F.col("_dup") == 0)
-                             & (F.col("doc_id") == F.col("kp"))))
+            standing = (spark.read.schema(StructType.fromDDL(fp_schema))
+                        .parquet(*glob.glob(f"{fps_dir}/batch=*")))
+        flag1 = batch_exact_flags(batch, standing)
         s1b = (flag1.filter("keep1")
                .select("doc_id", "source", "text").localCheckpoint())
         # stage 2: chunk dispositions vs the standing chunk index

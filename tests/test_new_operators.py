@@ -2364,6 +2364,43 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_batch_exact_flags_retry_idempotent_and_keep_first(spark):
+    """q444's stage-1 laws: (a) keep-first — a standing fingerprint with a
+    strictly lower doc_id kills every batch copy, and within a batch the
+    min-id copy survives; (b) at-least-once RETRY idempotence — replaying
+    a batch whose own survivor rows already sit in the standing table
+    (equal doc_ids) yields the IDENTICAL keep1 decisions."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        batch_exact_flags,
+    )
+
+    batch = spark.createDataFrame(
+        [(30, "s", "alpha beta"), (31, "s", "alpha beta"),
+         (32, "s", "fresh text")],
+        "doc_id long, source string, text string")
+    # no standing state: in-batch window only
+    first = {r.doc_id: r.keep1
+             for r in batch_exact_flags(batch, None).collect()}
+    assert first == {30: True, 31: False, 32: True}
+    # standing copy of 'alpha beta' at a LOWER id kills both batch copies
+    fp = "alpha beta"
+    import hashlib
+
+    f = hashlib.md5(fp.encode()).hexdigest()
+    lower = spark.createDataFrame([(f, 10)], "f string, doc_id bigint")
+    with_lower = {r.doc_id: r.keep1
+                  for r in batch_exact_flags(batch, lower).collect()}
+    assert with_lower == {30: False, 31: False, 32: True}
+    # RETRY: standing contains the batch's OWN appended survivors (equal
+    # ids) — decisions must not change
+    own = spark.createDataFrame(
+        [(f, 30), (hashlib.md5(b"fresh text").hexdigest(), 32)],
+        "f string, doc_id bigint")
+    retry = {r.doc_id: r.keep1
+             for r in batch_exact_flags(batch, own).collect()}
+    assert retry == first
+
+
 def test_contaminated_ids_equals_exact_semi_join(spark, sf_dir):
     """q440's decontamination gate: the Bloom prefilter is a pure
     work-bounder — the gated result must EQUAL the exact shingle
