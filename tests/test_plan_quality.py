@@ -532,11 +532,13 @@ def test_normalized_vs_baseline_clamps_and_scales():
 
 
 def test_drain_prep_tail_bounded_and_stops_when_quiet(monkeypatch):
-    """Round-9 canary fix: the pre/post-triad drain (a) returns as soon as
-    one untimed canary lands within 3x of idle baseline, (b) gives up
-    after at most 6 runs on a persistently loaded host (it can only eat
-    the prep artifact, never mask sustained contention), and (c) sleeps
-    once — wall cost is bounded."""
+    """Round-9 canary fix: the pre/post-triad drain (a) returns only after
+    TWO consecutive untimed canaries land within 3x of idle baseline (the
+    cleanup burst can straddle a single quiet sample — a 31 s first
+    recorded sample was measured behind a single-quiet drain), (b) a
+    spike between quiet samples resets the requirement, (c) it gives up
+    after at most 8 runs on a persistently loaded host (it can only eat
+    the prep artifact, never mask sustained contention)."""
     import bench
 
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -550,14 +552,25 @@ def test_drain_prep_tail_bounded_and_stops_when_quiet(monkeypatch):
 
     monkeypatch.setattr(bench, "canary_once", fake_canary)
     bench.drain_prep_tail(None)
-    assert len(calls) == 3  # stopped on the first quiet sample
+    assert len(calls) == 4  # spike, spike, quiet, quiet
+    # a spike BETWEEN quiet samples resets the consecutive counter
+    calls.clear()
+    pattern = [1.0, 30.0, 1.0, 1.0]  # quiet, late burst, quiet, quiet
+
+    def straddle(spark):
+        calls.append(1)
+        return bench.CANARY_BASELINE_SEC * pattern[len(calls) - 1]
+
+    monkeypatch.setattr(bench, "canary_once", straddle)
+    bench.drain_prep_tail(None)
+    assert len(calls) == 4
     # persistently loaded host: bounded at `limit` runs, then proceeds
     calls.clear()
     monkeypatch.setattr(
         bench, "canary_once",
         lambda spark: (calls.append(1), bench.CANARY_BASELINE_SEC * 30)[1])
     bench.drain_prep_tail(None)
-    assert len(calls) == 6
+    assert len(calls) == 8
 
 
 def test_capped_host_ratio_median_and_cap():
