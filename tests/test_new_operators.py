@@ -2364,6 +2364,21 @@ class _FalseDeleteFS:
         return getattr(self._real, name)
 
 
+def test_q444_streamed_build_equals_one_shot_q440(spark, sf_dir):
+    """The round-9 flagship claim, pinned engine-side (both also share
+    the DuckDB oracle): draining the corpus through q444's 4-micro-batch
+    probe-then-append loop yields EXACTLY the one-shot q440 manifest —
+    same funnel counts, same kept sets (ids_xor), same span table
+    (spans_xor). One missed cross-batch duplicate, one batch-order
+    artifact, one moved boundary and a digest flips."""
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    batch = qs["q440_corpus_build_pipeline"].fn(spark, sf_dir).collect()
+    streamed = qs["q444_stream_corpus_build"].fn(spark, sf_dir).collect()
+    assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
+
+
 def test_batch_exact_flags_retry_idempotent_and_keep_first(spark):
     """q444's stage-1 laws: (a) keep-first — a standing fingerprint with a
     strictly lower doc_id kills every batch copy, and within a batch the
