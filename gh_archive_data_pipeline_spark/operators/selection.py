@@ -581,6 +581,101 @@ def q442_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("epoch", "shard", "offset"))
 
 
+# modulus of q445's order-sensitive digest: each term is
+# (offset * (md5_60 % P)) % P — the product stays inside int64 for offsets
+# up to ~4.3e9 and the reduced terms are < P, so the SUM stays inside
+# int64 to ~4.3e9 rows/shard; identical exact integer ops on both engines
+_ORD_P = 2_147_483_647
+
+
+@register(
+    "q445_epoch_plan_export",
+    sql=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               (len(string_split(text, ' ')) + 1)::BIGINT AS stretch
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, stretch,
+               (sum(stretch) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                - stretch)::BIGINT AS start_tok
+        FROM sized
+    ),
+    seqs AS (
+        SELECT DISTINCT CAST(seq_id AS BIGINT) AS seq_id
+        FROM (SELECT unnest(range(start_tok // {_SEQ_LEN},
+                     (start_tok + stretch - 1) // {_SEQ_LEN} + 1)) AS seq_id
+              FROM cum)
+    ),
+    keyed AS (
+        SELECT seq_id,
+               CAST(('0x' || substr(md5('{EPOCH_SEED}:0:' ||
+                    CAST(seq_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+        FROM seqs
+    ),
+    plan0 AS (
+        SELECT CAST(okey % {EPOCH_SHARDS} AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY okey % {EPOCH_SHARDS}
+                   ORDER BY okey, seq_id) AS BIGINT) AS "offset",
+               seq_id
+        FROM keyed
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(min("offset") AS BIGINT) AS first_offset,
+           CAST(max("offset") AS BIGINT) AS last_offset,
+           CAST(sum("offset" * (('0x' || substr(md5(
+                CAST(seq_id AS VARCHAR)), 1, 15))::BIGINT % {_ORD_P})
+                % {_ORD_P}) AS BIGINT) AS ord_digest
+    FROM plan0 GROUP BY shard ORDER BY shard
+    """,
+)
+def q445_epoch_plan_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataloader plan's LAST mile, sink included (the q434 round-trip
+    convention applied to q442): epoch-0's (shard, offset, seq_id) plan is
+    WRITTEN as shard-partitioned parquet — the per-reader files a trainer
+    opens — read BACK, and summarized per shard from the round-tripped
+    bytes: sequence count, first/last offset (contiguity: 1..n_seqs), and
+    an ORDER-SENSITIVE digest sum(offset * md5_60(seq_id) mod P) — a plain
+    partial-aggregatable SUM (no per-shard sort, no collect_list — works
+    at a billion rows/shard), yet swapping any two sequences' positions
+    changes it. A dropped shard partition, truncated file, or reordered
+    assignment fails the ORACLE compare, not just a unit test.
+
+    100 TB lens: q442's scan-side keys + per-shard rank, one partitioned
+    write keyed by shard (= one directory per reader stream), one columnar
+    re-read, and a shard-keyed rollup of int triples."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    seqs = (pack_spans(sized, _SEQ_LEN, eod_per_doc=True)
+            .select("seq_id").distinct())
+    plan0 = epoch_order(seqs, [0]).drop("epoch")
+    out = tempfile.mkdtemp(prefix="epoch_plan_export_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    plan0.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    h31 = (F.conv(F.substring(F.md5(F.col("seq_id").cast("string")),
+                              1, 15), 16, 10).cast("bigint") % _ORD_P)
+    return (back.groupBy("shard")
+            .agg(F.count("*").cast("bigint").alias("n_seqs"),
+                 F.min("offset").cast("bigint").alias("first_offset"),
+                 F.max("offset").cast("bigint").alias("last_offset"),
+                 F.sum((F.col("offset") * h31) % _ORD_P).cast("bigint")
+                 .alias("ord_digest"))
+            .select(F.col("shard").cast("int").alias("shard"), "n_seqs",
+                    "first_offset", "last_offset", "ord_digest")
+            .orderBy("shard"))
+
+
 # ---------------------------------------------------------------------------
 # q382 — perplexity filtering (CCNet-style, Kneser-Ney bigram LM)
 # ---------------------------------------------------------------------------
