@@ -676,10 +676,15 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
     if not fs.createNewFile(marker):  # atomic publish
         raise IOError(f"publish marker already exists: {marker} — "
                       "a concurrent rebuild raced this version")
-    # lock cleanup is best-effort AFTER the publish landed: a false return
-    # here must not fail a successful publish, and a surviving .lock is
-    # harmless (same number the .ready already pins; vacuum sweeps it)
-    fs.delete(lock, False)
+    # The lock is a PERMANENT claim on this version number — deliberately
+    # NOT deleted after publish. Round-9 find (surfaced by the two-writer
+    # race test under host load): a laggard that computed the same next_v
+    # BEFORE this publish would, after a post-publish lock delete, succeed
+    # at createNewFile and clobber the published v=N's files before its
+    # own marker create finally failed. With the lock retained, every
+    # stale claimant fails AT THE LOCK, before touching a byte — whatever
+    # the scheduling. The marker pins the same number anyway; vacuum
+    # removes the lock together with its generation.
     return next_v
 
 

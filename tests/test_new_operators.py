@@ -2590,6 +2590,11 @@ def test_ivf_rebuild_two_writer_race_loser_raises_before_touching(
     # winner published, and no second generation ever appeared
     assert tree_md5(f"{idx}/v=0") == snap and snap
     assert os.path.exists(f"{idx}/_v_0.ready")
+    # the winner's lock SURVIVES publish (round-9 protocol fix): deleting
+    # it re-opened the version number to a laggard whose next_v predated
+    # the publish — the laggard would re-create the lock and clobber the
+    # published v=0's files before its marker create finally failed
+    assert os.path.exists(f"{idx}/_v_0.lock")
     assert not os.path.isdir(f"{idx}/v=1")
     # and the published index actually answers searches (sanity)
     monkeypatch.setattr(sim, "hadoop_fs", real_hadoop_fs)
