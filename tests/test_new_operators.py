@@ -2602,6 +2602,82 @@ def test_ivf_rebuild_two_writer_race_loser_raises_before_touching(
     assert sim.ivf_search(spark, idx, queries).count() == 25
 
 
+def test_election_claim_winner_canonicalizes(spark, tmp_path):
+    """Object-store claim path (round-10): a lone claimant wins the
+    election and records the canonical ``.lock`` beside its uuid claim."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import hadoop_fs
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    fs, _ = hadoop_fs(spark, idx)
+    sim._election_claim(spark, fs, idx, 0)
+    names = sorted(os.listdir(idx))
+    assert "_v_0.lock" in names
+    assert any(n.startswith("_v_0.lock.") for n in names)
+
+
+def test_election_claim_loses_to_existing_claims(spark, tmp_path):
+    """A claimant must lose to (a) a canonical .lock, (b) a published
+    .ready, and (c) a rival election claim that sorts first — each raising
+    before any byte of v=N could be written."""
+    import os
+
+    import pytest
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import hadoop_fs
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    fs, _ = hadoop_fs(spark, idx)
+
+    open(f"{idx}/_v_0.lock", "w").close()
+    with pytest.raises(IOError, match="lock already exists"):
+        sim._election_claim(spark, fs, idx, 0)
+
+    open(f"{idx}/_v_1.ready", "w").close()
+    with pytest.raises(IOError, match="lock already exists"):
+        sim._election_claim(spark, fs, idx, 1)
+
+    # rival uuid claim sorting first: force our uuid to the top of the sort
+    open(f"{idx}/_v_2.lock.0000rival", "w").close()
+
+    class _BigUuid:
+        hex = "ffffffffffffffffffffffffffffffff"
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(sim.uuid, "uuid4", lambda: _BigUuid())
+        with pytest.raises(IOError, match="election lost"):
+            sim._election_claim(spark, fs, idx, 2)
+    # the loser's claim file stays (a permanent claim on the number) but
+    # no canonical lock was forged for it
+    assert not os.path.exists(f"{idx}/_v_2.lock")
+
+
+def test_ivf_rebuild_skips_election_claimed_version(spark, sf_dir, tmp_path):
+    """An orphan election claim (``_v_N.lock.<uuid>`` with no .ready — a
+    crashed object-store rebuild) permanently retires version N: the next
+    rebuild publishes N+1, and vacuum sweeps the orphan claim once a newer
+    version is active."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    open(f"{idx}/_v_0.lock.deadbeef", "w").close()   # crashed claimant
+    assert sim.ivf_rebuild(spark, idx) == 1          # 0 is claimed forever
+    removed = sim.ivf_vacuum(spark, idx, keep_last=1)
+    assert f"{idx}/_v_0.lock" in removed
+    assert not os.path.exists(f"{idx}/_v_0.lock.deadbeef")
+    assert os.path.isdir(f"{idx}/v=1")
+
+
 def test_ivf_vacuum_raises_on_failed_delete(spark, sf_dir, tmp_path,
                                             monkeypatch):
     """A false return from fs.delete must raise, never leave the path on
@@ -2673,22 +2749,12 @@ def test_ivf_rebuild_loser_raises_before_touching_files(spark, sf_dir,
 
     real_hadoop_fs = sim.hadoop_fs
 
-    class _LockTakenFS:
-        """createNewFile returns False (another rebuild claimed the lock
-        in the window between listStatus and the claim)."""
-
-        def __init__(self, real):
-            self._real = real
-
-        def createNewFile(self, path):
-            return False
-
-        def __getattr__(self, name):
-            return getattr(self._real, name)
-
     def fake_hadoop_fs(spark_, path):
-        fs, p = real_hadoop_fs(spark_, path)
-        return _LockTakenFS(fs), p
+        # a rival rebuild claims the lock in the window between our
+        # listStatus and our claim — the O_EXCL create must then fail
+        if path.endswith(".lock"):
+            open(path, "w").close()
+        return real_hadoop_fs(spark_, path)
 
     monkeypatch.setattr(sim, "hadoop_fs", fake_hadoop_fs)
     builds = []
