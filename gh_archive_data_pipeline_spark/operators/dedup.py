@@ -100,13 +100,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     each document's shingle array into every pair row, so element width is
     the dominant cost — ints cut the pair-row bytes ~3x and the intersect
     compares longs instead of strings). Distinct strings map to distinct
-    hashes, so every count — and therefore the Jaccard value the string
-    oracle computes — is unchanged (the q415/q42 hashed-shingle
-    convention)."""
+    hashes collision-free w.h.p. at 60 bits (ADVICE r9: not a certainty —
+    the array_distinct below keeps size() consistent with what the
+    intersect sees even under a within-document collision, so the Jaccard
+    stays a true set ratio over the hashed sets; an actual collision would
+    shift the value vs the string-set oracle by ~1/|shingles|)."""
     sh = (shingles(docs, n=n)
           .select(F.col(id_col),
-                  F.expr("transform(shingles, s -> cast(conv(substring("
-                         "md5(s), 1, 15), 16, 10) as bigint))")
+                  F.array_distinct(F.expr(
+                      "transform(shingles, s -> cast(conv(substring("
+                      "md5(s), 1, 15), 16, 10) as bigint))"))
                   .alias("shingles")))
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -2183,7 +2186,34 @@ def q420_cdc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q429 — chunk-level (fuzzy paragraph) MinHash near-dup
 # ---------------------------------------------------------------------------
 
-CHUNK_KEY = 64  # chunk_id = doc_id * 64 + idx (n_chunks << 64 on any doc)
+# chunk_id = doc_id * CHUNK_KEY + idx. 2^20 chunk slots per document =
+# ~16M words at CHUNK_WORDS=16 before the encode would alias into the next
+# document's id space — and chunk_key_id() raises instead of aliasing
+# (ADVICE r9: at 64 slots, a >1024-word doc silently corrupted its
+# neighbors' dispositions, and the oracle replayed the same convention so
+# parity could not catch it). doc_id must stay < 2^43 (8.8e12 documents)
+# for the product to fit int64.
+CHUNK_KEY = 2 ** 20
+
+
+def chunk_key_id(doc_id_col, idx_col):
+    """Guarded chunk-id encode: ``doc_id * CHUNK_KEY + idx``, raising at
+    runtime if a document has >= CHUNK_KEY chunks instead of silently
+    aliasing into another document's id space."""
+    checked = F.when(idx_col < CHUNK_KEY, idx_col).otherwise(F.raise_error(
+        F.format_string(
+            "doc %s has chunk idx %s >= CHUNK_KEY=" + str(CHUNK_KEY)
+            + " — the chunk_id encode would alias into another document; "
+            "raise CHUNK_KEY", doc_id_col.cast("string"),
+            idx_col.cast("string"))))
+    return doc_id_col * CHUNK_KEY + checked
+
+
+def chunk_key_doc(name: str):
+    """Decode the document id from a CHUNK_KEY chunk id — INTEGER ``div``,
+    not float ``/`` (ADVICE r9: double rounding can diverge from the
+    oracle's ``//`` floor division for very large chunk ids)."""
+    return F.expr(f"{name} div {CHUNK_KEY}")
 
 
 @register(
@@ -2210,8 +2240,9 @@ CHUNK_KEY = 64  # chunk_id = doc_id * 64 + idx (n_chunks << 64 on any doc)
 def q429_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy PARAGRAPH-level near-dup detection — the granularity between
     q42 (whole-document MinHash) and q393/q414 (exact spans/chunks): each
-    16-word chunk becomes its own MinHash document (chunk_id = doc_id*64 +
-    idx), runs through the SAME banded LSH + exact-Jaccard verify as q42,
+    16-word chunk becomes its own MinHash document (chunk_id = doc_id *
+    CHUNK_KEY + idx, alias-guarded), runs through the SAME banded LSH +
+    exact-Jaccard verify as q42,
     and pairs at jaccard >= 0.5 surface both cross-document boilerplate
     and within-document repetition (cross_doc pins which). Reuses
     minhash_near_dup verbatim — the operator is granularity-agnostic by
@@ -2229,16 +2260,15 @@ def q429_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{float(CHUNK_WORDS)!r}) as int) - 1),"
             f" i -> array_join(slice(w, i*{CHUNK_WORDS} + 1, {CHUNK_WORDS}),"
             f" ' '))")).alias("idx", "text")).select(
-        (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+        chunk_key_id(F.col("doc_id"), F.col("idx")).alias("chunk_id"),
         "text")
     pairs = minhash_near_dup(chunks, id_col="chunk_id", threshold=0.5)
     return (pairs.select(
         F.col("doc_a").alias("chunk_a"), F.col("doc_b").alias("chunk_b"),
         "jaccard",
-        (F.col("doc_a") / CHUNK_KEY).cast("bigint").alias("doc_a"),
-        (F.col("doc_b") / CHUNK_KEY).cast("bigint").alias("doc_b"),
-        ((F.col("doc_a") / CHUNK_KEY).cast("bigint")
-         != (F.col("doc_b") / CHUNK_KEY).cast("bigint")).cast("int")
+        chunk_key_doc("doc_a").alias("doc_a"),
+        chunk_key_doc("doc_b").alias("doc_b"),
+        (chunk_key_doc("doc_a") != chunk_key_doc("doc_b")).cast("int")
         .alias("cross_doc"))
         .orderBy("chunk_a", "chunk_b"))
 
@@ -2301,7 +2331,7 @@ def chunk_dedup_dispositions(docs: DataFrame,
     matched flags travel as ints."""
     chunks = doc_chunks(docs)
     as_docs = chunks.select(
-        (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+        chunk_key_id(F.col("doc_id"), F.col("idx")).alias("chunk_id"),
         F.col("chunk").alias("text"))
     pairs = minhash_near_dup(as_docs, id_col="chunk_id",
                              threshold=threshold)
@@ -2316,13 +2346,11 @@ def later_matched_chunks(pairs: DataFrame) -> DataFrame:
     (q441's one-shot minhash or q444's incremental probe — the per-batch
     union over an id-ordered stream equals the one-shot set, the
     q376/q379 equality)."""
-    return (pairs.filter(
-        (F.col("doc_a") / CHUNK_KEY).cast("bigint")
-        != (F.col("doc_b") / CHUNK_KEY).cast("bigint"))
-        .select((F.col("doc_b") / CHUNK_KEY).cast("bigint").alias("doc_id"),
-                F.pmod(F.col("doc_b"), F.lit(CHUNK_KEY)).cast("int")
-                .alias("idx"))
-        .distinct())
+    return (pairs.filter(chunk_key_doc("doc_a") != chunk_key_doc("doc_b"))
+            .select(chunk_key_doc("doc_b").alias("doc_id"),
+                    F.pmod(F.col("doc_b"), F.lit(CHUNK_KEY)).cast("int")
+                    .alias("idx"))
+            .distinct())
 
 
 def _dispositions_from_matches(chunks: DataFrame, mch: DataFrame,

@@ -538,9 +538,9 @@ def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream_queries import ensure_runtime_confs
     from ..streaming.pipeline import read_file_stream
     from .dedup import (
-        CHUNK_KEY,
         _dispositions_from_matches,
         build_minhash_index,
+        chunk_key_id,
         doc_chunks,
         incremental_near_dup,
         later_matched_chunks,
@@ -586,7 +586,7 @@ def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage 2: chunk dispositions vs the standing chunk index
         chunks = doc_chunks(s1b).localCheckpoint()
         as_docs = chunks.select(
-            (F.col("doc_id") * CHUNK_KEY + F.col("idx")).alias("chunk_id"),
+            chunk_key_id(F.col("doc_id"), F.col("idx")).alias("chunk_id"),
             F.col("chunk").alias("text"))
         pairs = incremental_near_dup(spark, idx, as_docs,
                                      id_col="chunk_id", threshold=0.5)

@@ -2497,6 +2497,34 @@ def test_chunk_dispositions_containment_and_single_chunk_edges(spark):
     assert rows[2].kept_tokens == 64
 
 
+def test_chunk_key_id_guard_raises_on_alias(spark):
+    """ADVICE r9: a document with >= CHUNK_KEY chunks must FAIL the encode,
+    not silently alias into another document's chunk-id space (at the old
+    CHUNK_KEY=64 any >1024-word doc corrupted its neighbors' dispositions
+    and the oracle replayed the same convention, so parity couldn't see
+    it). The widened key gives 2^20 slots; the guard covers the rest."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        CHUNK_KEY,
+        chunk_key_doc,
+        chunk_key_id,
+    )
+
+    ok = spark.createDataFrame([(7, CHUNK_KEY - 1)], "doc_id long, idx long")
+    enc = ok.select(chunk_key_id(F.col("doc_id"), F.col("idx"))
+                    .alias("c")).first().c
+    assert enc == 7 * CHUNK_KEY + CHUNK_KEY - 1
+    # decode round-trips through integer div (not float /)
+    assert (ok.select(chunk_key_id(F.col("doc_id"), F.col("idx"))
+                      .alias("cid"))
+            .select(chunk_key_doc("cid").alias("d")).first().d == 7)
+    bad = spark.createDataFrame([(7, CHUNK_KEY)], "doc_id long, idx long")
+    with pytest.raises(Exception, match="alias"):
+        bad.select(chunk_key_id(F.col("doc_id"), F.col("idx"))
+                   .alias("c")).collect()
+
+
 def test_chunk_dispositions_below_trim_threshold_keeps_whole_doc(spark):
     """A matched fraction under CHUNK_TRIM_AT must leave the document
     untouched — kept_text is the FULL reconstruction, matched chunks
