@@ -141,15 +141,19 @@ def _demo(spark, args) -> int:
                     "silver_rows": silver.count(), "gold": {}}
         for name, df in sorted(gold.items()):
             n = df.count()
-            prof = profile[name]
+            prof = profile.get(name)
             # self-check: the round-tripped parquet must agree with the
-            # recomputed summary — a dropped row or partition fails here.
-            # (a dim CAN be legitimately empty — the sample's one event has
-            # no org — but the events fact table never is)
-            if n != prof["n_rows"] or (name == "events" and n < 1):
+            # recomputed summary — a dropped row or partition fails here,
+            # including a dim the profiler never summarized (ADVICE r9:
+            # that case used to die as a bare KeyError instead of this
+            # diagnostic). (a dim CAN be legitimately empty — the sample's
+            # one event has no org — but the events fact table never is)
+            if prof is None or n != prof["n_rows"] or (
+                    name == "events" and n < 1):
                 raise AssertionError(
                     f"gold/{name}: round-trip {n} rows vs profile "
-                    f"{prof['n_rows']} (must match; events >= 1)")
+                    f"{'MISSING' if prof is None else prof['n_rows']} "
+                    "(must match; events >= 1)")
             manifest["gold"][name] = {"n_rows": n,
                                       "id_sum": prof["id_sum"],
                                       "detail_md5": prof["detail"]}

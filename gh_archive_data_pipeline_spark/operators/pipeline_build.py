@@ -89,17 +89,31 @@ def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
     return df.localCheckpoint(eager=False) if enabled else df
 
 
-def contaminated_ids(docs: DataFrame, corpus: DataFrame) -> DataFrame:
-    """(doc_id) of ``corpus`` documents sharing an 8-word shingle with the
-    held-out benchmark slice (doc_id < EVAL_DOCS of ``docs``) — q415's
-    two-phase shape: Bloom prefilter (broadcast <= m-row set-bit table)
-    then exact verify, so the gate's semantics equal the exact semi-join
-    while the exact join's input is bounded by the filter at scale."""
+def decon_reference(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ev, bits): the held-out benchmark slice's distinct shingle-hash
+    pairs and Bloom set-bit table — IMMUTABLE standing state. q440 derives
+    it inline (one-shot); q444 materializes it ONCE at bootstrap beside
+    the empty MinHash index and reads it back per batch (VERDICT-r9 item
+    3: re-deriving it every micro-batch rescanned the benchmark slice 4×
+    per drain)."""
     ev = (decon_shingle_hashes(docs.filter(F.col("doc_id") < EVAL_DOCS))
           .select("h1", "h2").distinct())
     bits = (ev.select(F.explode(
         _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("pos"))
         .distinct())
+    return ev, bits
+
+
+def contaminated_ids(docs: DataFrame, corpus: DataFrame,
+                     decon: tuple[DataFrame, DataFrame] | None = None
+                     ) -> DataFrame:
+    """(doc_id) of ``corpus`` documents sharing an 8-word shingle with the
+    held-out benchmark slice (doc_id < EVAL_DOCS of ``docs``) — q415's
+    two-phase shape: Bloom prefilter (broadcast <= m-row set-bit table)
+    then exact verify, so the gate's semantics equal the exact semi-join
+    while the exact join's input is bounded by the filter at scale.
+    ``decon`` supplies a pre-materialized :func:`decon_reference`."""
+    ev, bits = decon if decon is not None else decon_reference(docs)
     sh = decon_shingle_hashes(corpus)
     pos = sh.select("doc_id", "h1", "h2", F.explode(
         _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
@@ -138,15 +152,20 @@ def phase2_chunk(flag1: DataFrame) -> DataFrame:
 
 
 def phase3_gate_split(docs: DataFrame, ann1: DataFrame,
-                      w: list[float], b: float) -> DataFrame:
+                      w: list[float], b: float,
+                      decon: tuple[DataFrame, DataFrame] | None = None
+                      ) -> DataFrame:
     """Benchmark decontamination on the POST-TRIM text (one doc_id
     annotation join), then the trained quality gate (scan-side logit)
     and the deterministic split (scan-side salted hash) — the last two
-    add ZERO exchanges, pinned by the seam gate test."""
+    add ZERO exchanges, pinned by the seam gate test. ``decon`` supplies
+    a pre-materialized benchmark-shingle reference (the q444 standing
+    artifact)."""
     reached = ann1.filter(F.col("keep1")
                           & (F.col("disposition") != "drop"))
     contam = contaminated_ids(
-        docs, reached.select("doc_id", F.col("kept_text").alias("text")))
+        docs, reached.select("doc_id", F.col("kept_text").alias("text")),
+        decon=decon)
     feat_in = ann1.join(contam.withColumn("_ct", F.lit(1)),
                         "doc_id", "left").withColumn(
         "text", F.coalesce("kept_text", F.lit("")))
@@ -496,6 +515,168 @@ def batch_exact_flags(batch: DataFrame,
             .withColumn("keep1", (F.col("_dup") == 0)
                         & (F.col("doc_id") == F.col("kp"))))
 
+def stream_corpus_build(spark: SparkSession, sf_dir: str,
+                        state_dir: str | None = None,
+                        n_batches: int = 4,
+                        fail_after_stage3: int | None = None,
+                        reverse_arrival: bool = False) -> DataFrame:
+    """q444's engine, factored for restartability: drain the landing zone
+    through the standing-state corpus funnel and return the standing
+    disposition table. All standing state (landing zone, chunk MinHash
+    index, fingerprints, dispositions, stream checkpoint, decontamination
+    reference) lives under ``state_dir`` — pass the SAME directory to a
+    second call to RESTART a crashed drain from its checkpoint (round-10
+    crash-recovery contract: every per-batch write is an idempotent
+    overwrite of its own ``batch=<id>`` / ``ingest=<id>`` partition, so a
+    replayed batch converges). ``n_batches`` sets the landing-zone split
+    (batch-boundary invariance is property-pinned over 2/4/8).
+
+    ``fail_after_stage3`` injects a ONE-SHOT fault after the named batch's
+    disposition write but BEFORE its index/fingerprint appends — the
+    worst-case partial state a real crash leaves (the marker file makes
+    the restart clean). ``reverse_arrival`` delivers landing files in
+    reverse id order to exercise the out-of-order guard.
+
+    Out-of-order arrival (VERDICT-r9 item 6): the one-shot equality
+    DEPENDS on id-ordered batch arrival — keep-first decisions already
+    taken would be silently wrong for a late low-id batch. ``process``
+    therefore asserts each batch's min doc_id exceeds the max doc_id of
+    every PRIOR batch's standing dispositions (its own partition is
+    excluded, so a crash-replayed batch passes) and fails loud with a
+    pointer at the alternative: a re-disposition reconciliation sweep
+    over fingerprint/chunk matches that span batches."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from ..streaming.stream_queries import ensure_runtime_confs
+    from ..streaming.pipeline import read_file_stream
+    from .dedup import (
+        _dispositions_from_matches,
+        build_minhash_index,
+        chunk_key_id,
+        doc_chunks,
+        incremental_near_dup,
+        later_matched_chunks,
+        minhash_index_append,
+    )
+
+    ensure_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = _cached_probe(spark, sf_dir)
+
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="corpus_build_state_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    land = f"{state_dir}/land"
+    idx = f"{state_dir}/idx"
+    fps_dir = f"{state_dir}/fps"
+    out = f"{state_dir}/disp"
+    ckpt = f"{state_dir}/ckpt"
+    decon_dir = f"{state_dir}/decon"
+
+    # landing zone: candidates in n_batches doc_id-range files with
+    # increasing mtimes -> deterministic micro-batches (the q379
+    # convention); a restart reuses the existing zone untouched
+    corpus0 = (docs.filter(F.col("doc_id") >= EVAL_DOCS)
+               .select("doc_id", "source", "text"))
+    if not os.path.isdir(land):
+        (corpus0.repartitionByRange(n_batches, "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(land))
+        files = sorted(glob.glob(f"{land}/part-*"))
+        if reverse_arrival:
+            files = list(reversed(files))
+        for i, f in enumerate(files):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # standing state bootstrap (first run only): chunk MinHash index
+    # (EMPTY) + the immutable benchmark-decontamination reference — the
+    # eval-slice shingle set and its Bloom set-bit table are written ONCE
+    # here and read back per batch (VERDICT-r9 item 3: deriving them
+    # inside the batch rescanned the benchmark slice every trigger)
+    if not os.path.isdir(f"{idx}/bands"):
+        empty_chunks = spark.createDataFrame([], "chunk_id long, text string")
+        build_minhash_index(empty_chunks, idx, id_col="chunk_id")
+    if not os.path.isdir(f"{decon_dir}/bits"):
+        ev0, bits0 = decon_reference(docs)
+        ev0.write.mode("overwrite").parquet(f"{decon_dir}/ev")
+        bits0.write.mode("overwrite").parquet(f"{decon_dir}/bits")
+    decon = (spark.read.parquet(f"{decon_dir}/ev"),
+             spark.read.parquet(f"{decon_dir}/bits"))
+    fp_schema = "f string, doc_id bigint"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        # out-of-order guard: keep-first is only sound when ids arrive
+        # monotone; compare against PRIOR batches' dispositions only, so
+        # a checkpoint-replayed batch (own partition present) passes
+        prior = [p for p in glob.glob(f"{out}/batch=*")
+                 if int(p.rsplit("=", 1)[1]) < batch_id]
+        if prior:
+            hi = (spark.read.parquet(*prior)
+                  .agg(F.max("doc_id")).first()[0])
+            lo = batch.agg(F.min("doc_id")).first()[0]
+            if hi is not None and lo is not None and lo <= hi:
+                raise ValueError(
+                    f"out-of-order batch arrival: batch {batch_id} min "
+                    f"doc_id {lo} <= standing max {hi} — keep-first "
+                    "decisions already taken may be wrong. Deliver "
+                    "batches in id order, or run a reconciliation sweep "
+                    "(re-disposition docs whose fingerprint/chunk "
+                    "matches span batches) before appending.")
+        # stage 1: exact dedup vs standing fingerprints + in-batch window
+        standing = None
+        if glob.glob(f"{fps_dir}/batch=*"):
+            standing = (spark.read.schema(StructType.fromDDL(fp_schema))
+                        .parquet(*glob.glob(f"{fps_dir}/batch=*")))
+        flag1 = batch_exact_flags(batch, standing)
+        s1b = (flag1.filter("keep1")
+               .select("doc_id", "source", "text").localCheckpoint())
+        # stage 2: chunk dispositions vs the standing chunk index
+        chunks = doc_chunks(s1b).localCheckpoint()
+        as_docs = chunks.select(
+            chunk_key_id(F.col("doc_id"), F.col("idx")).alias("chunk_id"),
+            F.col("chunk").alias("text"))
+        pairs = incremental_near_dup(spark, idx, as_docs,
+                                     id_col="chunk_id", threshold=0.5)
+        recon_b = _dispositions_from_matches(
+            chunks, later_matched_chunks(pairs))
+        ann_b = (flag1.select("doc_id", "source", "keep1")
+                 .join(recon_b.select("doc_id", "disposition",
+                                      "kept_tokens", "kept_text"),
+                       "doc_id", "left"))
+        # stage 3: decontamination (vs the STANDING reference) + gate +
+        # split — q440's phase 3, batch-scoped
+        disp_b = phase3_gate_split(docs, ann_b, w, b, decon=decon)
+        disp_b.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        if (fail_after_stage3 == batch_id
+                and not os.path.exists(f"{state_dir}/_faulted")):
+            open(f"{state_dir}/_faulted", "w").close()
+            raise RuntimeError(
+                f"injected fault after stage 3 of batch {batch_id}")
+        # stage 4: the batch becomes standing state (overwrite -> retry-
+        # idempotent; survivor chunks PRE-trim, see docstring)
+        minhash_index_append(spark, idx, as_docs, ingest_id=f"b{batch_id}",
+                             id_col="chunk_id")
+        (s1b.select(F.md5(F.trim(F.regexp_replace(
+            F.lower("text"), r"\s+", " "))).alias("f"), "doc_id")
+         .write.mode("overwrite").parquet(f"{fps_dir}/batch={batch_id}"))
+
+    stream = read_file_stream(spark, land, corpus0.schema,
+                              max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_corpus_build drain exceeded 300s")
+    return spark.read.parquet(out).drop("batch")
+
+
 @register("q444_stream_corpus_build", sql=_Q440_SQL)
 def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational loop a 100 TB corpus build actually runs: candidate
@@ -526,95 +707,12 @@ def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streamed disposition table feeds the SAME manifest rollup and
     the oracle is q440's replay verbatim. That equality claim IS the
     query: one moved boundary, one batch-order artifact, one missed
-    cross-batch duplicate anywhere fails the hash."""
-    import atexit
-    import glob
-    import os
-    import shutil
-    import tempfile
+    cross-batch duplicate anywhere fails the hash.
 
-    from pyspark.sql.types import StructType
-
-    from ..streaming.stream_queries import ensure_runtime_confs
-    from ..streaming.pipeline import read_file_stream
-    from .dedup import (
-        _dispositions_from_matches,
-        build_minhash_index,
-        chunk_key_id,
-        doc_chunks,
-        incremental_near_dup,
-        later_matched_chunks,
-        minhash_index_append,
-    )
-
-    ensure_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    w, b = _cached_probe(spark, sf_dir)
-
-    # landing zone: candidates in 4 doc_id-range files with increasing
-    # mtimes -> 4 deterministic micro-batches (the q379 convention)
-    corpus0 = (docs.filter(F.col("doc_id") >= EVAL_DOCS)
-               .select("doc_id", "source", "text"))
-    land = tempfile.mkdtemp(prefix="corpus_build_land_")
-    atexit.register(shutil.rmtree, land, ignore_errors=True)
-    (corpus0.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
-     .write.mode("overwrite").parquet(land))
-    for i, f in enumerate(sorted(glob.glob(f"{land}/part-*"))):
-        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
-
-    # standing state: chunk MinHash index (bootstrapped EMPTY), survivor
-    # fingerprints, disposition rows
-    idx = tempfile.mkdtemp(prefix="corpus_build_idx_")
-    fps_dir = tempfile.mkdtemp(prefix="corpus_build_fps_")
-    out = tempfile.mkdtemp(prefix="corpus_build_disp_")
-    ckpt = tempfile.mkdtemp(prefix="corpus_build_ckpt_")
-    for d in (idx, fps_dir, out, ckpt):
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-    empty_chunks = spark.createDataFrame([], "chunk_id long, text string")
-    build_minhash_index(empty_chunks, idx, id_col="chunk_id")
-    fp_schema = "f string, doc_id bigint"
-
-    def process(batch: DataFrame, batch_id: int) -> None:
-        # stage 1: exact dedup vs standing fingerprints + in-batch window
-        standing = None
-        if glob.glob(f"{fps_dir}/batch=*"):
-            standing = (spark.read.schema(StructType.fromDDL(fp_schema))
-                        .parquet(*glob.glob(f"{fps_dir}/batch=*")))
-        flag1 = batch_exact_flags(batch, standing)
-        s1b = (flag1.filter("keep1")
-               .select("doc_id", "source", "text").localCheckpoint())
-        # stage 2: chunk dispositions vs the standing chunk index
-        chunks = doc_chunks(s1b).localCheckpoint()
-        as_docs = chunks.select(
-            chunk_key_id(F.col("doc_id"), F.col("idx")).alias("chunk_id"),
-            F.col("chunk").alias("text"))
-        pairs = incremental_near_dup(spark, idx, as_docs,
-                                     id_col="chunk_id", threshold=0.5)
-        recon_b = _dispositions_from_matches(
-            chunks, later_matched_chunks(pairs))
-        ann_b = (flag1.select("doc_id", "source", "keep1")
-                 .join(recon_b.select("doc_id", "disposition",
-                                      "kept_tokens", "kept_text"),
-                       "doc_id", "left"))
-        # stage 3: decontamination (stateless vs the held-out slice) +
-        # gate + split — q440's phase 3, batch-scoped
-        disp_b = phase3_gate_split(docs, ann_b, w, b)
-        disp_b.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
-        # stage 4: the batch becomes standing state (overwrite -> retry-
-        # idempotent; survivor chunks PRE-trim, see docstring)
-        minhash_index_append(spark, idx, as_docs, ingest_id=f"b{batch_id}",
-                             id_col="chunk_id")
-        (s1b.select(F.md5(F.trim(F.regexp_replace(
-            F.lower("text"), r"\s+", " "))).alias("f"), "doc_id")
-         .write.mode("overwrite").parquet(f"{fps_dir}/batch={batch_id}"))
-
-    stream = read_file_stream(spark, land, corpus0.schema,
-                              max_files_per_trigger=1)
-    q = (stream.writeStream.foreachBatch(process)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q444_stream_corpus_build drain exceeded 300s")
-    disp = spark.read.parquet(out).drop("batch")
-    return manifest_from_disposition(disp)
+    Round-10 hardening (engine: :func:`stream_corpus_build`): the
+    benchmark-decontamination reference is standing state materialized at
+    bootstrap (not re-derived per batch), out-of-order batch arrival
+    fails loud instead of silently corrupting keep-first decisions, and
+    the drain is restartable from its checkpoint after a mid-drain crash
+    (all three pinned by tests)."""
+    return manifest_from_disposition(stream_corpus_build(spark, sf_dir))

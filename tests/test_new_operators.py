@@ -2379,6 +2379,82 @@ def test_q444_streamed_build_equals_one_shot_q440(spark, sf_dir):
     assert [r.asDict() for r in streamed] == [r.asDict() for r in batch]
 
 
+def _disp_rows(df):
+    return sorted((r.asDict() for r in df.collect()),
+                  key=lambda d: d["doc_id"])
+
+
+def test_stream_corpus_build_decon_reference_derived_once(spark, sf_dir,
+                                                          monkeypatch):
+    """VERDICT-r9 item 3: the benchmark-decontamination reference (eval
+    shingle set + Bloom set-bit table) is STANDING state — derived from
+    the benchmark slice exactly once at bootstrap and read back per
+    batch, never re-derived inside a micro-batch (the old shape rescanned
+    the slice every trigger; a per-batch fallback would count 5 here)."""
+    import gh_archive_data_pipeline_spark.operators.pipeline_build as pb
+
+    calls = []
+    real = pb.decon_reference
+
+    def counting(docs):
+        calls.append(1)
+        return real(docs)
+
+    monkeypatch.setattr(pb, "decon_reference", counting)
+    pb.stream_corpus_build(spark, sf_dir)
+    assert len(calls) == 1
+
+
+def test_stream_corpus_build_crash_recovery_from_checkpoint(spark, sf_dir,
+                                                            tmp_path):
+    """VERDICT-r9 item 4: a drain KILLED mid-stream (fault injected after
+    batch 1's disposition write but BEFORE its index/fingerprint appends —
+    the worst-case partial standing state a crash leaves) and RESTARTED
+    from the same checkpoint dir converges to the clean drain's standing
+    disposition table bit-for-bit."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        stream_corpus_build,
+    )
+
+    state = str(tmp_path / "state")
+    with pytest.raises(Exception, match="injected fault after stage 3"):
+        stream_corpus_build(spark, sf_dir, state_dir=state,
+                            fail_after_stage3=1)
+    recovered = stream_corpus_build(spark, sf_dir, state_dir=state)
+    clean = stream_corpus_build(spark, sf_dir)
+    assert _disp_rows(recovered) == _disp_rows(clean)
+
+
+def test_stream_corpus_build_batch_count_invariance(spark, sf_dir):
+    """VERDICT-r9 item 5: 2-, 4- and 8-batch drains of the same
+    id-ordered landing zone produce IDENTICAL standing disposition tables
+    (only 4-vs-one-shot was pinned before; boundary placement must not
+    matter)."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        stream_corpus_build,
+    )
+
+    base = _disp_rows(stream_corpus_build(spark, sf_dir, n_batches=4))
+    assert base, "drain produced no dispositions"
+    for n in (2, 8):
+        got = _disp_rows(stream_corpus_build(spark, sf_dir, n_batches=n))
+        assert got == base, f"{n}-batch drain diverged from 4-batch"
+
+
+def test_stream_corpus_build_out_of_order_arrival_raises(spark, sf_dir):
+    """VERDICT-r9 item 6: q444's one-shot equality silently DEPENDED on
+    id-ordered batch arrival; a landing zone that delivers a lower-id
+    file after a higher-id one must now fail loud at the monotonicity
+    guard instead of freezing wrong keep-first decisions into standing
+    state."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        stream_corpus_build,
+    )
+
+    with pytest.raises(Exception, match="out-of-order batch arrival"):
+        stream_corpus_build(spark, sf_dir, reverse_arrival=True)
+
+
 def test_batch_exact_flags_retry_idempotent_and_keep_first(spark):
     """q444's stage-1 laws: (a) keep-first — a standing fingerprint with a
     strictly lower doc_id kills every batch copy, and within a batch the
