@@ -519,7 +519,8 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
                         state_dir: str | None = None,
                         n_batches: int = 4,
                         fail_after_stage3: int | None = None,
-                        reverse_arrival: bool = False) -> DataFrame:
+                        reverse_arrival: bool = False,
+                        allow_out_of_order: bool = False) -> DataFrame:
     """q444's engine, factored for restartability: drain the landing zone
     through the standing-state corpus funnel and return the standing
     disposition table. All standing state (landing zone, chunk MinHash
@@ -543,8 +544,10 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
     therefore asserts each batch's min doc_id exceeds the max doc_id of
     every PRIOR batch's standing dispositions (its own partition is
     excluded, so a crash-replayed batch passes) and fails loud with a
-    pointer at the alternative: a re-disposition reconciliation sweep
-    over fingerprint/chunk matches that span batches."""
+    pointer at the alternative: ``allow_out_of_order=True`` disables the
+    guard, persists each batch's matched-chunk set as standing state, and
+    defers correctness to :func:`reconcile_dispositions` — the q446
+    contract (drain in any order, sweep once, converge to one-shot)."""
     import atexit
     import glob
     import os
@@ -616,6 +619,8 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
         # a checkpoint-replayed batch (own partition present) passes
         prior = [p for p in glob.glob(f"{out}/batch=*")
                  if int(p.rsplit("=", 1)[1]) < batch_id]
+        if prior and allow_out_of_order:
+            prior = []
         if prior:
             hi = (spark.read.parquet(*prior)
                   .agg(F.max("doc_id")).first()[0])
@@ -643,8 +648,16 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
             F.col("chunk").alias("text"))
         pairs = incremental_near_dup(spark, idx, as_docs,
                                      id_col="chunk_id", threshold=0.5)
-        recon_b = _dispositions_from_matches(
-            chunks, later_matched_chunks(pairs))
+        mch = later_matched_chunks(pairs)
+        if allow_out_of_order:
+            # standing matched set — the reconciliation sweep's input:
+            # the pair DISCOVERY each batch already paid is what the
+            # sweep reuses (checkpoint avoids a second index probe for
+            # the write below)
+            mch = mch.localCheckpoint()
+            mch.write.mode("overwrite").parquet(
+                f"{state_dir}/matched/batch={batch_id}")
+        recon_b = _dispositions_from_matches(chunks, mch)
         ann_b = (flag1.select("doc_id", "source", "keep1")
                  .join(recon_b.select("doc_id", "disposition",
                                       "kept_tokens", "kept_text"),
@@ -716,3 +729,85 @@ def q444_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drain is restartable from its checkpoint after a mid-drain crash
     (all three pinned by tests)."""
     return manifest_from_disposition(stream_corpus_build(spark, sf_dir))
+
+
+def reconcile_dispositions(spark: SparkSession, sf_dir: str,
+                           state_dir: str) -> DataFrame:
+    """The reconciliation sweep an out-of-order drain defers to (the
+    alternative the monotonicity guard's error message names): re-derive
+    the disposition table from STANDING state, converging to the one-shot
+    q440 build whatever order the batches arrived in.
+
+    Why convergence holds (the q446 claim): (a) a pair of chunk documents
+    is discovered by the incremental probe whenever the SECOND of the two
+    arrives — so the union of per-batch matched sets over any arrival
+    order equals the one-shot matched set once restricted to the global
+    exact-dedup keepers (a keeper is its fingerprint's global id-minimum,
+    so no standing strictly-lower fingerprint can ever kill it and it
+    always survives its own batch's window — its chunks are always probed
+    and indexed); (b) a matched flag whose lower side later turns out to
+    be an exact-duplicate copy is still valid, because that copy's kept
+    twin has byte-identical chunks and forms the same pair in the
+    one-shot build. What arrival order CAN corrupt is only the keep-first
+    flags frozen per batch — and those are exactly what the sweep
+    recomputes.
+
+    Cost shape (the 100 TB story): the sweep re-runs only the LINEAR
+    policy planes — the fingerprint window (q440 phase 1 verbatim), the
+    chunk rollup over the persisted matched union, and the scan-side
+    gate/split against the STANDING decontamination reference. The
+    quadratic-ish pair DISCOVERY (banded LSH probes) is never repeated;
+    the drain already paid it batch by batch."""
+    import glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = _cached_probe(spark, sf_dir)
+    flag1 = phase1_exact(docs).localCheckpoint(eager=False)
+    mch_paths = glob.glob(f"{state_dir}/matched/batch=*")
+    if not mch_paths:
+        raise ValueError(
+            f"no standing matched sets under {state_dir}/matched — run "
+            "stream_corpus_build(allow_out_of_order=True) first")
+    from .dedup import doc_chunks
+
+    mch = spark.read.parquet(*mch_paths).distinct()
+    chunks = doc_chunks(flag1.filter("keep1").select("doc_id", "text"))
+    from .dedup import _dispositions_from_matches
+
+    recon = _dispositions_from_matches(chunks, mch)
+    ann1 = (flag1.select("doc_id", "source", "keep1")
+            .join(recon.select("doc_id", "disposition", "kept_tokens",
+                               "kept_text"), "doc_id", "left")
+            .localCheckpoint(eager=False))
+    decon = (spark.read.parquet(f"{state_dir}/decon/ev"),
+             spark.read.parquet(f"{state_dir}/decon/bits"))
+    return phase3_gate_split(docs, ann1, w, b, decon=decon)
+
+
+@register("q446_out_of_order_rebuild", sql=_Q440_SQL)
+def q446_out_of_order_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q444's failure mode, repaired: the landing zone delivers its files
+    in REVERSE id order (every batch after the first violates keep-first's
+    arrival assumption — the worst case the q444 guard exists to catch),
+    the drain runs with the guard disabled and matched-set persistence on,
+    and then ONE :func:`reconcile_dispositions` sweep re-derives the
+    disposition table from standing state. The oracle is q440's replay
+    verbatim: the claim IS that out-of-order arrival plus one linear sweep
+    converges bit-for-bit to the one-shot build — wrong keeper flags,
+    stale matched restrictions, or a decon/gate/split divergence anywhere
+    fails the hash.
+
+    100 TB lens: the sweep adds one fingerprint shuffle, one doc-keyed
+    rollup over the persisted matched union and scan-side gates — linear,
+    no LSH re-probe (see :func:`reconcile_dispositions`); the drain's own
+    shape is q444's."""
+    import atexit
+    import shutil
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="corpus_build_ooo_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
+    stream_corpus_build(spark, sf_dir, state_dir=state,
+                        reverse_arrival=True, allow_out_of_order=True)
+    return manifest_from_disposition(
+        reconcile_dispositions(spark, sf_dir, state))

@@ -2441,6 +2441,45 @@ def test_stream_corpus_build_batch_count_invariance(spark, sf_dir):
         assert got == base, f"{n}-batch drain diverged from 4-batch"
 
 
+def test_out_of_order_drain_plus_sweep_equals_clean_drain(spark, sf_dir,
+                                                          tmp_path):
+    """q446's engine claim at the ROW level (the oracle pins the manifest;
+    this pins every disposition): a reverse-order drain with the guard
+    disabled, followed by ONE reconcile_dispositions sweep, produces a
+    disposition table bit-equal to a clean in-order drain's — and the
+    UNswept out-of-order table is genuinely different (the sweep repairs
+    real damage, it is not a no-op)."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        reconcile_dispositions,
+        stream_corpus_build,
+    )
+
+    state = str(tmp_path / "ooo")
+    wrong = stream_corpus_build(spark, sf_dir, state_dir=state,
+                                reverse_arrival=True,
+                                allow_out_of_order=True)
+    wrong_rows = _disp_rows(wrong)
+    swept_rows = _disp_rows(reconcile_dispositions(spark, sf_dir, state))
+    clean_rows = _disp_rows(stream_corpus_build(spark, sf_dir))
+    assert swept_rows == clean_rows and clean_rows
+    assert wrong_rows != clean_rows, (
+        "reverse arrival produced no cross-batch damage — the fixture no "
+        "longer exercises the sweep; pick a slice with cross-batch dups")
+
+
+def test_reconcile_dispositions_requires_matched_state(spark, sf_dir,
+                                                       tmp_path):
+    """The sweep refuses to run without the standing matched sets an
+    allow_out_of_order drain persists — silently reconciling with an
+    empty matched union would erase every fuzzy-dedup decision."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        reconcile_dispositions,
+    )
+
+    with pytest.raises(ValueError, match="no standing matched sets"):
+        reconcile_dispositions(spark, sf_dir, str(tmp_path / "empty"))
+
+
 def test_stream_corpus_build_out_of_order_arrival_raises(spark, sf_dir):
     """VERDICT-r9 item 6: q444's one-shot equality silently DEPENDED on
     id-ordered batch arrival; a landing zone that delivers a lower-id
