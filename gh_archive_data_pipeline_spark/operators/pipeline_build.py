@@ -784,6 +784,127 @@ def reconcile_dispositions(spark: SparkSession, sf_dir: str,
     return phase3_gate_split(docs, ann1, w, b, decon=decon)
 
 
+def _damaged_doc_ids(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id) of every document an out-of-order drain COULD have
+    mis-dispositioned — the incremental sweep's work set. Exactly two
+    damage channels exist (see :func:`reconcile_dispositions` for why
+    everything else is arrival-order-invariant):
+
+    1. fingerprint groups with more than one SURVIVING copy — under
+       monotone arrival the standing strict-lower rule kills every later
+       copy on sight, so a multi-survivor group is itself the proof that
+       a lower id arrived after a higher one (the wrongly-kept copies and
+       the true keeper are all re-dispositioned);
+    2. matched-chunk rows discovered in a LATER batch than the row's
+       document was dispositioned in — the doc's drain-time rollup could
+       not have seen them.
+
+    Cost ∝ damage: one groupBy over the (f, doc_id) fingerprint table
+    and one batch-column comparison of two int-pair tables; no text
+    moves."""
+    import glob
+
+    fps = spark.read.parquet(*glob.glob(f"{state_dir}/fps/batch=*"))
+    dup_f = (fps.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+             .filter("n > 1").select("f"))
+    a1 = fps.join(dup_f, "f").select("doc_id")
+    disp_b = (spark.read.parquet(f"{state_dir}/disp")
+              .select("doc_id", F.col("batch").alias("db")))
+    a2 = (spark.read.parquet(f"{state_dir}/matched")
+          .select("doc_id", F.col("batch").alias("mb")).distinct()
+          .join(disp_b, "doc_id")
+          .filter(F.col("mb") > F.col("db"))
+          .select("doc_id"))
+    return a1.union(a2).distinct()
+
+
+def reconcile_dispositions_incremental(spark: SparkSession, sf_dir: str,
+                                       state_dir: str) -> DataFrame:
+    """:func:`reconcile_dispositions` with sweep cost ∝ |damage| instead
+    of |corpus| — the shape a 100 TB standing build actually wants: a
+    late batch that collides with 0.01% of the corpus should repair 0.01%
+    of the disposition table, not rebuild it.
+
+    Re-dispositions ONLY :func:`_damaged_doc_ids`: their raw text joins
+    back from the landing zone, keep-first recomputes inside their
+    fingerprint groups (global min over the standing fingerprint table —
+    an in-batch loser never reaches the table, and its in-batch keeper is
+    there with a lower id, so the table minimum IS the global keeper),
+    the chunk rollup runs over their persisted matched rows only, and the
+    scan-side gate/split re-applies against the STANDING decontamination
+    reference. Undamaged rows pass through by anti-join — in lake terms,
+    a partition overwrite of the affected rows. Bit-equality with the
+    full sweep (and hence with one-shot q440) is pinned by unit test and
+    by q447's oracle."""
+    import glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = _cached_probe(spark, sf_dir)
+    if not glob.glob(f"{state_dir}/matched/batch=*"):
+        raise ValueError(
+            f"no standing matched sets under {state_dir}/matched — run "
+            "stream_corpus_build(allow_out_of_order=True) first")
+    from .dedup import _dispositions_from_matches, doc_chunks
+
+    affected = _damaged_doc_ids(spark, state_dir).localCheckpoint()
+    land = spark.read.parquet(f"{state_dir}/land")
+    fps = spark.read.parquet(*glob.glob(f"{state_dir}/fps/batch=*"))
+    aff = land.join(affected, "doc_id")
+    fpd = aff.withColumn(
+        "f", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
+    kp = fps.groupBy("f").agg(F.min("doc_id").alias("kp"))
+    flag_aff = (fpd.join(kp, "f", "left")
+                .withColumn("keep1", F.coalesce(
+                    F.col("doc_id") == F.col("kp"), F.lit(True)))
+                .select("doc_id", "source", "text", "keep1")
+                .localCheckpoint(eager=False))
+    chunks_aff = doc_chunks(flag_aff.filter("keep1")
+                            .select("doc_id", "text"))
+    mch_aff = (spark.read.parquet(f"{state_dir}/matched")
+               .select("doc_id", "idx").distinct()
+               .join(affected, "doc_id"))
+    recon_aff = _dispositions_from_matches(chunks_aff, mch_aff)
+    ann_aff = (flag_aff.select("doc_id", "source", "keep1")
+               .join(recon_aff.select("doc_id", "disposition",
+                                      "kept_tokens", "kept_text"),
+                     "doc_id", "left")
+               .localCheckpoint(eager=False))
+    decon = (spark.read.parquet(f"{state_dir}/decon/ev"),
+             spark.read.parquet(f"{state_dir}/decon/bits"))
+    fixed = phase3_gate_split(docs, ann_aff, w, b, decon=decon)
+    untouched = (spark.read.parquet(f"{state_dir}/disp").drop("batch")
+                 .join(affected, "doc_id", "left_anti"))
+    return untouched.unionByName(fixed)
+
+
+@register("q447_incremental_reconcile", sql=_Q440_SQL)
+def q447_incremental_reconcile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """q446 with the sweep cost made proportional to the DAMAGE: the same
+    worst-case reverse-order drain, repaired by re-dispositioning only
+    the documents out-of-order arrival could actually have hurt
+    (multi-survivor fingerprint groups + late-discovered matched rows —
+    see :func:`_damaged_doc_ids`), with every undamaged row passing
+    through untouched. Oracle is q440's replay verbatim, same as
+    q444/q446: the incremental repair must land bit-for-bit on the
+    one-shot build.
+
+    100 TB lens: the full sweep (q446) re-runs linear policy planes over
+    the whole corpus; THIS one touches |damage| documents' text plus two
+    int-table scans — the difference between 'rebuild the table tonight'
+    and 'patch 0.01% of it now'."""
+    import atexit
+    import shutil
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="corpus_build_ooo_inc_")
+    atexit.register(shutil.rmtree, state, ignore_errors=True)
+    stream_corpus_build(spark, sf_dir, state_dir=state,
+                        reverse_arrival=True, allow_out_of_order=True)
+    return manifest_from_disposition(
+        reconcile_dispositions_incremental(spark, sf_dir, state))
+
+
 @register("q446_out_of_order_rebuild", sql=_Q440_SQL)
 def q446_out_of_order_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q444's failure mode, repaired: the landing zone delivers its files

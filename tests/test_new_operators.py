@@ -2467,6 +2467,33 @@ def test_out_of_order_drain_plus_sweep_equals_clean_drain(spark, sf_dir,
         "longer exercises the sweep; pick a slice with cross-batch dups")
 
 
+def test_incremental_reconcile_equals_full_sweep_and_is_bounded(
+        spark, sf_dir, tmp_path):
+    """q447's engine claims: (a) the damage-bounded sweep lands on
+    exactly the full sweep's table (hence one-shot q440's, by the q446
+    pin); (b) the damage set is a PROPER subset of the corpus — the
+    incremental path genuinely re-dispositions less than everything,
+    and it is non-empty under reverse arrival (real damage existed)."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        _damaged_doc_ids,
+        reconcile_dispositions,
+        reconcile_dispositions_incremental,
+        stream_corpus_build,
+    )
+
+    state = str(tmp_path / "ooo")
+    disp0 = stream_corpus_build(spark, sf_dir, state_dir=state,
+                                reverse_arrival=True,
+                                allow_out_of_order=True)
+    total = disp0.count()
+    damaged = _damaged_doc_ids(spark, state).count()
+    assert 0 < damaged < total, (damaged, total)
+    full = _disp_rows(reconcile_dispositions(spark, sf_dir, state))
+    inc = _disp_rows(
+        reconcile_dispositions_incremental(spark, sf_dir, state))
+    assert inc == full
+
+
 def test_reconcile_dispositions_requires_matched_state(spark, sf_dir,
                                                        tmp_path):
     """The sweep refuses to run without the standing matched sets an
