@@ -708,6 +708,48 @@ def ivf_balance(spark: SparkSession, index_dir: str,
             .orderBy("cell"))
 
 
+def _ivf_tombstones(spark: SparkSession, root: str):
+    """The active generation's tombstoned vector ids (one ``delete=<n>``
+    parquet partition per :func:`ivf_delete` call), or None when nothing
+    was deleted."""
+    fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
+    if not fs.exists(tpath):
+        return None
+    return spark.read.parquet(f"{root}/tombstones").select("vec_id")
+
+
+def ivf_delete(spark: SparkSession, index_dir: str, ids: DataFrame,
+               id_col: str = "vec_id") -> int:
+    """Tombstone-delete vectors from the ACTIVE index generation — the
+    removal plane the ingest/rebuild/vacuum family was missing (a training
+    corpus must honor takedown/GDPR erasure without rebuilding a 100 TB
+    index synchronously).
+
+    O(|delete|): the ids land as one new ``tombstones/delete=<n>`` parquet
+    partition under the active root; no index row moves. Every
+    :func:`ivf_search` anti-joins the tombstone set out of its pruned
+    candidate scan, and the next :func:`ivf_rebuild` folds deletions in
+    permanently — the new generation is born tombstone-free (pinned
+    bit-equal to a fresh build over the surviving rows). Until a rebuild,
+    :func:`ivf_balance` occupancy still counts tombstoned rows (they
+    still occupy cell files) — treat a large tombstone backlog as drift
+    and let ivf_maintain's rebuild fold it. Contract note: a tombstone
+    suppresses the ID entirely, so re-ingesting a previously deleted id
+    requires a rebuild first (delete-then-append within one generation is
+    not a supported update path). Returns the delete-partition number."""
+    root = ivf_active_root(spark, index_dir)
+    fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
+    n = 0
+    if fs.exists(tpath):
+        n = 1 + max([int(st.getPath().getName().split("=", 1)[1])
+                     for st in fs.listStatus(tpath)
+                     if st.getPath().getName().startswith("delete=")]
+                    + [-1])
+    (ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+     .write.mode("overwrite").parquet(f"{root}/tombstones/delete={n}"))
+    return n
+
+
 def ivf_rebuild(spark: SparkSession, index_dir: str,
                 num_cells: int | None = None,
                 id_col: str = "vec_id") -> int:
@@ -733,6 +775,13 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
         num_cells = spark.read.parquet(f"{root}/codebook").count()
     full = (spark.read.parquet(f"{root}/corpus")
             .select(F.col(id_col), F.col("v")))
+    tomb = _ivf_tombstones(spark, root)
+    if tomb is not None:
+        # fold deletions permanently: the new generation is born
+        # tombstone-free (ivf_delete's contract)
+        full = full.join(
+            F.broadcast(tomb.withColumnRenamed("vec_id", id_col)),
+            id_col, "left_anti")
     fs, idx_path = hadoop_fs(spark, index_dir)
     listed = [st.getPath().getName() for st in fs.listStatus(idx_path)]
     next_v = 1 + max(
@@ -885,6 +934,14 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
     corpus = (spark.read.parquet(f"{index_dir}/corpus")
               .filter(F.col("cell").isin(cells)))   # static partition prune
+    tomb = _ivf_tombstones(spark, index_dir)
+    if tomb is not None:
+        # ivf_delete's read path: tombstoned ids never reach scoring
+        # (broadcast anti-join — a backlog big enough to strain the
+        # broadcast is rebuild-drift by contract)
+        corpus = corpus.join(
+            F.broadcast(tomb.withColumnRenamed("vec_id", id_col)),
+            id_col, "left_anti")
     scored = (corpus.join(F.broadcast(probes), "cell")
               .filter(F.col("query_id") != F.col(id_col))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
@@ -980,6 +1037,40 @@ def q358_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(spark, _ivf_cached_index(spark, sf_dir), queries,
                       k=5, nprobe=4)
+
+
+@register(
+    "q448_ivf_tombstone_search",
+    sql=_IVF_ORACLE.replace(
+        "WHERE c.vec_id != p.query_id",
+        "WHERE c.vec_id != p.query_id AND c.vec_id % 7 <> 3"),
+)
+def q448_ivf_tombstone_search(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The ANN removal plane (round 10): build the q358 index, TOMBSTONE
+    every ``vec_id % 7 == 3`` via :func:`ivf_delete` (one O(|delete|)
+    parquet append, no index row moves), and search — deleted vectors
+    must never surface as neighbors, and the survivors' ranks re-pack.
+    The oracle is q358's deterministic IVF replay with the deletion
+    predicate applied to the candidate cells exactly where the engine's
+    broadcast anti-join applies it: cell assignment, probe selection and
+    scoring are untouched (the codebook is immutable under deletes; only
+    the candidate set shrinks). A fresh index is built in-query (the
+    cached q358 index is shared state a delete must not mutate) — the
+    q365 build-dominated convention."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_tomb_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    build_ivf_index(emb, d, num_cells=16)
+    ivf_delete(spark, d,
+               emb.filter(F.pmod("vec_id", F.lit(7)) == 3)
+               .select("vec_id"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(spark, d, queries, k=5, nprobe=4)
 
 
 def build_srp_index(corpus: DataFrame, index_dir: str,

@@ -2848,6 +2848,56 @@ def test_ivf_rebuild_skips_election_claimed_version(spark, sf_dir, tmp_path):
     assert os.path.isdir(f"{idx}/v=1")
 
 
+def test_ivf_delete_hides_ids_and_rebuild_folds_them(spark, sf_dir,
+                                                     tmp_path):
+    """ivf_delete's full contract: (a) tombstoned ids never surface as
+    neighbors and survivor ranks re-pack densely; (b) delete batches
+    accumulate (two calls -> two delete partitions, union applied);
+    (c) ivf_rebuild folds deletions permanently — the published
+    generation carries no tombstones and its search is BIT-EQUAL to a
+    fresh build over the surviving rows."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    queries = emb.filter("vec_id < 5")
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    assert sim.ivf_delete(
+        spark, idx, emb.filter("vec_id % 7 = 3").select("vec_id")) == 0
+    assert sim.ivf_delete(
+        spark, idx, emb.filter("vec_id % 11 = 5").select("vec_id")) == 1
+    got = sim.ivf_search(spark, idx, queries, k=5, nprobe=4)
+    rows = got.collect()
+    assert rows and all(r.neighbor_id % 7 != 3 and r.neighbor_id % 11 != 5
+                        for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+
+    # rebuild folds: new generation tombstone-free, bit-equal to a fresh
+    # build over the surviving rows
+    v = sim.ivf_rebuild(spark, idx)
+    assert not os.path.isdir(f"{idx}/v={v}/tombstones")
+    fresh = str(tmp_path / "fresh")
+    sim.build_ivf_index(
+        emb.filter("vec_id % 7 != 3 AND vec_id % 11 != 5"), fresh,
+        num_cells=16)
+    # (pre-rebuild tombstone search is NOT compared: it probes the
+    # original full-corpus codebook; rebuild retrains on survivors, so
+    # only rebuild-vs-fresh is bit-equal by determinism)
+    a = sorted(map(tuple, sim.ivf_search(spark, idx, queries).collect()))
+    b = sorted(map(tuple, sim.ivf_search(spark, fresh, queries).collect()))
+    assert a == b and a
+
+
 def test_ivf_vacuum_raises_on_failed_delete(spark, sf_dir, tmp_path,
                                             monkeypatch):
     """A false return from fs.delete must raise, never leave the path on
