@@ -2827,6 +2827,56 @@ def test_election_claim_loses_to_existing_claims(spark, tmp_path):
     assert not os.path.exists(f"{idx}/_v_2.lock")
 
 
+def test_election_claim_two_writer_race_single_winner(spark, tmp_path):
+    """Deterministic two-writer election (the object-store claim path):
+    both claimants PUT their uuid claim, a barrier holds each until BOTH
+    claims exist, then both list — so both see both claims and exactly
+    one (the lexicographically-smaller uuid) proceeds while the other
+    raises. Unlike the O_EXCL race test this cannot tie by construction:
+    the decision is made from identical listings."""
+    import os
+    import threading
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import hadoop_fs
+
+    idx = str(tmp_path / "ivf")
+    os.makedirs(idx)
+    barrier = threading.Barrier(2, timeout=60)
+
+    class BarrierFS:
+        """Holds listStatus until both claimants have written."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def listStatus(self, p):
+            barrier.wait()
+            return self._real.listStatus(p)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    results: dict[str, str] = {}
+
+    def claimant(tag: str):
+        fs, _ = hadoop_fs(spark, idx)
+        try:
+            sim._election_claim(spark, BarrierFS(fs), idx, 0)
+            results[tag] = "won"
+        except IOError as e:
+            results[tag] = f"lost: {e}"
+
+    ts = [threading.Thread(target=claimant, args=(t,)) for t in "ab"]
+    [t.start() for t in ts]
+    [t.join(90) for t in ts]
+    outcomes = sorted(v.split(":")[0] for v in results.values())
+    assert outcomes == ["lost", "won"], results
+    assert os.path.exists(f"{idx}/_v_0.lock")
+    assert "election lost" in next(v for v in results.values()
+                                   if v.startswith("lost"))
+
+
 def test_ivf_rebuild_skips_election_claimed_version(spark, sf_dir, tmp_path):
     """An orphan election claim (``_v_N.lock.<uuid>`` with no .ready — a
     crashed object-store rebuild) permanently retires version N: the next
