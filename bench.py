@@ -60,7 +60,15 @@ BASELINE_SEC = {
     "q40_dedup_exact": 0.318,
     "q42_minhash_near_dup": 2.731,
     "q44_embedding_topk": 0.732,
-    "q45_embedding_lsh_topk": 0.903,
+    # q45 re-pinned round 10 (0.903 -> 1.326, BASELINE.md protocol case
+    # (b)): the plan changed deliberately — vectors no longer ride the
+    # candidate-dedup exchange (8.5 MB -> 1 MB shuffled), re-attached via
+    # a second corpus scan instead. The old pin was also a known-hot
+    # outlier (flagged worst suite ratio with bit-equal counters in
+    # rounds 8-10; it came from the one abnormally fast canary run).
+    # Min across two back-to-back runs at suite position (1.658 @ canary
+    # 1.169 / 1.326 @ canary 1.037).
+    "q45_embedding_lsh_topk": 1.326,
     "q47_text_stats": 0.35,
     "q50_tumbling_window": 0.325,
     "q52_session_windows": 0.423,
@@ -160,7 +168,10 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q40_dedup_exact": {"shuffle_records": 4993, "rows_read": 5000},
     "q42_minhash_near_dup": {"shuffle_records": 4142, "rows_read": 325000},
     "q44_embedding_topk": {"shuffle_records": 51, "rows_read": 4000},
-    "q45_embedding_lsh_topk": {"shuffle_records": 15075, "rows_read": 4001},
+    # q45 re-snapshot round 10 (deliberate plan change): candidate dedup
+    # exchanges int pairs only, vectors re-attach via a second columnar
+    # corpus scan (rows_read 4001 -> 6001, shuffle_bytes 8.5 MB -> 1 MB)
+    "q45_embedding_lsh_topk": {"shuffle_records": 16385, "rows_read": 6001},
     "q47_text_stats": {"shuffle_records": 1, "rows_read": 5000},
     "q50_tumbling_window": {"shuffle_records": 3601, "rows_read": 100000},
     "q52_session_windows": {"shuffle_records": 100002, "rows_read": 100000},

@@ -235,8 +235,17 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bucket_t = Σ_j 2^j·[dot(v, plane_tj) > 0]. Whole-stage codegen
     evaluates the hashing inside the corpus scan stage — no Arrow batch
     transfer — and the arithmetic is exactly reproducible in ANSI SQL,
-    which is what gives q45 a full-fidelity DuckDB oracle. The candidate
-    join still shuffles only (id, table, bucket) keys, never vectors."""
+    which is what gives q45 a full-fidelity DuckDB oracle.
+
+    Vectors NEVER shuffle (round-10 plan fix): the candidate dedup used
+    to carry both 64-double vectors through its exchange (~1 KB/row ×
+    every bucket collision — the dominant shuffle at scale); now the
+    (t, b) join and the (query, neighbor) dedup move int keys only, and
+    the surviving candidate ids broadcast back into a second columnar
+    corpus scan to re-attach vectors (incremental_near_dup's
+    candidate-id re-scan discipline). Cost: one extra corpus scan —
+    pruned to (id, vec), no shuffle — bought for a candidate exchange
+    that stays O(pairs × ints) however wide the vectors."""
     spark = corpus.sparkSession
     planes_df = _srp_planes_df(spark, planes_per_table, num_tables, dim,
                                seed)
@@ -252,19 +261,21 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # splits, so this branch never fires (and never shuffles) there.
     if cd.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         cd = cd.repartition(spark.sparkContext.defaultParallelism)
-    c = hashed(cd, "neighbor_id", "cv")
-    q = hashed(queries.select(F.col(id_col).alias("query_id"),
-                              _as_double(F.col(vec_col)).alias("qv")),
-               "query_id", "qv")
+    c = hashed(cd, "neighbor_id", "cv").select("neighbor_id", "t", "b")
+    qh = hashed(queries.select(F.col(id_col).alias("query_id"),
+                               _as_double(F.col(vec_col)).alias("qv")),
+                "query_id", "qv")
     candidates = (
-        c.join(F.broadcast(q), ["t", "b"])
+        c.join(F.broadcast(qh.select("query_id", "t", "b")), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    qv = qh.select("query_id", "qv").dropDuplicates(["query_id"])
+    scored = (cd.join(F.broadcast(candidates), "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                "neighbor_id")
     return (
