@@ -113,8 +113,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     with the defaults ≈0.87 at cosine 0.6, →1 as similarity grows. Raise
     ``planes_per_table`` for high-similarity corpora (sparser buckets),
     ``num_tables`` for recall. This is the shape that scales to 10^9 vectors:
-    hashing is one linear pass, and the candidate join shuffles only
-    (id, table, bucket) keys — never the vectors.
+    hashing is one linear pass, and the candidate join and dedup move only
+    (id, table, bucket) int keys — never the vectors, which re-attach via
+    a broadcast of the surviving candidate ids into a second columnar
+    corpus scan (round-10 fix, same as srp_bucket_topk: the dedup used to
+    carry both vectors through its exchange).
     """
     buckets_of = _srp_bucketer(planes_per_table, num_tables, dim, seed)
 
@@ -123,20 +126,23 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             out_id, out_vec,
             F.posexplode(buckets_of(F.col(out_vec))).alias("t", "b"))
 
-    c = hashed(corpus.select(F.col(id_col).alias("neighbor_id"),
-                             _as_double(F.col(vec_col)).alias("cv")),
-               "neighbor_id", "cv")
-    q = hashed(queries.select(F.col(id_col).alias("query_id"),
-                              _as_double(F.col(vec_col)).alias("qv")),
-               "query_id", "qv")
+    cd = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("cv"))
+    c = hashed(cd, "neighbor_id", "cv").select("neighbor_id", "t", "b")
+    qh = hashed(queries.select(F.col(id_col).alias("query_id"),
+                               _as_double(F.col(vec_col)).alias("qv")),
+                "query_id", "qv")
     candidates = (
-        c.join(F.broadcast(q), ["t", "b"])
+        c.join(F.broadcast(qh.select("query_id", "t", "b")), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    qv = qh.select("query_id", "qv").dropDuplicates(["query_id"])
+    scored = (cd.join(F.broadcast(candidates), "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qv"), F.col("cv")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

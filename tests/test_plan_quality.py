@@ -985,3 +985,25 @@ def test_epoch_order_no_per_shard_window(spark):
                 f"{name}: Window partitioned by {part_head!r} — the "
                 "single-task-per-shard shape the distributed default "
                 "was meant to remove")
+
+
+def test_q45_candidate_dedup_shuffles_ints_not_vectors(spark):
+    """Round-10 plan fix, gated: the (query_id, neighbor_id) candidate
+    dedup exchange must carry exactly those two int keys — never the
+    embedding arrays (the old shape shuffled ~1 KB of vectors per bucket
+    collision; vectors re-attach via a broadcast-id corpus re-scan)."""
+    import re
+
+    plan = plan_of(spark, "q45_embedding_lsh_topk")
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    dedup_exchanges = [
+        b for b in blocks
+        if b.startswith("Exchange")
+        and "query_id" in b.split("Arguments")[-1]
+        and "neighbor_id" in b.split("Arguments")[-1]]
+    assert dedup_exchanges, "candidate dedup exchange not found"
+    for b in dedup_exchanges:
+        m = re.search(r"Input \[(\d+)\]", b)
+        assert m and int(m.group(1)) == 2, (
+            f"candidate exchange carries {m and m.group(1)} columns — "
+            f"vectors are riding the dedup shuffle again:\n{b[:300]}")
