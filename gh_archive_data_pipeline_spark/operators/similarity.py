@@ -669,8 +669,32 @@ def _election_claim(spark: SparkSession, fs, index_dir: str,
                       "a concurrent rebuild claimed this version "
                       f"(election lost to {rivals[0]})")
     # canonicalize: the election winner records the plain .lock so the
-    # retained-claim protocol (and vacuum) see one shape everywhere
-    fs.createNewFile(lock)
+    # retained-claim protocol (and vacuum) see one shape everywhere. The
+    # lock CONTENT is our claim name, written non-overwrite and read back
+    # (round-11 ADVICE hardening): on a store with delayed listing
+    # visibility two claimants can each list before the rival's claim
+    # appears and both reach this line — the create(overwrite=False) plus
+    # the content check demotes whichever sees the rival's canonical lock
+    # first. Best effort, not a proof: the portable Hadoop API has no
+    # conditional PUT, so a deployment on such a store should swap in an
+    # If-None-Match claim (docstring recommendation stands).
+    try:
+        out = fs.create(lock, False)
+        out.writeBytes(claim_name)
+        out.close()
+    except Exception as e:
+        raise IOError(f"rebuild lock already exists: {lock} — "
+                      "a concurrent rebuild claimed this version "
+                      "(canonical lock created by a rival)") from e
+    jvm = spark._jvm
+    rd = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(lock)))
+    content = rd.readLine()
+    rd.close()
+    if content != claim_name:
+        raise IOError(f"rebuild lock already exists: {lock} — canonical "
+                      f"lock content {content!r} belongs to a rival "
+                      "claimant")
 
 
 def _ivf_current_version(spark: SparkSession, index_dir: str) -> int | None:
@@ -726,50 +750,82 @@ def ivf_balance(spark: SparkSession, index_dir: str,
 
 
 def _ivf_tombstones(spark: SparkSession, root: str):
-    """The active generation's tombstoned vector ids (one ``delete=<n>``
-    parquet partition per :func:`ivf_delete` call), or None when nothing
-    was deleted."""
+    """The active generation's tombstoned vector ids (one
+    ``delete=<uuid>`` parquet partition per :func:`ivf_delete` call), or
+    None when nothing was deleted."""
     fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
     if not fs.exists(tpath):
         return None
     return spark.read.parquet(f"{root}/tombstones").select("vec_id")
 
 
+def _tombstone_partition_names(spark: SparkSession, root: str) -> list[str]:
+    """Names of the ``delete=<uuid>`` partitions currently under
+    ``{root}/tombstones`` — the rebuild's snapshot/diff unit."""
+    fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
+    if not fs.exists(tpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(tpath)
+                  if st.getPath().getName().startswith("delete="))
+
+
 def ivf_delete(spark: SparkSession, index_dir: str, ids: DataFrame,
-               id_col: str = "vec_id") -> int:
+               id_col: str = "vec_id") -> str:
     """Tombstone-delete vectors from the ACTIVE index generation — the
     removal plane the ingest/rebuild/vacuum family was missing (a training
     corpus must honor takedown/GDPR erasure without rebuilding a 100 TB
     index synchronously).
 
-    O(|delete|): the ids land as one new ``tombstones/delete=<n>`` parquet
-    partition under the active root; no index row moves. Every
+    O(|delete|): the ids land as one new ``tombstones/delete=<uuid>``
+    parquet partition under the active root; no index row moves. Every
     :func:`ivf_search` anti-joins the tombstone set out of its pruned
     candidate scan, and the next :func:`ivf_rebuild` folds deletions in
     permanently — the new generation is born tombstone-free (pinned
     bit-equal to a fresh build over the surviving rows). Until a rebuild,
     :func:`ivf_balance` occupancy still counts tombstoned rows (they
-    still occupy cell files) — treat a large tombstone backlog as drift
-    and let ivf_maintain's rebuild fold it. Contract note: a tombstone
-    suppresses the ID entirely, so re-ingesting a previously deleted id
-    requires a rebuild first (delete-then-append within one generation is
-    not a supported update path). Returns the delete-partition number."""
+    still occupy cell files) — :func:`ivf_maintain`'s tombstone-drift
+    trigger folds the backlog. Contract note: a tombstone suppresses the
+    ID entirely, so re-ingesting a previously deleted id requires a
+    rebuild first (delete-then-append within one generation is not a
+    supported update path).
+
+    The partition name is a fresh uuid, NOT a dense counter (round-11
+    ADVICE fix): two concurrent deletes that both computed the same
+    ``delete=<n>`` would overwrite each other with ``mode('overwrite')``
+    and silently lose one caller's erasures — the same lost-erasure class
+    the version lock prevents for rebuilds. Nothing depends on dense
+    numbering; readers discover partitions by listing. Returns the
+    partition name."""
     root = ivf_active_root(spark, index_dir)
-    fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
-    n = 0
-    if fs.exists(tpath):
-        n = 1 + max([int(st.getPath().getName().split("=", 1)[1])
-                     for st in fs.listStatus(tpath)
-                     if st.getPath().getName().startswith("delete=")]
-                    + [-1])
+    name = f"delete={uuid.uuid4().hex}"
     (ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
-     .write.mode("overwrite").parquet(f"{root}/tombstones/delete={n}"))
-    return n
+     .write.mode("overwrite").parquet(f"{root}/tombstones/{name}"))
+    return name
+
+
+def _copy_late_tombstones(spark: SparkSession, old_root: str,
+                          new_root: str, known: set[str]) -> set[str]:
+    """Carry tombstones that landed under ``old_root`` AFTER the rebuild's
+    plan-time snapshot (``known`` partition names) forward into
+    ``new_root``'s live tombstone set. The new generation was built
+    folding only the snapshot, so a late delete would otherwise be
+    orphaned the moment the ``.ready`` marker flips readers over — the
+    deleted id silently resurfacing in ivf_search (round-11 ADVICE fix).
+    Returns ``known`` extended with the partitions copied."""
+    late = [n for n in _tombstone_partition_names(spark, old_root)
+            if n not in known]
+    if late:
+        (spark.read.parquet(*[f"{old_root}/tombstones/{n}" for n in late])
+         .select("vec_id").distinct()
+         .write.mode("overwrite")
+         .parquet(f"{new_root}/tombstones/delete={uuid.uuid4().hex}"))
+    return known | set(late)
 
 
 def ivf_rebuild(spark: SparkSession, index_dir: str,
                 num_cells: int | None = None,
-                id_col: str = "vec_id") -> int:
+                id_col: str = "vec_id",
+                _pre_publish_hook=None) -> int:
     """Fold every ingest generation back into a freshly-trained index and
     publish it ATOMICALLY as ``{index_dir}/v=<next>`` — the offline
     maintenance pass that closes the frozen-codebook loop: ivf_index_append
@@ -786,16 +842,37 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
     then one atomic marker create — concurrent searches keep reading the
     old generation until the marker lands, and a crash mid-write leaves
     the active index untouched. Old generations stay for rollback until
-    :func:`ivf_vacuum`. Returns the published version number."""
+    :func:`ivf_vacuum`. Returns the published version number.
+
+    Delete-vs-rebuild race (round-11 ADVICE fix): the version lock only
+    serializes rebuild against rebuild — :func:`ivf_delete` keeps landing
+    tombstones under the still-active OLD root while a rebuild runs. The
+    rebuild folds a plan-time SNAPSHOT of the tombstone partitions, then
+    re-lists the old root's tombstones twice — immediately before the
+    marker create and again immediately after — and copies any partition
+    newer than the snapshot into the new generation's live tombstone set
+    (searches anti-join it; the NEXT rebuild folds it). The residual
+    window is one list→create round trip, plus the pathological crash
+    between marker and post-publish sweep; a deployment that needs zero
+    window must quiesce deletes across rebuilds (the tombstone writes are
+    O(|delete|), so a short quiesce is cheap). ``_pre_publish_hook(root)``
+    is a test seam: called after v=N is fully built but before the
+    pre-marker sweep, where a concurrent delete is indistinguishable from
+    one that raced the build."""
     root = ivf_active_root(spark, index_dir)
     if num_cells is None:
         num_cells = spark.read.parquet(f"{root}/codebook").count()
     full = (spark.read.parquet(f"{root}/corpus")
             .select(F.col(id_col), F.col("v")))
-    tomb = _ivf_tombstones(spark, root)
-    if tomb is not None:
+    # plan-time tombstone snapshot: fold EXACTLY these partitions; anything
+    # landing later is carried forward by the pre/post-marker sweeps below
+    snap = set(_tombstone_partition_names(spark, root))
+    if snap:
         # fold deletions permanently: the new generation is born
-        # tombstone-free (ivf_delete's contract)
+        # tombstone-free of the snapshot (ivf_delete's contract)
+        tomb = (spark.read.parquet(
+            *[f"{root}/tombstones/{n}" for n in sorted(snap)])
+            .select("vec_id"))
         full = full.join(
             F.broadcast(tomb.withColumnRenamed("vec_id", id_col)),
             id_col, "left_anti")
@@ -819,14 +896,23 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
     # counted by the next_v scan above and never reused); the partial v=N
     # is invisible to readers (no .ready) and cleared by ivf_vacuum.
     _claim_version_lock(spark, fs, index_dir, next_v)
-    build_ivf_index(full, f"{index_dir}/v={next_v}", num_cells=num_cells,
+    new_root = f"{index_dir}/v={next_v}"
+    build_ivf_index(full, new_root, num_cells=num_cells,
                     id_col=id_col, vec_col="v")
+    if _pre_publish_hook is not None:
+        _pre_publish_hook(root)
+    # pre-marker sweep: tombstones that landed on the old root during the
+    # build travel into the new generation as LIVE tombstones
+    snap = _copy_late_tombstones(spark, root, new_root, snap)
     _, marker = hadoop_fs(spark, f"{index_dir}/_v_{next_v}.ready")
     # the lock makes a marker collision unreachable short of manual marker
     # creation, but createNewFile's contract is still return-value-reported
     if not fs.createNewFile(marker):  # atomic publish
         raise IOError(f"publish marker already exists: {marker} — "
                       "a concurrent rebuild raced this version")
+    # post-marker sweep: a delete that resolved the old root before the
+    # marker but finished writing after the pre-marker list lands here
+    _copy_late_tombstones(spark, root, new_root, snap)
     # The lock is a PERMANENT claim on this version number — deliberately
     # NOT deleted after publish. Round-9 find (surfaced by the two-writer
     # race test under host load): a laggard that computed the same next_v
@@ -841,14 +927,42 @@ def ivf_rebuild(spark: SparkSession, index_dir: str,
 
 def ivf_maintain(spark: SparkSession, index_dir: str,
                  overfull_factor: float = 2.0,
+                 tombstone_frac: float = 0.2,
                  id_col: str = "vec_id") -> bool:
-    """The maintenance scheduler's body: rebuild IFF :func:`ivf_balance`
-    flags any overfull cell (the q386 signal), else leave the index
-    untouched. Returns whether a rebuild was published. The trigger read
-    is partition-column metadata only, so the no-op path costs no vector
-    I/O — cheap enough to run after every ingest batch."""
-    drifted = (ivf_balance(spark, index_dir, overfull_factor)
-               .filter("overfull").limit(1).count() > 0)
+    """The maintenance scheduler's body: rebuild IFF the index has
+    drifted, else leave it untouched. Two independent drift signals
+    (round-11 added the second — the trigger was previously blind to
+    deletion-heavy workloads, whose index looks balanced while the
+    effective corpus shrinks and every search pays a growing tombstone
+    anti-join):
+
+    - any overfull cell per :func:`ivf_balance` (the q386 append-skew
+      signal);
+    - tombstone backlog: tombstone rows / corpus rows >=
+      ``tombstone_frac`` (the rebuild folds the backlog, restoring
+      anti-join-free searches). Row counts come from parquet footer
+      metadata — no vector bytes move. Overlapping delete batches can
+      overcount the backlog, which only triggers the fold EARLY (each
+      batch is internally distinct via ivf_delete; cross-batch repeats
+      are rare and benign). Pass ``tombstone_frac=0`` to rebuild on any
+      tombstone, or ``None`` to disable the signal.
+
+    Returns whether a rebuild was published. Both trigger reads are
+    metadata-only, so the no-op path costs no vector I/O — cheap enough
+    to run after every ingest batch."""
+    root = ivf_active_root(spark, index_dir)
+    drifted = False
+    if tombstone_frac is not None:
+        fs, tpath = hadoop_fs(spark, f"{root}/tombstones")
+        if fs.exists(tpath):
+            n_tomb = spark.read.parquet(f"{root}/tombstones").count()
+            if n_tomb:
+                n_corpus = spark.read.parquet(f"{root}/corpus").count()
+                drifted = (n_corpus > 0
+                           and n_tomb / n_corpus >= tombstone_frac)
+    if not drifted:
+        drifted = (ivf_balance(spark, index_dir, overfull_factor)
+                   .filter("overfull").limit(1).count() > 0)
     if drifted:
         ivf_rebuild(spark, index_dir, id_col=id_col)
     return drifted
@@ -914,7 +1028,11 @@ def ivf_vacuum(spark: SparkSession, index_dir: str,
             if any(deleted):
                 removed.append(f"{index_dir}/_v_{v}.lock")
     if flat_gen not in keep:
-        for name in ("corpus", "codebook"):
+        # "tombstones" included (round-11 ADVICE fix): once a version is
+        # active the flat root's tombstones are never read again, but
+        # leaving the deleted-id list on disk after vacuum claims the
+        # generation removed defeats the erasure contract
+        for name in ("corpus", "codebook", "tombstones"):
             if _checked_delete(name, True):
                 removed.append(f"{index_dir}/{name}")
     return removed

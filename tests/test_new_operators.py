@@ -2918,10 +2918,14 @@ def test_ivf_delete_hides_ids_and_rebuild_folds_them(spark, sf_dir,
 
     import pyspark.sql.functions as F  # noqa: N812
 
-    assert sim.ivf_delete(
-        spark, idx, emb.filter("vec_id % 7 = 3").select("vec_id")) == 0
-    assert sim.ivf_delete(
-        spark, idx, emb.filter("vec_id % 11 = 5").select("vec_id")) == 1
+    d1 = sim.ivf_delete(
+        spark, idx, emb.filter("vec_id % 7 = 3").select("vec_id"))
+    d2 = sim.ivf_delete(
+        spark, idx, emb.filter("vec_id % 11 = 5").select("vec_id"))
+    # collision-free partition naming (round-11 ADVICE): two delete calls
+    # can never overwrite each other's tombstones
+    assert d1 != d2 and d1.startswith("delete=") and d2.startswith("delete=")
+    assert sorted(os.listdir(f"{idx}/tombstones")) == sorted([d1, d2])
     got = sim.ivf_search(spark, idx, queries, k=5, nprobe=4)
     rows = got.collect()
     assert rows and all(r.neighbor_id % 7 != 3 and r.neighbor_id % 11 != 5
@@ -2946,6 +2950,103 @@ def test_ivf_delete_hides_ids_and_rebuild_folds_them(spark, sf_dir,
     a = sorted(map(tuple, sim.ivf_search(spark, idx, queries).collect()))
     b = sorted(map(tuple, sim.ivf_search(spark, fresh, queries).collect()))
     assert a == b and a
+
+
+def test_ivf_rebuild_carries_tombstones_written_during_rebuild(
+        spark, sf_dir, tmp_path):
+    """The delete-vs-rebuild race (round-11 ADVICE, medium): a tombstone
+    written to the still-active old root WHILE a rebuild is running must
+    not be orphaned when the .ready marker flips readers to the new
+    generation. The pre-publish hook lands a delete at the worst moment —
+    after v=N is fully built from the tombstone snapshot, before the
+    marker — and the id must still (a) never surface in post-rebuild
+    searches, via the carried-forward live tombstone set, and (b) be
+    folded permanently by the NEXT rebuild."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    sim.ivf_delete(spark, idx, emb.filter("vec_id % 7 = 3")
+                   .select("vec_id"))
+
+    def late_delete(old_root):
+        # a concurrent client deletes against the ACTIVE (old) root —
+        # ivf_delete resolves the same root because no marker exists yet
+        assert sim.ivf_active_root(spark, idx) == old_root
+        sim.ivf_delete(spark, idx, emb.filter("vec_id % 11 = 5")
+                       .select("vec_id"))
+
+    v = sim.ivf_rebuild(spark, idx, _pre_publish_hook=late_delete)
+    # the late ids ride the new generation as LIVE tombstones…
+    assert os.path.isdir(f"{idx}/v={v}/tombstones")
+    rows = sim.ivf_search(spark, idx,
+                          emb.filter("vec_id < 5"), k=5).collect()
+    assert rows and all(r.neighbor_id % 7 != 3 and r.neighbor_id % 11 != 5
+                        for r in rows)
+    # …and the next rebuild folds them permanently
+    v2 = sim.ivf_rebuild(spark, idx)
+    assert not os.path.isdir(f"{idx}/v={v2}/tombstones")
+    rows2 = sim.ivf_search(spark, idx,
+                           emb.filter("vec_id < 5"), k=5).collect()
+    assert rows2 and all(r.neighbor_id % 7 != 3 and r.neighbor_id % 11 != 5
+                         for r in rows2)
+
+
+def test_ivf_vacuum_sweeps_flat_generation_tombstones(spark, sf_dir,
+                                                      tmp_path):
+    """round-11 ADVICE (low): vacuuming the flat pre-rebuild generation
+    must remove its tombstones directory too — the deleted-id list
+    persisting after the generation is 'removed' defeats erasure."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    sim.ivf_delete(spark, idx, emb.filter("vec_id % 7 = 3")
+                   .select("vec_id"))
+    sim.ivf_rebuild(spark, idx)
+    sim.ivf_vacuum(spark, idx, keep_last=1)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert not os.path.isdir(f"{idx}/corpus")
+
+
+def test_ivf_maintain_tombstone_drift_trigger(spark, sf_dir, tmp_path):
+    """round-11 VERDICT item 3: deletes ALONE (cells perfectly balanced,
+    no appends) must trip ivf_maintain once the tombstone fraction
+    crosses the threshold; the rebuild folds the backlog so post-rebuild
+    searches drop the anti-join (no tombstones under the active root)."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators import similarity as sim
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, idx, num_cells=16)
+    n = emb.count()
+    sim.ivf_delete(spark, idx, emb.filter("vec_id % 10 = 3")
+                   .select("vec_id"))   # ~10% backlog
+    # below threshold (and balanced cells): no rebuild
+    assert sim.ivf_maintain(spark, idx, tombstone_frac=0.5) is False
+    assert sim.ivf_active_root(spark, idx) == idx
+    # at/over threshold: deletes alone trip the fold
+    assert sim.ivf_maintain(spark, idx, tombstone_frac=0.05) is True
+    root = sim.ivf_active_root(spark, idx)
+    assert root != idx
+    assert not os.path.isdir(f"{root}/tombstones")
+    surv = spark.read.parquet(f"{root}/corpus").count()
+    assert surv == n - emb.filter("vec_id % 10 = 3").count()
+    # disabled signal: a fresh backlog no longer triggers
+    sim.ivf_delete(spark, idx, emb.filter("vec_id % 10 = 4")
+                   .select("vec_id"))
+    assert sim.ivf_maintain(spark, idx, tombstone_frac=None) is False
 
 
 def test_ivf_vacuum_raises_on_failed_delete(spark, sf_dir, tmp_path,
