@@ -293,10 +293,16 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _q45_oracle(k: int = 5, planes_per_table: int = 4, num_tables: int = 16,
-                dim: int = 64, seed: int = 42) -> str:
+                dim: int = 64, seed: int = 42,
+                corpus_excl: str | None = None) -> str:
     """DuckDB twin of srp_bucket_topk: identical ±1 plane literals, bucket
-    codes, candidate join and exact re-scoring."""
+    codes, candidate join and exact re-scoring. ``corpus_excl`` is an
+    optional SQL predicate over the CANDIDATE side (alias ``c``) — q449
+    applies the deletion predicate there, exactly where the engine's
+    tombstone anti-join prunes the bucket scan (queries stay untouched,
+    matching ivf/srp delete semantics)."""
     planes = _rademacher_planes(planes_per_table, num_tables, dim, seed)
+    excl = f" AND NOT ({corpus_excl})" if corpus_excl else ""
 
     def bucket_sql(tbl) -> str:
         return " + ".join(
@@ -318,7 +324,7 @@ def _q45_oracle(k: int = 5, planes_per_table: int = 4, num_tables: int = 16,
     cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         FROM hashed q JOIN hashed c ON q.t = c.t AND q.b = c.b
-        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id{excl}
     ),
     scored AS (
         SELECT query_id, neighbor_id,
@@ -1263,6 +1269,15 @@ def srp_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     keys = [r.tb for r in probes.select("tb").distinct().collect()]
     bucket_rows = (spark.read.parquet(f"{index_dir}/buckets")
                    .filter(F.col("tb").isin(keys)))  # static partition prune
+    tomb = _srp_tombstones(spark, index_dir)
+    if tomb is not None:
+        # srp_delete's read path (same contract as ivf_search): tombstoned
+        # ids never become candidates — broadcast anti-join on the pruned
+        # bucket scan; a backlog big enough to strain the broadcast is
+        # compaction drift by contract (srp_compact folds it)
+        bucket_rows = bucket_rows.join(
+            F.broadcast(tomb.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id", "left_anti")
     candidates = (bucket_rows
                   .join(F.broadcast(probes.select("query_id", "qv", "tb",
                                                   "t", "b")),
@@ -1279,6 +1294,77 @@ def srp_search(spark: SparkSession, index_dir: str, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("sim", 6).alias("cosine_sim"), "rank"))
+
+
+def _srp_tombstones(spark: SparkSession, index_dir: str):
+    """The SRP index's tombstoned vector ids (one ``delete=<uuid>``
+    parquet partition per :func:`srp_delete` call), or None when nothing
+    was deleted."""
+    fs, tpath = hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.exists(tpath):
+        return None
+    return spark.read.parquet(f"{index_dir}/tombstones").select("vec_id")
+
+
+def srp_delete(spark: SparkSession, index_dir: str, ids: DataFrame,
+               id_col: str = "vec_id") -> str:
+    """Tombstone-delete vectors from a :func:`build_srp_index` layout —
+    the removal plane the SRP index was missing (round-11 VERDICT item 1:
+    a takedown/GDPR story that covers one index of three isn't a story).
+    Same O(|delete|) contract as :func:`ivf_delete`: the ids land as one
+    collision-free ``tombstones/delete=<uuid>`` parquet partition; no
+    bucket file moves; every :func:`srp_search` anti-joins the set out of
+    its pruned bucket scan, and :func:`srp_compact` folds deletions
+    permanently. Re-ingesting a previously deleted id requires a compact
+    first (same no-resurrection rule as IVF). Returns the partition
+    name."""
+    name = f"delete={uuid.uuid4().hex}"
+    (ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+     .write.mode("overwrite").parquet(f"{index_dir}/tombstones/{name}"))
+    return name
+
+
+def srp_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold accumulated :func:`srp_delete` tombstones into the bucket
+    files — the offline maintenance pass that restores anti-join-free
+    searches. Bucket membership is a pure function of the vector, so
+    filtering tombstoned rows out of the standing layout is BIT-EQUAL to
+    rebuilding the index from the surviving corpus (pinned by unit test);
+    no re-hash runs. The ``tb`` partition layout is preserved (one file
+    per bucket) and the swap is the same rename-based
+    offline-window protocol as ``compact_minhash_index`` — Hadoop FS API
+    throughout, return values checked, rewritten data preserved in the
+    ``_compacting`` directory on a failed swap."""
+    tomb = _srp_tombstones(spark, index_dir)
+    if tomb is None:
+        return
+    cur = f"{index_dir}/buckets"
+    tmp = f"{index_dir}/buckets_compacting"
+    survivors = (spark.read.parquet(cur)
+                 .join(F.broadcast(tomb
+                                   .withColumnRenamed("vec_id",
+                                                      "neighbor_id")),
+                       "neighbor_id", "left_anti"))
+    if survivors.isEmpty():
+        # partitionBy on zero rows writes NO files, leaving a schema-less
+        # (unreadable) table — keep one empty schema'd file in an explicit
+        # tb=0 directory instead (the build_minhash_index guard)
+        survivors.drop("tb").write.mode("overwrite").parquet(f"{tmp}/tb=0")
+    else:
+        (survivors.repartition("tb")
+         .write.mode("overwrite").partitionBy("tb").parquet(tmp))
+    fs, cur_path = hadoop_fs(spark, cur)
+    _, tmp_path = hadoop_fs(spark, tmp)
+    if fs.exists(cur_path) and not fs.delete(cur_path, True):
+        raise IOError(f"srp_compact: could not delete {cur}")
+    if not fs.rename(tmp_path, cur_path):
+        raise IOError(f"srp_compact: rename {tmp} -> {cur} failed; "
+                      f"compacted data preserved at {tmp}")
+    _, tpath = hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.delete(tpath, True):
+        raise IOError(f"srp_compact: could not delete folded tombstones "
+                      f"at {tpath} — leaving them would re-suppress "
+                      "re-ingested ids")
 
 
 _srp_index_cache: dict[tuple[str, float], str] = {}
@@ -1312,6 +1398,38 @@ def q365_srp_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return srp_search(spark, _srp_cached_index(spark, sf_dir), queries, k=5)
+
+
+@register("q449_srp_tombstone_search",
+          sql=_q45_oracle(corpus_excl="c.vec_id % 7 = 3"))
+def q449_srp_tombstone_search(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The SRP removal plane (round 11 — the LSH sibling of q448): build
+    the q365 bucket-partitioned index, TOMBSTONE every ``vec_id % 7 == 3``
+    via :func:`srp_delete` (one O(|delete|) parquet partition, no bucket
+    file moves), and search — deleted vectors must never surface as
+    neighbors and survivor ranks re-pack. The oracle is q45's
+    full-fidelity SRP replay with the deletion predicate applied on the
+    candidate side exactly where the engine's broadcast anti-join prunes
+    the bucket scan (hashing, probing and scoring untouched — buckets are
+    a pure function of the vector, so deletion only shrinks the candidate
+    set). A fresh index is built in-query (the cached q365 index is
+    shared state a delete must not mutate) — the q448 convention.
+    :func:`srp_compact` folding the tombstones bit-equal to a fresh build
+    over the survivors is pinned by unit test."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="srp_tomb_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    build_srp_index(emb, d)
+    srp_delete(spark, d,
+               emb.filter(F.pmod("vec_id", F.lit(7)) == 3)
+               .select("vec_id"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return srp_search(spark, d, queries, k=5)
 
 
 @register(

@@ -246,6 +246,51 @@ def test_srp_index_scan_is_partition_pruned(spark, tmp_path):
     assert any("tb" in l and " IN " in l for l in part_lines), part_lines
 
 
+def test_srp_delete_hides_ids_and_compact_folds_them(spark, tmp_path):
+    """srp_delete's full contract (round-11 removal plane): (a) tombstoned
+    ids never surface as neighbors and survivor ranks re-pack; (b) delete
+    batches accumulate under collision-free uuid partitions; (c)
+    srp_compact folds deletions permanently — tombstones directory gone,
+    search results unchanged by the fold and BIT-EQUAL to a fresh build
+    over the surviving rows (bucketing is a pure function of the vector,
+    so no re-hash is needed)."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "srp_idx")
+    similarity.build_srp_index(emb, idx)
+    d1 = similarity.srp_delete(
+        spark, idx, emb.filter("vec_id % 7 = 3").select("vec_id"))
+    d2 = similarity.srp_delete(
+        spark, idx, emb.filter("vec_id % 11 = 5").select("vec_id"))
+    assert d1 != d2
+    assert sorted(os.listdir(f"{idx}/tombstones")) == sorted([d1, d2])
+    before = sorted(map(tuple, similarity.srp_search(
+        spark, idx, queries, k=5).collect()))
+    assert before and all(r[1] % 7 != 3 and r[1] % 11 != 5 for r in before)
+    by_q: dict = {}
+    for r in before:
+        by_q.setdefault(r[0], []).append(r[3])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+
+    similarity.srp_compact(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    after = sorted(map(tuple, similarity.srp_search(
+        spark, idx, queries, k=5).collect()))
+    assert after == before
+    fresh = str(tmp_path / "srp_fresh")
+    similarity.build_srp_index(
+        emb.filter("vec_id % 7 != 3 AND vec_id % 11 != 5"), fresh)
+    assert sorted(map(tuple, similarity.srp_search(
+        spark, fresh, queries, k=5).collect())) == after
+    # compact with no tombstones is a no-op (layout untouched)
+    similarity.srp_compact(spark, idx)
+    assert sorted(map(tuple, similarity.srp_search(
+        spark, idx, queries, k=5).collect())) == after
+
+
 def test_embedding_near_dup_lsh_prefilter_subset(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {(r.id_a, r.id_b): r.cosine_sim
