@@ -1592,6 +1592,7 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
     delta_sh = hashed_shingles(delta, id_col, ngram, hash_fn).localCheckpoint()
     delta_bands = _band_rows(delta_sh, id_col, num_hashes,
                              bands).localCheckpoint()
+    tomb = _minhash_tombstones(spark, index_dir)
     corpus_bands = spark.read.parquet(f"{index_dir}/bands")
     if num_buckets is not None:
         # Prune the index scan to the delta's bucket directories: a
@@ -1607,6 +1608,15 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
             corpus_bands = corpus_bands.filter(F.col("bkt").isin(bkts))
     # explicit column select drops the layout's partition columns
     corpus_bands = corpus_bands.select(id_col, "band", "sig")
+    if tomb is not None:
+        # minhash_index_delete's read path: tombstoned corpus docs never
+        # become candidates (broadcast anti-join on the pruned band scan;
+        # the shingle verify scan is anti-joined below so a tombstoned
+        # doc can't verify either). Delta-side rows are the caller's live
+        # data and are never suppressed — re-ingesting a deleted id
+        # requires a compact first (the IVF no-resurrection rule).
+        tomb_as = F.broadcast(tomb.withColumnRenamed("id", id_col))
+        corpus_bands = corpus_bands.join(tomb_as, id_col, "left_anti")
     # corpus x delta: broadcast the delta side; the index scan streams.
     # doc_x != doc_y guard: in an at-least-once retry the batch's own rows
     # may already sit in the index (appended before the checkpoint commit),
@@ -1629,8 +1639,12 @@ def incremental_near_dup(spark: SparkSession, index_dir: str,
         .select("doc_a", "doc_b")
     )
     candidates = cross.unionByName(internal).distinct()
-    all_sh = (spark.read.parquet(f"{index_dir}/shingles")
-              .select(id_col, "hs").unionByName(delta_sh))
+    index_sh = spark.read.parquet(f"{index_dir}/shingles").select(id_col, "hs")
+    if tomb is not None:
+        index_sh = index_sh.join(
+            F.broadcast(tomb.withColumnRenamed("id", id_col)),
+            id_col, "left_anti")
+    all_sh = index_sh.unionByName(delta_sh)
     # verify: candidates broadcast twice; the shingle scans never shuffle.
     with_a = (all_sh.select(F.col(id_col).alias("doc_a"),
                             F.col("hs").alias("hs_a"))
@@ -1703,6 +1717,51 @@ def q376_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _cached_minhash_index(spark, sf_dir), delta, threshold=0.3)
 
 
+def _q450_oracle() -> str:
+    """q376's full-corpus replay with the deletion predicate applied to
+    BOTH pair members on the index side (corpus docs are ``% 10 != 0``;
+    deleted corpus docs are additionally ``% 9 = 4``) — by construction
+    the set the tombstone-aware probe emits, since a deleted doc can
+    neither band-match nor shingle-verify while delta-internal pairs are
+    untouched."""
+    return (f"WITH {_minhash_pairs_ctes()}\n"
+            "    SELECT doc_a, doc_b, jaccard FROM verified\n"
+            "    WHERE (doc_a % 10 = 0 OR doc_b % 10 = 0)\n"
+            "      AND NOT (doc_a % 10 != 0 AND doc_a % 9 = 4)\n"
+            "      AND NOT (doc_b % 10 != 0 AND doc_b % 9 = 4)")
+
+
+@register("q450_minhash_tombstone_probe", sql=_q450_oracle())
+def q450_minhash_tombstone_probe(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The dedup-index removal plane (round 11 — the MinHash sibling of
+    q448/q449): build the q376 signature index over the standing corpus
+    (doc_id % 10 != 0), TOMBSTONE every corpus doc with ``doc_id % 9 ==
+    4`` via :func:`minhash_index_delete` (one O(|delete|) parquet
+    partition, no index file moves), then probe the ingest delta
+    (doc_id % 10 == 0) — pairs whose corpus member was deleted must
+    vanish (the deleted doc can no longer suppress fresh ingests as
+    duplicates) while delta-internal pairs and pairs with surviving
+    corpus members are untouched. A fresh index is built in-query (the
+    cached q376 index is shared state a delete must not mutate) — the
+    q448/q449 convention. :func:`compact_minhash_index` folding the
+    tombstones bit-equal to an index built from the surviving corpus is
+    pinned by unit test."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="minhash_tomb_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    build_minhash_index(corpus, d, num_buckets=8)
+    minhash_index_delete(
+        spark, d, corpus.filter(F.col("doc_id") % 9 == 4).select("doc_id"))
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_near_dup(spark, d, delta, threshold=0.3)
+
+
 def minhash_index_append(spark: SparkSession, index_dir: str,
                          delta: DataFrame, ingest_id: str,
                          id_col: str = "doc_id",
@@ -1744,18 +1803,60 @@ def minhash_index_append(spark: SparkSession, index_dir: str,
          .parquet(f"{index_dir}/bands/ingest={ingest_id}"))
 
 
+def _minhash_tombstones(spark: SparkSession, index_dir: str):
+    """The signature index's tombstoned document ids (one ``delete=<uuid>``
+    parquet partition per :func:`minhash_index_delete` call, canonical
+    column name ``id``), or None when nothing was deleted."""
+    from ..sources.readers import hadoop_fs
+
+    fs, tpath = hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.exists(tpath):
+        return None
+    return spark.read.parquet(f"{index_dir}/tombstones").select("id")
+
+
+def minhash_index_delete(spark: SparkSession, index_dir: str,
+                         ids: DataFrame, id_col: str = "doc_id") -> str:
+    """Tombstone-delete documents from a :func:`build_minhash_index`
+    layout — the removal plane the incremental dedup index was missing
+    (round-11 VERDICT item 1): a takedown must stop a deleted document's
+    shingles from suppressing future ingests as duplicates, without
+    rewriting the standing index synchronously.
+
+    Same O(|delete|) contract as ``ivf_delete``/``srp_delete``: the ids
+    land as one collision-free ``tombstones/delete=<uuid>`` parquet
+    partition (canonical column ``id``); no index file moves. Every
+    :func:`incremental_near_dup` probe anti-joins the set out of both its
+    band scan and its shingle verify scan, and
+    :func:`compact_minhash_index` folds deletions permanently — the
+    compacted index is bit-equal to one built from the surviving corpus
+    (signatures are a pure function of the text, pinned by unit test).
+    Re-ingesting a previously deleted id requires a compact first (the
+    no-resurrection rule shared by all three index planes). Returns the
+    partition name."""
+    import uuid
+
+    name = f"delete={uuid.uuid4().hex}"
+    (ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+     .write.mode("overwrite").parquet(f"{index_dir}/tombstones/{name}"))
+    return name
+
+
 def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
     """Merge an index's accumulated ``ingest=*`` partitions back into a
     single ``ingest=base`` generation — the maintenance pass a long-running
     probe-then-append loop (q379) schedules offline: every streamed batch
     adds a small-file partition, and a probe's scan cost is file count as
-    much as bytes. Params and contents are unchanged (probe results are
-    byte-identical before and after — pinned by unit test); only the file
-    layout is rewritten. The swap is rename-based and assumes the offline
-    maintenance window every compaction strategy needs without a
-    transactional table format (Delta/Iceberg would make it atomic).
-    The delete+rename goes through the Hadoop FS API (not shutil) so the
-    swap also works when index_dir is an hdfs://-s3a:// URI."""
+    much as bytes. Params and probe results are unchanged (byte-identical
+    before and after — pinned by unit test); only the file layout is
+    rewritten — EXCEPT that accumulated :func:`minhash_index_delete`
+    tombstones are folded (tombstoned rows dropped from both tables, the
+    tombstones directory removed), which changes nothing a probe can see
+    because probes already anti-join the set. The swap is rename-based and
+    assumes the offline maintenance window every compaction strategy needs
+    without a transactional table format (Delta/Iceberg would make it
+    atomic). The delete+rename goes through the Hadoop FS API (not shutil)
+    so the swap also works when index_dir is an hdfs://-s3a:// URI."""
     from ..sources.readers import hadoop_fs
 
     def swap(cur: str, tmp: str) -> None:
@@ -1773,10 +1874,19 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
                 f"compaction: rename {tmp} -> {cur} failed; compacted "
                 f"data preserved at {tmp}")
 
+    tomb = _minhash_tombstones(spark, index_dir)
     for part in ("shingles", "bands"):
         cur = f"{index_dir}/{part}"
         tmp = f"{index_dir}/{part}_compacting"
         df = spark.read.parquet(cur).drop("ingest")
+        if tomb is not None:
+            # fold deletions: drop tombstoned rows from both tables (the
+            # id column is whatever the build used — the one column that
+            # isn't table structure)
+            idc = [c for c in df.columns
+                   if c not in ("hs", "band", "sig", "bkt")][0]
+            df = df.join(F.broadcast(tomb.withColumnRenamed("id", idc)),
+                         idc, "left_anti")
         if part == "bands" and "bkt" in df.columns:
             if df.isEmpty():
                 # same guard as the build: partitionBy on zero rows writes
@@ -1798,6 +1908,12 @@ def compact_minhash_index(spark: SparkSession, index_dir: str) -> None:
             (df.repartition(spark.sparkContext.defaultParallelism)
              .write.mode("overwrite").parquet(f"{tmp}/ingest=base"))
         swap(cur, tmp)
+    if tomb is not None:
+        fs, tpath = hadoop_fs(spark, f"{index_dir}/tombstones")
+        if not fs.delete(tpath, True):
+            raise IOError(f"compaction: could not delete folded tombstones "
+                          f"at {tpath} — leaving them would re-suppress "
+                          "re-ingested ids")
 
 
 # ---------------------------------------------------------------------------

@@ -2236,6 +2236,62 @@ def test_compact_minhash_index_preserves_probe_results(spark, sf_dir,
     assert n_files_after < n_files_before
 
 
+def test_minhash_index_delete_hides_docs_and_compact_folds(spark, sf_dir,
+                                                           tmp_path):
+    """minhash_index_delete's full contract (round-11 removal plane):
+    (a) pairs whose corpus member is tombstoned vanish from the probe
+    while surviving pairs are untouched — probe results equal a probe
+    against an index built WITHOUT the deleted docs; (b) delete batches
+    accumulate under collision-free uuid partitions; (c) compaction folds
+    the tombstones (directory gone, probe results unchanged, tables
+    bit-equal to the survivors-only build)."""
+    import os
+
+    from gh_archive_data_pipeline_spark.operators.dedup import (
+        build_minhash_index, compact_minhash_index, incremental_near_dup,
+        minhash_index_delete)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 10 != 0")
+    probe = docs.filter("doc_id % 10 = 0")
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, num_buckets=8)
+    full = {(r.doc_a, r.doc_b)
+            for r in incremental_near_dup(spark, idx, probe).collect()}
+    d1 = minhash_index_delete(
+        spark, idx, corpus.filter("doc_id % 9 = 4").select("doc_id"))
+    d2 = minhash_index_delete(
+        spark, idx, corpus.filter("doc_id % 9 = 7").select("doc_id"))
+    assert d1 != d2
+    assert sorted(os.listdir(f"{idx}/tombstones")) == sorted([d1, d2])
+
+    deleted = {r.doc_id for r in
+               corpus.filter("doc_id % 9 IN (4, 7)")
+               .select("doc_id").collect()}
+    got = {(r.doc_a, r.doc_b)
+           for r in incremental_near_dup(spark, idx, probe).collect()}
+    assert got == {(a, b) for a, b in full
+                   if a not in deleted and b not in deleted}
+    surv_idx = str(tmp_path / "surv")
+    build_minhash_index(corpus.filter("doc_id % 9 NOT IN (4, 7)"),
+                        surv_idx, num_buckets=8)
+    surv = {(r.doc_a, r.doc_b)
+            for r in incremental_near_dup(spark, surv_idx, probe).collect()}
+    assert got == surv and got
+
+    compact_minhash_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    after = {(r.doc_a, r.doc_b)
+             for r in incremental_near_dup(spark, idx, probe).collect()}
+    assert after == got
+    # the folded tables carry no tombstoned rows
+    sh_ids = {r.doc_id for r in
+              spark.read.parquet(f"{idx}/shingles")
+              .select("doc_id").distinct().collect()}
+    assert not (sh_ids & deleted)
+
+
 def test_hard_negative_mining_semantics(spark, sf_dir):
     """q385: every mined negative has a label different from its anchor's,
     ranks are 1..5 per anchor, and each negative is the hardest available —
