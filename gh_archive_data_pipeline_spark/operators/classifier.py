@@ -23,6 +23,10 @@ weight updates run in the same left-to-right IEEE order on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,41 +88,87 @@ def _z_expr(w: list[float], b: float):
     return z
 
 
+# Per-round plan mode for the GD loop (round-11 optimization): below this
+# optimizer-estimated input size, each round's one-row-output aggregate is
+# dominated by fixed per-job costs — whole-stage-codegen COMPILATION of the
+# round's fresh literal plan (~60-80 ms) and AQE's extra re-plan job — not
+# by per-row compute, so the loop runs those rounds with codegen/AQE off
+# (measured 16 rounds at sf0.1: 5.0 s -> 3.5 s; per-row arithmetic is the
+# same IEEE ops either way, weights bit-identical). Above the threshold the
+# per-row interpreter overhead would multiply by the corpus size, so
+# codegen/AQE stay on — the gate is INPUT SIZE, never core count.
+_GD_INTERP_MAX_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_GD_INTERP_MAX_BYTES", str(256 * 1024 * 1024)))
+
+
 def train_quality_probe(docs: DataFrame, rounds: int = ROUNDS,
                         lr: float = LR) -> tuple[list[float], float]:
     """Batch-GD logistic regression on :func:`quality_features`. Returns
     (weights, bias). Zero init, fixed ``rounds``, full-batch gradient —
     deterministic and exactly replayable.
 
-    The round's weights flow in as a broadcast ONE-ROW frame, not plan
-    literals: the per-round plan text is then identical, so whole-stage
-    codegen compiles once and every later round hits the generated-code
-    cache (literal weights re-compiled a fresh ~1s codegen unit per round —
-    the same trap q146's posexplode note documents). The arithmetic is
-    unchanged: column-vs-literal multiplication is the same IEEE op."""
+    The round's weights enter as plan LITERALS (round-11 optimization):
+    the earlier broadcast-one-row-frame form paid a BroadcastExchange +
+    BroadcastNestedLoopJoin + a broadcast-build job EVERY round to save
+    one ~60 ms codegen compile — measured 16 rounds at sf0.1: 9.4 s
+    broadcast vs 5.0 s literal, final weights bit-identical (column-vs-
+    literal multiplication is the same IEEE op, row order unchanged).
+    Compile count is 16 per TRAINING RUN regardless of corpus size, so
+    the trade only improves at scale."""
     spark = docs.sparkSession
     feats = quality_features(docs).localCheckpoint()
-    w_schema = ("w1 double, w2 double, w3 double, w4 double, w5 double, "
-                "b double")
-    z = F.col("b")
-    for j in range(5):
-        z = z + F.col(f"w{j + 1}") * F.col(f"x{j + 1}")
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    small = _plan_size_bytes(docs) <= _GD_INTERP_MAX_BYTES
     w, b = [0.0] * 5, 0.0
-    for _ in range(rounds):
-        wdf = spark.createDataFrame([(*w, b)], w_schema)
-        r = (feats.crossJoin(F.broadcast(wdf))
-             .select((p - F.col("y")).alias("e"),
-                     "x1", "x2", "x3", "x4", "x5")
-             .agg(F.count("*").alias("n"),
-                  F.sum("e").alias("gb"),
-                  *[F.sum(F.col("e") * F.col(f"x{j + 1}")).alias(f"g{j + 1}")
-                    for j in range(5)])
-             .collect()[0])
-        n = float(r["n"])
-        w = [w[j] - lr * float(r[f"g{j + 1}"]) / n for j in range(5)]
-        b = b - lr * float(r["gb"]) / n
+    with _interp_mode(spark, small):
+        for _ in range(rounds):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_expr(w, b)))
+            r = (feats
+                 .select((p - F.col("y")).alias("e"),
+                         "x1", "x2", "x3", "x4", "x5")
+                 .agg(F.count("*").alias("n"),
+                      F.sum("e").alias("gb"),
+                      *[F.sum(F.col("e") * F.col(f"x{j + 1}"))
+                        .alias(f"g{j + 1}") for j in range(5)])
+                 .collect()[0])
+            n = float(r["n"])
+            w = [w[j] - lr * float(r[f"g{j + 1}"]) / n for j in range(5)]
+            b = b - lr * float(r["gb"]) / n
     return w, b
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size of ``df`` (bytes) — plan statistics only,
+    no job. Conservative fallback: on any introspection failure return
+    maxsize so callers treat the input as LARGE (scale-safe default)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return sys.maxsize
+
+
+@contextmanager
+def _interp_mode(spark: SparkSession, enabled: bool):
+    """Temporarily run with whole-stage codegen + AQE off (tiny-input fast
+    path for driver-synchronized micro-job loops); restores the session's
+    previous values on exit."""
+    if not enabled:
+        yield
+        return
+    keys = ("spark.sql.codegen.wholeStage", "spark.sql.adaptive.enabled")
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = "true"
+    try:
+        for k in keys:
+            spark.conf.set(k, "false")
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def _z_sql() -> str:
