@@ -234,7 +234,11 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q412_rrf_hybrid_search": {"shuffle_records": 201, "rows_read": 14000},
     "q415_bloom_decontamination": {"shuffle_records": 259618,
                                    "rows_read": 20000},
-    "q419_maxsim_late_interaction": {"shuffle_records": 25021,
+    # q419 re-snapshot round 11 (deliberate plan change): the corpus side
+    # now passes the small-file parallelism gate (+5000 repartition
+    # records) so token vectors + MaxSim HOFs parallelize; md5 and both
+    # norms hoisted out of the per-pair cosine (5.3 s -> 2.3 s warm)
+    "q419_maxsim_late_interaction": {"shuffle_records": 30021,
                                      "rows_read": 10000},
     "q421_kcenter_coreset": {"shuffle_records": 5, "rows_read": 5},
 }

@@ -40,8 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.readers import load_table
-from .similarity import _as_double, cosine
+from ..sources.readers import load_table, scan_parallel
+from .similarity import _as_double, cosine, dot
 
 RRF_K = 60          # the standard RRF damping constant (Cormack et al.)
 FUSE_DEPTH = 20     # per-modality candidate depth fed into fusion
@@ -448,18 +448,47 @@ def q419_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors for model outputs and an LSH/IVF candidate filter upstream
     (q45/q358) and this is the production ColBERT re-rank stage."""
     docs = load_table(spark, sf_dir, "documents")
+    # Round-11 flop hoist (guide §1.2 "per-task work"), bit-identical
+    # arithmetic: (a) md5(w) is computed ONCE per token and fed to the
+    # 8-dim vector lambda — the original _TOKVEC_SPARK re-ran md5 inside
+    # the per-dimension lambda, 8x per token (128 md5 calls per doc);
+    # (b) each side's L2 norm rides along as a column/struct field, so the
+    # per-(query-token, doc-token) cosine is ONE 8-dim dot + qn*un + a
+    # divide instead of three dots + two sqrts. norm(a) and the hoisted
+    # field run the same fold (acc + x*x, left-to-right, sqrt) on the same
+    # values, and the denominator keeps the qn * un order, so every
+    # floor(cos * 1e12 + 0.5) is unchanged — pinned by the oracle.
+    tokvec_h = ("transform(sequence(0, {d}), c ->"
+                " (cast(conv(substring({h}, c*2 + 1, 2), 16, 10)"
+                "  as double) - 127.5D) / 127.5D)")
+    norm_sql = ("sqrt(aggregate({v}, cast(0.0 as double),"
+                " (acc, x) -> acc + x * x))")
     qtok = (docs.filter(F.col("doc_id") < N_QUERIES)
             .select(F.col("doc_id").alias("query_id"),
                     F.explode(F.expr(
                         f"slice(split(text, ' '), 1, {LI_QTOK})")).alias("w"))
             .select("query_id", F.expr(
-                _TOKVEC_SPARK.format(d=LI_DIM - 1, w="w")).alias("qv")))
-    dvec = docs.select(
+                tokvec_h.format(d=LI_DIM - 1, h="md5(w)")).alias("qv"))
+            .select("query_id", "qv",
+                    F.expr(norm_sql.format(v="qv")).alias("qn")))
+    # corpus side through the small-file parallelism gate: the token
+    # vectors, the broadcast join and the MaxSim HOF all run scan-side,
+    # so an unsplittable one-row-group fixture file would otherwise
+    # execute the whole scoring chain in ONE task (queries stay on the
+    # un-gated scan: 5 rows, broadcast)
+    dvec = scan_parallel(docs).select(
         "doc_id",
-        F.expr(f"transform(slice(split(text, ' '), 1, {LI_DTOK}), w -> "
-               + _TOKVEC_SPARK.format(d=LI_DIM - 1, w="w") + ")").alias("dvs"))
+        F.expr(
+            "transform(transform("
+            f"slice(split(text, ' '), 1, {LI_DTOK}), w -> md5(w)), "
+            f"h -> {tokvec_h.format(d=LI_DIM - 1, h='h')})").alias("dv0")
+    ).select(
+        "doc_id",
+        F.expr("transform(dv0, u -> struct(u AS u, "
+               + norm_sql.format(v="u") + " AS un))").alias("dvs"))
     maxcos = F.array_max(F.transform(
-        F.col("dvs"), lambda u: cosine(F.col("qv"), u)))
+        F.col("dvs"),
+        lambda s: dot(F.col("qv"), s["u"]) / (F.col("qn") * s["un"])))
     scored = (
         dvec.join(F.broadcast(qtok), F.col("query_id") != F.col("doc_id"))
         .select("query_id", "doc_id",

@@ -93,6 +93,34 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in (names or ALL_TABLES)}
 
 
+def scan_parallel(df: DataFrame) -> DataFrame:
+    """Small-file parallelism gate (round 11, generalizing the
+    minhash_near_dup gate): when the scan has fewer partitions than the
+    cluster has slots, round-robin repartition so downstream SCAN-SIDE
+    compute (shingling, md5 token vectors, feature extraction, HOF
+    vector math) uses every core instead of one.
+
+    A single-row-group parquet file — the shape of every local fixture
+    table — is unsplittable, so the scan and EVERYTHING until the first
+    exchange otherwise run in ONE task (measured: the whole q419 scoring
+    chain single-threaded on local[32]). Cluster scans have many splits,
+    so ``getNumPartitions() >= defaultParallelism`` holds and this
+    shuffle never happens at scale — the gate is input-layout-adaptive,
+    not core-count-tuned. Use it ONLY where per-row compute dominates
+    the scan: for scans feeding a plain aggregation the extra exchange
+    of full-width rows costs more than the single-task partial agg.
+
+    Round-robin placement (deterministic under Spark's
+    sort-before-repartition) only moves rows between tasks; callers'
+    results must not depend on row placement — true for every consumer
+    here (per-row projections followed by key-grouped exact aggregates)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def read_json_with_schema(spark: SparkSession, path: str, schema: StructType,
                           timestamp_ntz_format: str | None = None,
                           multi_line: bool = False) -> DataFrame:
