@@ -24,14 +24,13 @@ weight updates run in the same left-to-right IEEE order on both sides.
 from __future__ import annotations
 
 import os
-import sys
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, plan_size_bytes
 from .text_queries import _STOP_SQL, STOPWORDS
 
 ROUNDS = 16
@@ -115,9 +114,21 @@ def train_quality_probe(docs: DataFrame, rounds: int = ROUNDS,
     literal multiplication is the same IEEE op, row order unchanged).
     Compile count is 16 per TRAINING RUN regardless of corpus size, so
     the trade only improves at scale."""
+    w, b, _ = train_quality_probe_with_feats(docs, rounds, lr)
+    return w, b
+
+
+def train_quality_probe_with_feats(
+        docs: DataFrame, rounds: int = ROUNDS,
+        lr: float = LR) -> tuple[list[float], float, DataFrame]:
+    """:func:`train_quality_probe` that ALSO hands back the checkpointed
+    feature frame it trained on, so a caller scoring the same corpus
+    (q401) reads the once-materialized features instead of re-deriving
+    them from the raw scan — the persist-once-read-twice discipline the
+    pipeline phases already follow; values are identical by construction."""
     spark = docs.sparkSession
     feats = quality_features(docs).localCheckpoint()
-    small = _plan_size_bytes(docs) <= _GD_INTERP_MAX_BYTES
+    small = plan_size_bytes(docs) <= _GD_INTERP_MAX_BYTES
     w, b = [0.0] * 5, 0.0
     with _interp_mode(spark, small):
         for _ in range(rounds):
@@ -133,18 +144,7 @@ def train_quality_probe(docs: DataFrame, rounds: int = ROUNDS,
             n = float(r["n"])
             w = [w[j] - lr * float(r[f"g{j + 1}"]) / n for j in range(5)]
             b = b - lr * float(r["gb"]) / n
-    return w, b
-
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Optimizer-estimated size of ``df`` (bytes) — plan statistics only,
-    no job. Conservative fallback: on any introspection failure return
-    maxsize so callers treat the input as LARGE (scale-safe default)."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return sys.maxsize
+    return w, b, feats
 
 
 @contextmanager
@@ -265,8 +265,10 @@ def q401_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature frame; inference is the scan-side logit, broadcastable to any
     downstream curation query as a literal expression."""
     docs = load_table(spark, sf_dir, "documents")
-    w, b = train_quality_probe(docs)
-    feats = quality_features(docs)
+    # score from the SAME checkpointed feature frame training used
+    # (round 11): identical values by construction, one less full
+    # feature derivation from the raw scan
+    w, b, feats = train_quality_probe_with_feats(docs)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_expr(w, b)))
     return (feats.select(F.col("y").cast("int").alias("label"),
                          (p >= 0.5).cast("int").alias("pred"),

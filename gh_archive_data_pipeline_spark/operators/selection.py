@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, size_partitions
 
 # ---------------------------------------------------------------------------
 # distributed global order statistics
@@ -66,7 +66,14 @@ def global_running_sum(df: DataFrame, order_cols: list[str], value_col: str,
     partitions pass 2 reads.
     """
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    # partition count from INPUT SIZE (round 11, guide §2 scale-adaptive
+    # partitioning): the old defaultParallelism constant gave a KB-scale
+    # frame one near-empty range partition per core — 32 sampled ranges,
+    # 32-task jobs for each of the two passes, pure scheduling overhead —
+    # while under-partitioning a 100 TB frame to the core count. Integral
+    # value_col sums are partition-invariant (the property law in
+    # tests/test_selection.py), so the count is a pure performance knob.
+    n = num_partitions or size_partitions(df)
     part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())
