@@ -812,11 +812,14 @@ def test_q403_projection_report_single_scan_small_shuffle(spark):
 
 
 def test_q401_scoring_is_scan_side_no_join(spark):
-    """The trained probe's inference pass: a literal logit over one
-    documents scan feeding a partial-aggregated 4-cell confusion groupBy —
-    no join, no UDF, no extra scan."""
+    """The trained probe's inference pass (round-11 shape): a literal
+    logit over the TRAIN-TIME CHECKPOINTED feature frame (persist-once-
+    read-twice — no fresh file scan, no feature re-derivation) feeding a
+    partial-aggregated 4-cell confusion groupBy — no join, no UDF."""
     plan = plan_of(spark, "q401_quality_probe")
-    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan
+    # scoring reads the checkpointed features, not the raw parquet
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint re-read
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
