@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.readers import load_table, size_partitions
+from ..sources.readers import load_table
 
 # ---------------------------------------------------------------------------
 # distributed global order statistics
@@ -66,16 +66,24 @@ def global_running_sum(df: DataFrame, order_cols: list[str], value_col: str,
     partitions pass 2 reads.
     """
     spark = df.sparkSession
-    # partition count from INPUT SIZE (round 11, guide §2 scale-adaptive
-    # partitioning): the old defaultParallelism constant gave a KB-scale
-    # frame one near-empty range partition per core — 32 sampled ranges,
-    # 32-task jobs for each of the two passes, pure scheduling overhead —
-    # while under-partitioning a 100 TB frame to the core count. Integral
+    # Partition count (round 11, guide §2.2 scale-adaptive partitioning):
+    # when the caller doesn't pin one, range-partition WITHOUT an explicit
+    # count so AQE coalesces from the shuffle's ACTUAL byte sizes
+    # (advisoryPartitionSizeInBytes) — a KB-scale frame collapses to one
+    # partition (no 32 near-empty range tasks × two passes), a TB-scale
+    # frame keeps bytes/advisory partitions. An earlier attempt derived
+    # the count from optimizer sizeInBytes stats; post-explode/join
+    # estimates inflate by orders of magnitude (measured: a 5000-row
+    # weights frame drew 2177 range partitions in q380/q443) — runtime
+    # bytes, not plan estimates, are the trustworthy signal. Integral
     # value_col sums are partition-invariant (the property law in
     # tests/test_selection.py), so the count is a pure performance knob.
-    n = num_partitions or size_partitions(df)
-    part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-            .withColumn("__pid", F.spark_partition_id())
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions,
+                                     *[F.col(c) for c in order_cols])
+    else:
+        part = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    part = (part.withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())
     totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
     offsets = []

@@ -106,20 +106,6 @@ def plan_size_bytes(df: DataFrame) -> int:
         return sys.maxsize
 
 
-def size_partitions(df: DataFrame, target_bytes: int = 64 * 1024 * 1024,
-                    cap: int = 4096) -> int:
-    """Partition count derived from the INPUT SIZE, not the core count
-    (guide §2: scale-adaptive partitioning): ceil(estimated bytes /
-    ``target_bytes``), at least 1, capped at max(``cap``, cluster slots)
-    so a wild overestimate (stats fallback) cannot explode the task
-    count. A KB-scale frame gets 1 partition instead of one near-empty
-    task per core; a TB-scale frame gets bytes/target partitions
-    regardless of cluster width."""
-    est = plan_size_bytes(df)
-    n = max(1, -(-est // target_bytes))
-    return min(n, max(df.sparkSession.sparkContext.defaultParallelism, cap))
-
-
 def scan_parallel(df: DataFrame) -> DataFrame:
     """Small-file parallelism gate (round 11, generalizing the
     minhash_near_dup gate): when the scan has fewer partitions than the
