@@ -49,13 +49,28 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         w, b = _cached_probe(spark, sf_dir)
         t0 = time.monotonic()
-        flag1 = _ckpt(phase1_exact(docs), True)
+
+        def timed_build(fn, desc):
+            # eager sub-checkpoints (minhash sh/stacked, prefix-sum part)
+            # execute during DataFrame CONSTRUCTION — time it separately
+            tb = time.monotonic()
+            out = fn()
+            print(f"  {desc} [build]: {time.monotonic() - tb:.2f}s",
+                  flush=True)
+            return out
+
+        flag1 = timed_build(lambda: _ckpt(phase1_exact(docs), True),
+                            "phase1_exact")
         noop(flag1, "phase1_exact (ckpt materialize)")
-        ann1 = _ckpt(phase2_chunk(flag1), True)
+        ann1 = timed_build(lambda: _ckpt(phase2_chunk(flag1), True),
+                           "phase2_chunk")
         noop(ann1, "phase2_chunk (ckpt materialize)")
-        disp = _ckpt(phase3_gate_split(docs, ann1, w, b), True)
+        disp = timed_build(
+            lambda: _ckpt(phase3_gate_split(docs, ann1, w, b), True),
+            "phase3_gate_split")
         noop(disp, "phase3_gate_split (ckpt materialize)")
-        man = manifest_from_disposition(disp)
+        man = timed_build(lambda: manifest_from_disposition(disp),
+                          "manifest")
         noop(man, "manifest_from_disposition")
         print(f"  TOTAL: {time.monotonic() - t0:.2f}s")
         # q443 tail over the same disposition table
