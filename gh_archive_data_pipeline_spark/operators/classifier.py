@@ -59,9 +59,11 @@ def quality_features(docs: DataFrame,
     mean_wl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
                .cast("double") / nw_d)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / nw_d
-    n_stop = F.size(F.filter(F.array_distinct(toks),
-                             lambda t: F.array_contains(stop_arr, t))
-                    ).cast("bigint")
+    # array_intersect builds one hash set per row (round-11, guide §1.2
+    # per-task work) — the earlier filter(array_distinct, array_contains)
+    # linear-scanned the stopword array once per distinct token. Both
+    # count distinct tokens that are stopwords (array_intersect dedups).
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("bigint")
     alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
                    .cast("double") / nw_d)
     keep = (n_words.between(50, 100000) & mean_wl.between(3.0, 10.0)

@@ -2097,19 +2097,29 @@ def decon_shingle_hashes(docs: DataFrame,
                          ngram: int = DECON_NGRAM) -> DataFrame:
     """Spark twin of :func:`_decon_shingle_sql`: per-doc distinct 8-word
     shingles as (doc_id, h1, h2) — md5 computed INSIDE the shingle
-    transform so the shingle text never leaves its scan task."""
+    transform so the shingle text never leaves its scan task.
+
+    The per-doc DISTINCT is scan-side too (round-11, guide §2.4): each
+    input row is one whole document, so distinct (doc_id, h1, h2) ==
+    array_distinct over the row's own shingle array — deduped on the
+    16-hex-char md5 prefix, which maps 1:1 to the (h1, h2) pair the
+    oracle's SELECT DISTINCT keys on. The earlier explode -> .distinct()
+    paid a full shuffle + hash-agg of the entire shingle table (the
+    largest exchange in q415/q440's decon phase) for a dedup that never
+    crossed row boundaries. Precondition (all callers satisfy it): one
+    input row per doc_id."""
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     return (toks.where(F.size("w") >= ngram)
-            .select("doc_id", F.explode(F.expr(
+            .select("doc_id", F.explode(F.array_distinct(F.expr(
                 f"transform(sequence(1, size(w) - {ngram - 1}),"
-                f" i -> md5(array_join(slice(w, i, {ngram}), ' ')))"))
+                f" i -> substring(md5(array_join(slice(w, i, {ngram}), "
+                f"' ')), 1, 16))")))
                 .alias("m"))
             .select("doc_id",
                     F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint")
                     .alias("h1"),
                     F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint")
-                    .alias("h2"))
-            .distinct())
+                    .alias("h2")))
 
 
 def _bloom_positions_h(h1, h2, m: int = BLOOM_M, k: int = BLOOM_HASHES):
@@ -2478,6 +2488,13 @@ def _dispositions_from_matches(chunks: DataFrame, mch: DataFrame,
     flagged = chunks.join(mch.withColumn("m", F.lit(1)),
                           ["doc_id", "idx"], "left")
     n_words = F.size(F.split("chunk", " ")).cast("bigint")
+    # ONE collect_list of (idx, chunk, m) instead of two parallel
+    # (idx, chunk) lists (round-11, guide §2.3 "shuffle fewer bytes"):
+    # the old full_text + trimmed_text aggregates each carried the chunk
+    # text in their own partial-agg buffer, so unmatched chunk text
+    # crossed the reassembly exchange TWICE. idx is unique per doc, so
+    # array_sort orders the combined structs identically and both texts
+    # derive row-side from the single sorted list.
     agg = (flagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.coalesce(F.sum("m"), F.lit(0)).cast("bigint")
@@ -2485,13 +2502,17 @@ def _dispositions_from_matches(chunks: DataFrame, mch: DataFrame,
         F.sum(n_words).cast("bigint").alias("total_tokens"),
         F.coalesce(F.sum(F.when(F.col("m").isNull(), n_words)),
                    F.lit(0)).cast("bigint").alias("unmatched_tokens"),
-        F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-            lambda s: s["chunk"]), " ").alias("full_text"),
-        F.array_join(F.transform(
-            F.array_sort(F.collect_list(
-                F.when(F.col("m").isNull(), F.struct("idx", "chunk")))),
-            lambda s: s["chunk"]), " ").alias("trimmed_text")))
+        F.array_sort(F.collect_list(F.struct("idx", "chunk", "m")))
+        .alias("_cs")))
+    agg = (agg.withColumn(
+        "full_text",
+        F.array_join(F.transform("_cs", lambda s: s["chunk"]), " "))
+        .withColumn(
+            "trimmed_text",
+            F.array_join(F.transform(
+                F.filter("_cs", lambda s: s["m"].isNull()),
+                lambda s: s["chunk"]), " "))
+        .drop("_cs"))
     frac = F.col("matched_chunks") / F.col("n_chunks")
     disposition = (F.when(frac >= drop_at, "drop")
                    .when(frac >= trim_at, "trim")
