@@ -148,7 +148,7 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # disposition table materializes via lazy localCheckpoint inside the
     # timed window, like q421) — wall time still measures the whole funnel
     "q440_corpus_build_pipeline": {"shuffle_records": 2276,
-                                   "rows_read": 12159},
+                                   "rows_read": 12128},
     "q441_chunk_disposition_reconcile": {"shuffle_records": 80502,
                                          "rows_read": 1254170},
     # q442/q443/q445 counters cover the post-checkpoint rank + rollup only
@@ -183,7 +183,11 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q125_repetition_ngrams": {"shuffle_records": 276417, "rows_read": 5000},
     "q144_ngram_novelty": {"shuffle_records": 307482, "rows_read": 10000},
     "q129_weighted_sample": {"shuffle_records": 0, "rows_read": 5000},
-    "q167_market_basket": {"shuffle_records": 1814166, "rows_read": 1840000},
+    # re-snapshot round 11 (deliberate plan change): baskets materialized
+    # once via localCheckpoint — the fully-lazy form re-derived the
+    # lineitem scan + broadcast join + distinct for all four consumers
+    # (3 fact-table scans in the executed plan); shuffle halves
+    "q167_market_basket": {"shuffle_records": 952196, "rows_read": 1663803},
     "q178_rolling_distinct_users": {"shuffle_records": 84929, "rows_read": 200000},
     "q188_bpe_pair_counts": {"shuffle_records": 112, "rows_read": 5000},
     "q189_pagerank_event_graph": {"shuffle_records": 26, "rows_read": 65},
@@ -195,7 +199,15 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q316_scaling_curve": {"shuffle_records": 135560, "rows_read": 15004},
     "q360_q9_shape": {"shuffle_records": 176, "rows_read": 771025},
     "q364_q20_shape": {"shuffle_records": 43177, "rows_read": 621025},
-    "q374_corpus_curation": {"shuffle_records": 11627, "rows_read": 23313},
+    # re-snapshot round 11 (deliberate plan change): exact-dedup keeper
+    # selection is a window-min over the fingerprint (phase1_exact's
+    # shape) — one fp pass + one exchange instead of groupBy-keepers +
+    # join-back (two fp derivations; and at scale the keepers side is
+    # corpus-sized, so the broadcast that made the old form look cheap
+    # locally cannot exist). rows_read drops one full doc scan; records
+    # rise because fp rows cross the f-exchange once instead of the agg's
+    # map-side-combined partials
+    "q374_corpus_curation": {"shuffle_records": 14948, "rows_read": 18313},
     # re-snapshotted round 6 (889 -> 1802) when the bands table gained its
     # bucket-partitioned layout, and round 8 (1802 -> 1218) when the FIXTURE
     # index's num_buckets was sized to the corpus (64 -> 8, per
@@ -207,11 +219,14 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q377_semantic_dedup": {"shuffle_records": 2001, "rows_read": 2001},
     # selection plane: the prefix-sum localCheckpoint truncates lineage, so
     # counters cover the final job (range exchange + offset join + window)
-    "q380_dsir_weights": {"shuffle_records": 5001, "rows_read": 5032},
-    "q381_shard_binpack": {"shuffle_records": 5134, "rows_read": 5032},
+    "q380_dsir_weights": {"shuffle_records": 5001, "rows_read": 5001},
+    "q381_shard_binpack": {"shuffle_records": 5134, "rows_read": 5001},
     # rows_read excludes the train-slice LM build since its localCheckpoint
     # (the materialized-model pass runs as its own job ahead of scoring)
-    "q382_perplexity_filter": {"shuffle_records": 10004, "rows_read": 16860},
+    # re-snapshot round 11 (deliberate plan change): the tertile row count
+    # reads the ranked (checkpoint-backed) frame instead of re-deriving
+    # the whole bigram scoring stream — one explode+LM-join pass removed
+    "q382_perplexity_filter": {"shuffle_records": 5002, "rows_read": 10002},
     "q383_arrow_token_stats": {"shuffle_records": 1, "rows_read": 5000},
     "q389_media_header_audit": {"shuffle_records": 1, "rows_read": 5000},
     # q391's returned frame is the 20-row driver result (the distributed LM
@@ -220,7 +235,7 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q391_doremi_reweight": {"shuffle_records": 32, "rows_read": 20},
     "q393_span_dedup_clean": {"shuffle_records": 237518, "rows_read": 10000},
     "q394_bpe_encode": {"shuffle_records": 5034, "rows_read": 10000},
-    "q395_sequence_packing": {"shuffle_records": 5001, "rows_read": 5032},
+    "q395_sequence_packing": {"shuffle_records": 5001, "rows_read": 5001},
     # round 8. q401/q404: training jobs run inside the query body against
     # localCheckpointed frames (the q391 convention) — counters pin the
     # final scoring/report job; the scale study carries the training cost.
@@ -232,7 +247,10 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # rows_read counts only the checkpoint re-reads (the corpus scans
     # happen at checkpoint time, before the timed plan).
     "q412_rrf_hybrid_search": {"shuffle_records": 201, "rows_read": 14000},
-    "q415_bloom_decontamination": {"shuffle_records": 259618,
+    # re-snapshot round 11 (deliberate plan change): the per-doc shingle
+    # distinct moved scan-side (array_distinct on the md5 prefix) — the
+    # full-shingle-table distinct exchange is gone (7 Exchanges -> 6)
+    "q415_bloom_decontamination": {"shuffle_records": 259477,
                                    "rows_read": 20000},
     # q419 re-snapshot round 11 (deliberate plan change): the corpus side
     # now passes the small-file parallelism gate (+5000 repartition

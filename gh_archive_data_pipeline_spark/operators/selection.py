@@ -733,12 +733,16 @@ def q445_epoch_plan_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPL_TRAIN = "src0"  # in-domain reference slice the LM trains on
 
-def _bigram_expr():
-    # built lazily — F.expr needs an active SparkContext, and this module
-    # is imported (registry load, test collection) before any session is up
+def _bigram_pairs_expr():
+    """array<struct<w1,w2>> of adjacent token pairs — the (w1, w2) columns
+    directly, skipping the concat-then-resplit round-trip the string form
+    paid per bigram (round-11, guide §1.2 per-task work: one concat + two
+    splits per bigram removed from the LM train and score streams).
+    Identical (w1, w2) values: tokens come from split(text, ' ') so they
+    contain no spaces, making concat/split_part a bijection."""
     return F.expr(
         "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
 
 
 def _kn_bigram_lm(docs: DataFrame, train_source: str):
@@ -752,9 +756,9 @@ def _kn_bigram_lm(docs: DataFrame, train_source: str):
     tr = (docs.filter(F.col("source") == train_source)
           .select(F.split("text", " ").alias("t"))
           .where(F.size("t") >= 2))
-    bg = tr.select(F.explode(_bigram_expr()).alias("bigram"))
-    bgc = (bg.select(F.split("bigram", " ").getItem(0).alias("w1"),
-                     F.split("bigram", " ").getItem(1).alias("w2"))
+    bg = tr.select(F.explode(_bigram_pairs_expr()).alias("bg"))
+    bgc = (bg.select(F.col("bg.w1").alias("w1"),
+                     F.col("bg.w2").alias("w2"))
            .groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).cast("double").alias("c12"))
            .localCheckpoint())
@@ -787,10 +791,10 @@ def _kn_score(docs: DataFrame, bgc, pref, cont, sc,
     the LM tables — the scoring stream both consumers aggregate."""
     dbp = (docs.select(*extra_cols, F.split("text", " ").alias("t"))
            .where(F.size("t") >= 2)
-           .select(*extra_cols, F.explode(_bigram_expr()).alias("bigram"))
+           .select(*extra_cols, F.explode(_bigram_pairs_expr()).alias("bg"))
            .select(*extra_cols,
-                   F.split("bigram", " ").getItem(0).alias("w1"),
-                   F.split("bigram", " ").getItem(1).alias("w2")))
+                   F.col("bg.w1").alias("w1"),
+                   F.col("bg.w2").alias("w2")))
     return (dbp.join(bgc, ["w1", "w2"], "left")
             .join(pref, "w1", "left")
             .join(cont, "w2", "left")
@@ -895,7 +899,12 @@ def q382_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.round(F.exp(F.avg(-F.log("pr"))), 4).alias("ppl")))
     ranked = global_rank(scored, ["ppl", "doc_id"], "__r")
-    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    # count rows from the RANKED frame — global_rank materialized the
+    # scored table (its prefix-sum checkpoint), so this reads the
+    # checkpoint; counting `scored` itself re-derived the entire bigram
+    # scoring stream a second time (round-11: one full explode+LM-join
+    # pass removed, guide §2.4)
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     tertile = (1 + F.floor((3.0 * (F.col("__r") - 1)) / F.col("__n")))
     return (ranked.crossJoin(F.broadcast(n))
             .select("doc_id", "n_bigrams", "ppl",

@@ -936,9 +936,17 @@ def q167_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Materialize baskets ONCE (localCheckpoint, the q295 edge-list
+    # convention — round-11, guide §2.4): four consumers read it
+    # (n_orders, brand_freq, both self-join sides); fully lazy each one
+    # re-derived the lineitem scan + broadcast join + distinct (3 parquet
+    # scans of the fact table in the executed plan). At cluster scale
+    # this is the distinct (order, brand) product you'd persist anyway
+    # before association mining.
     baskets = (li.join(F.broadcast(part),
                        li.l_partkey == part.p_partkey)
-               .select("l_orderkey", "p_brand").distinct())
+               .select("l_orderkey", "p_brand").distinct()
+               .localCheckpoint())
     n_orders = baskets.agg(
         F.count_distinct("l_orderkey").alias("n"))
     brand_freq = baskets.groupBy("p_brand").agg(F.count("*").alias("c"))
