@@ -147,8 +147,12 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # q440's counters cover the post-checkpoint manifest rollups only (the
     # disposition table materializes via lazy localCheckpoint inside the
     # timed window, like q421) — wall time still measures the whole funnel
-    "q440_corpus_build_pipeline": {"shuffle_records": 2276,
-                                   "rows_read": 12128},
+    # re-snapshot round 11 (deliberate plan change): funnel counts and
+    # kept stats merged into ONE per-split conditional rollup — a second
+    # disposition-checkpoint read and a join removed (rows_read 12128 ->
+    # 7153)
+    "q440_corpus_build_pipeline": {"shuffle_records": 2273,
+                                   "rows_read": 7153},
     "q441_chunk_disposition_reconcile": {"shuffle_records": 80502,
                                          "rows_read": 1254170},
     # q442/q443/q445 counters cover the post-checkpoint rank + rollup only

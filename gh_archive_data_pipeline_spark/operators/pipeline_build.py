@@ -360,6 +360,12 @@ def manifest_from_disposition(disp: DataFrame) -> DataFrame:
                         F.col("kept_tokens").alias("n_tokens"))
     spans = pack_spans(sized, _SEQ_LEN, eod_per_doc=True,
                        part_cols=["split"])
+    # ONE per-split rollup for funnel counts AND kept stats (round-11,
+    # guide §2.4): the kept-side aggregates are conditional sums over the
+    # same rows (aggregates skip nulls, so the when() guards reproduce
+    # the old kept-filtered keptstats exactly) — the separate keptstats
+    # pass paid a second disposition read, a second exchange, and a join.
+    is_kept = F.col("outcome") == "kept"
     funnel = (disp.groupBy("split")
               .agg(F.count("*").cast("bigint").alias("n_candidates"),
                    F.sum((F.col("outcome") == "exact_dup").cast("int"))
@@ -370,16 +376,17 @@ def manifest_from_disposition(disp: DataFrame) -> DataFrame:
                    .cast("bigint").alias("dropped_contaminated"),
                    F.sum((F.col("outcome") == "quality").cast("int"))
                    .cast("bigint").alias("dropped_quality"),
-                   F.sum(((F.col("outcome") == "kept")
+                   F.sum((is_kept
                           & (F.col("disposition") == "trim")).cast("int"))
-                   .cast("bigint").alias("trimmed_docs")))
-    keptstats = (kept.groupBy("split")
-                 .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.sum("kept_tokens").cast("bigint")
-                      .alias("n_tokens"),
-                      F.expr("bit_xor(cast(conv(substring(md5(cast(doc_id "
-                             "as string)), 1, 15), 16, 10) as bigint))")
-                      .alias("ids_xor")))
+                   .cast("bigint").alias("trimmed_docs"),
+                   F.sum(is_kept.cast("int")).cast("bigint")
+                   .alias("n_docs"),
+                   F.sum(F.when(is_kept, F.col("kept_tokens")))
+                   .cast("bigint").alias("n_tokens"),
+                   F.expr("bit_xor(CASE WHEN outcome = 'kept' THEN "
+                          "cast(conv(substring(md5(cast(doc_id as string))"
+                          ", 1, 15), 16, 10) as bigint) END)")
+                   .alias("ids_xor")))
     packstats = (spans.groupBy("split")
                  .agg(F.countDistinct("seq_id").cast("bigint")
                       .alias("n_seqs"),
@@ -390,7 +397,6 @@ def manifest_from_disposition(disp: DataFrame) -> DataFrame:
                           "as bigint))")
                       .alias("spans_xor")))
     return (funnel
-            .join(keptstats, "split", "left")
             .join(packstats, "split", "left")
             .select("split", "n_candidates", "dropped_exact",
                     "dropped_chunk", "dropped_contaminated",
