@@ -507,13 +507,19 @@ def batch_exact_flags(batch: DataFrame,
     bfp = batch.withColumn("f", F.md5(F.trim(
         F.regexp_replace(F.lower("text"), r"\s+", " "))))
     if standing is not None:
-        st = standing.withColumnRenamed("doc_id", "st_id")
-        dup_st = (bfp.join(st, "f", "left")
-                  .groupBy("doc_id")
-                  .agg(F.max((F.col("st_id") < F.col("doc_id"))
-                             .cast("int")).alias("_dup")))
-        bfp = bfp.join(dup_st, "doc_id", "left").withColumn(
-            "_dup", F.coalesce("_dup", F.lit(0)))
+        # "some standing id with my fingerprint is strictly lower" ==
+        # "the MINIMUM standing id for my fingerprint is strictly lower"
+        # — pre-aggregate standing to one row per fingerprint and LEFT
+        # JOIN once (round-11, guide §2.4): the old per-pair join +
+        # per-doc max + join-back paid two extra exchanges and a second
+        # batch-fingerprint derivation EVERY micro-batch
+        st_min = (standing.groupBy("f")
+                  .agg(F.min("doc_id").alias("_st_min")))
+        bfp = (bfp.join(st_min, "f", "left")
+               .withColumn("_dup",
+                           F.coalesce((F.col("_st_min") < F.col("doc_id"))
+                                      .cast("int"), F.lit(0)))
+               .drop("_st_min"))
     else:
         bfp = bfp.withColumn("_dup", F.lit(0))
     return (bfp.withColumn("kp",
