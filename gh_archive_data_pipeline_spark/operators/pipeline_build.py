@@ -599,7 +599,15 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
     # convention); a restart reuses the existing zone untouched
     corpus0 = (docs.filter(F.col("doc_id") >= EVAL_DOCS)
                .select("doc_id", "source", "text"))
-    if not os.path.isdir(land):
+    # _LAND_OK gates restart reuse (ADVICE r10): gating on isdir(land)
+    # alone let a crash DURING the landing write (partial part-file set,
+    # or complete files with unstamped mtimes) be silently reused by a
+    # restart, dropping the unwritten tail from the drain. The marker is
+    # written only after the utime stamping completes; a restart that
+    # finds the zone unmarked rewrites it (mode overwrite, deterministic
+    # content and stamping — convergent).
+    land_ok = f"{state_dir}/_LAND_OK"
+    if not os.path.isfile(land_ok):
         (corpus0.repartitionByRange(n_batches, "doc_id")
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(land))
@@ -608,6 +616,7 @@ def stream_corpus_build(spark: SparkSession, sf_dir: str,
             files = list(reversed(files))
         for i, f in enumerate(files):
             os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        open(land_ok, "w").close()
 
     # standing state bootstrap (first run only): chunk MinHash index
     # (EMPTY) + the immutable benchmark-decontamination reference — the

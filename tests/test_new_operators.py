@@ -2481,6 +2481,37 @@ def test_stream_corpus_build_crash_recovery_from_checkpoint(spark, sf_dir,
     assert _disp_rows(recovered) == _disp_rows(clean)
 
 
+def test_stream_corpus_build_partial_landing_zone_rewritten(spark, sf_dir,
+                                                            tmp_path):
+    """ADVICE-r10: a crash DURING the initial landing write leaves a
+    partial part-file set that a restart with the same state_dir used to
+    silently reuse (gated on isdir alone), dropping the unwritten tail
+    from the drain. The _LAND_OK marker (written only after the utime
+    stamping completes) makes the restart rewrite the zone instead —
+    pinned here by planting a half-corpus landing dir WITHOUT the marker
+    and requiring the restarted drain to equal the clean one."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_data_pipeline_spark.operators.dedup import EVAL_DOCS
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        stream_corpus_build,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    state = str(tmp_path / "state")
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    # the partial zone a mid-write crash leaves: valid parquet, half the
+    # candidate range, NO _LAND_OK marker
+    (docs.filter((F.col("doc_id") >= EVAL_DOCS)
+                 & (F.col("doc_id") <= (EVAL_DOCS + hi) // 2))
+     .select("doc_id", "source", "text")
+     .write.mode("overwrite").parquet(f"{state}/land"))
+    recovered = stream_corpus_build(spark, sf_dir, state_dir=state)
+    clean = stream_corpus_build(spark, sf_dir)
+    assert _disp_rows(recovered) == _disp_rows(clean)
+
+
 def test_stream_corpus_build_batch_count_invariance(spark, sf_dir):
     """VERDICT-r9 item 5: 2-, 4- and 8-batch drains of the same
     id-ordered landing zone produce IDENTICAL standing disposition tables
