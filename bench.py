@@ -184,8 +184,17 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q84_dedup_clusters": {"shuffle_records": 41, "rows_read": 40},
     "q87_reconcile_tables": {"shuffle_records": 298484, "rows_read": 300000},
     "q89_tfidf_top_terms": {"shuffle_records": 1433, "rows_read": 3600},
-    "q125_repetition_ngrams": {"shuffle_records": 276417, "rows_read": 5000},
-    "q144_ngram_novelty": {"shuffle_records": 307482, "rows_read": 10000},
+    # re-snapshot round 11 (deliberate plan change): per-doc bigram counts
+    # are scan-side run lengths of the sorted bigram array — ZERO query
+    # shuffles (the 1 record is the bench harness's own hash-reduce
+    # partial); the old explode shuffled every bigram instance twice
+    "q125_repetition_ngrams": {"shuffle_records": 1, "rows_read": 5000},
+    # re-snapshot round 11 (deliberate plan change): per-doc gram dedup is
+    # scan-side (array_distinct) and novel counts come from grouping the
+    # owner table by first_owner — the (doc,gram) dedup exchange and the
+    # owner join-back are gone; still two doc scans (n_grams branch +
+    # owner branch), same rows_read as before
+    "q144_ngram_novelty": {"shuffle_records": 29653, "rows_read": 10000},
     "q129_weighted_sample": {"shuffle_records": 0, "rows_read": 5000},
     # re-snapshot round 11 (deliberate plan change): baskets materialized
     # once via localCheckpoint — the fully-lazy form re-derived the
@@ -200,7 +209,10 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q286_poisson_bootstrap": {"shuffle_records": 41225, "rows_read": 200000},
     "q295_triangle_count": {"shuffle_records": 248268, "rows_read": 1218965},
     "q315_kneser_ney": {"shuffle_records": 3787, "rows_read": 20000},
-    "q316_scaling_curve": {"shuffle_records": 135560, "rows_read": 15004},
+    # re-snapshot round 11 (deliberate plan change): the eval split
+    # pre-aggregates to (word, count) before the (k, word) LM lookup join —
+    # the join carries |eval vocab| x 4 rows instead of |eval tokens| x 4
+    "q316_scaling_curve": {"shuffle_records": 323, "rows_read": 15004},
     "q360_q9_shape": {"shuffle_records": 176, "rows_read": 771025},
     "q364_q20_shape": {"shuffle_records": 43177, "rows_read": 621025},
     # re-snapshot round 11 (deliberate plan change): exact-dedup keeper

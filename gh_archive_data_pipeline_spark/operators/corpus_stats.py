@@ -51,30 +51,60 @@ def q125_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most repeated bigram. High values flag boilerplate/spam docs
     for removal before training.
 
-    Plan: one explode (bigrams materialize as short strings, not texts) and
-    two partial-aggregated shuffles both keyed on doc_id — AQE coalesces the
-    second since per-doc cardinality collapses to one row.
+    Plan (round 11): ZERO shuffles. Every output is a function of ONE
+    document's bigram multiset, so the per-(doc,bigram) counts never need
+    to leave the row: sort the bigram array scan-side and read run lengths
+    off the sorted array (boundaries = positions where the value changes;
+    run k spans boundary k to boundary k+1). The previous explode +
+    groupBy(doc_id,bigram) + groupBy(doc_id) shape shuffled every bigram
+    instance of the corpus twice to compute a per-row quantity — at 100 TB
+    that is the whole tokenized corpus crossing the network for a
+    map-side-computable statistic. All run-length math is integer; the two
+    ratios divide the same bigints the old aggregate divided, so results
+    are bit-identical.
     """
-    bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    # sorted bigram array; runs of equal values are the per-bigram counts
+    sorted_bg = (
+        "array_sort(transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
     )
-    counts = (
+    # 1-based positions where a new run starts (first element or != prev)
+    bounds = (
+        "filter(sequence(1, size(bg)), i -> i = 1 OR"
+        " element_at(bg, i) != element_at(bg, i - 1))"
+    )
+    # run lengths: next boundary (or n+1) minus this boundary
+    runs = (
+        "transform(sequence(1, size(bnd)),"
+        " k -> (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
+        "       ELSE size(bg) + 1 END) - element_at(bnd, k))"
+    )
+    return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    )
-    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("total_bigrams"),
-            dup.cast("bigint").alias("dup_bigrams"),
-            F.max("c").cast("bigint").alias("top_bigram_count"),
-            F.round(dup.cast("double") / F.sum("c"), 6).alias("dup_bigram_frac"),
-            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_share"),
+        .select("doc_id", F.expr(sorted_bg).alias("bg"))
+        .select("doc_id", "bg", F.expr(bounds).alias("bnd"))
+        .select(
+            "doc_id",
+            F.size("bg").cast("bigint").alias("total_bigrams"),
+            F.expr(runs).alias("runs"),
+        )
+        .select(
+            "doc_id",
+            "total_bigrams",
+            F.expr("cast(aggregate(runs, 0L, (a, x) ->"
+                   " a + IF(x > 1, cast(x as bigint), 0L)) as bigint)")
+            .alias("dup_bigrams"),
+            F.expr("cast(array_max(runs) as bigint)")
+            .alias("top_bigram_count"),
+        )
+        .select(
+            "doc_id", "total_bigrams", "dup_bigrams", "top_bigram_count",
+            F.round(F.col("dup_bigrams").cast("double")
+                    / F.col("total_bigrams"), 6).alias("dup_bigram_frac"),
+            F.round(F.col("top_bigram_count").cast("double")
+                    / F.col("total_bigrams"), 6).alias("top_bigram_share"),
         )
     )
 
@@ -97,23 +127,46 @@ def q125_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q126_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity scoring: type/token ratio and Shannon token entropy
     per document (low entropy = repetitive/templated text). Entropy uses the
-    single-pass identity H = ln(T) - Σ c·ln(c) / T so one aggregation over
-    (doc, token) counts suffices — no per-row p=c/T pre-join.
+    single-pass identity H = ln(T) - Σ c·ln(c) / T.
+
+    Plan (round 11): ZERO shuffles — every output depends on ONE document's
+    token multiset, so per-(doc, token) counts are run lengths of the
+    scan-side sorted token array (the q125 kernel), never an exchange. The
+    previous explode + groupBy(doc,tok) + groupBy(doc) shuffled every token
+    instance of the corpus twice. The entropy sum now adds per-token terms
+    in sorted-token order (deterministic, vs the old nondeterministic
+    partial-agg order); verified bit-equal against the oracle at
+    sf0.001/0.01/0.1.
     """
-    counts = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    bounds = (
+        "filter(sequence(1, size(s)), i -> i = 1 OR"
+        " element_at(s, i) != element_at(s, i - 1))"
     )
-    total = F.sum("c")
+    runs = (
+        "transform(sequence(1, size(bnd)),"
+        " k -> (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
+        "       ELSE size(s) + 1 END) - element_at(bnd, k))"
+    )
+    total = F.col("n_tokens")
     return (
-        counts.groupBy("doc_id")
-        .agg(
-            total.cast("bigint").alias("n_tokens"),
-            F.count("*").cast("bigint").alias("distinct_tokens"),
-            F.round(F.count("*").cast("double") / total, 6).alias("type_token_ratio"),
+        load_table(spark, sf_dir, "documents")
+        # explode() dropped NULL-text docs implicitly; keep that contract
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.expr("array_sort(split(text, ' '))").alias("s"))
+        .select("doc_id", "s", F.expr(bounds).alias("bnd"))
+        .select("doc_id",
+                F.size("s").cast("bigint").alias("n_tokens"),
+                F.expr(runs).alias("runs"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("runs").cast("bigint").alias("distinct_tokens"),
+            F.round(F.size("runs").cast("double") / total, 6)
+            .alias("type_token_ratio"),
             F.round(
-                F.log(total) - F.sum(F.col("c") * F.log("c")) / total, 6
+                F.log(total)
+                - F.expr("aggregate(runs, cast(0.0 as double),"
+                         " (a, x) -> a + x * ln(x))") / total, 6
             ).alias("token_entropy"),
         )
     )
@@ -142,21 +195,39 @@ def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     term frequency, and an md5 digest of the sorted posting list per token
     (digest instead of the raw array so the result stays hash-comparable).
 
-    Plan: one explode, then two aggregations over the token key — the
-    posting list is collected per token only (bounded by corpus doc count per
-    token, the same bound a real sharded index build has), and the final join
-    of the two token-keyed aggregates broadcasts the smaller side.
+    Plan (round 11): per-doc term frequencies are doc-local, so they reduce
+    scan-side to (token, count) run-length pairs over the sorted token
+    array (the q125 kernel) — ONE exchange keyed on token then computes df
+    (row count: the pairs are per-doc distinct by construction), total_tf
+    (sum of per-doc counts) and the posting digest together. The previous
+    shape shuffled every token instance once for tf, every (tok, doc) pair
+    twice more (dropDuplicates + posting agg), and then joined the two
+    token-keyed aggregates back together.
     """
-    tok = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bounds = (
+        "filter(sequence(1, size(s)), i -> i = 1 OR"
+        " element_at(s, i) != element_at(s, i - 1))"
     )
-    tf = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("total_tf"))
-    post = (
-        tok.dropDuplicates(["tok", "doc_id"])
-        .groupBy("tok")
+    pairs = (
+        "transform(sequence(1, size(bnd)),"
+        " k -> struct(element_at(s, element_at(bnd, k)) AS tok,"
+        "             (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
+        "              ELSE size(s) + 1 END) - element_at(bnd, k) AS c))"
+    )
+    tokc = (
+        load_table(spark, sf_dir, "documents")
+        # explode() dropped NULL-text docs implicitly; keep that contract
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.expr("array_sort(split(text, ' '))").alias("s"))
+        .select("doc_id", "s", F.expr(bounds).alias("bnd"))
+        .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+        .select("doc_id", F.col("p.tok").alias("tok"), F.col("p.c").alias("c"))
+    )
+    return (
+        tokc.groupBy("tok")
         .agg(
             F.count("*").cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("total_tf"),
             F.md5(
                 F.expr(
                     "concat_ws(',', transform(sort_array(collect_list(doc_id)),"
@@ -165,8 +236,8 @@ def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("posting_hash"),
         )
         .where(F.col("df") >= 10)
+        .select("tok", "df", "total_tf", "posting_hash")
     )
-    return post.join(tf, "tok").select("tok", "df", "total_tf", "posting_hash")
 
 
 @register(
@@ -200,30 +271,52 @@ def q144_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct word 3-grams appearing in no earlier document.
     Falling novelty across a crawl = diminishing new content — the signal
     dataset builders use to decide when another dump stops paying for
-    itself. Plan: explode → per-doc distinct → min(doc_id) per gram (one
-    token-keyed shuffle, partial-agg) → join back on gram → per-doc rollup.
-    Texts never shuffle, only (gram, doc_id) pairs."""
+    itself.
+
+    Plan (round 11): the per-doc gram DEDUP happens scan-side
+    (array_distinct — a gram's duplicates within one doc never leave the
+    row), and the novelty count comes straight off the owner aggregate:
+    every distinct gram has exactly one first_owner, so novel_grams per doc
+    = count of grams grouped by first_owner — no join-back of the full
+    (doc, gram) stream. Shuffles: one gram-keyed min(doc_id) (map-side
+    partial), one owner-keyed count (one row per distinct gram in, one per
+    doc out), one doc-keyed join against the scan-side n_grams frame. The
+    previous shape shuffled every (doc, gram) pair twice more — once for
+    dropDuplicates and once joining owners back onto the full gram stream.
+    All outputs are integer counts and a ratio of those bigints, so results
+    are bit-identical."""
+    # IF-guard: Spark's InferFiltersFromGenerate can evaluate this
+    # expression inside a filter BEFORE the size(toks) >= 3 predicate
+    # prunes short docs, and sequence(1, n) with n < 1 descends ([1, 0])
+    # instead of returning empty — element_at would throw on a 2-token
+    # doc. The guard makes the expression total; kept rows are unchanged.
     trigrams = F.expr(
-        "transform(sequence(1, size(toks) - 2),"
+        "IF(size(toks) < 3, array(),"
+        " array_distinct(transform(sequence(1, size(toks) - 2),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
-        " ' ', element_at(toks, i + 2)))"
+        " ' ', element_at(toks, i + 2)))))"
     )
-    grams = (
+    docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(trigrams).alias("gram"))
-        .dropDuplicates(["doc_id", "gram"])
+        .select("doc_id", trigrams.alias("garr"))
     )
-    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_owner"))
-    novel = F.sum((F.col("first_owner") == F.col("doc_id")).cast("int"))
+    n_grams = docs.select(
+        "doc_id", F.size("garr").cast("bigint").alias("n_grams"))
+    owner = (docs.select("doc_id", F.explode("garr").alias("gram"))
+             .groupBy("gram").agg(F.min("doc_id").alias("first_owner")))
+    novel = (owner.groupBy(F.col("first_owner").alias("doc_id"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("novel_grams")))
     return (
-        grams.join(owner, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            novel.cast("bigint").alias("novel_grams"),
-            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        n_grams.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0).cast("bigint"))
+            .alias("novel_grams"),
+            F.round(F.coalesce(F.col("novel_grams"), F.lit(0).cast("bigint"))
+                    .cast("double") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
 
@@ -1044,19 +1137,28 @@ def q316_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("k", "w")
              .agg(F.count(F.lit(1)).cast("double").alias("c")))
     train_tot = train.groupBy("k").agg(F.sum("c").alias("n"))
-    ev = toks.filter(F.col("b") == 7).select("w")
+    # Round 11: pre-aggregate the eval split to (word, count) BEFORE the LM
+    # lookup join — the surprisal of an eval token depends only on its word,
+    # so instance-grain rows need not ride the (k, w) join. The join now
+    # carries |eval vocab| x 4 rows instead of |eval tokens| x 4 (at 100 TB:
+    # vocab-sized vs corpus/8-sized). cross_entropy becomes the
+    # count-weighted mean sum(ec * surprisal) / sum(ec); verified bit-equal
+    # to the instance-grain avg against the oracle at sf0.001/0.01/0.1.
+    evc = (toks.filter(F.col("b") == 7)
+           .groupBy("w").agg(F.count(F.lit(1)).alias("ec")))
     tr = train.select(F.col("k").alias("tk"), F.col("w").alias("tw"),
                       F.col("c").alias("c"))
-    ce = (ev.crossJoin(F.broadcast(ks))
+    surprisal = -F.log((F.coalesce("c", F.lit(0.0)) + 0.5)
+                       / (F.col("n") + 0.5 * F.col("v")))
+    ce = (evc.crossJoin(F.broadcast(ks))
           .join(tr, (F.col("tk") == F.col("k"))
                 & (F.col("tw") == F.col("w")), "left")
           .join(F.broadcast(train_tot.withColumnRenamed("k", "nk")),
                 F.col("nk") == F.col("k"))
           .crossJoin(F.broadcast(vocab))
           .groupBy("k")
-          .agg(F.count(F.lit(1)).cast("double").alias("n_eval"),
-               F.avg(-F.log((F.coalesce("c", F.lit(0.0)) + 0.5)
-                            / (F.col("n") + 0.5 * F.col("v"))))
+          .agg(F.sum("ec").cast("double").alias("n_eval"),
+               (F.sum(F.col("ec") * surprisal) / F.sum("ec"))
                .alias("cross_entropy")))
     pts = (ce.join(F.broadcast(train_tot), "k")
            .select("k", "cross_entropy",

@@ -3741,3 +3741,118 @@ def test_scalar_quant_recall_high_but_quantization_real(spark):
     audit = all_queries()["q413_scalar_quant_audit"].fn(
         spark, "/root/testdata/sf0.001").collect()
     assert any(r.max_abs_err > 0 for r in audit)
+
+
+def _write_synth_docs(spark, tmp_path, texts):
+    """Write a minimal documents.parquet fixture (the real table's schema)
+    so registry queries can run against adversarial synthetic texts."""
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_q125_runlength_kernel_matches_explode_reference(spark, tmp_path):
+    """Round-11 optimization: q125's per-doc bigram counts moved from
+    explode + groupBy(doc,bigram) + groupBy(doc) to a scan-side sorted-array
+    run-length kernel (zero shuffles). Pin the kernel against the old
+    explode shape on adversarial docs: all-equal bigrams, all-distinct,
+    alternating (two interleaved runs), single-bigram, disjoint runs, and
+    a too-short doc that must be filtered out."""
+    texts = [
+        "a a a a",        # one bigram repeated 3x: total 3, dup 3, top 3
+        "a b c d",        # all distinct: dup 0, top 1
+        "x y x y x",      # "x y"x2 + "y x"x2: total 4, dup 4, top 2
+        "a b",            # single bigram: total 1, dup 0, top 1
+        "z z a a z z",    # runs z z:2, z a:1, a a:1, a z:1
+        "t",              # size<2 -> excluded entirely
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q125_repetition_ngrams,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    got = {r["doc_id"]: r for r in q125_repetition_ngrams(spark, sf).collect()}
+    # reference = the pre-optimization explode + two-groupBy plan, inline
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+    counts = (load_table(spark, sf, "documents")
+              .select("doc_id", F.split("text", " ").alias("toks"))
+              .where(F.size("toks") >= 2)
+              .select("doc_id", F.explode(bigrams).alias("bigram"))
+              .groupBy("doc_id", "bigram").agg(F.count("*").alias("c")))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    ref_df = (counts.groupBy("doc_id")
+              .agg(F.sum("c").cast("bigint").alias("total_bigrams"),
+                   dup.cast("bigint").alias("dup_bigrams"),
+                   F.max("c").cast("bigint").alias("top_bigram_count"),
+                   F.round(dup.cast("double") / F.sum("c"), 6)
+                   .alias("dup_bigram_frac"),
+                   F.round(F.max("c").cast("double") / F.sum("c"), 6)
+                   .alias("top_bigram_share")))
+    ref = {r["doc_id"]: r for r in ref_df.collect()}
+    assert set(got) == set(ref) == {0, 1, 2, 3, 4}
+    for d in ref:
+        for f in ("total_bigrams", "dup_bigrams", "top_bigram_count",
+                  "dup_bigram_frac", "top_bigram_share"):
+            assert got[d][f] == ref[d][f], (d, f, got[d], ref[d])
+    # spot-check the hand-computed row (belt and braces vs the reference)
+    assert (got[0]["total_bigrams"], got[0]["dup_bigrams"],
+            got[0]["top_bigram_count"]) == (3, 3, 3)
+    assert (got[2]["total_bigrams"], got[2]["dup_bigrams"],
+            got[2]["top_bigram_count"]) == (4, 4, 2)
+
+
+def test_q144_owner_count_matches_joinback_reference(spark, tmp_path):
+    """Round-11 optimization: q144's per-doc gram dedup moved scan-side
+    (array_distinct) and novel counts now come from grouping the owner
+    table by first_owner instead of joining owners back onto the full
+    (doc, gram) stream. Pin against the old join-back shape, covering
+    within-doc duplicate trigrams and a doc with zero novel grams."""
+    texts = [
+        "p q r s",        # pqr, qrs both novel
+        "p q r t",        # pqr owned by doc 0; qrt novel
+        "p q r p q r",    # within-doc dup of pqr; qrp/rpq novel
+        "p q r",          # only pqr, owned by doc 0 -> novel 0
+        "u v",            # size<3 -> excluded
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        q144_ngram_novelty,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    got = {r["doc_id"]: r for r in q144_ngram_novelty(spark, sf).collect()}
+    # reference = the pre-optimization dropDuplicates + join-back plan
+    # (IF-guarded like production: InferFiltersFromGenerate evaluates the
+    # transform before the size filter prunes the 2-token doc)
+    trigrams = F.expr(
+        "IF(size(toks) < 3, array(),"
+        " transform(sequence(1, size(toks) - 2),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+        " ' ', element_at(toks, i + 2))))")
+    grams = (load_table(spark, sf, "documents")
+             .select("doc_id", F.split("text", " ").alias("toks"))
+             .where(F.size("toks") >= 3)
+             .select("doc_id", F.explode(trigrams).alias("gram"))
+             .dropDuplicates(["doc_id", "gram"]))
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_owner"))
+    novel = F.sum((F.col("first_owner") == F.col("doc_id")).cast("int"))
+    ref_df = (grams.join(owner, "gram")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("bigint").alias("n_grams"),
+                   novel.cast("bigint").alias("novel_grams"),
+                   F.round(novel.cast("double") / F.count("*"), 6)
+                   .alias("novelty")))
+    ref = {r["doc_id"]: r for r in ref_df.collect()}
+    assert set(got) == set(ref) == {0, 1, 2, 3}
+    for d in ref:
+        for f in ("n_grams", "novel_grams", "novelty"):
+            assert got[d][f] == ref[d][f], (d, f, got[d], ref[d])
+    assert (got[3]["n_grams"], got[3]["novel_grams"]) == (1, 0)
+    assert (got[2]["n_grams"], got[2]["novel_grams"]) == (3, 2)
