@@ -19,6 +19,28 @@ from ..plans.registry import register
 from ..sources.readers import load_table
 
 
+def _sorted_run_pairs(df: DataFrame, sorted_col: str = "s") -> DataFrame:
+    """Explode a pre-SORTED array column into (v, c) run-length pairs — the
+    round-11 scan-side multiset-count kernel (q125's run-length trick in
+    pair form): per-row value counts leave the scan as one row per DISTINCT
+    value instead of one row per instance, without any exchange. ``df`` must
+    carry ``doc_id`` and the sorted array column."""
+    bounds = (
+        f"filter(sequence(1, size({sorted_col})), i -> i = 1 OR"
+        f" element_at({sorted_col}, i) != element_at({sorted_col}, i - 1))"
+    )
+    pairs = (
+        "transform(sequence(1, size(bnd)),"
+        f" k -> struct(element_at({sorted_col}, element_at(bnd, k)) AS v,"
+        "             (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
+        f"              ELSE size({sorted_col}) + 1 END)"
+        "              - element_at(bnd, k) AS c))"
+    )
+    return (df.select("doc_id", sorted_col, F.expr(bounds).alias("bnd"))
+            .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+            .select("doc_id", F.col("p.v").alias("v"), F.col("p.c").alias("c")))
+
+
 @register(
     "q125_repetition_ngrams",
     sql="""
@@ -204,25 +226,12 @@ def q127_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice more (dropDuplicates + posting agg), and then joined the two
     token-keyed aggregates back together.
     """
-    bounds = (
-        "filter(sequence(1, size(s)), i -> i = 1 OR"
-        " element_at(s, i) != element_at(s, i - 1))"
-    )
-    pairs = (
-        "transform(sequence(1, size(bnd)),"
-        " k -> struct(element_at(s, element_at(bnd, k)) AS tok,"
-        "             (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
-        "              ELSE size(s) + 1 END) - element_at(bnd, k) AS c))"
-    )
-    tokc = (
+    tokc = _sorted_run_pairs(
         load_table(spark, sf_dir, "documents")
         # explode() dropped NULL-text docs implicitly; keep that contract
         .where(F.col("text").isNotNull())
         .select("doc_id", F.expr("array_sort(split(text, ' '))").alias("s"))
-        .select("doc_id", "s", F.expr(bounds).alias("bnd"))
-        .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
-        .select("doc_id", F.col("p.tok").alias("tok"), F.col("p.c").alias("c"))
-    )
+    ).withColumnRenamed("v", "tok")
     return (
         tokc.groupBy("tok")
         .agg(
@@ -413,30 +422,35 @@ def q153_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictable/templated text; high = unusual content — the cheap stand-in
     for model-based perplexity filters in data curation.
 
-    Plan: one explode, two count aggregations (bigram- and prefix-keyed),
-    then the doc's bigram stream joins the two count tables on their keys —
-    all shuffles carry short strings and counts, never documents."""
-    bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    Plan (round 11): the doc's bigram stream reduces scan-side to
+    (bigram, m) run-length pairs over the sorted bigram array (the q125
+    kernel) — the count tables aggregate FROM the pairs and the per-doc
+    lookup join carries one row per DISTINCT bigram per doc instead of one
+    per instance; the per-doc average becomes the m-weighted mean (verified
+    bit-equal vs the oracle at sf0.001/0.01/0.1). All shuffles carry short
+    strings and counts, never documents."""
+    sorted_bg = (
+        "array_sort(transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
     )
-    bg = (
+    pairs = _sorted_run_pairs(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-    )
-    bgc = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+        .select("doc_id", F.expr(sorted_bg).alias("s"))
+    ).select("doc_id", F.col("v").alias("bigram"), F.col("c").alias("m"))
+    bgc = pairs.groupBy("bigram").agg(F.sum("m").alias("c12"))
     ugc = (bgc.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
                        .alias("w1"))
            .agg(F.sum("c12").alias("c1")))
+    surprisal = -F.log(F.col("c12").cast("double") / F.col("c1"))
     return (
-        bg.join(bgc, "bigram")
+        pairs.join(bgc, "bigram")
         .join(ugc, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(-F.log(F.col("c12").cast("double") / F.col("c1"))), 6)
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * surprisal) / F.sum("m"), 6)
             .alias("cross_entropy"),
         )
     )
@@ -527,15 +541,20 @@ def q194_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(1 + (N-df+0.5)/(df+0.5)) idf) for a fixed query against the corpus —
     the ranking half of a quality / decontamination retrieval pass.
 
-    Plan: one explode → two small aggregates (per-doc length, per-term df)
-    plus a two-row corpus-stats aggregate that broadcast-joins back onto the
-    (doc, term) tf table — the only full-size shuffle is the tf groupBy,
-    keyed (doc_id, token). At 100 TB the df/stats sides stay tiny (vocab- and
-    1-row-sized) so every join the optimizer sees is broadcastable."""
+    Plan (round 11): per-doc length is size(split(text)) computed scan-side
+    — the old explode + groupBy(doc_id) hashed and shuffled every token
+    instance of the corpus to count what each row already knows. The only
+    remaining full-size shuffle is the tf groupBy, keyed (doc_id, token),
+    over the term-filtered stream. At 100 TB the df/stats sides stay tiny
+    (vocab- and 1-row-sized) so every join the optimizer sees is
+    broadcastable."""
     terms = ("spark", "join", "window")
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dlen"))
+    # explode() dropped NULL-text docs implicitly; keep that contract
+    dl = (docs.where(F.col("text").isNotNull())
+          .select("doc_id",
+                  F.size(F.split("text", " ")).cast("double").alias("dlen")))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg("dlen").alias("avgdl"))
     tf = (tok.filter(F.col("token").isin(*terms))

@@ -415,19 +415,40 @@ def q106_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q107_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/boilerplate quality signal: the share of a document held
     by its single most frequent token — a cheap compressibility proxy that
-    catches templated/spammy text. One explode + two aggregations keyed by
-    doc_id; the token stream never leaves its doc partition."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = (docs.select("doc_id",
-                      F.explode(F.split("text", " ")).alias("term"))
-          .filter(F.col("term") != "")
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c")))
-    agg = tf.groupBy("doc_id").agg(F.max("c").alias("top_count"),
-                                   F.sum("c").alias("n_tokens"))
+    catches templated/spammy text.
+
+    Plan (round 11): ZERO shuffles — per-doc token counts are run lengths
+    of the scan-side sorted token array (the q125 kernel); the old explode
+    + groupBy(doc,term) + groupBy(doc) shuffled every token instance twice
+    for a row-local statistic. Integer outputs, bit-identical."""
+    bounds = (
+        "filter(sequence(1, size(s)), i -> i = 1 OR"
+        " element_at(s, i) != element_at(s, i - 1))"
+    )
+    runs = (
+        "transform(sequence(1, size(bnd)),"
+        " k -> (CASE WHEN k < size(bnd) THEN element_at(bnd, k + 1)"
+        "       ELSE size(s) + 1 END) - element_at(bnd, k))"
+    )
     share = F.col("top_count").cast("double") / F.col("n_tokens")
-    return agg.select("doc_id", "top_count", "n_tokens",
-                      F.round(share, 6).alias("top_token_share"),
-                      (share > 0.15).alias("is_repetitive"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr("array_sort(filter(split(text, ' '), t -> t != ''))")
+                .alias("s"))
+        # all-empty/NULL docs had no tf rows and were absent before
+        .where(F.size("s") >= 1)
+        .select("doc_id", "s", F.expr(bounds).alias("bnd"))
+        .select("doc_id",
+                F.size("s").cast("bigint").alias("n_tokens"),
+                F.expr(runs).alias("runs"))
+        .select("doc_id",
+                F.expr("cast(array_max(runs) as bigint)").alias("top_count"),
+                "n_tokens")
+        .select("doc_id", "top_count", "n_tokens",
+                F.round(share, 6).alias("top_token_share"),
+                (share > 0.15).alias("is_repetitive"))
+    )
 
 
 # Benchmark-contamination probe set: word trigrams that would identify an

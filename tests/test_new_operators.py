@@ -3856,3 +3856,27 @@ def test_q144_owner_count_matches_joinback_reference(spark, tmp_path):
             assert got[d][f] == ref[d][f], (d, f, got[d], ref[d])
     assert (got[3]["n_grams"], got[3]["novel_grams"]) == (1, 0)
     assert (got[2]["n_grams"], got[2]["novel_grams"]) == (3, 2)
+
+
+def test_sorted_run_pairs_kernel(spark):
+    """Round-11 shared kernel (_sorted_run_pairs): (value, count) pairs of
+    a pre-sorted array must equal the explode + groupBy(doc, value) counts,
+    including single-element arrays and runs at both ends."""
+    from gh_archive_data_pipeline_spark.operators.corpus_stats import (
+        _sorted_run_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b", "c", "c", "c"]),
+         (2, ["x"]),
+         (3, ["m", "m", "m", "m"]),
+         (4, ["a", "b"])],
+        "doc_id long, s array<string>")
+    got = {(r["doc_id"], r["v"]): r["c"]
+           for r in _sorted_run_pairs(df).collect()}
+    ref = {(r["doc_id"], r["tok"]): r["c"]
+           for r in (df.select("doc_id", F.explode("s").alias("tok"))
+                     .groupBy("doc_id", "tok")
+                     .agg(F.count("*").cast("int").alias("c"))).collect()}
+    assert got == ref
+    assert got[(1, "c")] == 3 and got[(2, "x")] == 1 and got[(3, "m")] == 4
