@@ -963,8 +963,10 @@ def q291_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id",
                       F.explode(F.split("text", " ")).alias("token"))
-    dl = (tok.groupBy("doc_id")
-          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    # round 11: per-doc length is scan-side (q194's fix) — no explode + agg
+    dl = (docs.where(F.col("text").isNotNull())
+          .select("doc_id",
+                  F.size(F.split("text", " ")).cast("double").alias("dlen")))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg("dlen").alias("avgdl"))
     tf = (tok.filter(F.col("token").isin(*terms))
@@ -1401,8 +1403,10 @@ def q352_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id",
                       F.explode(F.split("text", " ")).alias("token"))
-    dl = (tok.groupBy("doc_id")
-          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    # round 11: per-doc length is scan-side (q194's fix) — no explode + agg
+    dl = (docs.where(F.col("text").isNotNull())
+          .select("doc_id",
+                  F.size(F.split("text", " ")).cast("double").alias("dlen")))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg("dlen").alias("avgdl"))
     tf = (tok.filter(F.col("token").isin(*terms))
@@ -1513,8 +1517,10 @@ def q354_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id",
                       F.explode(F.split("text", " ")).alias("token"))
-    dl = (tok.groupBy("doc_id")
-          .agg(F.count(F.lit(1)).cast("double").alias("dlen")))
+    # round 11: per-doc length is scan-side (q194's fix) — no explode + agg
+    dl = (docs.where(F.col("text").isNotNull())
+          .select("doc_id",
+                  F.size(F.split("text", " ")).cast("double").alias("dlen")))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg("dlen").alias("avgdl"))
     tf = (tok.filter(F.col("token").isin(*terms))
