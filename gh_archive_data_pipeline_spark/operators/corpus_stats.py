@@ -429,9 +429,13 @@ def q153_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per instance; the per-doc average becomes the m-weighted mean (verified
     bit-equal vs the oracle at sf0.001/0.01/0.1). All shuffles carry short
     strings and counts, never documents."""
+    # IF-guard (round 11): the inferred Generate filter can evaluate this
+    # before the size(toks) >= 2 predicate prunes 1-token docs (q144's
+    # descending-sequence hazard); kept rows are unchanged
     sorted_bg = (
-        "array_sort(transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+        "IF(size(toks) < 2, array(),"
+        " array_sort(transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))"
     )
     pairs = _sorted_run_pairs(
         load_table(spark, sf_dir, "documents")
@@ -612,9 +616,12 @@ def q198_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. Minimum pair count 25 guards the estimate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    # IF-guard (round 11): q144's descending-sequence hazard under the
+    # inferred Generate filter; kept rows are unchanged
     bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+        "IF(size(t) < 2, array(),"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))")
     bgc = (toks.select(F.explode(bigrams).alias("p"))
            .select("p.w1", "p.w2")
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12")))
@@ -1049,9 +1056,12 @@ def q315_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation) joined back on their keys; shuffles carry short strings
     and counts only, the same envelope as q153's MLE model which this
     strictly improves."""
+    # IF-guard (round 11): q144's descending-sequence hazard under the
+    # inferred Generate filter; kept rows are unchanged
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        "IF(size(toks) < 2, array(),"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")
     bg = (load_table(spark, sf_dir, "documents")
           .select(F.split("text", " ").alias("toks"))
           .where(F.size("toks") >= 2)

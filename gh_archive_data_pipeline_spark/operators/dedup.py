@@ -910,9 +910,14 @@ def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     spans = (docs.select("doc_id", F.split("text", " ").alias("w"))
              .where(F.size("w") >= 8)
+             # IF-guard (round 11): InferFiltersFromGenerate can evaluate
+             # this under an inferred filter before the size(w) >= 8
+             # predicate prunes short docs, and sequence(1, n) with n < 1
+             # DESCENDS — slice(w, 0, 8) then throws. Kept rows unchanged.
              .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(1, size(w) - 7),"
-                 " i -> array_join(slice(w, i, 8), ' '))")).alias("span")))
+                 "IF(size(w) < 8, array(),"
+                 " transform(sequence(1, size(w) - 7),"
+                 " i -> array_join(slice(w, i, 8), ' ')))")).alias("span")))
     agg = (spans.groupBy("span")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
@@ -981,11 +986,15 @@ def q393_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     spans = (toks.where(F.size("w") >= 8)
+             # IF-guard (round 11): see q224 — the inferred Generate filter
+             # can evaluate this before the size predicate; a short doc
+             # would hit slice(w, 0, 8) via the descending sequence
              .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(1, size(w) - 7),"
+                 "IF(size(w) < 8, array(),"
+                 " transform(sequence(1, size(w) - 7),"
                  " i -> struct(i AS i,"
                  "            md5(array_join(slice(w, i, 8), ' '))"
-                 "            AS span_key))")).alias("s"))
+                 "            AS span_key)))")).alias("s"))
              .select("doc_id", "s.i", "s.span_key"))
     w_own = Window.partitionBy("span_key").orderBy("doc_id", "i")
     rm_pos = (spans.withColumn("rn", F.row_number().over(w_own))
@@ -2114,10 +2123,13 @@ def decon_shingle_hashes(docs: DataFrame,
     input row per doc_id."""
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     return (toks.where(F.size("w") >= ngram)
+            # IF-guard (round 11): see q224 — the inferred Generate filter
+            # can evaluate this before the size predicate prunes short docs
             .select("doc_id", F.explode(F.array_distinct(F.expr(
-                f"transform(sequence(1, size(w) - {ngram - 1}),"
+                f"IF(size(w) < {ngram}, array(),"
+                f" transform(sequence(1, size(w) - {ngram - 1}),"
                 f" i -> substring(md5(array_join(slice(w, i, {ngram}), "
-                f"' ')), 1, 16))")))
+                f"' ')), 1, 16)))")))
                 .alias("m"))
             .select("doc_id",
                     F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint")

@@ -739,10 +739,16 @@ def _bigram_pairs_expr():
     paid per bigram (round-11, guide §1.2 per-task work: one concat + two
     splits per bigram removed from the LM train and score streams).
     Identical (w1, w2) values: tokens come from split(text, ' ') so they
-    contain no spaces, making concat/split_part a bijection."""
+    contain no spaces, making concat/split_part a bijection.
+
+    IF-guard (round 11): InferFiltersFromGenerate can evaluate this under
+    an inferred filter before the caller's size(t) >= 2 predicate prunes
+    1-token docs, and sequence(1, n) with n < 1 DESCENDS — element_at
+    would throw. Kept rows are unchanged."""
     return F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+        "IF(size(t) < 2, array(),"
+        " transform(sequence(1, size(t) - 1),"
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))")
 
 
 def _kn_bigram_lm(docs: DataFrame, train_source: str):

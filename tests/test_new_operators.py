@@ -3880,3 +3880,31 @@ def test_sorted_run_pairs_kernel(spark):
                      .agg(F.count("*").cast("int").alias("c"))).collect()}
     assert got == ref
     assert got[(1, "c")] == 3 and got[(2, "x")] == 1 and got[(3, "m")] == 4
+
+
+def test_short_doc_guards_no_crash(spark, tmp_path):
+    """Round-11 hardening: InferFiltersFromGenerate can evaluate a
+    gram-builder transform under the Generate's inferred filter BEFORE the
+    size() predicate prunes short docs, and sequence(1, n) with n < 1
+    descends — element_at/slice then throw. Every guarded gram builder must
+    survive a corpus containing 1- and 2-token docs (a real 100 TB corpus
+    has them) and still produce the long-doc rows."""
+    texts = [
+        "t",                                          # 1 token
+        "u v",                                        # 2 tokens
+        "a b c d e f g h i j a b c d e f g h i j",    # 20 tokens
+        "p q r s t u v w p q r s t u v w",            # 16 tokens
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("q224_duplicated_spans", "q393_span_dedup_clean",
+                 "q198_npmi_collocations", "q315_kneser_ney",
+                 "q153_lm_crossentropy", "q144_ngram_novelty",
+                 "q125_repetition_ngrams", "q107_boilerplate_score"):
+        rows = qs[name].fn(spark, sf).collect()  # must not raise
+        assert rows is not None, name
+    # spot-check semantics: q393 emits ALL docs (left join), q153 only >= 2
+    assert len(qs["q393_span_dedup_clean"].fn(spark, sf).collect()) == 4
+    assert len(qs["q153_lm_crossentropy"].fn(spark, sf).collect()) == 3
