@@ -53,14 +53,24 @@ def _argmin_cells(sub: str, centroids: list[list[float]]) -> str:
     """SQL text: array_min over (d2, j) structs for one subspace — same
     lexicographic-struct argmin idiom as linalg._argmin_cluster (SQL text,
     not Python lambdas: multiple pyspark-lambda HOFs in one projection
-    collapse into one shared expression)."""
-    cells = []
-    for j, c in enumerate(centroids):
-        carr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-        d2 = (f"aggregate(zip_with({sub}, {carr},"
-              f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-        cells.append(f"struct({d2} AS d2, {j} AS j)")
-    return f"array_min(array({', '.join(cells)}))"
+    collapse into one shared expression).
+
+    Round 11 (guide §1.2 per-task work): the centroids are ONE nested
+    array literal and the per-centroid distance is a transform() loop —
+    the previous form unrolled k separate aggregate(zip_with(...)) trees
+    per subspace (128 in q402's codes projection), which Catalyst had to
+    analyze and Janino had to compile on every run. The loop body performs
+    the IDENTICAL IEEE operations in the identical order per centroid
+    (same zip_with pairs, same left-fold, same lexicographic array_min),
+    so every d2/j is bit-equal to the unrolled form's."""
+    carr = ("array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids) + ")")
+    return (f"array_min(transform(sequence(0, {len(centroids) - 1}),"
+            f" j -> struct(aggregate(zip_with({sub},"
+            f" element_at({carr}, j + 1),"
+            " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            " AS d2, j AS j)))")
 
 
 def pq_train(emb: DataFrame, m_sub: int = M_SUB, k: int = K_PQ,
