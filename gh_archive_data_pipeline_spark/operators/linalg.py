@@ -209,14 +209,21 @@ def _argmin_cluster(centroids: list[list[float]]):
     the struct comparison is lexicographic, so the index rides along free.
     The k distance HOFs are built as SQL text, not Python lambdas: multiple
     pyspark-lambda HOFs in one projection collapse into one shared expression
-    (all k distances would silently become centroid 0's)."""
-    cells = []
-    for j, c in enumerate(centroids):
-        carr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-        d2 = (f"aggregate(zip_with(cast(embedding as array<double>), {carr},"
-              f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-        cells.append(f"struct({d2} AS d2, {j} AS j)")
-    best = f"array_min(array({', '.join(cells)}))"
+    (all k distances would silently become centroid 0's).
+
+    Round 11 (guide §1.2, the quantize._argmin_cells change): ONE
+    transform() loop over a nested centroid literal instead of k unrolled
+    aggregate(zip_with) trees — identical IEEE ops in identical order per
+    centroid, so cluster/d2 are bit-equal while Catalyst analyzes and
+    Janino compiles a k× smaller tree."""
+    carr = ("array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids) + ")")
+    best = (f"array_min(transform(sequence(0, {len(centroids) - 1}),"
+            " j -> struct(aggregate(zip_with(cast(embedding as array<double>),"
+            f" element_at({carr}, j + 1),"
+            " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            " AS d2, j AS j)))")
     return (F.expr(best).getField("j").alias("cluster"),
             F.expr(best).getField("d2").alias("d2"))
 
