@@ -293,12 +293,20 @@ def q144_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous shape shuffled every (doc, gram) pair twice more — once for
     dropDuplicates and once joining owners back onto the full gram stream.
     All outputs are integer counts and a ratio of those bigints, so results
-    are bit-identical."""
-    # IF-guard: Spark's InferFiltersFromGenerate can evaluate this
-    # expression inside a filter BEFORE the size(toks) >= 3 predicate
-    # prunes short docs, and sequence(1, n) with n < 1 descends ([1, 0])
-    # instead of returning empty — element_at would throw on a 2-token
-    # doc. The guard makes the expression total; kept rows are unchanged.
+    are bit-identical.
+
+    Two expression-level hazards, both measured (round 11):
+    - IF-guard: sequence(1, n) with n < 1 DESCENDS ([1, 0]) instead of
+      returning empty, so an unguarded trigram transform throws on a
+      2-token doc when evaluated before the size predicate. The guard
+      makes the expression total; kept rows are unchanged.
+    - the gram expression is INLINED at the explode site, never staged as
+      a column: InferFiltersFromGenerate infers size(e)>0/isnotnull(e)
+      only when the generator input is an ATTRIBUTE, and pushing that
+      inferred filter below the staging Project substitutes the whole
+      trigram tree into the Filter — 3 evaluations per row, measured 7.6 s
+      vs 1.2 s at sf0.1. Inline, the rule skips and the tree evaluates
+      once."""
     trigrams = F.expr(
         "IF(size(toks) < 3, array(),"
         " array_distinct(transform(sequence(1, size(toks) - 2),"
@@ -309,11 +317,10 @@ def q144_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
-        .select("doc_id", trigrams.alias("garr"))
     )
     n_grams = docs.select(
-        "doc_id", F.size("garr").cast("bigint").alias("n_grams"))
-    owner = (docs.select("doc_id", F.explode("garr").alias("gram"))
+        "doc_id", F.size(trigrams).cast("bigint").alias("n_grams"))
+    owner = (docs.select("doc_id", F.explode(trigrams).alias("gram"))
              .groupBy("gram").agg(F.min("doc_id").alias("first_owner")))
     novel = (owner.groupBy(F.col("first_owner").alias("doc_id"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("novel_grams")))
