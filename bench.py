@@ -196,11 +196,18 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # owner branch), same rows_read as before
     "q144_ngram_novelty": {"shuffle_records": 29653, "rows_read": 10000},
     "q129_weighted_sample": {"shuffle_records": 0, "rows_read": 5000},
-    # re-snapshot round 11 (deliberate plan change): baskets materialized
-    # once via localCheckpoint — the fully-lazy form re-derived the
-    # lineitem scan + broadcast join + distinct for all four consumers
-    # (3 fact-table scans in the executed plan); shuffle halves
-    "q167_market_basket": {"shuffle_records": 952196, "rows_read": 1663803},
+    # re-snapshot round 11 (deliberate plan change, second pass): basket
+    # pairs are enumerated scan-side from the per-order SORTED brand array
+    # (bounded ≤7 brands/order) instead of the basket SELF-JOIN — the two
+    # self-join exchanges (each carrying every (order,brand) row) + both
+    # SMJ sorts + the count_distinct partial-dedup exchange are gone;
+    # n_orders is a plain count of the grouped frame. The checkpoint
+    # boundary moved with the shape (the materialized stage product is now
+    # the per-order array frame, whose ONE orderkey exchange runs in the
+    # checkpoint build — the q380/q421 counter convention; wall time still
+    # times it), so post-checkpoint counters are the brand/pair partial
+    # aggs only. rows_read is checkpoint re-reads (3 consumers) + scans.
+    "q167_market_basket": {"shuffle_records": 1957, "rows_read": 441708},
     "q178_rolling_distinct_users": {"shuffle_records": 84929, "rows_read": 200000},
     "q188_bpe_pair_counts": {"shuffle_records": 112, "rows_read": 5000},
     "q189_pagerank_event_graph": {"shuffle_records": 26, "rows_read": 65},
@@ -220,10 +227,24 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # shape) — one fp pass + one exchange instead of groupBy-keepers +
     # join-back (two fp derivations; and at scale the keepers side is
     # corpus-sized, so the broadcast that made the old form look cheap
-    # locally cannot exist). rows_read drops one full doc scan; records
-    # rise because fp rows cross the f-exchange once instead of the agg's
-    # map-side-combined partials
-    "q374_corpus_curation": {"shuffle_records": 14948, "rows_read": 18313},
+    # locally cannot exist). rows_read drops one full doc scan.
+    # second round-11 change: the redundant is_curated annotation join is
+    # gone (dedup_pipeline labels every curated doc, so is_curated ==
+    # is_rep IS NOT NULL) — it re-derived the whole curated subtree
+    # (second doc scan + normalize-md5 + fingerprint exchange) because
+    # the two lineages share no exchange (rows_read 18313 -> 13313,
+    # records 14948 -> 11631).
+    # shuffle_records lists BOTH admissible values: the final quality ->
+    # reps LeftOuter join plans as SMJ (both sides corpus-sized at scale)
+    # and AQE converts it to BHJ at runtime; whether the 5000-row quality
+    # exchange materializes before the conversion is a stage-submission
+    # race (timing/host-load dependent, adjudicated this round from the
+    # executed plans: AQEShuffleRead-local present vs absent). The same
+    # race made the pre-change counter read 14948 idle / 9948 under load
+    # (and round-10's 11627/6627) — both plans are the same query, one
+    # exchange cheaper when AQE wins the race early.
+    "q374_corpus_curation": {"shuffle_records": [11631, 6631],
+                             "rows_read": 13313},
     # re-snapshotted round 6 (889 -> 1802) when the bands table gained its
     # bucket-partitioned layout, and round 8 (1802 -> 1218) when the FIXTURE
     # index's num_buckets was sized to the corpus (64 -> 8, per
@@ -416,13 +437,32 @@ def check_plan_snapshot(plan: dict[str, dict],
         if not want:
             continue
         for key in ("shuffle_records", "rows_read"):
-            g, w = got.get(key, 0), want.get(key, 0)
-            if w == 0 and g == 0:
-                continue
-            ratio = g / w if w else float("inf")
-            if ratio > PLAN_TOLERANCE or ratio < 1 / PLAN_TOLERANCE:
+            g = got.get(key, 0)
+            # a snapshot entry may list SEVERAL admissible values when the
+            # executed counter is legitimately bistable (q374: an AQE
+            # SMJ->BHJ conversion races the build-side exchange's
+            # materialization, so one exchange's records appear or not
+            # depending on stage-submission timing). The measured value
+            # must sit within tolerance of AT LEAST ONE listed value —
+            # a real plan regression moves the counter away from all of
+            # them. The first listed value is the canonical/common one.
+            wants = want.get(key, 0)
+            wants = wants if isinstance(wants, list) else [wants]
+            ratios = []
+            ok = False
+            for w in wants:
+                if w == 0 and g == 0:
+                    ok = True
+                    break
+                ratio = g / w if w else float("inf")
+                ratios.append(ratio)
+                if 1 / PLAN_TOLERANCE <= ratio <= PLAN_TOLERANCE:
+                    ok = True
+                    break
+            if not ok:
                 bad.setdefault(name, {})[key] = {
-                    "got": g, "snapshot": w, "ratio": round(ratio, 3)}
+                    "got": g, "snapshot": wants[0],
+                    "ratio": round(ratios[0], 3)}
     return bad
 
 

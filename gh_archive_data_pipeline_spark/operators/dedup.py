@@ -1435,13 +1435,17 @@ def q374_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text"))
     reps = dedup_pipeline(curated, threshold=0.3).select(
         "doc_id", F.col("is_representative").alias("is_rep"))
+    # ONE annotation join (round-11, guide §2.4): dedup_pipeline labels
+    # EVERY input doc (connected components over all nodes), so reps has
+    # exactly one row per curated doc and "is_curated" is simply
+    # "is_rep IS NOT NULL" after the left join — the separate is_curated
+    # join re-derived the whole curated subtree (second doc scan +
+    # normalize-md5 pass + fingerprint window exchange) because the two
+    # lineages don't share exchanges.
     disp = (quality.select("doc_id", "n_tokens", "q_ok")
-            .join(curated.select("doc_id",
-                                 F.lit(True).alias("is_curated")),
-                  "doc_id", "left")
             .join(reps, "doc_id", "left"))
     reason = (F.when(~F.col("q_ok"), "quality")
-              .when(F.col("is_curated").isNull(), "exact_dup")
+              .when(F.col("is_rep").isNull(), "exact_dup")
               .when(~F.col("is_rep"), "near_dup"))
     return disp.select("doc_id", "n_tokens",
                        reason.alias("drop_reason"),

@@ -936,27 +936,36 @@ def q167_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # Materialize baskets ONCE (localCheckpoint, the q295 edge-list
-    # convention — round-11, guide §2.4): four consumers read it
-    # (n_orders, brand_freq, both self-join sides); fully lazy each one
-    # re-derived the lineitem scan + broadcast join + distinct (3 parquet
-    # scans of the fact table in the executed plan). At cluster scale
-    # this is the distinct (order, brand) product you'd persist anyway
-    # before association mining.
-    baskets = (li.join(F.broadcast(part),
+    # Materialize the per-order SORTED brand array ONCE (localCheckpoint,
+    # the q295 edge-list convention): every consumer below reads it. The
+    # round-11 second pass (guide §2.4) replaced the basket SELF-JOIN —
+    # which exchanged every (order, brand) row twice and sorted both sides
+    # — with scan-side pair enumeration over the basket array: the
+    # quadratic step was already bounded per basket (≤ 7 lines per order),
+    # so it belongs in a per-row HOF, not a join. One orderkey exchange
+    # now carries each basket row once; n_orders is a plain count of the
+    # grouped frame (the count_distinct partial-dedup exchange is gone)
+    # and brand_freq re-derives from the arrays scan-side.
+    grouped = (li.join(F.broadcast(part),
                        li.l_partkey == part.p_partkey)
                .select("l_orderkey", "p_brand").distinct()
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_list("p_brand")).alias("bs"))
                .localCheckpoint())
-    n_orders = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n"))
-    brand_freq = baskets.groupBy("p_brand").agg(F.count("*").alias("c"))
-    a, b = baskets.alias("a"), baskets.alias("b")
-    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                    & (F.col("a.p_brand") < F.col("b.p_brand")))
-             .groupBy(F.col("a.p_brand").alias("brand_a"),
-                      F.col("b.p_brand").alias("brand_b"))
-             .agg(F.count("*").alias("c_ab"))
-             .where(F.col("c_ab") >= 50))
+    n_orders = grouped.agg(F.count(F.lit(1)).alias("n"))
+    brand_freq = (grouped.select(F.explode("bs").alias("p_brand"))
+                  .groupBy("p_brand").agg(F.count("*").alias("c")))
+    # pair generator INLINED at the explode site (the q144 optimizer-trap
+    # rule: InferFiltersFromGenerate only fires on attribute inputs);
+    # elements are distinct and ascending, so (i < j) == (bs[i] < bs[j])
+    pairs = (grouped.select(F.explode(F.expr(
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs) - i - 1), "
+        "y -> struct(x AS brand_a, y AS brand_b))))")).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= 50))
     fa = brand_freq.select(F.col("p_brand").alias("brand_a"),
                            F.col("c").alias("c_a"))
     fb = brand_freq.select(F.col("p_brand").alias("brand_b"),

@@ -508,6 +508,27 @@ def test_plan_snapshot_gate_trips_on_lost_broadcast(spark):
     assert "shuffle_records" in flagged.get("q_demo", {}), (good, bad)
 
 
+def test_plan_snapshot_gate_accepts_listed_alternates():
+    """A snapshot entry may list SEVERAL admissible counter values for a
+    legitimately bistable executed plan (q374: AQE's SMJ->BHJ conversion
+    races the build-side exchange's materialization, so one exchange's
+    records appear or not depending on stage-submission timing). The gate
+    must pass a measurement near EITHER listed value and still flag one
+    near neither."""
+    from bench import check_plan_snapshot
+
+    snapshot = {"q_demo": {"shuffle_records": [11631, 6631],
+                           "rows_read": 13313}}
+    for admissible in (11631, 6631, 11000, 7000):
+        got = {"shuffle_records": admissible, "rows_read": 13313}
+        assert check_plan_snapshot({"q_demo": got}, snapshot) == {}, admissible
+    # a value within tolerance of NO listed alternate still flags
+    for regressed in (20000, 3000):
+        got = {"shuffle_records": regressed, "rows_read": 13313}
+        flagged = check_plan_snapshot({"q_demo": got}, snapshot)
+        assert "shuffle_records" in flagged.get("q_demo", {}), regressed
+
+
 def test_normalized_vs_baseline_clamps_and_scales():
     """The canary normalization contract: a contended run (host_ratio > 1)
     scales reported ratios down by exactly the measured contention; a fast
