@@ -286,9 +286,15 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     "q412_rrf_hybrid_search": {"shuffle_records": 201, "rows_read": 14000},
     # re-snapshot round 11 (deliberate plan change): the per-doc shingle
     # distinct moved scan-side (array_distinct on the md5 prefix) — the
-    # full-shingle-table distinct exchange is gone (7 Exchanges -> 6)
-    "q415_bloom_decontamination": {"shuffle_records": 259477,
-                                   "rows_read": 20000},
+    # full-shingle-table distinct exchange gone (7 Exchanges -> 6); then
+    # (second pass) the Bloom probe became a scan-side bitmap-literal
+    # test — the positions explode -> set-bit join -> per-shingle
+    # groupBy(doc,h1,h2) exchange (non-combinable, the query's largest)
+    # is gone outright (259477 -> 6206 records); the filter's set-bit
+    # table is collected once at build (bounded by m=8192 bits) so the
+    # bits lineage also leaves the timed plan (rows_read 20000 -> 10000)
+    "q415_bloom_decontamination": {"shuffle_records": 6206,
+                                   "rows_read": 10000},
     # q419 re-snapshot round 11 (deliberate plan change): the corpus side
     # now passes the small-file parallelism gate (+5000 repartition
     # records) so token vectors + MaxSim HOFs parallelize; md5 and both

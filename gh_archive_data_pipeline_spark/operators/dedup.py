@@ -2147,6 +2147,47 @@ def _bloom_positions_h(h1, h2, m: int = BLOOM_M, k: int = BLOOM_HASHES):
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
 
 
+def bloom_bitmap(bits: DataFrame, m: int = BLOOM_M) -> list[int]:
+    """Collect a set-bit table into an m-bit bitmap packed as m/64 signed
+    int64 words — bounded driver state: O(m) where m is the FILTER size, a
+    design constant independent of corpus size (the same bounded-collect
+    discipline as pack_spans' per-partition offsets and the PQ codebooks).
+    At the decon plane's m=8192 this is 1 KB; the words enter downstream
+    plans as an array literal (see :func:`_bloom_hit_sql`), which only
+    makes sense while m/8 bytes is plan-literal-sized (KBs-MBs) — for a
+    filter sized beyond that, use :func:`bloom_probe`'s broadcast-join
+    form instead."""
+    words = [0] * ((m + 63) // 64)
+    for r in bits.select("pos").collect():
+        p = int(r[0])
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement: python ints >= 2^63 must wrap to negative int64
+    # for F.lit / SQL bigint literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_hit_sql(words: list[int], h1: str = "h1", h2: str = "h2",
+                   m: int = BLOOM_M, k: int = BLOOM_HASHES) -> str:
+    """Scan-side Bloom membership over md5-half columns ``h1``/``h2``: the
+    SAME k positions as :func:`_bloom_positions_h` (pmod(h1 + i*h2, m))
+    tested against the bitmap literal — bit-identical hit decisions with
+    ZERO explode, broadcast join, or per-shingle groupBy (round 11, guide
+    §2.4: the explode(k positions) -> join(set-bit table) -> groupBy(doc,
+    h1, h2) count==k idiom paid a non-combinable corpus-sized exchange per
+    probe pass; membership in a KB-sized bit set is a row-local
+    expression). shiftright sign-extends but (word >> s) & 1 reads bit s
+    correctly for s in [0, 63] regardless of the word's sign."""
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for i in range(k):
+        pos = f"pmod({h1} + {i}L * {h2}, {m}L)"
+        tests.append(
+            f"(shiftright(element_at({arr}, "
+            f"cast(shiftright({pos}, 6) as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1L) = 1L")
+    return "(" + " AND ".join(tests) + ")"
+
+
 @register(
     "q415_bloom_decontamination",
     sql=f"""
@@ -2206,16 +2247,18 @@ def q415_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = (ev.select(F.explode(
         _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("pos"))
         .distinct())
-    pos = tr.select("doc_id", "h1", "h2", F.explode(
-        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
-    hits = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
-            .groupBy("doc_id", "h1", "h2")
-            .agg((F.count("pos") == BLOOM_HASHES).cast("int")
-                 .alias("bloom_hit")))
-    exact = (tr.join(ev, ["h1", "h2"], "left_semi")
-             .withColumn("exact_hit", F.lit(1)))
-    joined = hits.join(exact, ["doc_id", "h1", "h2"], "left")
-    return (joined.groupBy("doc_id")
+    # the probe is a SCAN-SIDE bitmap test (round 11, guide §2.4): tr is
+    # already distinct per (doc_id, h1, h2), so the old explode(k pos) ->
+    # broadcast join -> groupBy(doc_id, h1, h2) count==k pipeline was a
+    # non-combinable shingle-table-sized exchange computing a row-local
+    # boolean; the exact audit joins the broadcast ev pairs directly onto
+    # the same rows, so ONE per-doc rollup (map-side combinable) remains
+    words = bloom_bitmap(bits)
+    flagged = (tr.withColumn("bloom_hit",
+                             F.expr(_bloom_hit_sql(words)).cast("int"))
+               .join(ev.withColumn("exact_hit", F.lit(1)),
+                     ["h1", "h2"], "left"))
+    return (flagged.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_shingles"),
                  F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
                  F.coalesce(F.sum("exact_hit"), F.lit(0)).cast("bigint")
@@ -2780,21 +2823,22 @@ def q436_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = (ev.select(F.explode(
             _bloom_positions_h(F.col("h1"), F.col("h2"), m=m)).alias("pos"))
             .distinct())
-        pos = negs.select("h1", "h2", F.explode(
-            _bloom_positions_h(F.col("h1"), F.col("h2"), m=m)).alias("p"))
-        hits = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
-                .groupBy("h1", "h2")
-                .agg((F.count("pos") == BLOOM_HASHES).cast("int")
-                     .alias("fp")))
-        row = (hits.agg(F.sum("fp").cast("bigint").alias("false_pos"),
-                        F.count("*").cast("bigint").alias("n_negs"))
-               .crossJoin(F.broadcast(
-                   bits.agg(F.count("*").cast("bigint").alias("bits_set"))))
-               .select(F.lit(m).cast("bigint").alias("m"), "bits_set",
-                       F.round(F.col("bits_set").cast("double") / F.lit(m),
-                               6).alias("fill_ratio"),
-                       "n_negs", "false_pos",
-                       F.round(F.col("false_pos").cast("double")
-                               / F.col("n_negs"), 6).alias("fpr")))
+        # scan-side bitmap probe (round 11, q415's shape): per-m work is
+        # one row-local test over negs — the explode -> join -> groupBy
+        # per-shingle exchange is gone; bits_set is the bitmap's popcount
+        # (the bits table is collected anyway to build the literal)
+        words = bloom_bitmap(bits, m=m)
+        bits_set = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+        row = (negs.agg(
+            F.sum(F.expr(_bloom_hit_sql(words, m=m)).cast("int"))
+            .cast("bigint").alias("false_pos"),
+            F.count("*").cast("bigint").alias("n_negs"))
+            .select(F.lit(m).cast("bigint").alias("m"),
+                    F.lit(bits_set).cast("bigint").alias("bits_set"),
+                    F.round(F.lit(bits_set).cast("double") / F.lit(m),
+                            6).alias("fill_ratio"),
+                    "n_negs", "false_pos",
+                    F.round(F.col("false_pos").cast("double")
+                            / F.col("n_negs"), 6).alias("fpr")))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("m")

@@ -69,7 +69,6 @@ from .classifier import (
     quality_features,
 )
 from .dedup import (
-    BLOOM_HASHES,
     EVAL_DOCS,
     _bloom_positions_h,
     _chunk_disposition_ctes,
@@ -114,13 +113,18 @@ def contaminated_ids(docs: DataFrame, corpus: DataFrame,
     while the exact join's input is bounded by the filter at scale.
     ``decon`` supplies a pre-materialized :func:`decon_reference`."""
     ev, bits = decon if decon is not None else decon_reference(docs)
+    # Bloom prefilter as a SCAN-SIDE bitmap test (round 11, guide §2.4):
+    # bits is the m-bit filter — a design constant (KBs), collected once
+    # into a bitmap literal (bloom_bitmap's bounded-driver contract, the
+    # pack_spans-offsets discipline) — so the old explode(k positions) ->
+    # broadcast join -> groupBy(doc_id, h1, h2) count==k pipeline, whose
+    # exchange carried every corpus shingle non-combined, becomes a
+    # row-local filter; only Bloom-hit shingles reach the exact verify.
+    from .dedup import _bloom_hit_sql, bloom_bitmap
+
+    words = bloom_bitmap(bits)
     sh = decon_shingle_hashes(corpus)
-    pos = sh.select("doc_id", "h1", "h2", F.explode(
-        _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
-    cand = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"])
-            .groupBy("doc_id", "h1", "h2")
-            .agg(F.count("*").alias("k"))
-            .filter(F.col("k") == BLOOM_HASHES))
+    cand = sh.filter(F.expr(_bloom_hit_sql(words)))
     return (cand.join(ev, ["h1", "h2"], "left_semi")
             .select("doc_id").distinct())
 

@@ -880,8 +880,9 @@ def q422_stream_bloom_decontamination(spark: SparkSession,
     import shutil
     import tempfile
 
-    from ..operators.dedup import (BLOOM_HASHES, EVAL_DOCS,
-                                   _bloom_positions_h, decon_shingle_hashes)
+    from ..operators.dedup import (EVAL_DOCS, _bloom_hit_sql,
+                                   _bloom_positions_h, bloom_bitmap,
+                                   decon_shingle_hashes)
     from ..sources.readers import load_table
 
     ensure_runtime_confs(spark)
@@ -889,7 +890,11 @@ def q422_stream_bloom_decontamination(spark: SparkSession,
     bits = (decon_shingle_hashes(docs.filter(F.col("doc_id") < EVAL_DOCS))
             .select(F.explode(_bloom_positions_h(F.col("h1"), F.col("h2")))
                     .alias("pos"))
-            .distinct().localCheckpoint())
+            .distinct())
+    # the filter ships to the stream as a bitmap literal, built ONCE
+    # before the drain (round 11, guide §2.4 — same scan-side probe as
+    # q415; the per-batch explode -> join -> per-shingle groupBy is gone)
+    hit_sql = _bloom_hit_sql(bloom_bitmap(bits))
 
     land = _docs_stream_dir(spark, sf_dir)
     schema = spark.read.parquet(f"{land}/bucket0.parquet").schema
@@ -900,12 +905,11 @@ def q422_stream_bloom_decontamination(spark: SparkSession,
 
     def probe_batch(batch, batch_id: int) -> None:
         tr = decon_shingle_hashes(batch.filter(F.col("doc_id") >= EVAL_DOCS))
-        pos = tr.select("doc_id", "h1", "h2", F.explode(
-            _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("p"))
-        perdoc = (pos.join(F.broadcast(bits), pos["p"] == bits["pos"], "left")
-                  .groupBy("doc_id", "h1", "h2")
-                  .agg((F.count("pos") == BLOOM_HASHES).cast("int")
-                       .alias("bloom_hit"))
+        # tr is distinct per (doc_id, h1, h2), so the per-shingle hit is a
+        # row-local bitmap test and ONE map-side-combinable per-doc rollup
+        # remains
+        perdoc = (tr.withColumn("bloom_hit",
+                                F.expr(hit_sql).cast("int"))
                   .groupBy("doc_id")
                   .agg(F.count("*").alias("n_sh"),
                        F.sum("bloom_hit").alias("hits")))

@@ -860,13 +860,21 @@ def test_q412_fusion_broadcasts_queries_group_limited(spark):
 
 
 def test_q415_bloom_filter_broadcasts_no_python(spark):
-    """Decontamination's scale contract: the <=m-row set-bit table and the
-    bounded eval-shingle set reach the probe as broadcasts (no sort-merge
-    join), and the whole plane is JVM expressions — no Python eval."""
+    """Decontamination's scale contract (round-11 shape): the Bloom probe
+    is a SCAN-SIDE bitmap-literal test — no positions explode, no set-bit
+    join, no per-shingle groupBy in the plan at all; the exact audit joins
+    the bounded eval-shingle set as a broadcast (no sort-merge join); the
+    whole plane is JVM expressions — no Python eval."""
     plan = plan_of(spark, "q415_bloom_decontamination")
-    assert plan.count("BroadcastHashJoin") >= 2  # bits probe + exact semi
+    assert plan.count("BroadcastHashJoin") >= 1  # exact audit join
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe's bitmap test is row-local (shiftright over the literal
+    # words); the only Generates left are the two shingle explodes (ev +
+    # tr branches; formatted output names each node twice) — the k-
+    # positions explodes (bits build on this path + probe) are gone
+    assert "shiftright" in plan
+    assert plan.count("Generate") <= 4
 
 
 def test_q419_maxsim_broadcast_scan_side_no_python(spark):
