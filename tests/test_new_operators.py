@@ -2696,6 +2696,32 @@ def test_q440_funnel_invariants(spark, sf_dir):
             assert r.ids_xor != 0 and r.spans_xor != 0
 
 
+def test_manifest_zero_kept_split_reports_zero_not_null(spark):
+    """VERDICT-r11 item 4 pin: a split whose docs ALL drop reports concrete
+    zeros for the kept-side stats. The round-11 merged conditional rollup
+    made this 0 where the old kept-stats left join produced NULL —
+    unreachable on every current fixture (each split keeps docs), so this
+    declares the degenerate-input contract explicitly."""
+    from gh_archive_data_pipeline_spark.operators.pipeline_build import (
+        manifest_from_disposition,
+    )
+
+    disp = spark.createDataFrame(
+        [(1, "a", "train", "kept", "keep", 5, "a b c d e"),
+         (2, "a", "train", "quality", "keep", 5, "f g h i j"),
+         (3, "a", "validation", "quality", "keep", 4, "k l m n"),
+         (4, "a", "validation", "exact_dup", None, None, None)],
+        "doc_id long, source string, split string, outcome string,"
+        " disposition string, kept_tokens long, text string")
+    out = {r.split: r for r in manifest_from_disposition(disp).collect()}
+    v = out["validation"]
+    assert v.n_docs == 0 and v.n_tokens == 0 and v.n_seqs == 0
+    assert v.ids_xor == 0 and v.spans_xor == 0
+    assert v.n_candidates == 2 and v.dropped_quality == 1
+    t = out["train"]
+    assert t.n_docs == 1 and t.n_tokens == 5 and t.ids_xor != 0
+
+
 def test_chunk_dispositions_containment_and_single_chunk_edges(spark):
     """q441 policy edges (VERDICT-r8 item 5): full containment -> the
     LATER doc drops entirely (keep-first); a single-chunk overlap on a
