@@ -903,10 +903,12 @@ def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token span that appears in 2+ documents, with occurrence counts. One
     explode (span stream, shuffled as hashes+counts after partial agg) and
     one groupBy — no suffix array needed for fixed-length spans, and the
-    span length is the knob (8 here; 50 in the paper). Spans leave the scan
-    as md5 hashes in the output so the shuffle payload stays narrow; at
-    100 TB you'd hash BEFORE the groupBy (xxhash64) and verify collisions
-    in a second pass."""
+    span length is the knob (8 here; 50 in the paper). Spans are hashed
+    BEFORE the groupBy (round 12 — this docstring's own 100 TB advice):
+    the full md5 leaves the scan as two signed-bigint halves (the q393
+    conv bijection), so the aggregation shuffles 16-byte int pairs
+    instead of 8-token span text, and the output span_hash (the md5's
+    first 16 hex chars) reconstructs from h1 row-locally."""
     docs = load_table(spark, sf_dir, "documents")
     spans = (docs.select("doc_id", F.split("text", " ").alias("w"))
              .where(F.size("w") >= 8)
@@ -917,12 +919,17 @@ def q224_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.explode(F.expr(
                  "IF(size(w) < 8, array(),"
                  " transform(sequence(1, size(w) - 7),"
-                 " i -> array_join(slice(w, i, 8), ' ')))")).alias("span")))
-    agg = (spans.groupBy("span")
+                 " i -> md5(array_join(slice(w, i, 8), ' '))))")).alias("m"))
+             .select("doc_id",
+                     F.expr("cast(conv(substring(m, 1, 16), 16, -10)"
+                            " as bigint)").alias("h1"),
+                     F.expr("cast(conv(substring(m, 17, 16), 16, -10)"
+                            " as bigint)").alias("h2")))
+    agg = (spans.groupBy("h1", "h2")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
                 F.countDistinct("doc_id").cast("bigint").alias("n_docs")))
     return (agg.filter(F.col("n_docs") >= 2)
-            .select(F.substring(F.md5("span"), 1, 16).alias("span_hash"),
+            .select(F.lower(F.lpad(F.hex("h1"), 16, "0")).alias("span_hash"),
                     "n_occurrences", "n_docs")
             .orderBy(F.desc("n_occurrences"), "span_hash")
             .limit(50))
@@ -976,13 +983,17 @@ def q393_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLEANED text — the oracle replays ownership, interval union, and
     reassembly, so a single mis-kept token anywhere fails the hash.
 
-    Scale shape: the ownership window shuffles md5(span) keys (32 chars,
-    never the 8-token text — q224's narrow-shuffle rule, here collision-
-    safe in practice and deterministic per fixture); removal positions
-    shuffle as (doc_id, int) pairs; reassembly is one broadcast-size HOF
-    pass (filter positions -> transform to tokens -> join) inside the doc
-    scan, no Python anywhere. At 100 TB the paper's suffix-array batch
-    job becomes this same plan with span length as the knob."""
+    Scale shape: the ownership window shuffles the FULL md5(span) as two
+    bigint halves (round 12, guide §2.3 "narrower types": a bijection of
+    the 32-char key the oracle groups on — identical partitions, identical
+    rn, ~2.3x fewer key bytes per span row; never the 8-token text, q224's
+    narrow-shuffle rule); duplicated spans shuffle as (doc_id, start) and
+    expand to their 8 token positions AFTER the per-doc aggregation
+    (round 12, §2.3: the per-doc rollup's partial buffers carry ~8x fewer
+    ints); reassembly is one broadcast-size HOF pass (filter positions ->
+    transform to tokens -> join) inside the doc scan, no Python anywhere.
+    At 100 TB the paper's suffix-array batch job becomes this same plan
+    with span length as the knob."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     spans = (toks.where(F.size("w") >= 8)
@@ -995,17 +1006,30 @@ def q393_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " i -> struct(i AS i,"
                  "            md5(array_join(slice(w, i, 8), ' '))"
                  "            AS span_key)))")).alias("s"))
-             .select("doc_id", "s.i", "s.span_key"))
-    w_own = Window.partitionBy("span_key").orderBy("doc_id", "i")
-    rm_pos = (spans.withColumn("rn", F.row_number().over(w_own))
-              .filter(F.col("rn") > 1)
-              .select("doc_id",
-                      F.explode(F.sequence("i", F.col("i") + 7)).alias("j")))
-    # collect_SET dedups overlapping spans' positions itself, so a
-    # distinct() here is redundant (Catalyst plans both versions to the
-    # SAME 4 exchanges — verified; removed for clarity, and so a future
-    # optimizer change can't resurrect the extra shuffle)
-    rmset = rm_pos.groupBy("doc_id").agg(F.collect_set("j").alias("rm"))
+             # full-md5 SEMANTICS, int-pair SHUFFLE: conv(..., 16, -10)
+             # reads each 16-hex-char half as a signed bigint — a bijection
+             # (round-tripped by test), so grouping on (h1, h2) below is
+             # bit-identical to grouping on the 32-char string
+             .select("doc_id", "s.i",
+                     F.expr("cast(conv(substring(s.span_key, 1, 16),"
+                            " 16, -10) as bigint)").alias("h1"),
+                     F.expr("cast(conv(substring(s.span_key, 17, 16),"
+                            " 16, -10) as bigint)").alias("h2")))
+    w_own = Window.partitionBy("h1", "h2").orderBy("doc_id", "i")
+    rm_start = (spans.withColumn("rn", F.row_number().over(w_own))
+                .filter(F.col("rn") > 1)
+                .select("doc_id", "i"))
+    # positions expand AFTER the per-doc rollup: flatten the collected
+    # span starts into their 8-token ranges row-locally. array_distinct
+    # dedups overlapping spans' positions exactly as collect_set(j) did
+    # (rm is consumed only by size() and array_contains(), both
+    # order-insensitive), and the aggregation buffers carry one int per
+    # duplicated SPAN instead of eight per-token positions
+    rmset = (rm_start.groupBy("doc_id")
+             .agg(F.collect_list("i").alias("starts"))
+             .select("doc_id", F.expr(
+                 "array_distinct(flatten(transform(starts,"
+                 " i -> sequence(i, i + 7))))").alias("rm")))
     kept = F.expr(
         "transform(filter(sequence(1, size(w)),"
         " j -> rm IS NULL OR NOT array_contains(rm, j)),"

@@ -3934,3 +3934,86 @@ def test_short_doc_guards_no_crash(spark, tmp_path):
     # spot-check semantics: q393 emits ALL docs (left join), q153 only >= 2
     assert len(qs["q393_span_dedup_clean"].fn(spark, sf).collect()) == 4
     assert len(qs["q153_lm_crossentropy"].fn(spark, sf).collect()) == 3
+
+
+def test_q393_intpair_kernel_matches_string_reference(spark, tmp_path):
+    """Round-12 optimization (VERDICT-r11 item 2): q393's ownership window
+    shuffles the full md5 span key as two signed-bigint halves (conv
+    bijection) and duplicated spans cross the per-doc rollup as start
+    positions (8x fewer ints in the agg buffers). Pin the new shape
+    against the old one — string span_key window + explode(j) +
+    collect_set — on adversarial docs: cross-doc duplicate spans,
+    overlapping in-doc duplicates, a fully-removed doc, and short docs."""
+    base = "a b c d e f g h"               # one 8-token span
+    texts = [
+        base + " x y z",                   # owner of the span (doc 0)
+        base,                              # exact dup span -> fully removed
+        "p " + base + " q",                # dup span mid-doc
+        base + " " + base,                 # in-doc overlap: spans repeat
+        "m n o",                           # short doc: no spans
+        "t",                               # 1 token
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from pyspark.sql import Window
+    from gh_archive_data_pipeline_spark.plans.registry import all_queries
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    got = sorted(
+        tuple(r) for r in
+        all_queries()["q393_span_dedup_clean"].fn(spark, sf).collect())
+    # reference = the pre-round-12 shape, inline
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    spans = (toks.where(F.size("w") >= 8)
+             .select("doc_id", F.explode(F.expr(
+                 "IF(size(w) < 8, array(),"
+                 " transform(sequence(1, size(w) - 7),"
+                 " i -> struct(i AS i,"
+                 "            md5(array_join(slice(w, i, 8), ' '))"
+                 "            AS span_key)))")).alias("s"))
+             .select("doc_id", "s.i", "s.span_key"))
+    w_own = Window.partitionBy("span_key").orderBy("doc_id", "i")
+    rm_pos = (spans.withColumn("rn", F.row_number().over(w_own))
+              .filter(F.col("rn") > 1)
+              .select("doc_id",
+                      F.explode(F.sequence("i", F.col("i") + 7)).alias("j")))
+    rmset = rm_pos.groupBy("doc_id").agg(F.collect_set("j").alias("rm"))
+    kept = F.expr(
+        "transform(filter(sequence(1, size(w)),"
+        " j -> rm IS NULL OR NOT array_contains(rm, j)),"
+        " j -> element_at(w, j))")
+    ref = sorted(
+        tuple(r) for r in
+        (toks.join(rmset, "doc_id", "left")
+         .select("doc_id",
+                 F.size("w").cast("bigint").alias("n_tokens"),
+                 F.when(F.col("rm").isNull(), 0)
+                 .otherwise(F.size("rm")).cast("bigint").alias("n_removed"),
+                 F.md5(F.array_join(kept, " ")).alias("cleaned_md5"))
+         .orderBy("doc_id")).collect())
+    assert got == ref
+    # the dup-only doc must be fully removed (cleaned text = '')
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] == by_id[1][1]      # n_removed == n_tokens
+    assert by_id[4][2] == 0                # short doc untouched
+
+
+def test_md5_half_conv_bijection(spark):
+    """The q393/q224 int-pair key rule rests on conv(hex16, 16, -10) being
+    a bijection from 16-hex-char strings to signed bigints (and hex/lpad
+    being its inverse). Round-trip both halves of 10k md5s, including the
+    sign-boundary constants."""
+    n = spark.sql("""
+      SELECT count(*) AS n FROM (
+        SELECT md5(cast(id as string)) AS m
+        FROM range(10000)
+        UNION ALL SELECT 'ffffffffffffffff0000000000000000'
+        UNION ALL SELECT '80000000000000007fffffffffffffff'
+      ) WHERE lower(lpad(hex(cast(conv(substring(m, 1, 16), 16, -10)
+                                  as bigint)), 16, '0'))
+                <> substring(m, 1, 16)
+           OR lower(lpad(hex(cast(conv(substring(m, 17, 16), 16, -10)
+                                  as bigint)), 16, '0'))
+                <> substring(m, 17, 16)
+    """).collect()[0].n
+    assert n == 0
