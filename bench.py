@@ -293,8 +293,16 @@ PLAN_SNAPSHOT: dict[str, dict] = {
     # is gone outright (259477 -> 6206 records); the filter's set-bit
     # table is collected once at build (bounded by m=8192 bits) so the
     # bits lineage also leaves the timed plan (rows_read 20000 -> 10000)
-    "q415_bloom_decontamination": {"shuffle_records": 6206,
-                                   "rows_read": 10000},
+    # re-snapshot round 12 (deliberate plan change): ev (the benchmark
+    # slice's distinct shingle pairs) is checkpointed, so its derivation
+    # — one full doc scan + shingle pass + distinct exchange — runs once
+    # instead of once per consumer (bitmap build + exact-audit
+    # broadcast): records 6206 -> 4976 (the 1230-pair ev distinct left
+    # the measured plan), rows_read 10000 -> 6230 (5000-row corpus scan
+    # + the 1230-row ev checkpoint read replaces the second 5000-row
+    # parquet scan)
+    "q415_bloom_decontamination": {"shuffle_records": 4976,
+                                   "rows_read": 6230},
     # q419 re-snapshot round 11 (deliberate plan change): the corpus side
     # now passes the small-file parallelism gate (+5000 repartition
     # records) so token vectors + MaxSim HOFs parallelize; md5 and both

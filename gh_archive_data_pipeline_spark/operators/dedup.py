@@ -2265,8 +2265,13 @@ def q415_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the >99% of clean shingles before the exact join runs."""
     docs = load_table(spark, sf_dir, "documents")
     sh = decon_shingle_hashes(docs)
+    # ev is checkpointed (round 12, guide §2.4/§5): the bitmap build and
+    # the exact-audit broadcast otherwise each re-derive it from a fresh
+    # benchmark-slice scan + shingle pass (measured: two of this query's
+    # three doc scans). Bounded by the benchmark suite, not the corpus.
     ev = (sh.filter(F.col("doc_id") < EVAL_DOCS)
-          .select("h1", "h2").distinct())
+          .select("h1", "h2").distinct()
+          .localCheckpoint(eager=False))
     tr = sh.filter(F.col("doc_id") >= EVAL_DOCS)
     bits = (ev.select(F.explode(
         _bloom_positions_h(F.col("h1"), F.col("h2"))).alias("pos"))
@@ -2837,7 +2842,11 @@ def q436_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-sized work, never corpus passes."""
     docs = load_table(spark, sf_dir, "documents")
     sh = decon_shingle_hashes(docs).localCheckpoint()
-    ev = sh.filter(F.col("doc_id") < EVAL_DOCS).select("h1", "h2").distinct()
+    # ev ckpt (round 12): consumed by negs' anti-join AND once per sweep
+    # m for the per-m set-bit table — without it the distinct re-runs
+    # |sweep|+1 times off the sh checkpoint
+    ev = (sh.filter(F.col("doc_id") < EVAL_DOCS)
+          .select("h1", "h2").distinct().localCheckpoint(eager=False))
     negs = (sh.filter(F.col("doc_id") >= EVAL_DOCS)
             .select("h1", "h2").distinct()
             .join(ev, ["h1", "h2"], "left_anti")

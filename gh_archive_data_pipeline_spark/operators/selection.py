@@ -773,8 +773,20 @@ def _kn_bigram_lm(docs: DataFrame, train_source: str):
                  F.count(F.lit(1)).cast("double").alias("n1p_fwd")))
     cont = (bgc.groupBy("w2")
             .agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd")))
+    # vocab count from the CHECKPOINTED bigram-type table, not a second
+    # corpus pass (round 12, guide §2.4): every token of a >= 2-token doc
+    # is some bigram's w1 or w2 (position i is w1 of bigram i, or w2 of
+    # bigram i-1; first/last tokens covered by their single neighbor), so
+    # distinct(train tokens) == distinct(bgc.w1) ∪ distinct(bgc.w2) and v
+    # is identical. The old explode(t) corpus re-scan also paid the
+    # staged-explode tax (split(text) evaluated 4x per row under the
+    # substituted size>=2 / inferred-Generate filters, q144 rule); the
+    # bigram-type table is orders of magnitude smaller than the token
+    # stream at scale. Equivalence pinned by
+    # test_kn_vocab_from_bigram_types.
     sc = (bgc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
-          .crossJoin(tr.select(F.explode("t").alias("w"))
+          .crossJoin(bgc.select(F.col("w1").alias("w"))
+                     .union(bgc.select(F.col("w2").alias("w")))
                      .agg(F.countDistinct("w").cast("double").alias("v"))))
     return bgc, pref, cont, sc
 

@@ -384,7 +384,16 @@ def q46_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the building block for embedding-cluster dedup/quality filtering."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v"))
-    pos = emb.select("label", F.posexplode("v").alias("i", "x"))
+    # cast INLINED at the explode (round 12, the q144 rule):
+    # InferFiltersFromGenerate fires only on an ATTRIBUTE generator input;
+    # exploding staged `v` pushed the inferred size>0/isnotnull filter
+    # below the staging Project, substituting the cast-transform tree into
+    # it — 3 evaluations per row (measured in the plan), 1 inline. The
+    # inferred filter was semantically redundant: a non-outer posexplode
+    # emits nothing for NULL/empty arrays anyway.
+    pos = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"))
     cent = (
         pos.groupBy("label", "i").agg(F.avg("x").alias("cx"))
         .groupBy("label")

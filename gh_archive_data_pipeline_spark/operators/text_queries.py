@@ -615,13 +615,25 @@ def q123_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, linear in corpus), then one count aggregation; the HAVING
     prunes the long tail before any further join."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
-        .alias("w"))
-    pairs = (toks.select("doc_id", F.explode("w").alias("tok_a"), "w")
-             .select("doc_id", "tok_a", F.explode("w").alias("tok_b"))
-             .filter(F.col("tok_a") < F.col("tok_b")))
+    # Pair enumeration is the q167 scan-side HOF over the per-doc SORTED
+    # distinct token array (round 12): the old explode×explode+filter
+    # staged `w` as a column, and InferFiltersFromGenerate (the q144
+    # trap: it fires on attribute generator inputs) pushed its inferred
+    # size>0/isnotnull filter below the staging Project, substituting the
+    # split+filter+array_distinct tree into it — 3 evaluations per row.
+    # Here the generator input is an EXPRESSION over the staged array
+    # (rule skips; the array builds once per row), elements are distinct
+    # and ascending so slice pairs (i < j) == value pairs (a < b), and
+    # the Generate emits |w|·(|w|−1)/2 rows instead of |w|² rows
+    # post-filtered. Same pair multiset, same counts.
+    ws_col = F.array_sort(F.array_distinct(
+        F.filter(F.split("text", " "), lambda t: t != "")))
+    pairs = (docs.select(ws_col.alias("ws"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ws, (x, i) -> "
+                 "transform(slice(ws, i + 2, size(ws) - i - 1), "
+                 "y -> struct(x AS tok_a, y AS tok_b))))")).alias("pr"))
+             .select("pr.tok_a", "pr.tok_b"))
     return (pairs.groupBy("tok_a", "tok_b")
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") >= 20))

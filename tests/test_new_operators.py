@@ -4017,3 +4017,72 @@ def test_md5_half_conv_bijection(spark):
                 <> substring(m, 17, 16)
     """).collect()[0].n
     assert n == 0
+
+
+def test_kn_vocab_from_bigram_types(spark, tmp_path):
+    """Round-12: _kn_bigram_lm's vocab scalar v now derives from the
+    checkpointed bigram-type table (distinct w1 ∪ w2) instead of a second
+    corpus scan + token explode. Pin the set identity on adversarial
+    docs: repeated tokens, empty-string tokens from double spaces, a
+    2-token doc, a 1-token doc (excluded by the >= 2 filter on BOTH
+    shapes), and tokens unique to first/last positions."""
+    texts = [
+        "a b c a b",      # repeats
+        "x  y",           # double space -> empty-string token
+        "p q",            # minimal 2-token doc
+        "solo",           # 1 token: excluded from training entirely
+        "z a",            # z only ever first-position, a shared
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from gh_archive_data_pipeline_spark.operators.selection import (
+        _kn_bigram_lm,
+    )
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf, "documents")
+    for src in ("src0", "src1", "src2"):
+        _, _, _, sc = _kn_bigram_lm(docs, src)
+        got = sc.collect()[0].v
+        # reference: the pre-optimization token-stream countDistinct
+        tr = (docs.filter(F.col("source") == src)
+              .select(F.split("text", " ").alias("t"))
+              .where(F.size("t") >= 2))
+        want = (tr.select(F.explode("t").alias("w"))
+                .agg(F.countDistinct("w")).collect()[0][0])
+        assert got == float(want), (src, got, want)
+
+
+def test_q123_pair_hof_matches_double_explode(spark, tmp_path):
+    """Round-12: q123's ordered token pairs now come from one scan-side
+    HOF over the sorted distinct token array (the q167 idiom) instead of
+    explode×explode + a<b filter. Pin pair-set equality (support
+    threshold lowered to 1 via the raw kernel) on adversarial docs:
+    duplicate tokens, empty-string tokens, single-token docs (no pairs),
+    and unsorted input order."""
+    texts = [
+        "b a c b a",      # duplicates + reverse order
+        "q  p",           # empty-string token must not pair
+        "only",           # no pairs
+        "m n o",          # simple ascending
+    ]
+    sf = _write_synth_docs(spark, tmp_path, texts)
+    from gh_archive_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf, "documents")
+    ws_col = F.array_sort(F.array_distinct(
+        F.filter(F.split("text", " "), lambda t: t != "")))
+    new = (docs.select(ws_col.alias("ws"))
+           .select(F.explode(F.expr(
+               "flatten(transform(ws, (x, i) -> "
+               "transform(slice(ws, i + 2, size(ws) - i - 1), "
+               "y -> struct(x AS tok_a, y AS tok_b))))")).alias("pr"))
+           .select("pr.tok_a", "pr.tok_b")
+           .groupBy("tok_a", "tok_b").count())
+    toks = docs.select(F.array_distinct(
+        F.filter(F.split("text", " "), lambda t: t != "")).alias("w"))
+    old = (toks.select(F.explode("w").alias("tok_a"), "w")
+           .select("tok_a", F.explode("w").alias("tok_b"))
+           .filter(F.col("tok_a") < F.col("tok_b"))
+           .groupBy("tok_a", "tok_b").count())
+    assert ({tuple(r) for r in new.collect()}
+            == {tuple(r) for r in old.collect()})
