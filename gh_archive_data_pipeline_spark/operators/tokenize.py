@@ -375,7 +375,15 @@ def q394_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("wpos", "word")).filter(
         F.col("word") != "")
-    return (words.join(seg, words.word == seg.token)
+    # broadcast the SEGMENTED VOCAB, not the word stream (round 12, guide
+    # §3.1 "estimates are often badly wrong ... use an explicit hint"):
+    # the planner's size estimate for the 5-merge fold chain is inflated,
+    # so it built the broadcast from the CORPUS side (measured at sf0.1:
+    # 271k-row / 40 MiB word-stream broadcast probed by the 31-row vocab
+    # — a driver collect of the whole token stream, unrunnable at scale).
+    # The vocab is the bounded tokenizer artifact this docstring already
+    # names as the broadcast side.
+    return (words.join(F.broadcast(seg), words.word == seg.token)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
                  F.sum("n_syms").cast("bigint").alias("n_pieces"),
@@ -426,7 +434,8 @@ def q398_bpe_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("wpos", "word")).filter(
         F.col("word") != "")
-    return (words.join(seg, words.word == seg.token)
+    # broadcast the rebuilt vocab, not the word stream (q394's §3.1 fix)
+    return (words.join(F.broadcast(seg), words.word == seg.token)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
                  F.substring(F.md5(F.concat_ws(" ", F.transform(

@@ -313,7 +313,10 @@ def _encode_report(docs: DataFrame, logq: dict[str, int]) -> DataFrame:
         .filter((F.col("word") != "")
                 & (F.length("word") <= MAX_WORD_LEN))
         .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "word"))
-    return (words.join(seg, words.word == seg.token)
+    # broadcast the SEGMENTED VOCAB side explicitly (q394's round-12 §3.1
+    # fix: the planner's width estimate for the Viterbi-segmented frame
+    # made it broadcast the word STREAM instead — backwards at scale)
+    return (words.join(F.broadcast(seg), words.word == seg.token)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
                  F.sum("n_syms").cast("bigint").alias("n_pieces"),
