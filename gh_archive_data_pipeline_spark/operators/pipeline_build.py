@@ -197,17 +197,30 @@ def phase3_gate_split(docs: DataFrame, ann1: DataFrame,
 
 def build_disposition_table(spark: SparkSession, docs: DataFrame,
                             w: list[float], b: float,
-                            checkpoint: bool = True) -> DataFrame:
+                            checkpoint: bool = True,
+                            keep_text: bool = True) -> DataFrame:
     """The pipeline's product: ONE row per candidate document (doc_id >=
     EVAL_DOCS) with its split, funnel ``outcome`` ('exact_dup' |
     'chunk_dup' | 'contaminated' | 'quality' | 'kept'), chunk
     ``disposition``, post-policy ``text`` and ``kept_tokens``. ``w``/``b``
     are the q401 probe weights. Three phase products, each checkpointed
     once (see module docstring): the exact-dedup annotation, the
-    chunk-disposition annotation, and the final disposition table."""
+    chunk-disposition annotation, and the final disposition table.
+
+    ``keep_text=False`` drops the post-policy text column BEFORE the
+    final checkpoint (round 12, guide §5 — don't persist what the
+    consumer never reads): the manifest (q440) and epoch-plan (q443)
+    consumers are stats-only, so their checkpoint materializes the
+    decision table without the corpus payload; at scale that is a
+    bounded stats table instead of a second copy of the corpus. Export
+    consumers (q444's standing table, q434-style corpus writes) keep
+    the default."""
     flag1 = _ckpt(phase1_exact(docs), checkpoint)
     ann1 = _ckpt(phase2_chunk(flag1), checkpoint)
-    return _ckpt(phase3_gate_split(docs, ann1, w, b), checkpoint)
+    disp = phase3_gate_split(docs, ann1, w, b)
+    if not keep_text:
+        disp = disp.drop("text")
+    return _ckpt(disp, checkpoint)
 
 
 def _pipeline_ctes() -> str:
@@ -437,7 +450,8 @@ def q440_corpus_build_pipeline(spark: SparkSession,
     # probe weights: the amortized q358/q376-style artifact (trained on
     # the raw documents table — q401's exact float sequence)
     w, b = _cached_probe(spark, sf_dir)
-    disp = build_disposition_table(spark, docs, w, b)
+    # stats-only consumer: the manifest never reads text (guide §5)
+    disp = build_disposition_table(spark, docs, w, b, keep_text=False)
     return manifest_from_disposition(disp)
 
 
@@ -485,7 +499,8 @@ def q443_pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     q440's funnel + q442's scan-side keys and per-shard rank windows."""
     docs = load_table(spark, sf_dir, "documents")
     w, b = _cached_probe(spark, sf_dir)
-    disp = build_disposition_table(spark, docs, w, b)
+    # stats-only consumer: the epoch plan never reads text (guide §5)
+    disp = build_disposition_table(spark, docs, w, b, keep_text=False)
     kept = disp.filter(F.col("outcome") == "kept")
     sized = kept.select("doc_id", "split",
                         F.col("kept_tokens").alias("n_tokens"))
